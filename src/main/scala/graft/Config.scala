@@ -1,0 +1,60 @@
+package graft
+
+/** Engine-wide deterministic configuration.
+  *
+  * Parity target: the *intended* semantics of the reference pipeline
+  * (`/root/reference` — Shingling.java:32-42 shingle construction,
+  * MinHashLSH.java:87-118 signature+banding, MinHashLSH.java:150-193
+  * verify, CollectCandidates.java:17-51 pair collection), with the
+  * reference's bugs (SURVEY.md §2.4 Q1-Q12) fixed:
+  *   - seeded hashing instead of unseeded permutations (Q7),
+  *   - band index part of the bucket key (Q5),
+  *   - Jaccard compares the two members, not one with itself (Q1),
+  *   - exact shingle-set Jaccard for verification (Q9).
+  *
+  * MinHash uses the standard universal-hash construction (MMDS ch.3):
+  * sig_i(doc) = min over shingles s of (a_i * h(s) + b_i) mod p, where
+  * h is a base-31 polynomial character hash mod p. Everything is pure
+  * 64-bit integer arithmetic so the DuckDB oracle can replay it
+  * bit-identically (no engine-specific hash functions).
+  */
+object Config {
+  /** 2^31 - 1, Mersenne prime — modulus for all portable hashing. */
+  val P: Long = 2147483647L
+  /** Polynomial hash base (fits chars; collisions only shave minhash
+    * accuracy, never determinism). */
+  val CharBase: Long = 31L
+
+  /** Shingle length (reference: Main.java:53 k=3). */
+  val K: Int = 3
+  /** Signature length S = Bands * RowsPerBand. */
+  val NumHashes: Int = 60
+  /** LSH bands b. Calibrated on testdata: background char-3-gram
+    * Jaccard p50≈0.46/p99≈0.64, planted near-dups ≥0.8; (b=10, r=6)
+    * gives P(candidate | J=0.8) ≈ 0.95 and ≈0.09 at J=0.46. */
+  val Bands: Int = 10
+  /** Rows per band r. */
+  val RowsPerBand: Int = 6
+  /** Verified-similarity threshold on EXACT shingle-set Jaccard
+    * (reference: Main.java:57 jaccardThreshold=0.8, intended as
+    * similarity per MinHashLSH.java:177). */
+  val Threshold: Double = 0.8
+
+  /** Seed for the affine hash family. */
+  val Seed: Long = 42L
+
+  /** Seeded affine coefficients (a_i in [1,P-1], b_i in [0,P-1]).
+    * Embedded as literals into both the Spark plan and the generated
+    * oracle SQL, so both engines use the same family. */
+  lazy val coeffs: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(Seed)
+    IndexedSeq.fill(NumHashes) {
+      val a = java.lang.Math.floorMod(rnd.nextLong(), P - 1) + 1
+      val b = java.lang.Math.floorMod(rnd.nextLong(), P)
+      (a, b)
+    }
+  }
+
+  /** Zero-padded signature column name, stable sort order. */
+  def sigCol(i: Int): String = f"sig_$i%02d"
+}

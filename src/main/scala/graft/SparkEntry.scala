@@ -1,13 +1,115 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators._
+import graft.oracle.Sql
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder
+  * prompt. Every operator from SURVEY.md §2 (and the north-star
+  * extensions) is registered here; each entry with a DuckDB-oracle
+  * twin in [[oracleSql]] is hash-checked by the driver at sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  /** Flagship: verified near-duplicate sentence pairs (both
+    * directions, with texts) on sf0.001 — the reference pipeline's
+    * final answer shape (CollectCandidates.java:48). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    MinHashLsh.pairsSymmetric(docs(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference-parity minhash/LSH pipeline (O1-O20) ---
+    "shingles" -> ((s, d) => Shingling.shingles(docs(s, d))),
+    "shingle_dict" -> ((s, d) => Shingling.shingleDict(docs(s, d))),
+    "minhash_signatures" -> ((s, d) => MinHashLsh.signatures(docs(s, d))),
+    "lsh_bands" -> ((s, d) => MinHashLsh.bands(docs(s, d))),
+    "candidate_pairs" -> ((s, d) => MinHashLsh.candidatePairs(docs(s, d))),
+    "similar_pairs" -> ((s, d) => MinHashLsh.similarPairs(docs(s, d))),
+    "pairs_symmetric" -> ((s, d) => MinHashLsh.pairsSymmetric(docs(s, d))),
+    "minhash_estimate" -> ((s, d) => MinHashLsh.estimatedPairs(docs(s, d))),
+    // --- dedup ---
+    "dedup_exact" -> ((s, d) => Dedup.exactGroups(docs(s, d))),
+    "dedup_near_keep" -> ((s, d) => Dedup.nearDupKeep(docs(s, d))),
+    "near_dup_groups" -> ((s, d) => Dedup.nearDupGroups(s, docs(s, d))),
+    "simhash" -> ((s, d) => TextAnalysis.simHash(docs(s, d))),
+    // --- text analysis ---
+    "token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
+    "lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    "word_ngram_jaccard" -> ((s, d) => TextAnalysis.wordNgramJaccard(docs(s, d))),
+    "media_meta" -> ((s, d) => Multimodal.mediaMeta(docs(s, d))),
+    // --- embeddings / similarity search ---
+    "embedding_norms" -> ((s, d) => EmbeddingSim.norms(emb(s, d))),
+    "cosine_topk" -> ((s, d) => EmbeddingSim.cosineTopK(emb(s, d))),
+    "ann_buckets" -> ((s, d) => EmbeddingSim.annBuckets(emb(s, d))),
+    "ann_topk" -> ((s, d) => EmbeddingSim.annTopK(emb(s, d))),
+    // --- events ---
+    "events_window_agg" -> ((s, d) => EventsOps.windowAgg(events(s, d))),
+    "events_sessionize" -> ((s, d) => EventsOps.sessionize(events(s, d))),
+    "events_props_agg" -> ((s, d) => EventsOps.propsAgg(events(s, d))),
+    // --- relational coverage ---
+    "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
+    "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
+    "q5_region_revenue" -> ((s, d) => Relational.q5RegionRevenue(s, d)),
+    "q4_order_priority" -> ((s, d) => Relational.q4OrderPriority(s, d)),
+    "q22_no_orders" -> ((s, d) => Relational.q22NoOrders(s, d)),
+    "window_top_orders" -> ((s, d) => Relational.windowTopOrders(s, d)),
+    "window_running_total" -> ((s, d) => Relational.windowRunningTotal(s, d)),
+    "rollup_sales" -> ((s, d) => Relational.rollupSales(s, d)),
+    "topk_orders" -> ((s, d) => Relational.topKOrders(s, d)),
+    "set_ops" -> ((s, d) => Relational.setOps(s, d)),
+    "scalar_funcs" -> ((s, d) => Relational.scalarFuncs(s, d)),
+    "distinct_counts" -> ((s, d) => Relational.distinctCounts(s, d)),
+  )
+
+  /** DuckDB-equivalent SQL per query (same arithmetic, same affine
+    * constants — see graft.oracle.Sql). `near_dup_groups` is
+    * iterative (not single-statement SQL) → rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "shingles" -> Sql.shingles,
+    "shingle_dict" -> Sql.shingleDict,
+    "minhash_signatures" -> Sql.minhashSignatures,
+    "lsh_bands" -> Sql.lshBands,
+    "candidate_pairs" -> Sql.candidatePairs,
+    "similar_pairs" -> Sql.similarPairs,
+    "pairs_symmetric" -> Sql.pairsSymmetric,
+    "minhash_estimate" -> Sql.minhashEstimate,
+    "dedup_exact" -> Sql.dedupExact,
+    "dedup_near_keep" -> Sql.dedupNearKeep,
+    "simhash" -> Sql.simhash,
+    "token_stats" -> Sql.tokenStats,
+    "text_quality" -> Sql.quality,
+    "lang_id" -> Sql.langId,
+    "doc_fingerprint" -> Sql.fingerprint,
+    "word_ngram_jaccard" -> Sql.wordNgramJaccard,
+    "media_meta" -> Sql.mediaMeta,
+    "embedding_norms" -> Sql.embeddingNorms,
+    "cosine_topk" -> Sql.cosineTopK,
+    "ann_buckets" -> Sql.annBuckets,
+    "ann_topk" -> Sql.annTopK,
+    "events_window_agg" -> Sql.eventsWindowAgg,
+    "events_sessionize" -> Sql.eventsSessionize,
+    "events_props_agg" -> Sql.eventsPropsAgg,
+    "q1_pricing_summary" -> Sql.q1PricingSummary,
+    "q3_shipping_priority" -> Sql.q3ShippingPriority,
+    "q5_region_revenue" -> Sql.q5RegionRevenue,
+    "q4_order_priority" -> Sql.q4OrderPriority,
+    "q22_no_orders" -> Sql.q22NoOrders,
+    "window_top_orders" -> Sql.windowTopOrders,
+    "window_running_total" -> Sql.windowRunningTotal,
+    "rollup_sales" -> Sql.rollupSales,
+    "topk_orders" -> Sql.topKOrders,
+    "set_ops" -> Sql.setOps,
+    "scalar_funcs" -> Sql.scalarFuncs,
+    "distinct_counts" -> Sql.distinctCounts,
+  )
 }

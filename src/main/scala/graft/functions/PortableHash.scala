@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.Config
+
+/** Engine-neutral hashing, expressed with codegen-friendly Spark
+  * built-ins and mirrored 1:1 by the DuckDB oracle (graft.oracle.Sql).
+  *
+  * Why not Spark's xxhash64/murmur: the oracle (DuckDB) cannot
+  * reproduce them, and correctness here is hash-VALUE-sensitive
+  * (minhash mins). A base-31 polynomial over code points mod 2^31-1 is
+  * computable identically in any engine with integer arithmetic.
+  */
+object PortableHash {
+
+  /** h(s) = fold over characters: acc -> (acc*31 + codepoint) mod P.
+    * Pure Long arithmetic; max intermediate (P-1)*31 + c << Long.Max.
+    */
+  def charFoldHash(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * lit(Config.CharBase) + x) % lit(Config.P)
+    )
+
+  /** i-th member of the seeded affine family applied to a base hash:
+    * (a_i * h + b_i) mod P. Max intermediate (P-1)^2 + P ≈ 4.6e18 —
+    * fits signed 64-bit, so ANSI mode never overflows. */
+  def affine(i: Int, h: Column): Column = {
+    val (a, b) = Config.coeffs(i)
+    (lit(a) * h + lit(b)) % lit(Config.P)
+  }
+}

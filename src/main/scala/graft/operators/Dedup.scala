@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Config
+
+/** Deduplication operators for a training-data pipeline.
+  *
+  * Scale design: exact dedup is a single hash aggregate on a digest
+  * of the content (shuffle the 16-byte digest, never the payload);
+  * near-dedup reuses the MinHash/LSH candidate machinery; group
+  * resolution is iterative min-label propagation over the (small)
+  * verified-pair edge list — joins only, nothing collected to the
+  * driver until convergence checking (a count per iteration).
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per distinct text with the
+    * canonical (minimum) doc_id and the group size. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Docs surviving greedy near-dup removal: drop any doc that has a
+    * verified similar partner with a smaller doc_id (deterministic,
+    * order-free; the SQL-expressible greedy variant of clustering). */
+  def nearDupKeep(docs: DataFrame, k: Int = Config.K,
+                  threshold: Double = Config.Threshold): DataFrame = {
+    val dupIds = MinHashLsh.similarPairs(docs, k, threshold).select(col("id_r").as("doc_id"))
+    docs.select("doc_id").join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("kept_id"))
+  }
+
+  /** Connected near-dup components via iterative min-label
+    * propagation on the verified-pair graph. Returns
+    * (doc_id, group_id) for every doc in some similar pair; group_id
+    * is the minimum doc_id reachable. Converges in O(diameter)
+    * iterations; each iteration is one join + aggregate (no driver
+    * data movement beyond an empty-diff check). */
+  def nearDupGroups(spark: SparkSession, docs: DataFrame,
+                    k: Int = Config.K,
+                    threshold: Double = Config.Threshold,
+                    maxIter: Int = 20): DataFrame = {
+    val pairs = MinHashLsh.similarPairs(docs, k, threshold)
+      .select(col("id_l"), col("id_r")).cache()
+    val edges = pairs
+      .union(pairs.select(col("id_r").as("id_l"), col("id_l").as("id_r")))
+    var labels = edges.select(col("id_l").as("doc_id"))
+      .union(edges.select(col("id_r").as("doc_id"))).distinct()
+      .withColumn("group_id", col("doc_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "id_r"), Seq("id_r"))
+        .groupBy(col("id_l").as("doc_id"))
+        .agg(min(col("group_id")).as("nbr_min"))
+      val updated = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
+        .cache()
+      val changed = updated.as("u")
+        .join(labels.as("o"), Seq("doc_id"))
+        .filter(col("u.group_id") =!= col("o.group_id"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+}

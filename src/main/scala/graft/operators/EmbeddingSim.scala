@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table
+  * (vec_id, embedding: array<float>, label).
+  *
+  * Numeric determinism rule (for the DuckDB oracle): every float is
+  * cast to double BEFORE multiplication, and every sum is a
+  * left-to-right sequential fold (`aggregate` HOF) — the oracle
+  * replays the identical IEEE operation sequence, so doubles match
+  * bit-for-bit with no rounding fudge.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set
+  * against the full table — a broadcast nested-loop with per-row
+  * arithmetic, no shuffle of the big side except the final per-query
+  * top-k (tiny). The LSH-bucketed variant buckets vectors by
+  * random-hyperplane signs so candidate generation joins only within
+  * buckets — the 100 TB path where a full scan per query is too much.
+  */
+object EmbeddingSim {
+
+  /** Sequential-fold dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sequential-fold squared L2 norm. */
+  def norm2(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** vec_id, dim, norm2 — sanity/inspection surface. */
+  def norms(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+      norm2(col("embedding")).as("norm2"))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id % 100
+    * == 0), the k nearest other vectors by cosine. Query set is
+    * broadcast; ranking window is per-query (tiny partitions). */
+  def cosineTopK(emb: DataFrame, k: Int = 5): DataFrame = {
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Deterministic ±1 "random"-hyperplane sign for (component i,
+    * plane j) — arithmetic both engines can compute (no stored
+    * projection matrix to ship to the oracle). */
+  private def sgn(i: Column, j: Int): Column =
+    when(((i * 131 + lit(j * 37)) % 97) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-LSH bucket id (nPlanes-bit) per vector: bit j = 1 iff
+    * dot(vec, hyperplane_j) > 0. */
+  def annBuckets(emb: DataFrame, nPlanes: Int = 8): DataFrame = {
+    val v = col("embedding")
+    val planeDots = (0 until nPlanes).map { j =>
+      aggregate(transform(sequence(lit(1), size(v)), i =>
+        element_at(v, i).cast("double") * sgn(i, j)),
+        lit(0.0), (acc, x) => acc + x).as(f"dot_$j%02d")
+    }
+    val bucket = (0 until nPlanes).map { j =>
+      when(col(f"dot_$j%02d") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col("vec_id") +: planeDots: _*)
+      .select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  /** LSH-bucketed ANN top-k: rank by cosine only within each
+    * vector's sign-LSH bucket — the candidate-pruned scale path
+    * (approximate: recall < 1 vs cosineTopK by construction). */
+  def annTopK(emb: DataFrame, k: Int = 3, nPlanes: Int = 8): DataFrame = {
+    val b = annBuckets(emb, nPlanes)
+    val withB = emb.join(b, "vec_id")
+    val l = withB.select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val r = withB.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val scored = l.join(r, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators over the `events` table (batch forms; the
+  * Structured Streaming counterparts live in graft.streaming).
+  *
+  * The parquet carries TIMESTAMP(NANOS) which Spark 4 won't map to a
+  * timestamp type — sessions set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench)
+  * and we normalize to integer epoch MICROseconds here, exactly what
+  * DuckDB sees after its ns→us truncation, so ordering and bucketing
+  * agree across engines bit-for-bit. All window/session arithmetic
+  * is integer (`div`), never floating.
+  */
+object EventsOps {
+
+  /** Epoch microseconds of the ts column, whatever type it surfaced
+    * as (long nanos under the legacy flag, or a timestamp type). */
+  def microsCol(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000")
+    case TimestampType => unix_micros(col("ts"))
+    case TimestampNTZType => unix_micros(col("ts").cast("timestamp")) // session tz is UTC
+    case other => throw new IllegalStateException(s"unexpected ts type $other")
+  }
+
+  private def withUs(events: DataFrame): DataFrame =
+    events.withColumn("us", microsCol(events))
+      .withColumn("sec", expr("us div 1000000"))
+
+  /** Integer cents of the 2-decimal `value` column — exact, so sums
+    * are partition-order-independent (double summation would be
+    * nondeterministic under shuffle). */
+  private def valueCents: Column = round(col("value") * 100, 0).cast("long")
+
+  /** 10-minute tumbling window aggregation per event_type. */
+  def windowAgg(events: DataFrame, windowSec: Int = 600): DataFrame =
+    withUs(events)
+      .withColumn("window_start_sec", expr(s"sec div $windowSec") * windowSec)
+      .groupBy("event_type", "window_start_sec")
+      .agg(count(lit(1)).as("n_events"),
+        sum(valueCents).as("value_cents"))
+      .select(col("event_type"), col("window_start_sec"), col("n_events"),
+        (col("value_cents").cast("double") / 100.0).as("sum_value"))
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the user's previous event exceeds gapSec. One row per session
+    * with bounds and aggregates; deterministic ordering via
+    * (us, event_id) tiebreak. */
+  def sessionize(events: DataFrame, gapSec: Int = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val withGap = withUs(events)
+      .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_sec"),
+        max(col("sec")).as("end_sec"),
+        sum(valueCents).as("cents"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_sec"), col("end_sec"),
+        (col("end_sec") - col("start_sec")).as("duration_sec"),
+        (col("cents").cast("double") / 100.0).as("sum_value"))
+  }
+
+  /** JSON property extraction (props like {"k": 87}) + per-type
+    * rollup of the extracted metric. */
+  def propsAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("k",
+        nullif(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1), lit("")).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+}

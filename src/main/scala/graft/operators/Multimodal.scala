@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Multimodal-column plumbing: opaque binary payloads + typed
+  * metadata, with a decode/feature-extraction stage.
+  *
+  * The container ships no image/audio codecs, so the DECODE step is
+  * a clearly-marked deterministic stub (`StubDecoder`) — but the
+  * Spark-side plumbing is real: binary columns, schema, partition-
+  * preserving mapPartitions with batched per-partition decoder
+  * setup (the same shape a real codec-backed extractor needs: open
+  * the codec once per partition, stream records through it).
+  *
+  * At 100 TB: payloads stay in executor space end-to-end (no
+  * collect), decode is a narrow transformation, and downstream
+  * feature aggregation is a standard hash agg on the small feature
+  * schema, not the payload.
+  */
+object Multimodal {
+
+  /** Feature record produced by the decode stage. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, kind: String,
+                           width: Int, height: Int, checksum: Long)
+
+  /** STUB decoder: stands in for an image/audio codec. Deterministic
+    * pure function of the payload bytes (first bytes → fake
+    * dimensions; full fold → checksum). Replace with a real codec
+    * binding in production. */
+  object StubDecoder {
+    val P = graft.Config.P
+    def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
+      var acc = 0L
+      var i = 0
+      while (i < payload.length) {
+        acc = (acc * 31 + (payload(i) & 0xffL)) % P
+        i += 1
+      }
+      val w = if (payload.nonEmpty) 64 + (payload(0) & 0x3f) else 0
+      val h = if (payload.length > 1) 64 + (payload(1) & 0x3f) else 0
+      MediaFeatures(docId, payload.length.toLong, "image/stub", w, h, acc)
+    }
+  }
+
+  /** documents -> (doc_id, payload: binary) — the multimodal column
+    * shape (here synthesized from text since the testdata has no
+    * real media blobs). */
+  def asBinaryTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Decode + feature-extract via mapPartitions: one decoder
+    * instance per partition, payload never leaves the executor. */
+  def extractFeatures(binTable: DataFrame): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    binTable.select(col("doc_id").cast("long"), col("payload"))
+      .map { row =>
+        StubDecoder.decode(row.getLong(0), row.getAs[Array[Byte]](1))
+      }(enc)
+  }
+
+  /** Oracle-checkable metadata surface: byte/char counts + a header
+    * hash (the portable fold over the first 16 chars — the moral
+    * equivalent of a magic-bytes probe). */
+  def mediaMeta(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      length(col("text")).cast("long").as("n_chars"),
+      PortableHash.charFoldHash(substring(col("text"), 1, 16)).as("header_hash"))
+}

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage over the TPC-H-ish testdata:
+  * aggregations, joins (broadcast/shuffle/semi/anti), windows,
+  * rollup, set ops, top-k, scalar function library. The reference
+  * has none of this (SURVEY.md §2.2) — these are the north-star
+  * extensions, all Catalyst built-ins.
+  *
+  * Numeric determinism: money columns are exact 2-decimal doubles;
+  * every SUM over them goes through integer cents
+  * (round(x*100) as long) so results are partition-order-independent
+  * and bit-identical to the DuckDB oracle. Pass-through doubles
+  * (no arithmetic) are inherently safe.
+  *
+  * Scale notes: dimension tables (region/nation/supplier/customer)
+  * are broadcast — at 100 TB lineitem never shuffles for these
+  * joins; fact-fact joins (orders x lineitem) shuffle on the join
+  * key, which AQE can re-balance.
+  */
+object Relational {
+
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  private def money(sumCents: Column): Column = sumCents.cast("double") / 100.0
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** TPC-H Q1 style pricing summary. disc/charge math in integer
+    * basis points: price_cents * (100 - disc_pct) [* (100 + tax_pct)]
+    * — exact, overflow-safe to ~sf100 on int64. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") < lit("2000-01-01").cast("date"))
+    val discPct = round(col("l_discount") * 100, 0).cast("long")
+    val taxPct = round(col("l_tax") * 100, 0).cast("long")
+    val priceC = cents(col("l_extendedprice"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("qty_c"),
+        sum(priceC).as("base_c"),
+        sum(priceC * (lit(100L) - discPct)).as("disc_c4"),
+        sum(priceC * (lit(100L) - discPct) * (lit(100L) + taxPct)).as("charge_c6"),
+        sum(discPct).as("disc_pct_sum"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        money(col("qty_c")).as("sum_qty"),
+        money(col("base_c")).as("sum_base_price"),
+        (col("disc_c4").cast("double") / 10000.0).as("sum_disc_price"),
+        (col("charge_c6").cast("double") / 1000000.0).as("sum_charge"),
+        (col("qty_c").cast("double") / 100.0 / col("count_order").cast("double")).as("avg_qty"),
+        (col("base_c").cast("double") / 100.0 / col("count_order").cast("double")).as("avg_price"),
+        (col("disc_pct_sum").cast("double") / 100.0 / col("count_order").cast("double")).as("avg_disc"),
+        col("count_order"))
+  }
+
+  /** TPC-H Q3 style: top-10 unshipped-revenue orders for one market
+    * segment. customer is broadcast; orders x lineitem shuffles on
+    * orderkey. Deterministic top-k via (revenue desc, orderkey). */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = table(spark, dir, "orders")
+      .filter(col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
+    val li = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") >= lit("1998-01-01").cast("date"))
+    val revC4 = cents(col("l_extendedprice")) * (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(sum(revC4).as("rev_c4"))
+      .select(col("l_orderkey"), (col("rev_c4").cast("double") / 10000.0).as("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 style: revenue per nation for one region; all
+    * dimensions broadcast, single shuffle on orderkey. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = table(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = table(spark, dir, "nation")
+    val cust = table(spark, dir, "customer")
+    val supp = table(spark, dir, "supplier")
+    val ord = table(spark, dir, "orders")
+    val li = table(spark, dir, "lineitem")
+    val revC4 = cents(col("l_extendedprice")) * (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(revC4).as("rev_c4"))
+      .select(col("n_name"), (col("rev_c4").cast("double") / 10000.0).as("revenue"))
+  }
+
+  /** Semi join (EXISTS): order-priority counts for orders having at
+    * least one returned lineitem. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+    val returned = table(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Anti join: customers with no URGENT orders, per segment. */
+  def q22NoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val ord = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(cents(col("c_acctbal"))).as("bal_c"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        money(col("bal_c")).as("sum_acctbal"))
+  }
+
+  /** Window ranking: top-3 orders per customer by totalprice. */
+  def windowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "rnk", "o_totalprice")
+  }
+
+  /** Window running total per customer over order date (ROWS frame
+    * with full tiebreak ordering for determinism). */
+  def windowRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    table(spark, dir, "orders")
+      .withColumn("running_c", sum(cents(col("o_totalprice"))).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        money(col("running_c")).as("running_total"))
+  }
+
+  /** ROLLUP over (year, month) of order totals. */
+  def rollupSales(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        cents(col("o_totalprice")).as("c"))
+      .rollup("y", "m")
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("sum_c"))
+      .select(coalesce(col("y"), lit(-1)).as("y"),
+        coalesce(col("m"), lit(-1)).as("m"),
+        col("n_orders"), money(col("sum_c")).as("total_sales"))
+
+  /** Deterministic global top-k with tiebreak. */
+  def topKOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** Set operations: nation keys with customers INTERSECT/EXCEPT
+    * nation keys with suppliers, tagged and unioned. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val cn = table(spark, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+    val sn = table(spark, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+    cn.intersect(sn).withColumn("tag", lit("both"))
+      .union(cn.except(sn).withColumn("tag", lit("customer_only")))
+      .select("tag", "nationkey")
+  }
+
+  /** Scalar function library exercise over part (string, math,
+    * conditional). */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_upper"),
+      lower(col("p_type")).as("type_lower"),
+      substring(col("p_name"), 1, 5).as("name_prefix"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      length(col("p_name")).cast("long").as("name_len"),
+      (col("p_size") % 7).as("size_mod7"),
+      abs(col("p_size") - 25).as("size_dev"),
+      sqrt(col("p_size").cast("double")).as("size_sqrt"),
+      floor(col("p_retailprice")).cast("long").as("price_floor"),
+      when(col("p_size") > 25, "large").otherwise("small").as("size_class"))
+
+  /** Distinct aggregates per order status. */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(year(col("o_orderdate"))).as("n_years"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Config
+
+/** Character k-shingling with the reference's canonical semantics
+  * (Shingling.java:32-42): stride 1, one window per character
+  * position; the final k-1 windows are shorter and padded with
+  * exactly ONE trailing space (Shingling.java:39) — so for k=3 the
+  * last window is 2 chars ("x ") not 3 (SURVEY.md §2.3).
+  *
+  * Spark-first: a single `transform(sequence(...))` array expression
+  * plus `explode` — no UDF, stays inside Catalyst; at 100 TB the
+  * explode is a narrow (map-side) transformation, no shuffle.
+  */
+object Shingling {
+
+  /** Array of shingles for one text value (empty array for empty
+    * text — `sequence(1,0)` would count DOWN in Spark, so guard). */
+  def shingleArray(text: Column, k: Int = Config.K): Column =
+    when(length(text) >= 1,
+      transform(sequence(lit(1), length(text)), i =>
+        when(i + lit(k - 1) <= length(text), text.substr(i, lit(k)))
+          .otherwise(concat(text.substr(i, lit(k)), lit(" ")))))
+      .otherwise(array().cast("array<string>"))
+
+  /** (doc_id, shingle) — one row per window, duplicates kept
+    * (positional stream; dedup happens in set-level consumers).
+    * Mirrors reference Job 1 map output (Shingling.java:40). */
+  def shingles(docs: DataFrame, k: Int = Config.K): DataFrame =
+    docs.select(col("doc_id"),
+      explode(shingleArray(col("text"), k)).as("shingle"))
+
+  /** Inverted index: shingle -> sorted distinct doc ids, as a CSV
+    * string for engine-neutral comparison. Reference Job 1 reduce
+    * (Shingling.java:56-65) — with intended set semantics (fixes
+    * SURVEY.md Q11 duplicate offsets).
+    * Map-side partial agg replaces the reference's combiner
+    * (Shingling.java:45-54) automatically. */
+  def shingleDict(docs: DataFrame, k: Int = Config.K): DataFrame =
+    shingles(docs, k)
+      .groupBy("shingle")
+      .agg(array_join(array_sort(collect_set(col("doc_id"))), ",").as("doc_ids"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
+  /** Per-doc distinct shingle set (for exact Jaccard verification). */
+  def shingleSets(docs: DataFrame, k: Int = Config.K): DataFrame =
+    shingles(docs, k)
+      .groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("shingle_set"))
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Config
+import graft.functions.PortableHash
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token stats, quality scores, heuristic
+  * language id, document fingerprints, SimHash. All pure built-in
+  * expressions (codegen-friendly, no UDFs); all mirrored by DuckDB
+  * oracle SQL (graft.oracle.Sql).
+  */
+object TextAnalysis {
+
+  /** Marker word sets for the heuristic language id (deterministic
+    * n-gram/stopword-profile scoring; the profiles themselves are
+    * arbitrary but fixed). */
+  val EnMarkers: Seq[String] = Seq("the", "a", "of", "order", "key")
+  val EsMarkers: Seq[String] = Seq("data", "column", "table", "row")
+  val ZhMarkers: Seq[String] = Seq("vector", "stream", "window", "batch")
+
+  /** Non-empty whitespace tokens of `text`. */
+  def tokensCol(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  /** doc_id, n_tokens, n_distinct_tokens, chars_no_space,
+    * avg_token_len. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("chars_no_space"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0,
+          col("chars_no_space").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Quality scoring: length, token count, type-token ratio,
+    * stopword ratio — the standard cheap quality heuristics. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val stop = Seq("the", "a", "of", "in", "and")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_types"),
+      countIn(toks, stop).as("n_stopwords"))
+      .withColumn("type_token_ratio",
+        when(col("n_tokens") > 0, col("n_types").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0, col("n_stopwords").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Heuristic language id: score text against fixed marker-word
+    * profiles, argmax with a deterministic tie order en > es > zh. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    docs.select(
+      col("doc_id"), col("lang").as("lang_actual"),
+      countIn(toks, EnMarkers).as("score_en"),
+      countIn(toks, EsMarkers).as("score_es"),
+      countIn(toks, ZhMarkers).as("score_zh"))
+      .withColumn("lang_pred",
+        when(col("score_en") >= col("score_es") && col("score_en") >= col("score_zh"), "en")
+          .when(col("score_es") >= col("score_zh"), "es")
+          .otherwise("zh"))
+  }
+
+  /** Whole-document rolling-hash fingerprint (base-31 polynomial
+    * mod p — same portable hash family as minhash). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      PortableHash.charFoldHash(col("text")).as("fingerprint"),
+      length(col("text")).cast("long").as("n_chars_text"),
+      col("n_chars").as("n_chars_meta"))
+
+  /** 30-bit SimHash over the doc's DISTINCT shingle hashes: bit j is
+    * set iff sum over shingles of (+1 if hash bit j else -1) > 0.
+    * (30 bits because the portable hash range is [0, 2^31-1).) */
+  def simHash(docs: DataFrame, k: Int = Config.K): DataFrame = {
+    val bits = 30
+    val hashed = Shingling.shingles(docs, k)
+      .select(col("doc_id"), PortableHash.charFoldHash(col("shingle")).as("h"))
+      .distinct()
+    val sums = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(f"s_$j%02d")
+    }
+    val fp = (0 until bits).map { j =>
+      when(col(f"s_$j%02d") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Word-bigram Jaccard similarity for the LSH candidate pairs —
+    * an n-gram-level second opinion on the char-shingle candidates. */
+  def wordNgramJaccard(docs: DataFrame, k: Int = Config.K): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      array_distinct(transform(sequence(lit(1), size(toks) - 1), i =>
+        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
+      .otherwise(array().cast("array<string>"))
+    val sets = docs.select(col("doc_id"), bigrams.as("bg"))
+    val cand = MinHashLsh.candidatePairs(docs, k)
+    val inter = size(array_intersect(col("l.bg"), col("r.bg")))
+    val uni = size(array_union(col("l.bg"), col("r.bg")))
+    cand
+      .join(sets.as("l"), col("id_l") === col("l.doc_id"))
+      .join(sets.as("r"), col("id_r") === col("r.doc_id"))
+      .select(col("id_l"), col("id_r"),
+        when(uni > 0, inter.cast("double") / uni).otherwise(lit(0.0)).as("word_jaccard"))
+  }
+}

@@ -1,0 +1,407 @@
+package graft.oracle
+
+import graft.Config
+
+/** DuckDB oracle SQL for every oracle-checkable query in
+  * SparkEntry.queries. Each statement replays the Spark computation
+  * with IDENTICAL integer/IEEE arithmetic (same fold order, same
+  * affine constants from Config.coeffs, integer-cents money math),
+  * so the driver's hash compare matches bit-for-bit — no rounding
+  * tolerances needed anywhere.
+  */
+object Sql {
+  private val P = Config.P
+  private val K = Config.K
+  private val S = Config.NumHashes
+  private val B = Config.Bands
+  private val R = Config.RowsPerBand
+  private val T = Config.Threshold
+
+  /** DuckDB fold hash over the characters of an expression —
+    * mirrors PortableHash.charFoldHash. */
+  private def foldHash(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, length($e)), " +
+      s"i -> ascii(substr($e, i, 1))::BIGINT)), (acc, x) -> (acc * ${Config.CharBase} + x) % $P)"
+
+  private def sigCols: Seq[String] = (0 until S).map(Config.sigCol)
+
+  /** Shared CTE block for the documents/minhash pipeline. DuckDB
+    * only evaluates CTEs actually referenced by the final SELECT. */
+  private val docCtes: String = {
+    val mins = (0 until S).map { i =>
+      val (a, b) = Config.coeffs(i)
+      s"min(($a * h + $b) % $P) AS ${Config.sigCol(i)}"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until B).map { j =>
+      val cols = (j * R until (j + 1) * R).map(Config.sigCol).mkString(", ")
+      s"SELECT doc_id, $j AS band, concat_ws(',', $cols) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val jac = "len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s)))"
+    s"""WITH shings AS (
+  SELECT doc_id, CASE WHEN i + ${K - 1} <= length(text) THEN substr(text, i, $K)
+                      ELSE substr(text, i, $K) || ' ' END AS shingle
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) t
+),
+hashed AS (
+  SELECT doc_id, ${foldHash("shingle")} AS h FROM shings
+),
+sig AS (
+  SELECT doc_id,
+    $mins
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  $bandSelects
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+shset AS (
+  SELECT doc_id, list(DISTINCT shingle) AS s FROM shings GROUP BY doc_id
+),
+simpairs AS (
+  SELECT id_l, id_r, $jac AS jaccard
+  FROM cand JOIN shset x ON id_l = x.doc_id JOIN shset y ON id_r = y.doc_id
+  WHERE $jac >= $T
+),
+toktab AS (
+  SELECT doc_id, text, lang, n_chars,
+         list_filter(string_split(text, ' '), tk -> tk <> '') AS toks
+  FROM documents
+)"""
+  }
+
+  private def docQ(sel: String): String = s"$docCtes\n$sel"
+
+  /** Integer cents of an exact-2-decimal double column. */
+  private def cents(e: String): String = s"CAST(round($e * 100) AS BIGINT)"
+  private def money(sumExpr: String): String = s"CAST($sumExpr AS DOUBLE) / 100.0"
+
+  private def listIn(lst: String, words: Seq[String]): String =
+    s"CAST(len(list_filter($lst, tk -> tk IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+
+  // ---------------- minhash / documents pipeline ----------------
+
+  val shingles: String = docQ("SELECT doc_id, shingle FROM shings")
+
+  val shingleDict: String = docQ(
+    """SELECT shingle, string_agg(DISTINCT doc_id, ',' ORDER BY doc_id) AS doc_ids,
+      count(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM shings GROUP BY shingle""")
+
+  val minhashSignatures: String =
+    docQ(s"SELECT doc_id, ${sigCols.mkString(", ")} FROM sig")
+
+  val lshBands: String = docQ("SELECT doc_id, band, band_key FROM bands")
+
+  val candidatePairs: String = docQ("SELECT id_l, id_r FROM cand")
+
+  val similarPairs: String = docQ("SELECT id_l, id_r, jaccard FROM simpairs")
+
+  val pairsSymmetric: String = docQ(
+    """SELECT s.id_a, s.id_b, ta.text AS text_a, tb.text AS text_b
+    FROM (SELECT id_l AS id_a, id_r AS id_b FROM simpairs
+          UNION ALL SELECT id_r AS id_a, id_l AS id_b FROM simpairs) s
+    JOIN documents ta ON s.id_a = ta.doc_id
+    JOIN documents tb ON s.id_b = tb.doc_id""")
+
+  val minhashEstimate: String = {
+    val eq = sigCols.map(c => s"(CASE WHEN l.$c = r.$c THEN 1 ELSE 0 END)").mkString(" + ")
+    docQ(s"""SELECT c.id_l, c.id_r, ($eq)::DOUBLE / $S AS est_jaccard
+    FROM cand c JOIN sig l ON c.id_l = l.doc_id JOIN sig r ON c.id_r = r.doc_id""")
+  }
+
+  // ---------------- dedup ----------------
+
+  val dedupExact: String =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
+    FROM documents GROUP BY md5(text)"""
+
+  val dedupNearKeep: String = docQ(
+    """SELECT doc_id AS kept_id FROM documents
+    WHERE doc_id NOT IN (SELECT id_r FROM simpairs)""")
+
+  val simhash: String = {
+    val bits = 30
+    val sums = (0 until bits).map(j =>
+      f"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s_$j%02d").mkString(",\n      ")
+    val fp = (0 until bits).map(j =>
+      f"(CASE WHEN s_$j%02d > 0 THEN ${1L << j}%d ELSE 0 END)").mkString(" + ")
+    docQ(s"""SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM (
+      SELECT doc_id, $sums
+      FROM (SELECT DISTINCT doc_id, h FROM hashed) GROUP BY doc_id)""")
+  }
+
+  val fingerprint: String = docQ(
+    s"""SELECT doc_id, ${foldHash("text")} AS fingerprint,
+      CAST(length(text) AS BIGINT) AS n_chars_text, n_chars AS n_chars_meta
+    FROM documents""")
+
+  // ---------------- text analysis ----------------
+
+  val tokenStats: String = docQ(
+    """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+      CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_no_space,
+      CASE WHEN len(toks) > 0
+           THEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS avg_token_len
+    FROM toktab""")
+
+  val quality: String = {
+    val stop = listIn("toks", Seq("the", "a", "of", "in", "and"))
+    docQ(s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+      $stop AS n_stopwords,
+      CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS type_token_ratio,
+      CASE WHEN len(toks) > 0 THEN CAST($stop AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio
+    FROM toktab""")
+  }
+
+  val langId: String = {
+    import graft.operators.TextAnalysis._
+    val en = listIn("toks", EnMarkers)
+    val es = listIn("toks", EsMarkers)
+    val zh = listIn("toks", ZhMarkers)
+    docQ(s"""SELECT doc_id, lang AS lang_actual,
+      $en AS score_en, $es AS score_es, $zh AS score_zh,
+      CASE WHEN $en >= $es AND $en >= $zh THEN 'en'
+           WHEN $es >= $zh THEN 'es' ELSE 'zh' END AS lang_pred
+    FROM toktab""")
+  }
+
+  val wordNgramJaccard: String = docQ(
+    """SELECT c.id_l, c.id_r,
+      CASE WHEN len(list_distinct(list_concat(x.bg, y.bg))) > 0
+           THEN len(list_intersect(x.bg, y.bg))::DOUBLE / len(list_distinct(list_concat(x.bg, y.bg)))
+           ELSE 0.0 END AS word_jaccard
+    FROM cand c
+    JOIN (SELECT doc_id, CASE WHEN len(toks) >= 2
+            THEN list_distinct(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]))
+            ELSE []::VARCHAR[] END AS bg FROM toktab) x ON c.id_l = x.doc_id
+    JOIN (SELECT doc_id, CASE WHEN len(toks) >= 2
+            THEN list_distinct(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]))
+            ELSE []::VARCHAR[] END AS bg FROM toktab) y ON c.id_r = y.doc_id""")
+
+  val mediaMeta: String =
+    s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      ${foldHash("substr(text, 1, 16)")} AS header_hash
+    FROM documents"""
+
+  // ---------------- embeddings ----------------
+
+  /** Ordered-fold dot product of two list expressions (both cast to
+    * double per element, summed left-to-right — matches Spark). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
+
+  private def norm2Sql(a: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform($a, x -> x::DOUBLE * x::DOUBLE)), (acc, v) -> acc + v)"
+
+  val embeddingNorms: String =
+    s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      ${norm2Sql("embedding")} AS norm2
+    FROM embeddings"""
+
+  val cosineTopK: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+        ${dotSql("q.q_emb", "e.embedding")} / (sqrt(${norm2Sql("q.q_emb")}) * sqrt(${norm2Sql("e.embedding")})) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank",
+        cosine
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, "rank", cosine FROM ranked WHERE "rank" <= 5"""
+
+  private def sgnSql(j: Int): String =
+    s"(CASE WHEN ((i * 131 + ${j * 37}) % 97) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+
+  private def planeDot(vec: String, j: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($vec)), " +
+      s"i -> $vec[i]::DOUBLE * ${sgnSql(j)})), (acc, v) -> acc + v)"
+
+  val annBuckets: String = {
+    val dots = (0 until 8).map(j => f"${planeDot("embedding", j)} AS dot_$j%02d").mkString(",\n      ")
+    val bucket = (0 until 8).map(j => f"(CASE WHEN dot_$j%02d > 0 THEN ${1L << j}%d ELSE 0 END)").mkString(" + ")
+    s"""SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM (
+      SELECT vec_id, $dots FROM embeddings)"""
+  }
+
+  val annTopK: String = {
+    val dots = (0 until 8).map(j => f"${planeDot("embedding", j)} AS dot_$j%02d").mkString(",\n      ")
+    val bucket = (0 until 8).map(j => f"(CASE WHEN dot_$j%02d > 0 THEN ${1L << j}%d ELSE 0 END)").mkString(" + ")
+    s"""WITH wb AS (
+      SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM (
+        SELECT vec_id, embedding, $dots FROM embeddings)
+    ),
+    scored AS (
+      SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+        ${dotSql("l.embedding", "r.embedding")} / (sqrt(${norm2Sql("l.embedding")}) * sqrt(${norm2Sql("r.embedding")})) AS cosine
+      FROM wb l JOIN wb r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank",
+        cosine
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, "rank", cosine FROM ranked WHERE "rank" <= 3"""
+  }
+
+  // ---------------- events ----------------
+
+  val eventsWindowAgg: String =
+    s"""SELECT event_type, window_start_sec, count(*)::BIGINT AS n_events,
+      ${money(s"sum(${cents("value")})")} AS sum_value
+    FROM (SELECT event_type, (epoch_us(ts) // 1000000) // 600 * 600 AS window_start_sec, value FROM events)
+    GROUP BY event_type, window_start_sec"""
+
+  val eventsSessionize: String =
+    s"""WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS sec, ${cents("value")} AS c FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                     THEN 1::BIGINT ELSE 0::BIGINT END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+      min(sec) AS start_sec, max(sec) AS end_sec,
+      max(sec) - min(sec) AS duration_sec,
+      ${money("sum(c)")} AS sum_value
+    FROM sessions GROUP BY user_id, session_idx"""
+
+  val eventsPropsAgg: String =
+    """SELECT event_type, count(*)::BIGINT AS n_events,
+      CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+    FROM (SELECT event_type, CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k FROM events)
+    GROUP BY event_type"""
+
+  // ---------------- relational ----------------
+
+  private val revC4 = s"${cents("l_extendedprice")} * (100 - ${cents("l_discount")})"
+
+  val q1PricingSummary: String =
+    s"""SELECT l_returnflag, l_linestatus,
+      ${money("sum(qty_c)")} AS sum_qty,
+      ${money("sum(base_c)")} AS sum_base_price,
+      CAST(sum(disc_c4) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      CAST(sum(charge_c6) AS DOUBLE) / 1000000.0 AS sum_charge,
+      CAST(sum(qty_c) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS avg_qty,
+      CAST(sum(base_c) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS avg_price,
+      CAST(sum(disc_pct) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS avg_disc,
+      count(*)::BIGINT AS count_order
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+        ${cents("l_quantity")} AS qty_c,
+        ${cents("l_extendedprice")} AS base_c,
+        ${cents("l_extendedprice")} * (100 - ${cents("l_discount")}) AS disc_c4,
+        ${cents("l_extendedprice")} * (100 - ${cents("l_discount")}) * (100 + ${cents("l_tax")}) AS charge_c6,
+        ${cents("l_discount")} AS disc_pct
+      FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '2000-01-01'
+    ) GROUP BY l_returnflag, l_linestatus"""
+
+  val q3ShippingPriority: String =
+    s"""SELECT l_orderkey, CAST(sum($revC4) AS DOUBLE) / 10000.0 AS revenue,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      AND CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+    GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+    ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  val q5RegionRevenue: String =
+    s"""SELECT n_name, CAST(sum($revC4) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name"""
+
+  val q4OrderPriority: String =
+    """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority"""
+
+  val q22NoOrders: String =
+    s"""SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+      ${money(s"sum(${cents("c_acctbal")})")} AS sum_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment"""
+
+  val windowTopOrders: String =
+    """SELECT o_custkey, o_orderkey, rnk, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      FROM orders) WHERE rnk <= 3"""
+
+  val windowRunningTotal: String =
+    s"""SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      CAST(CAST(sum(${cents("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) / 100.0 AS running_total
+    FROM orders"""
+
+  val rollupSales: String =
+    s"""SELECT coalesce(y, -1) AS y, coalesce(m, -1) AS m,
+      count(*)::BIGINT AS n_orders, ${money("sum(c)")} AS total_sales
+    FROM (SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+            ${cents("o_totalprice")} AS c FROM orders)
+    GROUP BY ROLLUP(y, m)"""
+
+  val topKOrders: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
+
+  val setOps: String =
+    """SELECT 'both' AS tag, nationkey FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS tag, nationkey FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT DISTINCT s_nationkey FROM supplier)"""
+
+  val scalarFuncs: String =
+    """SELECT p_partkey,
+      upper(p_brand) AS brand_upper, lower(p_type) AS type_lower,
+      substr(p_name, 1, 5) AS name_prefix,
+      p_brand || '#' || p_type AS brand_type,
+      CAST(length(p_name) AS BIGINT) AS name_len,
+      p_size % 7 AS size_mod7,
+      abs(p_size - 25) AS size_dev,
+      sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+      CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+      CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class
+    FROM part"""
+
+  val distinctCounts: String =
+    """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+      count(DISTINCT o_custkey)::BIGINT AS n_customers,
+      count(DISTINCT year(o_orderdate))::BIGINT AS n_years,
+      min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus"""
+}
