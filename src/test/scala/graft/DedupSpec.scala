@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("exact groups: identical texts collapse to min doc_id") {
+    val d = docsDf(5L -> "same text", 2L -> "same text", 9L -> "other text")
+    val groups = Dedup.exactGroups(d).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap // keep_id -> n_copies
+    assert(groups == Map(2L -> 2L, 9L -> 1L))
+  }
+
+  test("near-dup keep: the smaller id of each near-dup pair survives") {
+    val d = docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "totally unrelated content qqq zzz www")
+    val kept = Dedup.nearDupKeep(d).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("near-dup groups: transitive chain A~B~C collapses to one group") {
+    // B is near-dup of both A and C, but A and C may not pair directly:
+    val d = docsDf(
+      1L -> "aaaa bbbb cccc dddd eeee ffff gggg hhhh",
+      2L -> "aaaa bbbb cccc dddd eeee ffff gggg hhhX", // ~1
+      3L -> "aaaa bbbb cccc dddd eeee ffff gggX hhhX", // ~2
+      4L -> "unrelated zzz qqq vvv www yyy xxx uuu")
+    val groups = Dedup.nearDupGroups(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc in a pair got the min reachable id as its label
+    assert(groups.nonEmpty)
+    val label = groups.values.toSet
+    assert(label.size == 1 && label.head == 1L, s"got $groups")
+    assert(!groups.contains(4L))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.EmbeddingSim
+
+class EmbeddingSimSpec extends SparkSpec {
+
+  private def embDf(rows: (Long, Seq[Float])*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("norms: dim and squared L2") {
+    val r = EmbeddingSim.norms(embDf(1L -> Seq(3f, 4f))).collect().head
+    assert(r.getLong(1) == 2 && r.getDouble(2) == 25.0)
+  }
+
+  test("cosine top-k ranks collinear above orthogonal") {
+    val d = embDf(
+      0L -> Seq(1f, 0f, 0f),    // query (vec_id % 100 == 0)
+      1L -> Seq(2f, 0f, 0f),    // same direction -> cosine 1
+      2L -> Seq(1f, 1f, 0f),    // 45 degrees
+      3L -> Seq(0f, 1f, 0f))    // orthogonal
+    val out = EmbeddingSim.cosineTopK(d, k = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // rank order
+    assert(out.head._3 == 1.0)
+    assert(math.abs(out(1)._3 - math.sqrt(0.5)) < 1e-12)
+    assert(out(2)._3 == 0.0)
+  }
+
+  test("ann buckets are deterministic and identical vectors share a bucket") {
+    val d = embDf(1L -> Seq(1f, 2f, 3f, 4f), 2L -> Seq(1f, 2f, 3f, 4f), 3L -> Seq(-1f, -2f, -3f, -4f))
+    val b = EmbeddingSim.annBuckets(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L) != b(3L)) // opposite vector flips every sign bit
+  }
+
+  test("ann topk only pairs within buckets") {
+    val d = embDf(1L -> Seq(1f, 2f, 3f, 4f), 2L -> Seq(1f, 2f, 3f, 4f), 3L -> Seq(-1f, -2f, -3f, -4f))
+    val pairs = EmbeddingSim.annTopK(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 1L)))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MinHashLsh, Shingling}
+
+class MinHashLshSpec extends SparkSpec {
+
+  private val nearDup = docsDf(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "the quick brown fox jumps over the lazy cat", // near-dup of 1
+    3L -> "completely different content with nothing shared zzz qqq",
+    4L -> "the quick brown fox jumps over the lazy dog" // exact dup of 1
+  )
+
+  test("signatures are deterministic across runs and have S columns") {
+    val a = MinHashLsh.signatures(nearDup).orderBy("doc_id").collect()
+    val b = MinHashLsh.signatures(nearDup).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.head.length == 1 + Config.NumHashes)
+  }
+
+  test("identical docs have identical signatures; disjoint docs differ") {
+    val sigs = MinHashLsh.signatures(nearDup).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (1 to Config.NumHashes).map(r.getLong)).toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("bands: B entries per doc, band index part of the key (fixes Q5)") {
+    val b = MinHashLsh.bands(nearDup)
+    assert(b.groupBy("doc_id").count().collect().forall(_.getLong(1) == Config.Bands))
+    assert(b.select("band").distinct().count() == Config.Bands)
+  }
+
+  test("exact dup pair is always a candidate; verified with jaccard 1.0") {
+    val cand = MinHashLsh.candidatePairs(nearDup).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 4L)))
+    val sim = MinHashLsh.similarPairs(nearDup).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sim((1L, 4L)) == 1.0)
+    // disjoint doc 3 never pairs
+    assert(!sim.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("similar pairs are a subset of candidates and meet the threshold") {
+    val cand = MinHashLsh.candidatePairs(nearDup).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = MinHashLsh.similarPairs(nearDup).collect()
+    assert(sim.forall(r => cand.contains((r.getLong(0), r.getLong(1)))))
+    assert(sim.forall(_.getDouble(2) >= Config.Threshold))
+  }
+
+  test("minhash estimate approximates exact jaccard (within 0.2 at S=60)") {
+    val est = MinHashLsh.estimatedPairs(nearDup).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sets = Shingling.shingleSets(nearDup).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    est.foreach { case ((l, r), e) =>
+      val t = sets(l).intersect(sets(r)).size.toDouble / sets(l).union(sets(r)).size
+      assert(math.abs(e - t) < 0.2, s"pair ($l,$r): est $e vs true $t")
+    }
+  }
+
+  test("symmetric output contains both directions with texts") {
+    val sym = MinHashLsh.pairsSymmetric(nearDup).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sym.contains((1L, 4L)) && sym.contains((4L, 1L)))
+  }
+
+  test("maxBucket cap drops degenerate buckets but keeps small ones") {
+    val many = docsDf((1L to 20L).map(i => i -> "identical text shared by everyone"): _*)
+    val capped = MinHashLsh.candidatePairs(many, maxBucket = Some(5)).count()
+    val uncapped = MinHashLsh.candidatePairs(many).count()
+    assert(uncapped == 20L * 19 / 2)
+    assert(capped == 0)
+  }
+
+  test("flagship on sf0.001 finds the planted near-dup pairs") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val n = MinHashLsh.similarPairs(docs).count()
+    assert(n > 0)
+  }
+}

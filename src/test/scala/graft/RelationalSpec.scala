@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Relational
+
+/** Invariant checks on the sf0.001 tables (the DuckDB oracle does
+  * the exact value checking at sf0.01 — these guard shapes and
+  * obvious semantics so failures localize). */
+class RelationalSpec extends SparkSpec {
+
+  test("q1: 6 flag/status groups, averages consistent with sums") {
+    val rows = Relational.q1PricingSummary(spark, Sf0001).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val sumQty = r.getDouble(2); val avgQty = r.getDouble(6); val n = r.getLong(9)
+      assert(math.abs(sumQty / n - avgQty) < 1e-9)
+    }
+  }
+
+  test("q3: top-10, sorted by revenue desc") {
+    val rev = Relational.q3ShippingPriority(spark, Sf0001).collect().map(_.getDouble(1))
+    assert(rev.length <= 10 && rev.sameElements(rev.sortBy(-_)))
+  }
+
+  test("q4: semi join counts bounded by total orders") {
+    val total = spark.read.parquet(s"$Sf0001/orders.parquet").count()
+    val counted = Relational.q4OrderPriority(spark, Sf0001).collect().map(_.getLong(1)).sum
+    assert(counted > 0 && counted <= total)
+  }
+
+  test("q22: anti join excludes exactly the urgent-order customers") {
+    val cust = spark.read.parquet(s"$Sf0001/customer.parquet").count()
+    val n = Relational.q22NoOrders(spark, Sf0001).collect().map(_.getLong(1)).sum
+    assert(n > 0 && n < cust)
+  }
+
+  test("window top orders: at most 3 per customer, ranks 1..3") {
+    val rows = Relational.windowTopOrders(spark, Sf0001).collect()
+    val perCust = rows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perCust.forall(_ <= 3))
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 3))
+  }
+
+  test("rollup: grand total row present and equals sum of year rows") {
+    val rows = Relational.rollupSales(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val grand = rows.find(r => r._1 == -1 && r._2 == -1).get
+    val years = rows.filter(r => r._1 != -1 && r._2 == -1)
+    assert(grand._3 == years.map(_._3).sum)
+  }
+
+  test("set ops: both+customer_only partitions the customer nation set") {
+    val rows = Relational.setOps(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val both = rows.filter(_._1 == "both").map(_._2).toSet
+    val only = rows.filter(_._1 == "customer_only").map(_._2).toSet
+    assert(both.intersect(only).isEmpty)
+    assert((both ++ only).nonEmpty)
+  }
+
+  test("topk orders is 20 rows descending") {
+    val p = Relational.topKOrders(spark, Sf0001).collect().map(_.getDouble(3))
+    assert(p.length == 20 && p.sameElements(p.sortBy(-_)))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Shingling
+
+/** Reference-exact shingle semantics (SURVEY.md §2.3: stride 1, one
+  * window per char position, short trailing windows padded with ONE
+  * space — Shingling.java:32-42). */
+class ShinglingSpec extends SparkSpec {
+
+  private def shinglesOf(text: String, k: Int = 3): Seq[String] =
+    Shingling.shingles(docsDf(1L -> text), k)
+      .orderBy("shingle").collect().map(_.getString(1)).toSeq
+
+  test("k=3 over 'abcde': stride-1 windows, last two padded with one space") {
+    // positions: abc, bcd, cde, de_, e_  (underscore = single space pad)
+    assert(shinglesOf("abcde").sorted == Seq("abc", "bcd", "cde", "de ", "e ").sorted)
+  }
+
+  test("line of exactly k chars yields one full window plus padded tails") {
+    assert(shinglesOf("abc").sorted == Seq("abc", "bc ", "c ").sorted)
+  }
+
+  test("line shorter than k still emits padded windows (reference pads ONCE)") {
+    // "ab" -> windows at pos 1: "ab"+pad=1 -> "ab "; pos 2: "b"+pad -> "b "
+    assert(shinglesOf("ab").sorted == Seq("ab ", "b ").sorted)
+  }
+
+  test("empty line emits no shingles (and no row after explode)") {
+    assert(shinglesOf("") == Seq.empty)
+  }
+
+  test("hyphens and delimiters pass through untouched (reference quirk Q6 fixed)") {
+    assert(shinglesOf("a-b").sorted == Seq("a-b", "-b ", "b ").sorted)
+  }
+
+  test("shingle dict has set semantics over doc ids (reference quirk Q11 fixed)") {
+    val d = docsDf(1L -> "aaaa", 2L -> "aaab")
+    val dict = Shingling.shingleDict(d).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // "aaa" occurs twice in doc 1 but the dict lists doc 1 once
+    assert(dict("aaa") == "1,2")
+  }
+
+  test("shingle sets are distinct per doc") {
+    val sets = Shingling.shingleSets(docsDf(1L -> "aaaa")).collect()
+    val arr = sets.head.getSeq[String](1)
+    assert(arr.length == arr.distinct.length)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def docsWithLang(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("token stats on a crafted line") {
+    val r = TextAnalysis.tokenStats(docsDf(1L -> "the fast  key ")).collect().head
+    assert(r.getLong(1) == 3)          // n_tokens (double space + trailing ignored)
+    assert(r.getLong(2) == 3)          // distinct
+    assert(r.getLong(3) == 10)         // thefastkey
+    assert(r.getDouble(4) == 10.0 / 3) // avg token len
+  }
+
+  test("token stats on empty text does not divide by zero") {
+    val r = TextAnalysis.tokenStats(docsDf(1L -> "")).collect().head
+    assert(r.getLong(1) == 0 && r.getDouble(4) == 0.0)
+  }
+
+  test("quality: stopword and type-token ratios") {
+    val r = TextAnalysis.quality(docsDf(1L -> "the the cat")).collect().head
+    assert(r.getLong(2) == 3)   // tokens
+    assert(r.getLong(3) == 2)   // types
+    assert(r.getLong(4) == 2)   // stopwords ("the" twice)
+    assert(r.getDouble(5) == 2.0 / 3 && r.getDouble(6) == 2.0 / 3)
+  }
+
+  test("lang id scores marker words and breaks ties en > es > zh") {
+    val out = TextAnalysis.langId(docsWithLang(
+      (1L, "the a of order", "en"),
+      (2L, "data column table row", "es"),
+      (3L, "vector stream window", "zh"),
+      (4L, "nothing matches here", "en"))).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "zh", 4L -> "en"))
+  }
+
+  test("fingerprint equals the portable fold hash of the text") {
+    val model = "abc".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % Config.P)
+    val d = docsDf(1L -> "abc").withColumn("n_chars", lit(3L))
+    assert(TextAnalysis.fingerprint(d).collect().head.getLong(1) == model)
+  }
+
+  test("simhash: identical docs equal, near docs close, far docs far (hamming)") {
+    val d = docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "the quick brown fox jumps over the lazy cat",
+      4L -> "zzz qqq completely different www yyy unrelated")
+    val fp = TextAnalysis.simHash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(1L) == fp(2L))
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
+  }
+
+  test("word bigram jaccard is 1.0 for identical docs in a candidate pair") {
+    val d = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta")
+    val out = TextAnalysis.wordNgramJaccard(d).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 1.0)
+  }
+}
