@@ -39,6 +39,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exactGroups(docs(s, d))),
     "dedup_near_keep" -> ((s, d) => Dedup.nearDupKeep(docs(s, d))),
     "near_dup_groups" -> ((s, d) => Dedup.nearDupGroups(s, docs(s, d))),
+    "ml_minhash_pairs" -> ((s, d) => graft.ml.MlMinHash.pairs(docs(s, d))),
     "simhash" -> ((s, d) => TextAnalysis.simHash(docs(s, d))),
     // --- text analysis ---
     "token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),

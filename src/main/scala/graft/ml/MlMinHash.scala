@@ -1,0 +1,48 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Config
+import graft.operators.Shingling
+
+/** Pillar B (BASELINE.json "DataFrame + MLlib LSH"): the same
+  * near-duplicate computation through MLlib's library-grade
+  * primitives — CountVectorizer (binary shingle presence) +
+  * ml.feature.MinHashLSH.approxSimilarityJoin. Seeded, so
+  * deterministic, but hash-family-specific — cross-checked against
+  * the DataFrame pipeline on RECALL (test), not bit equality, and
+  * registered as a rows-only query (no SQL oracle can replay MLlib's
+  * internal hashing).
+  *
+  * Scale notes vs pillar A: CountVectorizer.fit collects the
+  * vocabulary to the driver (fine for bounded char-k-shingle vocab,
+  * wrong for unbounded word n-grams — pillar A's hash-based minhash
+  * has no vocabulary at all). MLlib's LSH is OR-amplified only
+  * (numHashTables bands of 1 row), so candidate pruning is much
+  * weaker than A's (b bands x r rows) AND-OR banding; its
+  * approxSimilarityJoin re-verifies with exact vector Jaccard, so
+  * precision holds but join fan-out is larger.
+  */
+object MlMinHash {
+
+  def pairs(docs: DataFrame, k: Int = Config.K,
+            threshold: Double = Config.Threshold,
+            numHashTables: Int = 8): DataFrame = {
+    val sets = Shingling.shingleSets(docs, k)
+    val cv = new CountVectorizer()
+      .setInputCol("shingle_set").setOutputCol("features").setBinary(true)
+    val vecs = cv.fit(sets).transform(sets)
+    val mh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables)
+      .setSeed(Config.Seed)
+    val model = mh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, "jaccard_dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(
+        col("datasetA.doc_id").as("id_l"),
+        col("datasetB.doc_id").as("id_r"),
+        (lit(1.0) - col("jaccard_dist")).as("jaccard"))
+  }
+}

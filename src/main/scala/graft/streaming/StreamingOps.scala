@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the batch event operators
+  * (the reference has no streaming at all — SURVEY.md §2.2 — these
+  * are north-star extensions).
+  *
+  * All transforms are readStream-compatible: they take an unbounded
+  * DataFrame/Dataset with an event-time `ts_ts: timestamp` column
+  * and compose with `writeStream`. Watermarks bound state; session
+  * logic exists in BOTH the native `session_window` form (preferred
+  * — Catalyst-managed state) and a `flatMapGroupsWithState` form
+  * (the custom-state escape hatch for semantics session_window can't
+  * express, e.g. value-dependent gaps).
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts/sums per event type with a watermark —
+    * late data beyond the watermark is dropped, state is bounded. */
+  def windowCounts(events: DataFrame, windowLen: String = "10 minutes",
+                   watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts_ts", watermark)
+      .groupBy(window(col("ts_ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), (col("value_cents").cast("double") / 100.0).as("sum_value"))
+
+  /** Native session windows: gap-based sessions per user, closed by
+    * the watermark. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts_ts", watermark)
+      .groupBy(session_window(col("ts_ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"),
+        (col("value_cents").cast("double") / 100.0).as("sum_value"))
+
+  case class SessionEvent(user_id: Long, event_id: Long, us: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, cents: Long)
+  case class SessionOut(user_id: Long, start_sec: Long, end_sec: Long,
+                        n_events: Long, sum_value: Double)
+
+  /** Custom-state sessionization via flatMapGroupsWithState with an
+    * event-time timeout: a session closes (and is emitted) when the
+    * watermark passes last-event + gap. The per-group state is O(1)
+    * — one open session — regardless of stream length. */
+  def sessionizeStateful(events: Dataset[SessionEvent], gapSec: Long = 1800,
+                         watermark: String = "30 minutes"): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val stEnc = Encoders.product[SessionState]
+    implicit val keyEnc = Encoders.scalaLong
+    val gapUs = gapSec * 1000000L
+
+    def flush(uid: Long, st: SessionState): SessionOut =
+      SessionOut(uid, st.start / 1000000L, st.last / 1000000L, st.n, st.cents / 100.0)
+
+    events
+      .withColumn("ts_ts", timestamp_micros(col("us")))
+      .withWatermark("ts_ts", watermark)
+      .as[SessionEvent](Encoders.product[SessionEvent])
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(uid, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val cents = math.round(e.value * 100)
+              cur match {
+                case Some(st) if e.us - st.last <= gapUs =>
+                  cur = Some(SessionState(st.start, math.max(st.last, e.us), st.n + 1, st.cents + cents))
+                case Some(st) =>
+                  closed ::= flush(uid, st)
+                  cur = Some(SessionState(e.us, e.us, 1, cents))
+                case None =>
+                  cur = Some(SessionState(e.us, e.us, 1, cents))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.last / 1000L + gapSec * 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

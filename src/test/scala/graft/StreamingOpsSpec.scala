@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.SessionEvent
+
+class StreamingOpsSpec extends SparkSpec {
+
+  test("streaming window counts aggregate a memory stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // (sec, event_type, value, user_id)
+    val input = MemoryStream[(Long, String, Double, Long)]
+    val df = input.toDF()
+      .select(timestamp_micros($"_1" * 1000000L).as("ts_ts"), $"_2".as("event_type"),
+        $"_3".as("value"), $"_4".as("user_id"))
+    val q = StreamingOps.windowCounts(df).writeStream
+      .format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      input.addData((0L, "click", 1.10, 1L), (599L, "click", 2.20, 1L), (600L, "view", 4.40, 1L))
+      q.processAllAvailable()
+      val rows = s.table("wc").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSet == Set((0L, "click", 2L, 3.30), (600L, "view", 1L, 4.40)))
+    } finally q.stop()
+  }
+
+  test("native session windows close on gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String, Double, Long)]
+    val df = input.toDF()
+      .select(timestamp_micros($"_1" * 1000000L).as("ts_ts"), $"_2".as("event_type"),
+        $"_3".as("value"), $"_4".as("user_id"))
+    val q = StreamingOps.sessionWindows(df, gap = "30 minutes").writeStream
+      .format("memory").queryName("sw").outputMode("complete").start()
+    try {
+      input.addData((0L, "click", 1.0, 7L), (1000L, "click", 2.0, 7L), (4000L, "click", 3.0, 7L))
+      q.processAllAvailable()
+      val rows = s.table("sw").collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      // two sessions for user 7: {2 events, 3.0} and {1 event, 3.0}
+      assert(rows.toSet == Set((7L, 2L, 3.0), (7L, 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits sessions after watermark timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = StreamingOps.sessionizeStateful(input.toDS(), gapSec = 1800).writeStream
+      .format("memory").queryName("ss").outputMode("append").start()
+    try {
+      // epoch-0 events sit exactly on the initial watermark and get
+      // dropped as late — start well past zero
+      input.addData(
+        SessionEvent(7L, 1L, 10000L * 1000000L, 1.0),
+        SessionEvent(7L, 2L, 11000L * 1000000L, 2.0))
+      q.processAllAvailable()
+      // push watermark far past session end + gap so the timeout fires
+      input.addData(SessionEvent(8L, 3L, 100000L * 1000000L, 5.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(8L, 4L, 100001L * 1000000L, 5.0))
+      q.processAllAvailable()
+      val rows = s.table("ss").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(rows.contains((7L, 10000L, 11000L, 2L, 3.0)), s"got ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+}
