@@ -40,6 +40,13 @@ object Config {
     * similarity per MinHashLSH.java:177). */
   val Threshold: Double = 0.8
 
+  /** Candidate pre-filter: minimum number of agreeing signature
+    * components (out of NumHashes) before paying for exact
+    * verification. 36/60 = estimated Jaccard 0.6; for a true pair at
+    * J=0.8 the estimate's sigma is ~0.05, so the false-drop rate is
+    * ~4-sigma (~3e-5). Integer compare — no float threshold. */
+  val EstPrefilterMinCount: Int = 36
+
   /** Seed for the affine hash family. */
   val Seed: Long = 42L
 

@@ -39,7 +39,11 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exactGroups(docs(s, d))),
     "dedup_near_keep" -> ((s, d) => Dedup.nearDupKeep(docs(s, d))),
     "near_dup_groups" -> ((s, d) => Dedup.nearDupGroups(s, docs(s, d))),
-    "ml_minhash_pairs" -> ((s, d) => graft.ml.MlMinHash.pairs(docs(s, d))),
+    // pillar-B cross-check on a deterministic bounded subset: MLlib's
+    // OR-only LSH has near-total candidate fan-out on this corpus, so
+    // unbounded input is quadratic (pillar A is the scale path)
+    "ml_minhash_pairs" -> ((s, d) =>
+      graft.ml.MlMinHash.pairs(docs(s, d).filter(org.apache.spark.sql.functions.col("doc_id") < 1000))),
     "simhash" -> ((s, d) => TextAnalysis.simHash(docs(s, d))),
     // --- text analysis ---
     "token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),

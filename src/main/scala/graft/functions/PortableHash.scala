@@ -15,9 +15,17 @@ import graft.Config
 object PortableHash {
 
   /** h(s) = fold over characters: acc -> (acc*31 + codepoint) mod P.
-    * Pure Long arithmetic; max intermediate (P-1)*31 + c << Long.Max.
-    */
-  def charFoldHash(s: Column): Column =
+    * Backed by the native codegen expression [[PolyHash]]; the
+    * built-in HOF formulation below is kept as the semantic
+    * reference (equivalence is property-tested). */
+  def charFoldHash(s: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, PolyHash}
+    Bridge.column(PolyHash(Bridge.expression(s)))
+  }
+
+  /** Built-ins-only formulation of the same fold (interpreted HOF
+    * lambdas — ~10x slower; used only to cross-check PolyHash). */
+  def charFoldHashHof(s: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
       lit(0L),

@@ -41,13 +41,18 @@ object Dedup {
                     k: Int = Config.K,
                     threshold: Double = Config.Threshold,
                     maxIter: Int = 20): DataFrame = {
+    // materialize the (small) edge list once and truncate all lineage
+    // — every iteration then joins two checkpointed frames instead of
+    // re-deriving the whole LSH pipeline
     val pairs = MinHashLsh.similarPairs(docs, k, threshold)
-      .select(col("id_l"), col("id_r")).cache()
+      .select(col("id_l"), col("id_r")).localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("id_r").as("id_l"), col("id_l").as("id_r")))
+      .localCheckpoint()
     var labels = edges.select(col("id_l").as("doc_id"))
       .union(edges.select(col("id_r").as("doc_id"))).distinct()
       .withColumn("group_id", col("doc_id"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -58,12 +63,11 @@ object Dedup {
       val updated = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
-        .cache()
+        .localCheckpoint()
       val changed = updated.as("u")
         .join(labels.as("o"), Seq("doc_id"))
         .filter(col("u.group_id") =!= col("o.group_id"))
         .limit(1).count()
-      labels.unpersist()
       labels = updated
       converged = changed == 0
       iter += 1

@@ -80,16 +80,38 @@ object MinHashLsh {
       .distinct()
   }
 
-  /** Candidates verified with EXACT shingle-set Jaccard >= threshold.
-    * Output: id_l, id_r, jaccard (rounded 6dp for stable compare). */
+  /** Per-doc distinct SHINGLE-HASH set (long array) — verification
+    * currency. Hash-set Jaccard differs from string-set Jaccard only
+    * on intra-doc hash collisions (~(n_shingles)^2 / 2^32 per doc,
+    * ~1e-5 here) and is mirrored exactly by the oracle; long-array
+    * set ops are far cheaper than string-array ones at scale. */
+  def hashedShingleSets(docs: DataFrame, k: Int = Config.K): DataFrame =
+    Shingling.shingles(docs, k)
+      .select(col("doc_id"), PortableHash.charFoldHash(col("shingle")).as("h"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("h")).as("hset"))
+
+  /** Candidates verified with EXACT shingle-hash-set Jaccard >=
+    * threshold, after a cheap sketch pre-filter: pairs must agree on
+    * >= Config.EstPrefilterMinCount of the S signature components
+    * before the set-intersection join runs. At sf0.1 this cuts the
+    * verify join from ~1M candidate pairs to a few thousand.
+    * Output: id_l, id_r, jaccard. */
   def similarPairs(docs: DataFrame, k: Int = Config.K,
                    threshold: Double = Config.Threshold,
                    maxBucket: Option[Int] = None): DataFrame = {
-    val cand = candidatePairs(docs, k, maxBucket)
-    val sets = Shingling.shingleSets(docs, k)
-    val jac = size(array_intersect(col("l.shingle_set"), col("r.shingle_set"))).cast("double") /
-      size(array_union(col("l.shingle_set"), col("r.shingle_set")))
-    cand
+    val sigArr = signatures(docs, k).select(col("doc_id"),
+      array((0 until Config.NumHashes).map(i => col(Config.sigCol(i))): _*).as("sig"))
+    val nAgree = size(filter(zip_with(col("ls.sig"), col("rs.sig"), (a, b) => a === b), p => p))
+    val prefiltered = candidatePairs(docs, k, maxBucket)
+      .join(sigArr.as("ls"), col("id_l") === col("ls.doc_id"))
+      .join(sigArr.as("rs"), col("id_r") === col("rs.doc_id"))
+      .filter(nAgree >= Config.EstPrefilterMinCount)
+      .select("id_l", "id_r")
+    val sets = hashedShingleSets(docs, k)
+    val jac = size(array_intersect(col("l.hset"), col("r.hset"))).cast("double") /
+      size(array_union(col("l.hset"), col("r.hset")))
+    prefiltered
       .join(sets.as("l"), col("id_l") === col("l.doc_id"))
       .join(sets.as("r"), col("id_r") === col("r.doc_id"))
       .withColumn("jaccard", jac)

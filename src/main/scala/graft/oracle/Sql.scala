@@ -36,7 +36,8 @@ object Sql {
       val cols = (j * R until (j + 1) * R).map(Config.sigCol).mkString(", ")
       s"SELECT doc_id, $j AS band, concat_ws(',', $cols) AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    val jac = "len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s)))"
+    val jac = "len(list_intersect(x.hs, y.hs))::DOUBLE / len(list_distinct(list_concat(x.hs, y.hs)))"
+    val nAgree = sigCols.map(c => s"(CASE WHEN l.$c = r.$c THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH shings AS (
   SELECT doc_id, CASE WHEN i + ${K - 1} <= length(text) THEN substr(text, i, $K)
                       ELSE substr(text, i, $K) || ' ' END AS shingle
@@ -58,12 +59,17 @@ cand AS (
   FROM bands l JOIN bands r
     ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
 ),
-shset AS (
-  SELECT doc_id, list(DISTINCT shingle) AS s FROM shings GROUP BY doc_id
+hset AS (
+  SELECT doc_id, list(DISTINCT h) AS hs FROM hashed GROUP BY doc_id
+),
+prefilt AS (
+  SELECT c.id_l, c.id_r
+  FROM cand c JOIN sig l ON c.id_l = l.doc_id JOIN sig r ON c.id_r = r.doc_id
+  WHERE ($nAgree) >= ${Config.EstPrefilterMinCount}
 ),
 simpairs AS (
   SELECT id_l, id_r, $jac AS jaccard
-  FROM cand JOIN shset x ON id_l = x.doc_id JOIN shset y ON id_r = y.doc_id
+  FROM prefilt JOIN hset x ON id_l = x.doc_id JOIN hset y ON id_r = y.doc_id
   WHERE $jac >= $T
 ),
 toktab AS (

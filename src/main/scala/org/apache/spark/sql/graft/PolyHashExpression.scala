@@ -1,0 +1,84 @@
+/** Engine-native Catalyst extensions. Hosted under
+  * org.apache.spark.sql.* because Expression-building blocks
+  * (AbstractDataType, ExpressionUtils) are private[sql] in Spark 4 —
+  * the standard packaging for third-party Catalyst extensions.
+  */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen expression for the portable base-31 polynomial
+  * hash (fold over code points mod 2^31-1).
+  *
+  * Why custom: the built-ins formulation is three nested
+  * higher-order functions (`aggregate(transform(sequence(...)))`)
+  * evaluated through interpreted lambda machinery per shingle — the
+  * hottest expression in the engine (every character window of every
+  * document flows through it before the 60-way min aggregate). This
+  * is one tight loop over the UTF8String bytes, participates in
+  * whole-stage codegen via a static call, and allocates nothing on
+  * the ASCII fast path. Semantics are exactly
+  * PortableHash.charFoldHashHof (and the DuckDB oracle) — verified
+  * in PolyHashSpec.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHashUtil.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.PolyHashUtil.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHashUtil {
+  private final val Base = graft.Config.CharBase
+  private final val Mod = graft.Config.P
+
+  /** Fold over code points; ASCII fast path iterates raw bytes with
+    * zero allocation. */
+  def hash(s: UTF8String): Long = {
+    val nBytes = s.numBytes
+    if (nBytes == s.numChars) { // pure ASCII: byte == code point
+      var acc = 0L
+      var i = 0
+      while (i < nBytes) {
+        acc = (acc * Base + (s.getByte(i) & 0xffL)) % Mod
+        i += 1
+      }
+      acc
+    } else {
+      val str = s.toString
+      var acc = 0L
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        acc = (acc * Base + cp) % Mod
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+  }
+}
+
+/** Column <-> Expression bridge for code outside org.apache.spark.sql. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register graft_polyhash on an EXISTING session (the
+    * spark.sql.extensions route only applies at session creation). */
+  def registerPolyHash(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_polyhash", exprs => PolyHash(exprs.head), "scala_udf")
+}
