@@ -28,7 +28,7 @@ object MlMinHash {
 
   def pairs(docs: DataFrame, k: Int = Config.K,
             threshold: Double = Config.Threshold,
-            numHashTables: Int = 8): DataFrame = {
+            numHashTables: Int = 5): DataFrame = {
     val sets = Shingling.shingleSets(docs, k)
     val cv = new CountVectorizer()
       .setInputCol("shingle_set").setOutputCol("features").setBinary(true)

@@ -47,8 +47,12 @@ object MinHashLsh {
 
   /** (doc_id, band, band_key) — band_key is the CSV of the band's r
     * signature values; (band, band_key) is the LSH bucket key. */
-  def bands(docs: DataFrame, k: Int = Config.K): DataFrame = {
-    val sigs = signatures(docs, k)
+  def bands(docs: DataFrame, k: Int = Config.K): DataFrame =
+    bandsFromSignatures(signatures(docs, k))
+
+  /** Banding from a precomputed signature frame (lets one query
+    * materialize signatures once and derive everything from it). */
+  def bandsFromSignatures(sigs: DataFrame): DataFrame = {
     val r = Config.RowsPerBand
     val bandStructs = (0 until Config.Bands).map { j =>
       val cols = (j * r until (j + 1) * r).map(i => col(Config.sigCol(i)).cast("string"))
@@ -63,8 +67,11 @@ object MinHashLsh {
     * pairing (degenerate-bucket guard for scale; default off so the
     * oracle semantics stay exact). */
   def candidatePairs(docs: DataFrame, k: Int = Config.K,
-                     maxBucket: Option[Int] = None): DataFrame = {
-    val b = bands(docs, k)
+                     maxBucket: Option[Int] = None): DataFrame =
+    candidatesFromBands(bands(docs, k), maxBucket)
+
+  def candidatesFromBands(b: DataFrame,
+                          maxBucket: Option[Int] = None): DataFrame = {
     val bounded = maxBucket match {
       case Some(m) =>
         val sizes = b.groupBy("band", "band_key").agg(count(lit(1)).as("bucket_n"))
@@ -100,15 +107,19 @@ object MinHashLsh {
   def similarPairs(docs: DataFrame, k: Int = Config.K,
                    threshold: Double = Config.Threshold,
                    maxBucket: Option[Int] = None): DataFrame = {
-    val sigArr = signatures(docs, k).select(col("doc_id"),
+    // materialize signatures ONCE — the band self-join and both
+    // estimate joins would otherwise each recompute the whole
+    // shingle->hash->60-min-agg subtree (4x the dominant cost)
+    val sig = signatures(docs, k).localCheckpoint()
+    val sigArr = sig.select(col("doc_id"),
       array((0 until Config.NumHashes).map(i => col(Config.sigCol(i))): _*).as("sig"))
     val nAgree = size(filter(zip_with(col("ls.sig"), col("rs.sig"), (a, b) => a === b), p => p))
-    val prefiltered = candidatePairs(docs, k, maxBucket)
+    val prefiltered = candidatesFromBands(bandsFromSignatures(sig), maxBucket)
       .join(sigArr.as("ls"), col("id_l") === col("ls.doc_id"))
       .join(sigArr.as("rs"), col("id_r") === col("rs.doc_id"))
       .filter(nAgree >= Config.EstPrefilterMinCount)
       .select("id_l", "id_r")
-    val sets = hashedShingleSets(docs, k)
+    val sets = hashedShingleSets(docs, k).localCheckpoint()
     val jac = size(array_intersect(col("l.hset"), col("r.hset"))).cast("double") /
       size(array_union(col("l.hset"), col("r.hset")))
     prefiltered
@@ -140,12 +151,10 @@ object MinHashLsh {
     * signature components; SURVEY.md Q9). Output alongside the exact
     * value for comparison. */
   def estimatedPairs(docs: DataFrame, k: Int = Config.K): DataFrame = {
-    val sigArr = {
-      val sigs = signatures(docs, k)
-      sigs.select(col("doc_id"),
-        array((0 until Config.NumHashes).map(i => col(Config.sigCol(i))): _*).as("sig"))
-    }
-    val cand = candidatePairs(docs, k)
+    val sig = signatures(docs, k).localCheckpoint()
+    val sigArr = sig.select(col("doc_id"),
+      array((0 until Config.NumHashes).map(i => col(Config.sigCol(i))): _*).as("sig"))
+    val cand = candidatesFromBands(bandsFromSignatures(sig))
     val eq = size(filter(zip_with(col("l.sig"), col("r.sig"), (a, b) => a === b), p => p))
     cand
       .join(sigArr.as("l"), col("id_l") === col("l.doc_id"))

@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+import graft.sources.Sinks
+
+class SinksSpec extends SparkSpec {
+
+  test("csv sink writes header, custom separator, and overwrites") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val df = docsDf(1L -> "hello", 2L -> "world")
+    Sinks.writeCsvWithHeader(df, s"$dir/out")
+    Sinks.writeCsvWithHeader(df, s"$dir/out") // overwrite must not throw
+    val lines = Files.list(java.nio.file.Paths.get(s"$dir/out")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".csv"))
+      .flatMap(p => Files.readAllLines(p).asScala).toSeq
+    assert(lines.count(_ == "doc_id,text") >= 1) // header per part file
+    assert(lines.contains("1,hello") && lines.contains("2,world"))
+  }
+
+  test("reference-shaped artifacts land with reference headers") {
+    val dir = Files.createTempDirectory("graft-ref").toString
+    val docs = docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog")
+    Sinks.writeReferenceArtifacts(docs, dir)
+    def header(sub: String): String =
+      Files.list(java.nio.file.Paths.get(s"$dir/$sub")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".csv"))
+        .flatMap(p => Files.readAllLines(p).asScala.headOption).next()
+    assert(header("shingling") == "Shingling,rowsOffset")
+    assert(header("pairs") == "Text1,Text2")
+    assert(header("similar_scores") == "id_l,id_r,jaccard")
+  }
+}
