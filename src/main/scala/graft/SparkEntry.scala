@@ -70,6 +70,10 @@ object SparkEntry {
     "window_top_orders" -> ((s, d) => Relational.windowTopOrders(s, d)),
     "window_running_total" -> ((s, d) => Relational.windowRunningTotal(s, d)),
     "rollup_sales" -> ((s, d) => Relational.rollupSales(s, d)),
+    "cube_sales" -> ((s, d) => Relational.cubeSales(s, d)),
+    "median_by_status" -> ((s, d) => Relational.medianByStatus(s, d)),
+    "edit_distance_pairs" -> ((s, d) => TextAnalysis.editDistancePairs(docs(s, d))),
+    "regex_token_stats" -> ((s, d) => TextAnalysis.regexTokenStats(docs(s, d))),
     "topk_orders" -> ((s, d) => Relational.topKOrders(s, d)),
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     "scalar_funcs" -> ((s, d) => Relational.scalarFuncs(s, d)),
@@ -112,6 +116,10 @@ object SparkEntry {
     "window_top_orders" -> Sql.windowTopOrders,
     "window_running_total" -> Sql.windowRunningTotal,
     "rollup_sales" -> Sql.rollupSales,
+    "cube_sales" -> Sql.cubeSales,
+    "median_by_status" -> Sql.medianByStatus,
+    "edit_distance_pairs" -> Sql.editDistancePairs,
+    "regex_token_stats" -> Sql.regexTokenStats,
     "topk_orders" -> Sql.topKOrders,
     "set_ops" -> Sql.setOps,
     "scalar_funcs" -> Sql.scalarFuncs,

@@ -189,6 +189,33 @@ object Relational {
       floor(col("p_retailprice")).cast("long").as("price_floor"),
       when(col("p_size") > 25, "large").otherwise("small").as("size_class"))
 
+  /** CUBE over (year, status): all grouping-set combinations. */
+  def cubeSales(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("c"))
+      .cube("y", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("sum_c"))
+      .select(coalesce(col("y"), lit(-1)).as("y"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("n_orders"), money(col("sum_c")).as("total_sales"))
+
+  /** Deterministic manual median (no engine-specific percentile
+    * interpolation): the middle one or two cents values per group,
+    * picked by row_number with a full tiebreak, then averaged. */
+  def medianByStatus(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("c"), col("o_orderkey"))
+    table(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), cents(col("o_totalprice")).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+      .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+      .groupBy("o_orderstatus")
+      .agg(sum(col("c")).as("mid_sum"), count(lit(1)).as("mid_n"))
+      .select(col("o_orderstatus"),
+        (col("mid_sum").cast("double") / col("mid_n").cast("double") / 100.0).as("median_price"))
+  }
+
   /** Distinct aggregates per order status. */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")

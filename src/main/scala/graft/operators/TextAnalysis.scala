@@ -104,6 +104,34 @@ object TextAnalysis {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Edit-distance verification of the verified near-dup pairs:
+    * raw Levenshtein plus a length-normalized similarity. Runs on
+    * the (small) verified pair set, not raw candidates — Levenshtein
+    * is O(len^2) per pair and must sit behind the cheap filters. */
+  def editDistancePairs(docs: DataFrame, k: Int = Config.K): DataFrame = {
+    val texts = docs.select(col("doc_id"), col("text"))
+    MinHashLsh.similarPairs(docs, k)
+      .join(texts.as("tl"), col("id_l") === col("tl.doc_id"))
+      .join(texts.as("tr"), col("id_r") === col("tr.doc_id"))
+      .select(col("id_l"), col("id_r"),
+        levenshtein(col("tl.text"), col("tr.text")).cast("long").as("edit_dist"),
+        greatest(length(col("tl.text")), length(col("tr.text"))).cast("long").as("max_len"))
+      .withColumn("edit_sim",
+        when(col("max_len") > 0,
+          lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
+          .otherwise(lit(1.0)))
+  }
+
+  /** Regex ("BPE-ish") tokenization: letter runs, digit runs, and
+    * single other non-space symbols as separate tokens. */
+  def regexTokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
+        .as("n_pieces"),
+      size(array_distinct(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+        .cast("long").as("n_distinct_pieces"))
+
   /** Word-bigram Jaccard similarity for the LSH candidate pairs —
     * an n-gram-level second opinion on the char-shingle candidates. */
   def wordNgramJaccard(docs: DataFrame, k: Int = Config.K): DataFrame = {

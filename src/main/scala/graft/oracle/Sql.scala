@@ -378,6 +378,41 @@ toktab AS (
             ${cents("o_totalprice")} AS c FROM orders)
     GROUP BY ROLLUP(y, m)"""
 
+  val cubeSales: String =
+    s"""SELECT coalesce(y, -1) AS y, coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+      count(*)::BIGINT AS n_orders, ${money("sum(c)")} AS total_sales
+    FROM (SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderstatus,
+            ${cents("o_totalprice")} AS c FROM orders)
+    GROUP BY CUBE(y, o_orderstatus)"""
+
+  val medianByStatus: String =
+    s"""SELECT o_orderstatus,
+      CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0 AS median_price
+    FROM (
+      SELECT o_orderstatus, c,
+        row_number() OVER (PARTITION BY o_orderstatus ORDER BY c, o_orderkey) AS rn,
+        count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+      FROM (SELECT o_orderstatus, o_orderkey, ${cents("o_totalprice")} AS c FROM orders))
+    WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+    GROUP BY o_orderstatus"""
+
+  val editDistancePairs: String = {
+    val lev = "levenshtein(tl.text, tr.text)"
+    val mx = "greatest(length(tl.text), length(tr.text))"
+    docQ(s"""SELECT p.id_l, p.id_r, CAST($lev AS BIGINT) AS edit_dist,
+      CAST($mx AS BIGINT) AS max_len,
+      CASE WHEN $mx > 0 THEN 1.0 - $lev::DOUBLE / $mx ELSE 1.0 END AS edit_sim
+    FROM simpairs p
+    JOIN documents tl ON p.id_l = tl.doc_id
+    JOIN documents tr ON p.id_r = tr.doc_id""")
+  }
+
+  val regexTokenStats: String =
+    """SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_pieces,
+      CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_distinct_pieces
+    FROM documents"""
+
   val topKOrders: String =
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
