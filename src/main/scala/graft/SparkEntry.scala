@@ -57,6 +57,7 @@ object SparkEntry {
     "cosine_topk" -> ((s, d) => EmbeddingSim.cosineTopK(emb(s, d))),
     "ann_buckets" -> ((s, d) => EmbeddingSim.annBuckets(emb(s, d))),
     "ann_topk" -> ((s, d) => EmbeddingSim.annTopK(emb(s, d))),
+    "ann_ivf_topk" -> ((s, d) => EmbeddingSim.ivfTopK(emb(s, d))), // rows-only (KMeans quantizer)
     // --- events ---
     "events_window_agg" -> ((s, d) => EventsOps.windowAgg(events(s, d))),
     "events_sessionize" -> ((s, d) => EventsOps.sessionize(events(s, d))),

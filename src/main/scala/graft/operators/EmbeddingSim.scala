@@ -78,6 +78,52 @@ object EmbeddingSim {
       .select(col("vec_id"), bucket.as("bucket"))
   }
 
+  /** IVF-style ANN: a seeded KMeans coarse quantizer assigns each
+    * vector to a cell; queries probe their nProbe nearest cells and
+    * rank by cosine only within those cells. The classic
+    * inverted-file trade: recall vs fraction of the table scanned.
+    * KMeans centroids are driver-held but O(nCells*dim) — constant
+    * in table size. Rows-only check (the quantizer is not
+    * SQL-replayable). */
+  def ivfTopK(emb: DataFrame, k: Int = 3, nCells: Int = 16,
+              nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    val withVec = emb.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(graft.Config.Seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // probe table: for every vector, its nProbe nearest centroids
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+        .toIndexedSeq).toDF("cell", "centroid")
+    val d2 = aggregate(zip_with(col("embedding"), col("centroid"),
+      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val probeW = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
+    val probes = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(centroids))
+      .withColumn("d2", d2)
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+    val scored = probes
+      .join(assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** LSH-bucketed ANN top-k: rank by cosine only within each
     * vector's sign-LSH bucket — the candidate-pruned scale path
     * (approximate: recall < 1 vs cosineTopK by construction). */
