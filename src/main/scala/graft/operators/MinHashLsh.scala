@@ -50,6 +50,32 @@ object MinHashLsh {
   def bands(docs: DataFrame, k: Int = Config.K): DataFrame =
     bandsFromSignatures(signatures(docs, k))
 
+  /** Per-ROW signature + hash set + band keys, via array expressions
+    * only — no aggregation, no shuffle. Semantically identical to
+    * the groupBy formulation (min over the same affine hashes) but
+    * streaming-compatible: a document is one row, so Structured
+    * Streaming can band it statelessly before a single stateful
+    * operator. Batch callers prefer [[signatures]] (codegen'd hash
+    * agg); this trades that for zero stateful ops. */
+  def rowwiseBands(docs: DataFrame, k: Int = Config.K): DataFrame = {
+    val harr = array_distinct(transform(
+      Shingling.shingleArray(col("text"), k), s => PortableHash.charFoldHash(s)))
+    val sigArr = array((0 until Config.NumHashes).map(i =>
+      array_min(transform(col("hset"), h => PortableHash.affine(i, h)))): _*)
+    val r = Config.RowsPerBand
+    val bandStructs = (0 until Config.Bands).map { j =>
+      struct(lit(j).as("band"),
+        array_join(transform(slice(col("sig"), j * r + 1, r), x => x.cast("string")), ",")
+          .as("band_key"))
+    }
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), harr.as("hset"))
+      .select(col("doc_id"), col("hset"), sigArr.as("sig"))
+      .select(col("doc_id"), col("hset"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.band_key").as("band_key"),
+        col("doc_id"), col("hset"))
+  }
+
   /** Banding from a precomputed signature frame (lets one query
     * materialize signatures once and derive everything from it). */
   def bandsFromSignatures(sigs: DataFrame): DataFrame = {

@@ -44,6 +44,59 @@ object StreamingOps {
         col("user_id"), col("n_events"),
         (col("value_cents").cast("double") / 100.0).as("sum_value"))
 
+  case class BandMember(band: Int, band_key: String, doc_id: Long, hset: Seq[Long])
+  case class CandidatePair(id_l: Long, id_r: Long, jaccard: Double)
+
+  /** Incremental near-duplicate detection over a document STREAM:
+    * each arriving doc is shingled/hashed/banded statelessly (the
+    * same seeded pipeline as batch — graft.operators.MinHashLsh),
+    * then a stateful per-LSH-bucket membership set emits a verified
+    * pair the moment a new doc collides with a previously seen one.
+    * Exactly the batch semantics, computed online.
+    *
+    * State is the per-bucket member list (doc_id + shingle-hash
+    * set); `maxBucket` caps degenerate buckets the same way the
+    * batch path does, which also bounds state growth — a production
+    * deployment would add state TTL for unbounded streams.
+    * Output may repeat a pair discovered in several buckets within
+    * one batch; downstream dedup is `dropDuplicates` on the sink
+    * side (kept raw here to stay in append mode statelessly). */
+  def nearDupStream(docs: org.apache.spark.sql.Dataset[(Long, String)],
+                    threshold: Double = graft.Config.Threshold,
+                    maxBucket: Int = 64): org.apache.spark.sql.Dataset[CandidatePair] = {
+    import graft.operators.MinHashLsh
+    implicit val bmEnc = Encoders.product[BandMember]
+    implicit val cpEnc = Encoders.product[CandidatePair]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    implicit val stEnc = Encoders.kryo[List[(Long, Set[Long])]]
+
+    val banded = MinHashLsh.rowwiseBands(docs.toDF("doc_id", "text"))
+      .as[BandMember]
+
+    banded
+      .groupByKey(m => (m.band, m.band_key))
+      .flatMapGroupsWithState[List[(Long, Set[Long])], CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, String), rows: Iterator[BandMember], state: GroupState[List[(Long, Set[Long])]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[CandidatePair]
+          rows.toSeq.sortBy(_.doc_id).foreach { m =>
+            if (!members.exists(_._1 == m.doc_id) && members.size < maxBucket) {
+              val hs = m.hset.toSet
+              members.foreach { case (oid, ohs) =>
+                val inter = hs.intersect(ohs).size
+                val jac = inter.toDouble / (hs.size + ohs.size - inter)
+                if (jac >= threshold)
+                  out += CandidatePair(math.min(oid, m.doc_id), math.max(oid, m.doc_id), jac)
+              }
+              members = (m.doc_id, hs) :: members
+            }
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, us: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, cents: Long)
   case class SessionOut(user_id: Long, start_sec: Long, end_sec: Long,

@@ -74,6 +74,14 @@ class MinHashLshSpec extends SparkSpec {
     assert(capped == 0)
   }
 
+  test("rowwise (streaming) bands equal the aggregated formulation") {
+    val agg = MinHashLsh.bands(nearDup).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val row = MinHashLsh.rowwiseBands(nearDup).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).map(t => (t._3, t._1, t._2)).toSet
+    assert(row == agg)
+  }
+
   test("flagship on sf0.001 finds the planted near-dup pairs") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val n = MinHashLsh.similarPairs(docs).count()

@@ -46,6 +46,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup detection pairs a new doc with an earlier near-dup") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.nearDupStream(input.toDS()).writeStream
+      .format("memory").queryName("nds").outputMode("append").start()
+    try {
+      input.addData(
+        1L -> "the quick brown fox jumps over the lazy dog",
+        3L -> "completely unrelated content zzz qqq www yyy")
+      q.processAllAvailable()
+      assert(s.table("nds").count() == 0) // nothing similar yet
+      // a near-dup of doc 1 arrives in a LATER batch
+      input.addData(2L -> "the quick brown fox jumps over the lazy dog")
+      q.processAllAvailable()
+      val pairs = s.table("nds").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L)), s"got $pairs")
+      assert(pairs.forall(_._3 == 1.0))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits sessions after watermark timeout") {
     val s = spark
     import s.implicits._
