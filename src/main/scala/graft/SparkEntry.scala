@@ -62,6 +62,7 @@ object SparkEntry {
     "events_window_agg" -> ((s, d) => EventsOps.windowAgg(events(s, d))),
     "events_sessionize" -> ((s, d) => EventsOps.sessionize(events(s, d))),
     "events_props_agg" -> ((s, d) => EventsOps.propsAgg(events(s, d))),
+    "events_json_deciles" -> ((s, d) => EventsOps.jsonDeciles(events(s, d))),
     // --- relational coverage ---
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
@@ -109,6 +110,7 @@ object SparkEntry {
     "events_window_agg" -> Sql.eventsWindowAgg,
     "events_sessionize" -> Sql.eventsSessionize,
     "events_props_agg" -> Sql.eventsPropsAgg,
+    "events_json_deciles" -> Sql.eventsJsonDeciles,
     "q1_pricing_summary" -> Sql.q1PricingSummary,
     "q3_shipping_priority" -> Sql.q3ShippingPriority,
     "q5_region_revenue" -> Sql.q5RegionRevenue,

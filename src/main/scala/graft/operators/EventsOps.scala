@@ -70,6 +70,20 @@ object EventsOps {
         (col("cents").cast("double") / 100.0).as("sum_value"))
   }
 
+  /** Structured JSON parsing via from_json (schema'd, codegen'd) —
+    * metric deciles of the extracted k, with distinct-type counts. */
+  def jsonDeciles(events: DataFrame): DataFrame =
+    events
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k"))
+      .withColumn("k_decile", expr("k div 10"))
+      .groupBy("k_decile")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
   /** JSON property extraction (props like {"k": 87}) + per-type
     * rollup of the extracted metric. */
   def propsAgg(events: DataFrame): DataFrame =

@@ -292,6 +292,13 @@ toktab AS (
       ${money("sum(c)")} AS sum_value
     FROM sessions GROUP BY user_id, session_idx"""
 
+  val eventsJsonDeciles: String =
+    """SELECT k // 10 AS k_decile, count(*)::BIGINT AS n_events,
+      count(DISTINCT event_type)::BIGINT AS n_types,
+      min(k) AS min_k, max(k) AS max_k
+    FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+    GROUP BY k // 10"""
+
   val eventsPropsAgg: String =
     """SELECT event_type, count(*)::BIGINT AS n_events,
       CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
