@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
-      (children: Seq[Expression]) => PolyHash(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_polyhash expects exactly 1 argument, got ${children.length}")
+        PolyHash(children.head)
+      }))
   }
 }

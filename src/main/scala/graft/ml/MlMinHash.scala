@@ -32,6 +32,9 @@ object MlMinHash {
     val sets = Shingling.shingleSets(docs, k)
     val cv = new CountVectorizer()
       .setInputCol("shingle_set").setOutputCol("features").setBinary(true)
+      // default vocabSize (2^18) silently truncates richer corpora,
+      // which would corrupt the exact-Jaccard verification
+      .setVocabSize(1 << 21)
     val vecs = cv.fit(sets).transform(sets)
     val mh = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")

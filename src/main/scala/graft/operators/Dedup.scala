@@ -40,7 +40,7 @@ object Dedup {
   def nearDupGroups(spark: SparkSession, docs: DataFrame,
                     k: Int = Config.K,
                     threshold: Double = Config.Threshold,
-                    maxIter: Int = 20): DataFrame = {
+                    maxIter: Int = 40): DataFrame = {
     // materialize the (small) edge list once and truncate all lineage
     // — every iteration then joins two checkpointed frames instead of
     // re-deriving the whole LSH pipeline
@@ -72,6 +72,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      // a component with diameter > maxIter would get a silently
+      // split clustering — surface it loudly
+      throw new IllegalStateException(
+        s"nearDupGroups did not converge in $maxIter iterations; " +
+          "raise maxIter (component diameter exceeds it)")
     labels
   }
 }

@@ -50,13 +50,18 @@ object Multimodal {
   def asBinaryTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
-  /** Decode + feature-extract via mapPartitions: one decoder
-    * instance per partition, payload never leaves the executor. */
+  /** Decode + feature-extract via mapPartitions: decoder state is
+    * set up ONCE per partition (the shape a real codec binding
+    * needs — open the codec, stream records through it); payloads
+    * never leave the executor. */
   def extractFeatures(binTable: DataFrame): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     binTable.select(col("doc_id").cast("long"), col("payload"))
-      .map { row =>
-        StubDecoder.decode(row.getLong(0), row.getAs[Array[Byte]](1))
+      .mapPartitions { rows =>
+        // per-partition setup: a real implementation opens/initializes
+        // the codec here, once, and closes it when `rows` is drained
+        val decoder = StubDecoder
+        rows.map(row => decoder.decode(row.getLong(0), row.getAs[Array[Byte]](1)))
       }(enc)
   }
 

@@ -296,7 +296,10 @@ toktab AS (
     """SELECT k // 10 AS k_decile, count(*)::BIGINT AS n_events,
       count(DISTINCT event_type)::BIGINT AS n_types,
       min(k) AS min_k, max(k) AS max_k
-    FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+    FROM (SELECT event_type,
+            CASE WHEN json_valid(props) AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                 THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+          FROM events)
     GROUP BY k // 10"""
 
   val eventsPropsAgg: String =

@@ -29,12 +29,18 @@ object Sinks {
       Shingling.shingleDict(docs)
         .select(col("shingle").as("Shingling"), col("doc_ids").as("rowsOffset")),
       s"$outDir/shingling")
+    // run the expensive verify pipeline ONCE; both pair artifacts
+    // derive from the materialized result
+    val sim = MinHashLsh.similarPairs(docs).localCheckpoint()
+    val texts = docs.select(col("doc_id"), col("text"))
+    val both = sim.select(col("id_l").as("id_a"), col("id_r").as("id_b"))
+      .union(sim.select(col("id_r").as("id_a"), col("id_l").as("id_b")))
     writeCsvWithHeader(
-      MinHashLsh.pairsSymmetric(docs)
-        .select(col("text_a").as("Text1"), col("text_b").as("Text2")),
+      both
+        .join(texts.as("ta"), col("id_a") === col("ta.doc_id"))
+        .join(texts.as("tb"), col("id_b") === col("tb.doc_id"))
+        .select(col("ta.text").as("Text1"), col("tb.text").as("Text2")),
       s"$outDir/pairs")
-    writeCsvWithHeader(
-      MinHashLsh.similarPairs(docs),
-      s"$outDir/similar_scores")
+    writeCsvWithHeader(sim, s"$outDir/similar_scores")
   }
 }

@@ -81,15 +81,19 @@ object StreamingOps {
           var members = state.getOption.getOrElse(Nil)
           val out = scala.collection.mutable.ListBuffer.empty[CandidatePair]
           rows.toSeq.sortBy(_.doc_id).foreach { m =>
-            if (!members.exists(_._1 == m.doc_id) && members.size < maxBucket) {
+            if (!members.exists(_._1 == m.doc_id)) {
               val hs = m.hset.toSet
+              // always COMPARE against current members (no lost pairs);
+              // the cap only stops further state growth in a
+              // degenerate bucket
               members.foreach { case (oid, ohs) =>
                 val inter = hs.intersect(ohs).size
                 val jac = inter.toDouble / (hs.size + ohs.size - inter)
                 if (jac >= threshold)
                   out += CandidatePair(math.min(oid, m.doc_id), math.max(oid, m.doc_id), jac)
               }
-              members = (m.doc_id, hs) :: members
+              if (members.size < maxBucket)
+                members = (m.doc_id, hs) :: members
             }
           }
           state.update(members)

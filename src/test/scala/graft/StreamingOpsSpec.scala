@@ -69,6 +69,25 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup still compares (not just drops) at a full bucket") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.nearDupStream(input.toDS(), maxBucket = 1).writeStream
+      .format("memory").queryName("ndsfull").outputMode("append").start()
+    try {
+      val t = "the quick brown fox jumps over the lazy dog"
+      input.addData(1L -> t)
+      q.processAllAvailable()
+      input.addData(2L -> t, 3L -> t)
+      q.processAllAvailable()
+      val pairs = s.table("ndsfull").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // capped state keeps only doc 1, but later arrivals still pair with it
+      assert(pairs == Set((1L, 2L), (1L, 3L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits sessions after watermark timeout") {
     val s = spark
     import s.implicits._
