@@ -70,6 +70,29 @@ object EventsOps {
         (col("cents").cast("double") / 100.0).as("sum_value"))
   }
 
+  /** AS-OF join: each `targetType` event matched to the same user's
+    * LATEST preceding `matchType` event (standard time-series
+    * enrichment the reference lacks — SURVEY.md §2.2 "no as-of
+    * join"). Expressed as one pass over the union with
+    * last(...ignoreNulls).over(user, time) — no join at all, so at
+    * scale it costs a single shuffle on user_id instead of a
+    * range-join explosion. Deterministic via (us, event_id) order;
+    * targets with no preceding match keep nulls. */
+  def asOfJoin(events: DataFrame, matchType: String = "click",
+               targetType: String = "purchase"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withUs(events)
+      .withColumn("m_id", when(col("event_type") === matchType, col("event_id")))
+      .withColumn("m_us", when(col("event_type") === matchType, col("us")))
+      .withColumn("prev_match_id", last(col("m_id"), ignoreNulls = true).over(w))
+      .withColumn("prev_match_us", last(col("m_us"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === targetType)
+      .select(col("event_id"), col("user_id"), col("us").as("target_us"),
+        col("prev_match_id"), col("prev_match_us"),
+        (col("us") - col("prev_match_us")).as("gap_us"))
+  }
+
   /** Structured JSON parsing via from_json (schema'd, codegen'd) —
     * metric deciles of the extracted k, with distinct-type counts. */
   def jsonDeciles(events: DataFrame): DataFrame =

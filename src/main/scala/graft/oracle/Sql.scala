@@ -292,6 +292,18 @@ toktab AS (
       ${money("sum(c)")} AS sum_value
     FROM sessions GROUP BY user_id, session_idx"""
 
+  val eventsAsOfJoin: String =
+    """SELECT event_id, user_id, us AS target_us, prev_match_id, prev_match_us,
+      us - prev_match_us AS gap_us
+    FROM (
+      SELECT event_id, user_id, event_type, us,
+        last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER w AS prev_match_id,
+        last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS) OVER w AS prev_match_us
+      FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ) WHERE event_type = 'purchase'"""
+
   val eventsJsonDeciles: String =
     """SELECT k // 10 AS k_decile, count(*)::BIGINT AS n_events,
       count(DISTINCT event_type)::BIGINT AS n_types,

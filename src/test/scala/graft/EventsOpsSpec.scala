@@ -45,6 +45,18 @@ class EventsOpsSpec extends SparkSpec {
     assert(r.getLong(1) == 2 && r.getLong(2) == 18 && r.getLong(3) == 7 && r.getLong(4) == 11)
   }
 
+  test("as-of join matches each purchase to the latest preceding click") {
+    val e = eventsDf(
+      (1L, 100L, 7L, "click", 0.0, "{}"),
+      (2L, 200L, 7L, "purchase", 0.0, "{}"),  // matches click 1
+      (3L, 300L, 7L, "click", 0.0, "{}"),
+      (4L, 400L, 7L, "purchase", 0.0, "{}"),  // matches click 3
+      (5L, 50L, 8L, "purchase", 0.0, "{}"))   // no preceding click
+    val out = EventsOps.asOfJoin(e).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out == Map(2L -> 1L, 4L -> 3L, 5L -> -1L))
+  }
+
   test("microsCol also accepts real timestamp columns") {
     val s = spark
     import s.implicits._
