@@ -81,6 +81,7 @@ object SparkEntry {
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     "scalar_funcs" -> ((s, d) => Relational.scalarFuncs(s, d)),
     "distinct_counts" -> ((s, d) => Relational.distinctCounts(s, d)),
+    "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)), // rows-only (HLL sketch)
   )
 
   /** DuckDB-equivalent SQL per query (same arithmetic, same affine

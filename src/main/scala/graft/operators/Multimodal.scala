@@ -65,6 +65,31 @@ object Multimodal {
       }(enc)
   }
 
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Long,
+                   frame_bytes: Long, frame_hash: Long)
+
+  /** One-to-many extraction (the frame-sampling / chunking shape for
+    * video/audio payloads): split each payload into fixed-size
+    * chunks, emit one typed feature row per chunk — flatMap inside
+    * mapPartitions, decoder state per partition, payloads never on
+    * the driver. */
+  def frameSample(binTable: DataFrame, chunkSize: Int = 64): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    binTable.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        val P = graft.Config.P
+        rows.flatMap { row =>
+          val id = row.getLong(0)
+          val payload = row.getAs[Array[Byte]](1)
+          payload.grouped(chunkSize).zipWithIndex.map { case (chunk, i) =>
+            var acc = 0L
+            chunk.foreach(b => acc = (acc * 31 + (b & 0xffL)) % P)
+            Frame(id, i, i.toLong * chunkSize, chunk.length.toLong, acc)
+          }
+        }
+      }(enc)
+  }
+
   /** Oracle-checkable metadata surface: byte/char counts + a header
     * hash (the portable fold over the first 16 chars — the moral
     * equivalent of a magic-bytes probe). */

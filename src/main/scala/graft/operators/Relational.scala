@@ -216,6 +216,17 @@ object Relational {
         (col("mid_sum").cast("double") / col("mid_n").cast("double") / 100.0).as("median_price"))
   }
 
+  /** HLL++ sketch vs exact distinct counts per return flag — the
+    * approximate path for 100 TB cardinality estimation (rows-only
+    * check: the sketch is engine-specific by nature). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+
   /** Distinct aggregates per order status. */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")

@@ -22,6 +22,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.checksum == model)
   }
 
+  test("frame sampling chunks payloads into typed per-frame rows") {
+    val d = docsDf(1L -> ("x" * 150), 2L -> "short")
+    val frames = Multimodal.frameSample(Multimodal.asBinaryTable(d), chunkSize = 64)
+      .collect().groupBy(_.doc_id)
+    assert(frames(1L).length == 3) // 64 + 64 + 22
+    assert(frames(1L).sortBy(_.frame_idx).map(_.frame_bytes).toSeq == Seq(64L, 64L, 22L))
+    assert(frames(1L).map(_.offset).sorted.toSeq == Seq(0L, 64L, 128L))
+    assert(frames(2L).length == 1 && frames(2L).head.frame_bytes == 5)
+    // chunk hash of the full-payload doc 2 equals the whole-payload checksum
+    assert(frames(2L).head.frame_hash ==
+      Multimodal.StubDecoder.decode(2L, "short".getBytes("UTF-8")).checksum)
+  }
+
   test("media meta exposes byte/char counts") {
     val d = docsDf(1L -> "abc")
     val r = Multimodal.mediaMeta(d).collect().head
