@@ -39,6 +39,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exactGroups(docs(s, d))),
     "dedup_near_keep" -> ((s, d) => Dedup.nearDupKeep(docs(s, d))),
     "near_dup_groups" -> ((s, d) => Dedup.nearDupGroups(s, docs(s, d))),
+    "embed_dedup_pairs" -> ((s, d) => DocEmbedding.dedupPairs(docs(s, d))),
+    "embed_dedup_keep" -> ((s, d) => DocEmbedding.dedupKeep(docs(s, d))),
     // pillar-B cross-check on a deterministic bounded subset: MLlib's
     // OR-only LSH has near-total candidate fan-out on this corpus, so
     // unbounded input is quadratic (pillar A is the scale path)
@@ -98,6 +100,8 @@ object SparkEntry {
     "minhash_estimate" -> Sql.minhashEstimate,
     "dedup_exact" -> Sql.dedupExact,
     "dedup_near_keep" -> Sql.dedupNearKeep,
+    "embed_dedup_pairs" -> Sql.embedDedupPairs,
+    "embed_dedup_keep" -> Sql.embedDedupKeep,
     "simhash" -> Sql.simhash,
     "token_stats" -> Sql.tokenStats,
     "text_quality" -> Sql.quality,

@@ -37,12 +37,24 @@ object MinHashLsh {
   /** doc_id + S min-hash columns sig_00..sig_NN (one hash-agg; all
     * S mins computed in a single pass over exploded shingles). */
   def signatures(docs: DataFrame, k: Int = Config.K): DataFrame = {
-    val sh = Shingling.shingles(docs, k)
-      .select(col("doc_id"), PortableHash.charFoldHash(col("shingle")).as("h"))
+    val sh = Shingling.shingleHashed(docs, k)
     val mins = (0 until Config.NumHashes).map { i =>
       min(PortableHash.affine(i, col("h"))).as(Config.sigCol(i))
     }
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Signatures AND the distinct shingle-hash set in ONE hash-agg —
+    * the verify chain needs both, and the exploded-shingle stream is
+    * the dominant input at scale: fusing halves the heavy shuffles
+    * (one pass computes 60 mins + collect_set instead of two full
+    * explode→shuffle passes). */
+  def signaturesWithSets(docs: DataFrame, k: Int = Config.K): DataFrame = {
+    val sh = Shingling.shingleHashed(docs, k)
+    val aggs = (0 until Config.NumHashes).map { i =>
+      min(PortableHash.affine(i, col("h"))).as(Config.sigCol(i))
+    } :+ collect_set(col("h")).as("hset")
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** (doc_id, band, band_key) — band_key is the CSV of the band's r
@@ -58,8 +70,7 @@ object MinHashLsh {
     * operator. Batch callers prefer [[signatures]] (codegen'd hash
     * agg); this trades that for zero stateful ops. */
   def rowwiseBands(docs: DataFrame, k: Int = Config.K): DataFrame = {
-    val harr = array_distinct(transform(
-      Shingling.shingleArray(col("text"), k), s => PortableHash.charFoldHash(s)))
+    val harr = array_distinct(Shingling.shingleHashArray(col("text"), k))
     val sigArr = array((0 until Config.NumHashes).map(i =>
       array_min(transform(col("hset"), h => PortableHash.affine(i, h)))): _*)
     val r = Config.RowsPerBand
@@ -119,8 +130,7 @@ object MinHashLsh {
     * ~1e-5 here) and is mirrored exactly by the oracle; long-array
     * set ops are far cheaper than string-array ones at scale. */
   def hashedShingleSets(docs: DataFrame, k: Int = Config.K): DataFrame =
-    Shingling.shingles(docs, k)
-      .select(col("doc_id"), PortableHash.charFoldHash(col("shingle")).as("h"))
+    Shingling.shingleHashed(docs, k)
       .groupBy("doc_id")
       .agg(collect_set(col("h")).as("hset"))
 
@@ -133,19 +143,20 @@ object MinHashLsh {
   def similarPairs(docs: DataFrame, k: Int = Config.K,
                    threshold: Double = Config.Threshold,
                    maxBucket: Option[Int] = None): DataFrame = {
-    // materialize signatures ONCE — the band self-join and both
-    // estimate joins would otherwise each recompute the whole
-    // shingle->hash->60-min-agg subtree (4x the dominant cost)
-    val sig = signatures(docs, k).localCheckpoint()
-    val sigArr = sig.select(col("doc_id"),
+    // ONE fused explode→agg pass yields signatures + hash sets,
+    // materialized once — the band self-join, the prefilter joins,
+    // and the verify join all read this frame instead of re-deriving
+    // the shingle subtree (which would run the dominant scan 4x)
+    val base = signaturesWithSets(docs, k).localCheckpoint()
+    val sigArr = base.select(col("doc_id"),
       array((0 until Config.NumHashes).map(i => col(Config.sigCol(i))): _*).as("sig"))
     val nAgree = size(filter(zip_with(col("ls.sig"), col("rs.sig"), (a, b) => a === b), p => p))
-    val prefiltered = candidatesFromBands(bandsFromSignatures(sig), maxBucket)
+    val prefiltered = candidatesFromBands(bandsFromSignatures(base), maxBucket)
       .join(sigArr.as("ls"), col("id_l") === col("ls.doc_id"))
       .join(sigArr.as("rs"), col("id_r") === col("rs.doc_id"))
       .filter(nAgree >= Config.EstPrefilterMinCount)
       .select("id_l", "id_r")
-    val sets = hashedShingleSets(docs, k).localCheckpoint()
+    val sets = base.select(col("doc_id"), col("hset"))
     val jac = size(array_intersect(col("l.hset"), col("r.hset"))).cast("double") /
       size(array_union(col("l.hset"), col("r.hset")))
     prefiltered
@@ -161,7 +172,9 @@ object MinHashLsh {
     * 48,57-59 emits (Text1,Text2) in both directions). */
   def pairsSymmetric(docs: DataFrame, k: Int = Config.K,
                      threshold: Double = Config.Threshold): DataFrame = {
-    val p = similarPairs(docs, k, threshold)
+    // the union below reads p twice — materialize the (tiny) verified
+    // pair list or the whole LSH chain executes once per branch
+    val p = similarPairs(docs, k, threshold).localCheckpoint()
     val both = p.select(col("id_l").as("id_a"), col("id_r").as("id_b"))
       .union(p.select(col("id_r").as("id_a"), col("id_l").as("id_b")))
     val texts = docs.select(col("doc_id"), col("text"))

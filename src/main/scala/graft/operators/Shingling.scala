@@ -25,6 +25,22 @@ object Shingling {
           .otherwise(concat(text.substr(i, lit(k)), lit(" ")))))
       .otherwise(array().cast("array<string>"))
 
+  /** Array of all k-shingle HASHES of a text — the fused native
+    * codegen expression (one pass over the bytes, no per-window
+    * substring allocation; see ShingleHashesExpression.scala).
+    * Equals transform(shingleArray(text, k), charFoldHash). */
+  def shingleHashArray(text: Column, k: Int = Config.K): Column = {
+    import org.apache.spark.sql.graft.{Bridge, ShingleHashes}
+    Bridge.column(ShingleHashes(Bridge.expression(text), k))
+  }
+
+  /** (doc_id, h) — one row per window hash, duplicates kept. The
+    * hash-space entry point for every set-level pipeline (minhash,
+    * simhash, feature embeddings): skips materializing shingle
+    * strings entirely. */
+  def shingleHashed(docs: DataFrame, k: Int = Config.K): DataFrame =
+    docs.select(col("doc_id"), explode(shingleHashArray(col("text"), k)).as("h"))
+
   /** (doc_id, shingle) — one row per window, duplicates kept
     * (positional stream; dedup happens in set-level consumers).
     * Mirrors reference Job 1 map output (Shingling.java:40). */

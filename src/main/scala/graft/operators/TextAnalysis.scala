@@ -90,8 +90,7 @@ object TextAnalysis {
     * (30 bits because the portable hash range is [0, 2^31-1).) */
   def simHash(docs: DataFrame, k: Int = Config.K): DataFrame = {
     val bits = 30
-    val hashed = Shingling.shingles(docs, k)
-      .select(col("doc_id"), PortableHash.charFoldHash(col("shingle")).as("h"))
+    val hashed = Shingling.shingleHashed(docs, k)
       .distinct()
     val sums = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))

@@ -129,6 +129,63 @@ toktab AS (
     """SELECT doc_id AS kept_id FROM documents
     WHERE doc_id NOT IN (SELECT id_r FROM simpairs)""")
 
+  /** CTE chain for the feature-hashed document embedding + sign-LSH
+    * dedup (DocEmbedding.scala) — appended after docCtes, so `hashed`
+    * is in scope. Mirrors: distinct hashes → 64 signed conditional
+    * sums → per-table hyperplane buckets → bucket self-join →
+    * integer dot / (sqrt·sqrt) cosine ≥ τ. */
+  private val embedCtes: String = {
+    import graft.operators.DocEmbedding.{Dim, Tables, Planes, CosThreshold}
+    val sums = (0 until Dim).map { j =>
+      f"coalesce(sum(CASE WHEN h %% $Dim = $j THEN (CASE WHEN (h // $Dim) %% 2 = 0 THEN 1 ELSE -1 END) END), 0)::BIGINT AS v_$j%02d"
+    }.mkString(",\n    ")
+    val arr = (0 until Dim).map(j => f"v_$j%02d").mkString("[", ", ", "]")
+    val n2 = (0 until Dim).map(j => f"v_$j%02d * v_$j%02d").mkString(" + ")
+    val tableSelects = (0 until Tables).map { t =>
+      val dots = (0 until Planes).map { j =>
+        val p = t * Planes + j
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $Dim), " +
+          s"i -> v[i] * (CASE WHEN ((i * 131 + ${p * 37}) % 97) % 2 = 0 THEN 1 ELSE -1 END))), " +
+          f"(a, x) -> a + x) AS pd_$j%02d"
+      }.mkString(",\n      ")
+      val bucket = (0 until Planes).map(j =>
+        f"(CASE WHEN pd_$j%02d > 0 THEN ${1L << j}%d ELSE 0 END)").mkString(" + ")
+      s"""SELECT doc_id, $t AS tbl, CAST($bucket AS BIGINT) AS bucket FROM (
+      SELECT doc_id, $dots FROM ven)"""
+    }.mkString("\n  UNION ALL\n  ")
+    val dot = s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $Dim), " +
+      "i -> a.v[i] * b.v[i])), (x, y) -> x + y)"
+    s""",
+edh AS (SELECT DISTINCT doc_id, h FROM hashed),
+evec AS (
+  SELECT doc_id,
+    $sums
+  FROM edh GROUP BY doc_id
+),
+ven AS (
+  SELECT doc_id, $arr AS v, sqrt(($n2)::DOUBLE) AS nrm FROM evec
+),
+ebkt AS (
+  $tableSelects
+),
+ecand AS (
+  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+  FROM ebkt l JOIN ebkt r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+epairs AS (
+  SELECT id_l, id_r, $dot::DOUBLE / (a.nrm * b.nrm) AS cosine
+  FROM ecand JOIN ven a ON id_l = a.doc_id JOIN ven b ON id_r = b.doc_id
+  WHERE $dot::DOUBLE / (a.nrm * b.nrm) >= $CosThreshold
+)"""
+  }
+
+  val embedDedupPairs: String =
+    docCtes + embedCtes + "\nSELECT id_l, id_r, cosine FROM epairs"
+
+  val embedDedupKeep: String =
+    docCtes + embedCtes +
+      "\nSELECT doc_id AS kept_id FROM documents WHERE doc_id NOT IN (SELECT id_r FROM epairs)"
+
   val simhash: String = {
     val bits = 30
     val sums = (0 until bits).map(j =>

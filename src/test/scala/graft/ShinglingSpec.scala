@@ -47,4 +47,20 @@ class ShinglingSpec extends SparkSpec {
     val arr = sets.head.getSeq[String](1)
     assert(arr.length == arr.distinct.length)
   }
+
+  test("fused shingleHashArray equals hash-of-shingleArray (incl. unicode, short, empty)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHash
+    val texts = Seq("abcde", "ab", "a", "", "a-b c,d", "héllo wörld",
+      "中文文本的测试句子", "mixed 中en文 text", "x" * 500)
+    val d = docsDf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val both = d.select(
+      Shingling.shingleHashArray(col("text")).as("fused"),
+      transform(Shingling.shingleArray(col("text")),
+        s => PortableHash.charFoldHash(s)).as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
 }
