@@ -41,11 +41,13 @@ object SparkEntry {
     "near_dup_groups" -> ((s, d) => Dedup.nearDupGroups(s, docs(s, d))),
     "embed_dedup_pairs" -> ((s, d) => DocEmbedding.dedupPairs(docs(s, d))),
     "embed_dedup_keep" -> ((s, d) => DocEmbedding.dedupKeep(docs(s, d))),
-    // pillar-B cross-check on a deterministic bounded subset: MLlib's
-    // OR-only LSH has near-total candidate fan-out on this corpus, so
-    // unbounded input is quadratic (pillar A is the scale path)
+    // pillar-B cross-check on a deterministic bounded subset (the
+    // same 500-doc scale the recall spec uses): MLlib's OR-only LSH
+    // has near-total candidate fan-out on this corpus (background
+    // J~0.46 -> P(candidate)~1-(1-J)^tables ~ 0.95), so unbounded
+    // input is quadratic (pillar A is the scale path)
     "ml_minhash_pairs" -> ((s, d) =>
-      graft.ml.MlMinHash.pairs(docs(s, d).filter(org.apache.spark.sql.functions.col("doc_id") < 1000))),
+      graft.ml.MlMinHash.pairs(docs(s, d).filter(org.apache.spark.sql.functions.col("doc_id") < 500))),
     "simhash" -> ((s, d) => TextAnalysis.simHash(docs(s, d))),
     // --- text analysis ---
     "token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),

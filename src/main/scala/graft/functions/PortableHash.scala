@@ -32,6 +32,13 @@ object PortableHash {
       (acc, x) => (acc * lit(Config.CharBase) + x) % lit(Config.P)
     )
 
+  /** Positional-agreement count of two long-array columns (fused
+    * native loop; equals size(filter(zip_with(a,b,_===_),identity))). */
+  def agreeCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{ArrayAgreeCount, Bridge}
+    Bridge.column(ArrayAgreeCount(Bridge.expression(a), Bridge.expression(b)))
+  }
+
   /** i-th member of the seeded affine family applied to a base hash:
     * (a_i * h + b_i) mod P. Max intermediate (P-1)^2 + P ≈ 4.6e18 —
     * fits signed 64-bit, so ANSI mode never overflows. */

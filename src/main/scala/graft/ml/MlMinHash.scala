@@ -29,13 +29,15 @@ object MlMinHash {
   def pairs(docs: DataFrame, k: Int = Config.K,
             threshold: Double = Config.Threshold,
             numHashTables: Int = 5): DataFrame = {
-    val sets = Shingling.shingleSets(docs, k)
+    val sets = Shingling.shingleSets(docs, k).localCheckpoint()
     val cv = new CountVectorizer()
       .setInputCol("shingle_set").setOutputCol("features").setBinary(true)
       // default vocabSize (2^18) silently truncates richer corpora,
       // which would corrupt the exact-Jaccard verification
       .setVocabSize(1 << 21)
-    val vecs = cv.fit(sets).transform(sets)
+    // fit + both sides of the self-join re-read this frame: without a
+    // checkpoint the shingle agg + vectorization runs three times
+    val vecs = cv.fit(sets).transform(sets).localCheckpoint()
     val mh = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables)

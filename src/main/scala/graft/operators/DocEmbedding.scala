@@ -41,11 +41,20 @@ object DocEmbedding {
 
   private def vecCol(j: Int): String = f"v_$j%02d"
 
-  /** Deterministic ±1 hyperplane sign for (component i ∈ [1,Dim],
-    * global plane p) — shared arithmetic with the oracle (and the
-    * same family EmbeddingSim.annBuckets uses on real embeddings). */
-  private def planeSign(i: Column, plane: Int): Column =
-    when(((i * 131 + lit(plane * 37)) % 97) % 2 === 0, lit(1L)).otherwise(lit(-1L))
+  /** Fused long-array dot (exact int64; VecDotExpression.scala). */
+  private def dotL(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, VecDot}
+    Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** Deterministic ±1 hyperplane signs for global plane p, component
+    * i ∈ [1,Dim] — the same ((i*131 + p*37) % 97) % 2 family the
+    * oracle replays, materialized as a LITERAL vector so the plane
+    * dot is one fused native loop instead of Dim interpreted
+    * lambda steps per row. */
+  private def planeSigns(plane: Int): Column =
+    typedLit((1 to Dim).map(i =>
+      if (((i * 131 + plane * 37) % 97) % 2 == 0) 1L else -1L))
 
   /** (doc_id, v_00..v_63, n2): signed hashing-trick vector over the
     * doc's DISTINCT shingle hashes + its squared L2 norm.
@@ -84,10 +93,7 @@ object DocEmbedding {
     val v = withVec(emb)
     val tableStructs = (0 until Tables).map { t =>
       val dots = (0 until Planes).map { j =>
-        aggregate(
-          zip_with(col("vec"), sequence(lit(1), lit(Dim)),
-            (x, i) => x * planeSign(i, t * Planes + j)),
-          lit(0L), (acc, x) => acc + x)
+        dotL(col("vec"), planeSigns(t * Planes + j))
       }
       val bucket = dots.zipWithIndex.map { case (d, j) =>
         when(d > 0, lit(1L << j)).otherwise(lit(0L))
@@ -112,8 +118,7 @@ object DocEmbedding {
       .select("id_l", "id_r")
       .distinct()
     val v = withVec(emb)
-    val dot = aggregate(zip_with(col("l.vec"), col("r.vec"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    val dot = dotL(col("l.vec"), col("r.vec"))
     cand
       .join(v.as("l"), col("id_l") === col("l.doc_id"))
       .join(v.as("r"), col("id_r") === col("r.doc_id"))

@@ -22,15 +22,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object EmbeddingSim {
 
-  /** Sequential-fold dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two float-array columns — the
+    * fused native expression (VecDotExpression.scala); same
+    * left-to-right IEEE fold as the HOF formulation and the oracle. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, VecDot}
+    Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+  }
 
-  /** Sequential-fold squared L2 norm. */
-  def norm2(a: Column): Column =
-    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold squared L2 norm (same fold as dot(a, a)). */
+  def norm2(a: Column): Column = dot(a, a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
@@ -94,6 +95,10 @@ object EmbeddingSim {
       array_to_vector(col("embedding")).as("features"))
     val model = new KMeans().setK(nCells).setSeed(graft.Config.Seed)
       .setFeaturesCol("features").setPredictionCol("cell")
+      // coarse quantizer: cell assignment quality saturates quickly
+      // and the probe stage re-ranks exactly; default 20 iters just
+      // burns passes over the data
+      .setMaxIter(10)
       .fit(withVec)
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("cell"))

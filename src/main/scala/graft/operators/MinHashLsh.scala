@@ -150,7 +150,7 @@ object MinHashLsh {
     val base = signaturesWithSets(docs, k).localCheckpoint()
     val sigArr = base.select(col("doc_id"),
       array((0 until Config.NumHashes).map(i => col(Config.sigCol(i))): _*).as("sig"))
-    val nAgree = size(filter(zip_with(col("ls.sig"), col("rs.sig"), (a, b) => a === b), p => p))
+    val nAgree = PortableHash.agreeCount(col("ls.sig"), col("rs.sig"))
     val prefiltered = candidatesFromBands(bandsFromSignatures(base), maxBucket)
       .join(sigArr.as("ls"), col("id_l") === col("ls.doc_id"))
       .join(sigArr.as("rs"), col("id_r") === col("rs.doc_id"))
@@ -194,7 +194,7 @@ object MinHashLsh {
     val sigArr = sig.select(col("doc_id"),
       array((0 until Config.NumHashes).map(i => col(Config.sigCol(i))): _*).as("sig"))
     val cand = candidatesFromBands(bandsFromSignatures(sig))
-    val eq = size(filter(zip_with(col("l.sig"), col("r.sig"), (a, b) => a === b), p => p))
+    val eq = PortableHash.agreeCount(col("l.sig"), col("r.sig"))
     cand
       .join(sigArr.as("l"), col("id_l") === col("l.doc_id"))
       .join(sigArr.as("r"), col("id_r") === col("r.doc_id"))
