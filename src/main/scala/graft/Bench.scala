@@ -12,6 +12,10 @@ object Bench {
       // events.parquet carries TIMESTAMP(NANOS) — surface as long ns
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // per-doc set/signature frames are O(#docs) while candidate-pair
+      // streams are O(#pairs): let Catalyst broadcast the former when
+      // stats allow instead of shuffling array payloads pair-wise
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

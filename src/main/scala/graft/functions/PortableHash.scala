@@ -39,6 +39,13 @@ object PortableHash {
     Bridge.column(ArrayAgreeCount(Bridge.expression(a), Bridge.expression(b)))
   }
 
+  /** |A∩B| of two sorted distinct long-array columns (fused
+    * two-pointer merge; see SortedIntersectCountExpression). */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, SortedIntersectCount}
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+  }
+
   /** i-th member of the seeded affine family applied to a base hash:
     * (a_i * h + b_i) mod P. Max intermediate (P-1)^2 + P ≈ 4.6e18 —
     * fits signed 64-bit, so ANSI mode never overflows. */

@@ -53,7 +53,7 @@ object MinHashLsh {
     val sh = Shingling.shingleHashed(docs, k)
     val aggs = (0 until Config.NumHashes).map { i =>
       min(PortableHash.affine(i, col("h"))).as(Config.sigCol(i))
-    } :+ collect_set(col("h")).as("hset")
+    } :+ sort_array(collect_set(col("h"))).as("hset") // sorted: enables merge-scan intersection
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -157,8 +157,12 @@ object MinHashLsh {
       .filter(nAgree >= Config.EstPrefilterMinCount)
       .select("id_l", "id_r")
     val sets = base.select(col("doc_id"), col("hset"))
-    val jac = size(array_intersect(col("l.hset"), col("r.hset"))).cast("double") /
-      size(array_union(col("l.hset"), col("r.hset")))
+    // |A∩B| by merge scan over the sorted sets; |A∪B| = |A|+|B|-|A∩B|
+    // — same integers as array_intersect/array_union, no hash sets or
+    // output arrays built per pair
+    val inter = PortableHash.sortedIntersectCount(col("l.hset"), col("r.hset"))
+    val jac = inter.cast("double") /
+      (size(col("l.hset")) + size(col("r.hset")) - inter)
     prefiltered
       .join(sets.as("l"), col("id_l") === col("l.doc_id"))
       .join(sets.as("r"), col("id_r") === col("r.doc_id"))

@@ -29,6 +29,28 @@ class PortableHashSpec extends SparkSpec {
     assert(sparkHash(strs) == strs.map(model))
   }
 
+  test("fused agree-count and sorted-intersect equal the built-ins on random sets") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong)
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong)
+      (a.distinct.sorted, b.distinct.sorted, a.take(b.length).padTo(b.length, -1L))
+    }
+    val df = rows.toDF("sa", "sb", "pos")
+    val out = df.select(
+      PortableHash.sortedIntersectCount(col("sa"), col("sb")).as("fused_inter"),
+      size(array_intersect(col("sa"), col("sb"))).as("ref_inter"),
+      PortableHash.agreeCount(col("sb"), col("pos")).as("fused_agree"),
+      size(filter(zip_with(col("sb"), col("pos"), (x, y) => x === y), p => p)).as("ref_agree"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1))
+      assert(r.getInt(2) == r.getInt(3))
+    }
+  }
+
   test("affine family stays in [0, P) and is seed-deterministic") {
     assert(Config.coeffs == Config.coeffs) // lazy val, stable
     assert(Config.coeffs.forall { case (a, b) => a >= 1 && a < Config.P && b >= 0 && b < Config.P })
