@@ -49,6 +49,7 @@ object SparkEntry {
     "ml_minhash_pairs" -> ((s, d) =>
       graft.ml.MlMinHash.pairs(docs(s, d).filter(org.apache.spark.sql.functions.col("doc_id") < 500))),
     "simhash" -> ((s, d) => TextAnalysis.simHash(docs(s, d))),
+    "simhash_dedup_pairs" -> ((s, d) => TextAnalysis.simHashPairs(docs(s, d))),
     // --- text analysis ---
     "token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
@@ -105,6 +106,7 @@ object SparkEntry {
     "embed_dedup_pairs" -> Sql.embedDedupPairs,
     "embed_dedup_keep" -> Sql.embedDedupKeep,
     "simhash" -> Sql.simhash,
+    "simhash_dedup_pairs" -> Sql.simhashDedupPairs,
     "token_stats" -> Sql.tokenStats,
     "text_quality" -> Sql.quality,
     "lang_id" -> Sql.langId,

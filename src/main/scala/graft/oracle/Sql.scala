@@ -197,6 +197,47 @@ epairs AS (
       FROM (SELECT DISTINCT doc_id, h FROM hashed) GROUP BY doc_id)""")
   }
 
+  /** Word-bigram simhash + Manku-style blocked near-dup pairs —
+    * mirrors TextAnalysis.wordSimHash/simHashPairs (30 bits, blocks
+    * of widths 8/8/7/7, hamming <= 3). */
+  val simhashDedupPairs: String = {
+    val bits = 30
+    val maxHamming = 3
+    val sums = (0 until bits).map(j =>
+      f"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s_$j%02d").mkString(",\n      ")
+    val fp = (0 until bits).map(j =>
+      f"(CASE WHEN s_$j%02d > 0 THEN ${1L << j}%d ELSE 0 END)").mkString(" + ")
+    val nBlocks = maxHamming + 1
+    val widths = (0 until nBlocks).map(i => bits / nBlocks + (if (i < bits % nBlocks) 1 else 0))
+    val los = widths.scanLeft(0)(_ + _)
+    val blockSelects = (0 until nBlocks).map { i =>
+      s"SELECT doc_id, $i AS blk, (f >> ${los(i)}) & ${(1L << widths(i)) - 1} AS bval FROM wsh"
+    }.mkString("\n  UNION ALL\n  ")
+    docQ(s""", wbg AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+    THEN list_distinct(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]))
+    ELSE []::VARCHAR[] END) AS bg
+  FROM toktab
+),
+wbh AS (SELECT doc_id, ${foldHash("bg")} AS h FROM wbg),
+wsh AS (
+  SELECT doc_id, CAST($fp AS BIGINT) AS f FROM (
+    SELECT doc_id,
+      $sums
+    FROM wbh GROUP BY doc_id)
+),
+sblk AS (
+  $blockSelects
+),
+scand AS (
+  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+  FROM sblk l JOIN sblk r ON l.blk = r.blk AND l.bval = r.bval AND l.doc_id < r.doc_id
+)
+SELECT id_l, id_r, CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+FROM scand JOIN wsh a ON id_l = a.doc_id JOIN wsh b ON id_r = b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= $maxHamming""")
+  }
+
   val fingerprint: String = docQ(
     s"""SELECT doc_id, ${foldHash("text")} AS fingerprint,
       CAST(length(text) AS BIGINT) AS n_chars_text, n_chars AS n_chars_meta

