@@ -69,6 +69,7 @@ object SparkEntry {
     "events_props_agg" -> ((s, d) => EventsOps.propsAgg(events(s, d))),
     "events_json_deciles" -> ((s, d) => EventsOps.jsonDeciles(events(s, d))),
     "events_asof_join" -> ((s, d) => EventsOps.asOfJoin(events(s, d))),
+    "events_range_join" -> ((s, d) => EventsOps.rangeJoin(events(s, d))),
     // --- relational coverage ---
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
@@ -122,6 +123,7 @@ object SparkEntry {
     "events_props_agg" -> Sql.eventsPropsAgg,
     "events_json_deciles" -> Sql.eventsJsonDeciles,
     "events_asof_join" -> Sql.eventsAsOfJoin,
+    "events_range_join" -> Sql.eventsRangeJoin,
     "q1_pricing_summary" -> Sql.q1PricingSummary,
     "q3_shipping_priority" -> Sql.q3ShippingPriority,
     "q5_region_revenue" -> Sql.q5RegionRevenue,

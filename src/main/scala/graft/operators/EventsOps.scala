@@ -93,6 +93,38 @@ object EventsOps {
         (col("us") - col("prev_match_us")).as("gap_us"))
   }
 
+  /** Bounded-interval RANGE join: each `targetType` event paired with
+    * every same-user `matchType` event within ±windowSec. A naive
+    * `t.user = m.user AND abs(t.us - m.us) <= w` join makes Spark
+    * plan a per-user cross product with a post-filter (inequality
+    * conditions can't hash-partition); instead we BUCKET time into
+    * windowSec-wide blocks and equi-join on (user, bucket), probing
+    * each target's own block ±1 — any in-range pair shares one of
+    * those three buckets, so candidates are bounded by bucket
+    * occupancy and the join stays a hash/sort-merge equi-join at any
+    * scale. The |Δt| filter then removes the out-of-range remainder
+    * exactly. */
+  def rangeJoin(events: DataFrame, matchType: String = "click",
+                targetType: String = "purchase",
+                windowSec: Int = 600): DataFrame = {
+    val us = withUs(events).localCheckpoint()
+    val wUs = windowSec * 1000000L
+    val targets = us.filter(col("event_type") === targetType)
+      .select(col("user_id"), col("event_id").as("target_id"), col("us").as("target_us"),
+        explode(array(expr(s"us div $wUs") - 1, expr(s"us div $wUs"),
+          expr(s"us div $wUs") + 1)).as("bucket"))
+    val matches = us.filter(col("event_type") === matchType)
+      .select(col("user_id"), col("event_id").as("match_id"), col("us").as("match_us"),
+        expr(s"us div $wUs").as("bucket"))
+    targets.join(matches, Seq("user_id", "bucket"))
+      .filter(abs(col("target_us") - col("match_us")) <= wUs)
+      .select(col("user_id"), col("target_id"), col("match_id"),
+        col("target_us"), col("match_us"),
+        (col("match_us") - col("target_us")).as("delta_us"))
+    // no distinct needed: a match row has exactly ONE bucket, so each
+    // (target, match) pair can only join through that single bucket
+  }
+
   /** Structured JSON parsing via from_json (schema'd, codegen'd) —
     * metric deciles of the extracted k, with distinct-type counts. */
   def jsonDeciles(events: DataFrame): DataFrame =

@@ -402,6 +402,16 @@ WHERE bit_count(xor(a.f, b.f)) <= $maxHamming""")
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ) WHERE event_type = 'purchase'"""
 
+  val eventsRangeJoin: String =
+    """SELECT t.user_id, t.target_id, m.match_id, t.target_us, m.match_us,
+      m.match_us - t.target_us AS delta_us
+    FROM (SELECT user_id, event_id AS target_id, epoch_us(ts) AS target_us
+          FROM events WHERE event_type = 'purchase') t
+    JOIN (SELECT user_id, event_id AS match_id, epoch_us(ts) AS match_us
+          FROM events WHERE event_type = 'click') m
+      ON t.user_id = m.user_id
+     AND abs(t.target_us - m.match_us) <= 600 * 1000000"""
+
   val eventsJsonDeciles: String =
     """SELECT k // 10 AS k_decile, count(*)::BIGINT AS n_events,
       count(DISTINCT event_type)::BIGINT AS n_types,

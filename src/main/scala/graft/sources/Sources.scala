@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File sources — reference operator O1 (SURVEY.md §2.1):
+  * TextInputFormat hands each mapper (byteOffset, line) and the
+  * offset becomes the document id (Shingling.java:33,40). The
+  * documents-shaped frame this produces feeds every pipeline
+  * operator, so raw-corpus ingestion is one call.
+  */
+object Sources {
+
+  /** Read a text file (or directory of them) as (doc_id, text).
+    *
+    * Id semantics: contiguous 0-based LINE numbers in file order via
+    * zipWithIndex — deterministic for a fixed input, like the
+    * reference's byte offsets (SURVEY.md §1: the offset VALUE is an
+    * artifact; stable identity is the requirement).
+    * `monotonically_increasing_id` would be cheaper (no extra job to
+    * count per-partition rows) but emits partition-encoded gaps; use
+    * `contiguous = false` for that at scale where gaps are fine. */
+  def readTextWithIds(spark: SparkSession, path: String,
+                      contiguous: Boolean = true): DataFrame =
+    if (contiguous) {
+      val rdd = spark.sparkContext.textFile(path).zipWithIndex()
+        .map { case (line, i) => (i, line) }
+      spark.createDataFrame(rdd).toDF("doc_id", "text")
+    } else {
+      spark.read.text(path)
+        .select(monotonically_increasing_id().as("doc_id"),
+          col("value").as("text"))
+    }
+}

@@ -37,6 +37,21 @@ class EventsOpsSpec extends SparkSpec {
     assert(out((8L, 1L)) == (1L, 0L, 5.0))
   }
 
+  test("range join pairs purchases with clicks within the window, across bucket edges") {
+    val e = eventsDf(
+      (1L, 1000L, 1L, "click", 0.0, "{}"),     // 200s before purchase -> in range
+      (2L, 1190L, 1L, "click", 0.0, "{}"),     // 10s before, different 600s bucket edge
+      (3L, 1200L, 1L, "purchase", 9.0, "{}"),
+      (4L, 1900L, 1L, "click", 0.0, "{}"),     // 700s after -> OUT of range
+      (5L, 1300L, 2L, "click", 0.0, "{}"),     // other user -> never joins
+      (6L, 500L, 1L, "click", 0.0, "{}"))      // 700s before -> OUT
+    val out = EventsOps.rangeJoin(e).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(out.toSet == Set((3L, 1L, -200000000L), (3L, 2L, -10000000L)))
+    // each in-range pair appears exactly once (single-bucket match side)
+    assert(out.length == out.toSet.size)
+  }
+
   test("props agg extracts the k metric") {
     val e = eventsDf(
       (1L, 0L, 1L, "click", 0.0, "{\"k\": 7}"),

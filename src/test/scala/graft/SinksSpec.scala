@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import scala.jdk.CollectionConverters._
-import graft.sources.Sinks
+import graft.sources.{Sinks, Sources}
 
 class SinksSpec extends SparkSpec {
 
@@ -31,5 +31,17 @@ class SinksSpec extends SparkSpec {
     assert(header("shingling") == "Shingling,rowsOffset")
     assert(header("pairs") == "Text1,Text2")
     assert(header("similar_scores") == "id_l,id_r,jaccard")
+  }
+
+  test("text source reads raw lines with stable contiguous ids (O1 parity)") {
+    val dir = Files.createTempDirectory("graft-src")
+    val f = dir.resolve("corpus.txt")
+    Files.write(f, java.util.Arrays.asList("first line", "second line", "third"))
+    val out = Sources.readTextWithIds(spark, f.toString).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((0L, "first line"), (1L, "second line"), (2L, "third")))
+    val gappy = Sources.readTextWithIds(spark, f.toString, contiguous = false).collect()
+    assert(gappy.map(_.getString(1)).toSet == Set("first line", "second line", "third"))
+    assert(gappy.map(_.getLong(0)).distinct.length == 3)
   }
 }
