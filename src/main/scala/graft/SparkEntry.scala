@@ -56,6 +56,7 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "word_ngram_jaccard" -> ((s, d) => TextAnalysis.wordNgramJaccard(docs(s, d))),
+    "tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(docs(s, d))),
     // --- embeddings / similarity search ---
     "embedding_norms" -> ((s, d) => EmbeddingSim.norms(emb(s, d))),
@@ -113,6 +114,7 @@ object SparkEntry {
     "lang_id" -> Sql.langId,
     "doc_fingerprint" -> Sql.fingerprint,
     "word_ngram_jaccard" -> Sql.wordNgramJaccard,
+    "tfidf_top_terms" -> Sql.tfidfTopTerms,
     "media_meta" -> Sql.mediaMeta,
     "embedding_norms" -> Sql.embeddingNorms,
     "cosine_topk" -> Sql.cosineTopK,

@@ -108,9 +108,21 @@ object DocEmbedding {
     * (distinct across tables), exact cosine ≥ threshold.
     * Output: id_l, id_r, cosine. */
   def dedupPairs(docs: DataFrame, k: Int = Config.K,
-                 threshold: Double = CosThreshold): DataFrame = {
+                 threshold: Double = CosThreshold,
+                 maxBucket: Option[Int] = None): DataFrame = {
     val emb = featureEmbed(docs, k).localCheckpoint()
-    val b = embedBuckets(emb)
+    val b0 = embedBuckets(emb)
+    // degenerate-bucket guard (same policy as the minhash path's
+    // candidatePairs(maxBucket)): a sign-bucket shared by millions of
+    // near-identical docs would go quadratic — cap it; default off so
+    // oracle semantics stay exact
+    val b = maxBucket match {
+      case Some(m) =>
+        val sizes = b0.groupBy("tbl", "bucket").agg(count(lit(1)).as("bucket_n"))
+        b0.join(sizes.filter(col("bucket_n") <= m), Seq("tbl", "bucket"))
+          .select("doc_id", "tbl", "bucket")
+      case None => b0
+    }
     val cand = b.select(col("tbl"), col("bucket"), col("doc_id").as("id_l"))
       .join(b.select(col("tbl"), col("bucket"), col("doc_id").as("id_r")),
         Seq("tbl", "bucket"))

@@ -121,6 +121,29 @@ object TextAnalysis {
           .otherwise(lit(1.0)))
   }
 
+  /** Per-doc top-k terms by TF-IDF — the classic corpus-statistics
+    * join: term frequency per (doc, token), document frequency per
+    * token, score = tf · N/df. Integer-only inputs with ONE double
+    * division (exact for exact operands), no log — so ranking is
+    * bit-replayable by the oracle; ties broken by token.
+    *
+    * Scale shape: two hash aggs over the exploded token stream + a
+    * broadcast of the single-row corpus count; per-doc ranking
+    * windows are tiny (≤ vocabulary of one doc). */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("doc_id", "token", "tf", "df", "score", "rank")
+  }
+
   /** Regex ("BPE-ish") tokenization: letter runs, digit runs, and
     * single other non-space symbols as separate tokens. */
   def regexTokenStats(docs: DataFrame): DataFrame =
@@ -169,7 +192,8 @@ object TextAnalysis {
     * per-block equi-joins (never an all-pairs compare); verify with
     * bit_count(xor) <= maxHamming.
     * Output: id_l, id_r, hamming. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Option[Int] = None): DataFrame = {
     val bits = 30
     val nBlocks = maxHamming + 1
     // fingerprint frame feeds the block explode AND both verify sides
@@ -180,8 +204,18 @@ object TextAnalysis {
       struct(lit(i).as("blk"),
         shiftright(col("simhash"), los(i)).bitwiseAND(lit((1L << widths(i)) - 1)).as("bval"))
     }
-    val banded = fp.select(col("doc_id"), explode(array(bstructs: _*)).as("b"))
+    val banded0 = fp.select(col("doc_id"), explode(array(bstructs: _*)).as("b"))
       .select(col("doc_id"), col("b.blk").as("blk"), col("b.bval").as("bval"))
+    // degenerate-block guard (a block value shared by a huge cluster
+    // of near-identical fingerprints goes quadratic); default off so
+    // oracle semantics stay exact
+    val banded = maxBucket match {
+      case Some(m) =>
+        val sizes = banded0.groupBy("blk", "bval").agg(count(lit(1)).as("bucket_n"))
+        banded0.join(sizes.filter(col("bucket_n") <= m), Seq("blk", "bval"))
+          .select("doc_id", "blk", "bval")
+      case None => banded0
+    }
     val cand = banded.select(col("blk"), col("bval"), col("doc_id").as("id_l"))
       .join(banded.select(col("blk"), col("bval"), col("doc_id").as("id_r")),
         Seq("blk", "bval"))

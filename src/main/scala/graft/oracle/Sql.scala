@@ -290,6 +290,22 @@ WHERE bit_count(xor(a.f, b.f)) <= $maxHamming""")
             THEN list_distinct(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]))
             ELSE []::VARCHAR[] END AS bg FROM toktab) y ON c.id_r = y.doc_id""")
 
+  /** TF-IDF top terms — integer tf/df/N with one exact double
+    * division, no log (libm would not be bit-portable). */
+  val tfidfTopTerms: String = docQ(
+    """, tftok AS (SELECT doc_id, unnest(toks) AS token FROM toktab),
+tfq AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tftok GROUP BY doc_id, token),
+dfq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM tftok GROUP BY token),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+tscored AS (
+  SELECT doc_id, token, tf, df, (tf * n_docs)::DOUBLE / df AS score
+  FROM tfq JOIN dfq USING (token) CROSS JOIN ndocs
+)
+SELECT doc_id, token, tf, df, score, CAST(rnk AS BIGINT) AS "rank"
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+      FROM tscored)
+WHERE rnk <= 3""")
+
   val mediaMeta: String =
     s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
       CAST(length(text) AS BIGINT) AS n_chars,

@@ -18,6 +18,21 @@ object Sinks {
       .option("sep", sep)
       .csv(path)
 
+  /** Hive-style partitioned parquet — the training-data layout (e.g.
+    * partition documents by language so per-language consumers get
+    * partition pruning on read). repartition on the partition columns
+    * first so each partition value is written by one task (without it
+    * every task writes a file per value → small-file explosion at
+    * scale). */
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Materialize the three reference-shaped artifacts for a document
     * set: the shingle inverted index (Job 1 output), the verified
     * pair list in both directions (Job 3 output), and the similar

@@ -44,6 +44,20 @@ object StreamingOps {
         col("user_id"), col("n_events"),
         (col("value_cents").cast("double") / 100.0).as("sum_value"))
 
+  /** Streaming EXACT dedup: one representative of each content
+    * digest passes, replays are dropped (within one micro-batch the
+    * surviving row is arrival-order dependent, the standard
+    * streaming-dedup contract). `dropDuplicatesWithinWatermark`
+    * bounds state by event time (a plain dropDuplicates would grow
+    * state forever on an unbounded corpus) — the trade is that a
+    * duplicate arriving after the watermark expires its original is
+    * re-emitted. */
+  def exactDedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col("text")))
+      .withWatermark("ts_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   case class BandMember(band: Int, band_key: String, doc_id: Long, hset: Seq[Long])
   case class CandidatePair(id_l: Long, id_r: Long, jaccard: Double)
 

@@ -33,6 +33,23 @@ class SinksSpec extends SparkSpec {
     assert(header("similar_scores") == "id_l,id_r,jaccard")
   }
 
+  test("partitioned parquet sink lays out hive-style dirs and prunes on read") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "hello", "en"), (2L, "hola", "es"), (3L, "world", "en"))
+      .toDF("doc_id", "text", "lang")
+    Sinks.writePartitionedParquet(df, s"$dir/docs", Seq("lang"))
+    val subdirs = Files.list(java.nio.file.Paths.get(s"$dir/docs")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("lang=")).toSet
+    assert(subdirs == Set("lang=en", "lang=es"))
+    val back = spark.read.parquet(s"$dir/docs").filter($"lang" === "en")
+    assert(back.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 3L))
+    // partition pruning: the es directory is not in the scanned files
+    val scanned = back.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!scanned.contains("lang=es"))
+  }
+
   test("text source reads raw lines with stable contiguous ids (O1 parity)") {
     val dir = Files.createTempDirectory("graft-src")
     val f = dir.resolve("corpus.txt")

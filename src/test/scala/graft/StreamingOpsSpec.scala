@@ -46,6 +46,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops digest replays within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // (sec, doc_id, text)
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF()
+      .select(timestamp_micros($"_1" * 1000000L).as("ts_ts"),
+        $"_2".as("doc_id"), $"_3".as("text"))
+    val q = StreamingOps.exactDedupStream(df).writeStream
+      .format("memory").queryName("edd").outputMode("append").start()
+    try {
+      // epochs start above 0: a row with event time <= the initial
+      // watermark (0) would be dropped as late before dedup even runs
+      input.addData((100000L, 1L, "same text"))
+      q.processAllAvailable()
+      // doc 2 replays doc 1's digest in a LATER batch -> dropped by state
+      input.addData((100010L, 2L, "same text"), (100020L, 3L, "other"))
+      q.processAllAvailable()
+      val kept = s.table("edd").collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(kept.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming near-dup detection pairs a new doc with an earlier near-dup") {
     val s = spark
     import s.implicits._

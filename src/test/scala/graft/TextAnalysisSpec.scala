@@ -81,6 +81,30 @@ class TextAnalysisSpec extends SparkSpec {
     out.get((1L, 3L)).foreach(h => assert(h <= 3))
   }
 
+  test("tfidf ranks a doc's distinctive repeated term first") {
+    val d = docsDf(
+      1L -> "zebra zebra zebra common common",
+      2L -> "common words only here",
+      3L -> "more common words again")
+    val out = TextAnalysis.tfidfTopTerms(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(5)))
+    val doc1Top = out.filter(r => r._1 == 1L && r._3 == 1L).head
+    assert(doc1Top._2 == "zebra") // tf=3, df=1 beats common (tf=2, df=3)
+    // every doc gets at most topK ranked rows, ranks contiguous from 1
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("simhash maxBucket cap drops degenerate blocks") {
+    val d = docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy dog tonight")
+    assert(TextAnalysis.simHashPairs(d).count() == 1)
+    // both docs share every block -> bucket size 2 > cap 1 -> dropped
+    assert(TextAnalysis.simHashPairs(d, maxBucket = Some(1)).count() == 0)
+  }
+
   test("sf0.001: blocked simhash dedup catches most minhash near-dup pairs") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val mh = graft.operators.MinHashLsh.similarPairs(docs).select("id_l", "id_r")
