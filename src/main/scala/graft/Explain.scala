@@ -12,7 +12,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-        "similar_pairs", "cosine_topk", "events_sessionize")
+        "similar_pairs", "cosine_topk", "events_sessionize",
+        "embed_dedup_pairs", "simhash_dedup_pairs", "events_range_join",
+        "tfidf_top_terms")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -34,9 +34,35 @@ import graft.functions.PortableHash
   */
 object MinHashLsh {
 
-  /** doc_id + S min-hash columns sig_00..sig_NN (one hash-agg; all
-    * S mins computed in a single pass over exploded shingles). */
+  /** The whole-row minhash sketch of a text column (fused native
+    * expression, MinHashSketchExpression.scala). */
+  private def sketchCol(text: org.apache.spark.sql.Column, k: Int) = {
+    import org.apache.spark.sql.graft.{Bridge, MinHashSketch}
+    Bridge.column(MinHashSketch(
+      Bridge.expression(Shingling.shingleHashArray(text, k))))
+  }
+
+  /** doc_id + S min-hash columns sig_00..sig_NN.
+    *
+    * NARROW: a document is one row, so the sketch is a per-row
+    * projection (ShingleHashes → MinHashSketch, both fused native
+    * expressions) — no explode, no shuffle. The LSH chain's only
+    * shuffle is then the band self-join. Empty docs are dropped,
+    * matching the aggregated form (no shingle rows → no group);
+    * equivalence with [[signaturesAgg]] is spec-checked. */
   def signatures(docs: DataFrame, k: Int = Config.K): DataFrame = {
+    val sketch = sketchCol(col("text"), k)
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id") +: (0 until Config.NumHashes).map(i =>
+        element_at(sketch, i + 1).as(Config.sigCol(i))): _*)
+  }
+
+  /** The aggregated (explode → 60-way min hash-agg) formulation —
+    * the semantic reference the narrow form is tested against, and
+    * the shape to fall back to if a single pathological document
+    * ever made per-row sketching too wide (not the case here: the
+    * sketch is O(text length) work per row). */
+  def signaturesAgg(docs: DataFrame, k: Int = Config.K): DataFrame = {
     val sh = Shingling.shingleHashed(docs, k)
     val mins = (0 until Config.NumHashes).map { i =>
       min(PortableHash.affine(i, col("h"))).as(Config.sigCol(i))
@@ -44,17 +70,17 @@ object MinHashLsh {
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** Signatures AND the distinct shingle-hash set in ONE hash-agg —
-    * the verify chain needs both, and the exploded-shingle stream is
-    * the dominant input at scale: fusing halves the heavy shuffles
-    * (one pass computes 60 mins + collect_set instead of two full
-    * explode→shuffle passes). */
+  /** Signatures AND the sorted distinct shingle-hash set — both
+    * narrow per-row projections (no shuffle at all; the sort enables
+    * the merge-scan intersection in verify). */
   def signaturesWithSets(docs: DataFrame, k: Int = Config.K): DataFrame = {
-    val sh = Shingling.shingleHashed(docs, k)
-    val aggs = (0 until Config.NumHashes).map { i =>
-      min(PortableHash.affine(i, col("h"))).as(Config.sigCol(i))
-    } :+ sort_array(collect_set(col("h"))).as("hset") // sorted: enables merge-scan intersection
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sketch = sketchCol(col("text"), k)
+    val hset = array_sort(array_distinct(Shingling.shingleHashArray(col("text"), k)))
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id") +:
+        (0 until Config.NumHashes).map(i =>
+          element_at(sketch, i + 1).as(Config.sigCol(i))) :+
+        hset.as("hset"): _*)
   }
 
   /** (doc_id, band, band_key) — band_key is the CSV of the band's r
@@ -71,8 +97,7 @@ object MinHashLsh {
     * agg); this trades that for zero stateful ops. */
   def rowwiseBands(docs: DataFrame, k: Int = Config.K): DataFrame = {
     val harr = array_distinct(Shingling.shingleHashArray(col("text"), k))
-    val sigArr = array((0 until Config.NumHashes).map(i =>
-      array_min(transform(col("hset"), h => PortableHash.affine(i, h)))): _*)
+    val sigArr = sketchCol(col("text"), k)
     val r = Config.RowsPerBand
     val bandStructs = (0 until Config.Bands).map { j =>
       struct(lit(j).as("band"),
@@ -80,8 +105,7 @@ object MinHashLsh {
           .as("band_key"))
     }
     docs.filter(length(col("text")) >= 1)
-      .select(col("doc_id"), harr.as("hset"))
-      .select(col("doc_id"), col("hset"), sigArr.as("sig"))
+      .select(col("doc_id"), harr.as("hset"), sigArr.as("sig")) // both need `text` in scope
       .select(col("doc_id"), col("hset"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.band_key").as("band_key"),
         col("doc_id"), col("hset"))

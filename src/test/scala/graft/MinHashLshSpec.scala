@@ -5,6 +5,15 @@ import graft.operators.{MinHashLsh, Shingling}
 
 class MinHashLshSpec extends SparkSpec {
 
+  test("narrow per-row signatures equal the aggregated formulation on sf0.001") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val narrow = MinHashLsh.signatures(docs).collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    val agg = MinHashLsh.signaturesAgg(docs).collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    assert(narrow == agg)
+  }
+
   private val nearDup = docsDf(
     1L -> "the quick brown fox jumps over the lazy dog",
     2L -> "the quick brown fox jumps over the lazy cat", // near-dup of 1
