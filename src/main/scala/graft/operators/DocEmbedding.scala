@@ -59,26 +59,20 @@ object DocEmbedding {
   /** (doc_id, v_00..v_63, n2): signed hashing-trick vector over the
     * doc's DISTINCT shingle hashes + its squared L2 norm.
     *
-    * ONE shuffle: collect_set(h) with map-side partial aggregation;
-    * the 64 signed component sums are then narrow array expressions
-    * over the per-doc set (a distinct() + 64-conditional-sum agg
-    * would shuffle the exploded shingle stream twice — measured 2x
-    * slower at sf0.1). */
+    * NARROW (no shuffle): a document is one row, so the histogram is
+    * a per-row pass — ShingleHashes → array_distinct →
+    * FeatureHashVec, all fused expressions. (The earlier
+    * collect_set-shuffle + 64 interpreted array-sum formulation was
+    * the embed chain's dominant cost at sf0.1.) */
   def featureEmbed(docs: DataFrame, k: Int = Config.K): DataFrame = {
-    require(Integer.bitCount(Dim) == 1, "Dim must be a power of two")
-    val shift = Integer.numberOfTrailingZeros(Dim)
-    val hsets = Shingling.shingleHashed(docs, k)
-      .groupBy("doc_id").agg(collect_set(col("h")).as("hset"))
-    // h // Dim parity picks the sign; h % Dim picks the component
-    def sign(hv: Column): Column =
-      when(shiftright(hv, shift) % 2 === 0, lit(1L)).otherwise(lit(-1L))
-    val sums = (0 until Dim).map { j =>
-      aggregate(filter(col("hset"), hv => hv % Dim === j),
-        lit(0L), (acc, hv) => acc + sign(hv)).as(vecCol(j))
-    }
+    import org.apache.spark.sql.graft.{Bridge, FeatureHashVec}
+    val harr = array_distinct(Shingling.shingleHashArray(col("text"), k))
+    val vec = Bridge.column(FeatureHashVec(Bridge.expression(harr), Dim))
+    val withCols = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id") +: (0 until Dim).map(j =>
+        element_at(vec, j + 1).as(vecCol(j))): _*)
     val n2 = (0 until Dim).map(j => col(vecCol(j)) * col(vecCol(j))).reduce(_ + _)
-    hsets.select(col("doc_id") +: sums: _*)
-      .withColumn("n2", n2)
+    withCols.withColumn("n2", n2)
   }
 
   /** Embedding frame with the dense vector as one array column. */

@@ -87,20 +87,15 @@ object TextAnalysis {
 
   /** 30-bit SimHash over the doc's DISTINCT shingle hashes: bit j is
     * set iff sum over shingles of (+1 if hash bit j else -1) > 0.
-    * (30 bits because the portable hash range is [0, 2^31-1).) */
+    * (30 bits because the portable hash range is [0, 2^31-1).)
+    * NARROW: per-row ShingleHashes → array_distinct → SimHashBits —
+    * the explode + distinct + 30-sum agg (two shuffles) is gone. */
   def simHash(docs: DataFrame, k: Int = Config.K): DataFrame = {
-    val bits = 30
-    val hashed = Shingling.shingleHashed(docs, k)
-      .distinct()
-    val sums = (0 until bits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(f"s_$j%02d")
-    }
-    val fp = (0 until bits).map { j =>
-      when(col(f"s_$j%02d") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    hashed.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+    import org.apache.spark.sql.graft.{Bridge, SimHashBits}
+    val harr = array_distinct(Shingling.shingleHashArray(col("text"), k))
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        Bridge.column(SimHashBits(Bridge.expression(harr), 30)).as("simhash"))
   }
 
   /** Edit-distance verification of the verified near-dup pairs:
@@ -172,6 +167,10 @@ object TextAnalysis {
     * hamming-threshold dedup meaningful. */
   def wordSimHash(docs: DataFrame): DataFrame = {
     val bits = 30
+    // aggregated (explode + 30-sum hash-agg) ON PURPOSE: unlike char
+    // shingles there is no fused native hasher for bigram STRINGS, so
+    // the narrow per-row form pays interpreted concat+hash lambdas
+    // per bigram — measured 1.5x slower than this shuffle at sf0.1
     val hashed = docs.select(col("doc_id"), explode(bigramsCol(col("text"))).as("bg"))
       .select(col("doc_id"), PortableHash.charFoldHash(col("bg")).as("h"))
     val sums = (0 until bits).map { j =>
