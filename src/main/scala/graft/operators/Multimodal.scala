@@ -90,6 +90,29 @@ object Multimodal {
       }(enc)
   }
 
+  case class Resized(doc_id: Long, in_bytes: Long, out_bytes: Long,
+                     factor: Int, payload: Array[Byte])
+
+  /** Binary→binary transform (the RESIZE shape: image downscale /
+    * audio downsample): keep every factor-th byte as a stand-in for
+    * real resampling — deterministic, size-contracting, payload in
+    * and payload out so downstream stages (frameSample, re-encode,
+    * partitioned sink) compose. A real codec swap changes only the
+    * per-partition body, not the schema or the plan shape. */
+  def resizeStub(binTable: DataFrame, factor: Int = 4): Dataset[Resized] = {
+    require(factor >= 1, "factor must be >= 1")
+    implicit val enc = Encoders.product[Resized]
+    binTable.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val id = row.getLong(0)
+          val in = row.getAs[Array[Byte]](1)
+          val out = Array.tabulate((in.length + factor - 1) / factor)(i => in(i * factor))
+          Resized(id, in.length.toLong, out.length.toLong, factor, out)
+        }
+      }(enc)
+  }
+
   /** Oracle-checkable metadata surface: byte/char counts + a header
     * hash (the portable fold over the first 16 chars — the moral
     * equivalent of a magic-bytes probe). */

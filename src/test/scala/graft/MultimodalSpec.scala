@@ -35,6 +35,21 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.StubDecoder.decode(2L, "short".getBytes("UTF-8")).checksum)
   }
 
+  test("resize stub contracts payloads and composes with frame sampling") {
+    val d = docsDf(1L -> ("abcdefgh" * 16)) // 128 bytes
+    val resized = Multimodal.resizeStub(Multimodal.asBinaryTable(d), factor = 4).collect().head
+    assert(resized.in_bytes == 128 && resized.out_bytes == 32)
+    // every 4th byte of repeating "abcdefgh" is "aeae..."
+    assert(new String(resized.payload, "UTF-8") == "ae" * 16)
+    // composes: resized payload can feed the frame sampler
+    val frames = Multimodal.frameSample(
+      Multimodal.resizeStub(Multimodal.asBinaryTable(d), 4).toDF()
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("payload")), chunkSize = 16)
+      .collect()
+    assert(frames.map(_.frame_bytes).sum == 32)
+  }
+
   test("media meta exposes byte/char counts") {
     val d = docsDf(1L -> "abc")
     val r = Multimodal.mediaMeta(d).collect().head
