@@ -81,4 +81,31 @@ object Bridge {
   def registerPolyHash(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_polyhash", exprs => PolyHash(exprs.head), "scala_udf")
+
+  /** Register the WHOLE expression tier on an existing session —
+    * same surface GraftExtensions injects at session creation. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def intLit(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn expects an integer literal parameter, got $other")
+    }
+    reg.createOrReplaceTempFunction("graft_polyhash",
+      es => PolyHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      es => ShingleHashes(es(0), intLit(es(1), "graft_shingle_hashes")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash_sketch",
+      es => MinHashSketch(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_vec_dot",
+      es => VecDot(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_array_agree_count",
+      es => ArrayAgreeCount(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
+      es => SortedIntersectCount(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_feature_hash_vec",
+      es => FeatureHashVec(es(0), intLit(es(1), "graft_feature_hash_vec")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash_bits",
+      es => SimHashBits(es(0), intLit(es(1), "graft_simhash_bits")), "scala_udf")
+  }
 }

@@ -44,4 +44,34 @@ class PolyHashSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder wiring itself is exercised above
   }
+
+  test("the full expression tier works end-to-end from SQL") {
+    // builder-with-extensions would return the existing shared session
+    // (and stopping it would kill the context for every other suite) —
+    // register on the live session, the same surface GraftExtensions
+    // injects at real session creation (Verify/Bench use that route)
+    org.apache.spark.sql.graft.Bridge.registerAll(spark)
+    locally {
+      val r = spark.sql(
+        """SELECT
+          graft_polyhash('abc ') AS h,
+          graft_shingle_hashes('abc', 3) AS sh,
+          element_at(graft_minhash_sketch(graft_shingle_hashes('abc', 3)), 1) AS sig0,
+          graft_vec_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dotl,
+          graft_array_agree_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS agree,
+          graft_sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS inter,
+          element_at(graft_feature_hash_vec(array(0L, 64L), 64), 1) AS fv0,
+          graft_simhash_bits(array(3L), 2) AS simb
+        """).collect().head
+      val model = "abc ".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % Config.P)
+      assert(r.getAs[Long]("h") == model)
+      assert(r.getSeq[Long](r.fieldIndex("sh")).length == 3)
+      assert(r.getAs[Long]("dotl") == 32L)
+      assert(r.getAs[Int]("agree") == 2)
+      assert(r.getAs[Int]("inter") == 2)
+      // hashes 0 (sign +) and 64 (sign -) both hit component 0 -> sum 0
+      assert(r.getAs[Long]("fv0") == 0L)
+      assert(r.getAs[Long]("simb") == 3L) // single hash 0b11 -> both bits positive
+    }
+  }
 }
