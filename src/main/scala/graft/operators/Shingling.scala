@@ -16,9 +16,18 @@ import graft.Config
   */
 object Shingling {
 
-  /** Array of shingles for one text value (empty array for empty
-    * text — `sequence(1,0)` would count DOWN in Spark, so guard). */
-  def shingleArray(text: Column, k: Int = Config.K): Column =
+  /** Array of shingle strings for one text value — fused native
+    * expression (one pass; ASCII windows share the parent's bytes).
+    * Equals [[shingleArrayBuiltins]], spec-checked. */
+  def shingleArray(text: Column, k: Int = Config.K): Column = {
+    import org.apache.spark.sql.graft.{Bridge, ShingleWindows}
+    Bridge.column(ShingleWindows(Bridge.expression(text), k))
+  }
+
+  /** Built-ins-only formulation (interpreted HOF + per-window substr
+    * — the semantic reference shingleArray is tested against; empty
+    * array for empty text: `sequence(1,0)` would count DOWN). */
+  def shingleArrayBuiltins(text: Column, k: Int = Config.K): Column =
     when(length(text) >= 1,
       transform(sequence(lit(1), length(text)), i =>
         when(i + lit(k - 1) <= length(text), text.substr(i, lit(k)))

@@ -56,11 +56,25 @@ class ShinglingSpec extends SparkSpec {
     val d = docsDf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
     val both = d.select(
       Shingling.shingleHashArray(col("text")).as("fused"),
-      transform(Shingling.shingleArray(col("text")),
+      transform(Shingling.shingleArrayBuiltins(col("text")),
         s => PortableHash.charFoldHash(s)).as("ref"))
       .collect()
     both.foreach { r =>
       assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("fused shingleArray equals the built-ins windows (incl. unicode, short, empty)") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq("abcde", "ab", "a", "", "a-b c,d", "héllo wörld",
+      "中文文本的测试句子", "mixed 中en文 text", "🙂ab🙂", "x" * 500)
+    val d = docsDf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val both = d.select(
+      Shingling.shingleArray(col("text")).as("fused"),
+      Shingling.shingleArrayBuiltins(col("text")).as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
     }
   }
 }
