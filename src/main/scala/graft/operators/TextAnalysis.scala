@@ -149,8 +149,16 @@ object TextAnalysis {
       size(array_distinct(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
         .cast("long").as("n_distinct_pieces"))
 
-  /** Distinct word bigrams of a text ("a b c" -> ["a b", "b c"]). */
-  private def bigramsCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  /** Distinct word bigrams of a text ("a b c" -> ["a b", "b c"]) —
+    * fused native expression; equals [[bigramsColBuiltins]]
+    * (spec-checked). */
+  private[graft] def bigramsCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.{Bridge, WordBigrams}
+    Bridge.column(WordBigrams(Bridge.expression(text)))
+  }
+
+  /** Built-ins reference formulation of [[bigramsCol]]. */
+  private[graft] def bigramsColBuiltins(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val toks = tokensCol(text)
     when(size(toks) >= 2,
       array_distinct(transform(sequence(lit(1), size(toks) - 1), i =>

@@ -81,6 +81,17 @@ class TextAnalysisSpec extends SparkSpec {
     out.get((1L, 3L)).foreach(h => assert(h <= 3))
   }
 
+  test("fused word bigrams equal the built-ins form (spacing, unicode, edge cases)") {
+    import org.apache.spark.sql.functions.col
+    val texts = Seq("a b c", "solo", "", "  double  spaces  here ", "tab\tkept b",
+      "中文 词语 测试", "x " * 200, "a b a b a")
+    val d = docsDf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val both = d.select(
+      TextAnalysis.bigramsCol(col("text")).as("fused"),
+      TextAnalysis.bigramsColBuiltins(col("text")).as("ref")).collect()
+    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("tfidf ranks a doc's distinctive repeated term first") {
     val d = docsDf(
       1L -> "zebra zebra zebra common common",
