@@ -49,5 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (a, d) => FeatureHashVec(a, intLit(d, "graft_feature_hash_vec"))))
     ext.injectFunction(two("graft_simhash_bits",
       (a, b) => SimHashBits(a, intLit(b, "graft_simhash_bits"))))
+    ext.injectFunction(two("graft_shingle_windows",
+      (t, k) => ShingleWindows(t, intLit(k, "graft_shingle_windows"))))
+    ext.injectFunction(one("graft_word_bigrams", WordBigrams))
   }
 }

@@ -107,5 +107,9 @@ object Bridge {
       es => FeatureHashVec(es(0), intLit(es(1), "graft_feature_hash_vec")), "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash_bits",
       es => SimHashBits(es(0), intLit(es(1), "graft_simhash_bits")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_windows",
+      es => ShingleWindows(es(0), intLit(es(1), "graft_shingle_windows")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_word_bigrams",
+      es => WordBigrams(es.head), "scala_udf")
   }
 }

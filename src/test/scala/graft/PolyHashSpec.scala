@@ -61,7 +61,9 @@ class PolyHashSpec extends SparkSpec {
           graft_array_agree_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS agree,
           graft_sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS inter,
           element_at(graft_feature_hash_vec(array(0L, 64L), 64), 1) AS fv0,
-          graft_simhash_bits(array(3L), 2) AS simb
+          graft_simhash_bits(array(3L), 2) AS simb,
+          graft_shingle_windows('abcd', 3) AS sw,
+          graft_word_bigrams('a b c') AS wb
         """).collect().head
       val model = "abc ".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % Config.P)
       assert(r.getAs[Long]("h") == model)
@@ -72,6 +74,8 @@ class PolyHashSpec extends SparkSpec {
       // hashes 0 (sign +) and 64 (sign -) both hit component 0 -> sum 0
       assert(r.getAs[Long]("fv0") == 0L)
       assert(r.getAs[Long]("simb") == 3L) // single hash 0b11 -> both bits positive
+      assert(r.getSeq[String](r.fieldIndex("sw")) == Seq("abc", "bcd", "cd ", "d "))
+      assert(r.getSeq[String](r.fieldIndex("wb")) == Seq("a b", "b c"))
     }
   }
 }
