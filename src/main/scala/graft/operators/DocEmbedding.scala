@@ -117,12 +117,15 @@ object DocEmbedding {
           .select("doc_id", "tbl", "bucket")
       case None => b0
     }
+    // raw pair stream (a pair repeats once per co-bucketed table,
+    // <= Tables times): cheaper to re-verify duplicates with the
+    // native dot than to pay a DISTINCT shuffle over millions of
+    // candidates — dedup runs on the tiny verified output instead
     val cand = b.select(col("tbl"), col("bucket"), col("doc_id").as("id_l"))
       .join(b.select(col("tbl"), col("bucket"), col("doc_id").as("id_r")),
         Seq("tbl", "bucket"))
       .filter(col("id_l") < col("id_r"))
       .select("id_l", "id_r")
-      .distinct()
     val v = withVec(emb)
     val dot = dotL(col("l.vec"), col("r.vec"))
     cand
@@ -131,6 +134,7 @@ object DocEmbedding {
       .withColumn("cosine", dot.cast("double") / (col("l.nrm") * col("r.nrm")))
       .filter(col("cosine") >= threshold)
       .select("id_l", "id_r", "cosine")
+      .dropDuplicates("id_l", "id_r")
   }
 
   /** Docs surviving embedding-cosine dedup: drop any doc with a

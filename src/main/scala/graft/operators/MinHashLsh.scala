@@ -131,8 +131,13 @@ object MinHashLsh {
                      maxBucket: Option[Int] = None): DataFrame =
     candidatesFromBands(bands(docs, k), maxBucket)
 
+  /** dedupe=false skips the DISTINCT shuffle over the raw pair
+    * stream (a pair appears once per colliding band, ≤ Bands times)
+    * — callers that filter the stream down to a tiny verified set
+    * dedup AFTER the filter instead. */
   def candidatesFromBands(b: DataFrame,
-                          maxBucket: Option[Int] = None): DataFrame = {
+                          maxBucket: Option[Int] = None,
+                          dedupe: Boolean = true): DataFrame = {
     val bounded = maxBucket match {
       case Some(m) =>
         val sizes = b.groupBy("band", "band_key").agg(count(lit(1)).as("bucket_n"))
@@ -142,10 +147,10 @@ object MinHashLsh {
     }
     val l = bounded.select(col("band"), col("band_key"), col("doc_id").as("id_l"))
     val r = bounded.select(col("band"), col("band_key"), col("doc_id").as("id_r"))
-    l.join(r, Seq("band", "band_key"))
+    val raw = l.join(r, Seq("band", "band_key"))
       .filter(col("id_l") < col("id_r"))
       .select("id_l", "id_r")
-      .distinct()
+    if (dedupe) raw.distinct() else raw
   }
 
   /** Per-doc distinct SHINGLE-HASH set (long array) — verification
@@ -175,11 +180,16 @@ object MinHashLsh {
     val sigArr = base.select(col("doc_id"),
       array((0 until Config.NumHashes).map(i => col(Config.sigCol(i))): _*).as("sig"))
     val nAgree = PortableHash.agreeCount(col("ls.sig"), col("rs.sig"))
-    val prefiltered = candidatesFromBands(bandsFromSignatures(base), maxBucket)
+    // dedupe=false: the prefilter sees each pair once per colliding
+    // band (cheap native compare) instead of paying a DISTINCT
+    // shuffle over the raw ~1M-pair stream; the distinct runs on the
+    // prefiltered survivors
+    val prefiltered = candidatesFromBands(bandsFromSignatures(base), maxBucket, dedupe = false)
       .join(sigArr.as("ls"), col("id_l") === col("ls.doc_id"))
       .join(sigArr.as("rs"), col("id_r") === col("rs.doc_id"))
       .filter(nAgree >= Config.EstPrefilterMinCount)
       .select("id_l", "id_r")
+      .distinct()
     val sets = base.select(col("doc_id"), col("hset"))
     // |A∩B| by merge scan over the sorted sets; |A∪B| = |A|+|B|-|A∩B|
     // — same integers as array_intersect/array_union, no hash sets or

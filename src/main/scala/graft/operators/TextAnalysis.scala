@@ -223,12 +223,14 @@ object TextAnalysis {
           .select("doc_id", "blk", "bval")
       case None => banded0
     }
+    // raw pair stream (<= nBlocks repeats per pair): the bit_count
+    // verify is cheaper than a DISTINCT shuffle over all candidates;
+    // dedup runs on the tiny verified output
     val cand = banded.select(col("blk"), col("bval"), col("doc_id").as("id_l"))
       .join(banded.select(col("blk"), col("bval"), col("doc_id").as("id_r")),
         Seq("blk", "bval"))
       .filter(col("id_l") < col("id_r"))
       .select("id_l", "id_r")
-      .distinct()
     cand
       .join(fp.select(col("doc_id"), col("simhash").as("f_l")), col("id_l") === col("doc_id"))
       .drop("doc_id")
@@ -236,6 +238,7 @@ object TextAnalysis {
       .withColumn("hamming", bit_count(col("f_l").bitwiseXOR(col("f_r"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_l", "id_r", "hamming")
+      .dropDuplicates("id_l", "id_r")
   }
 
   /** Word-bigram Jaccard similarity for the LSH candidate pairs —
