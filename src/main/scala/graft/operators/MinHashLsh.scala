@@ -177,17 +177,35 @@ object MinHashLsh {
     // and the verify join all read this frame instead of re-deriving
     // the shingle subtree (which would run the dominant scan 4x)
     val base = signaturesWithSets(docs, k).localCheckpoint()
-    val sigArr = base.select(col("doc_id"),
-      array((0 until Config.NumHashes).map(i => col(Config.sigCol(i))): _*).as("sig"))
-    val nAgree = PortableHash.agreeCount(col("ls.sig"), col("rs.sig"))
-    // dedupe=false: the prefilter sees each pair once per colliding
-    // band (cheap native compare) instead of paying a DISTINCT
-    // shuffle over the raw ~1M-pair stream; the distinct runs on the
-    // prefiltered survivors
-    val prefiltered = candidatesFromBands(bandsFromSignatures(base), maxBucket, dedupe = false)
-      .join(sigArr.as("ls"), col("id_l") === col("ls.doc_id"))
-      .join(sigArr.as("rs"), col("id_r") === col("rs.doc_id"))
-      .filter(nAgree >= Config.EstPrefilterMinCount)
+    // carry the sig array THROUGH the band explode (~0.5 KB per band
+    // row, O(#docs × Bands)) so the self-join emits both signatures
+    // directly and the agreement prefilter is a join-residual
+    // condition — no joins against the multi-million-pair stream at
+    // all, and no DISTINCT until the prefiltered survivors
+    val r0 = Config.RowsPerBand
+    val bandStructs = (0 until Config.Bands).map { j =>
+      val cols = (j * r0 until (j + 1) * r0).map(i => col(Config.sigCol(i)).cast("string"))
+      struct(lit(j).as("band"), concat_ws(",", cols: _*).as("band_key"))
+    }
+    val bandsWithSig0 = base.select(col("doc_id"),
+      array((0 until Config.NumHashes).map(i => col(Config.sigCol(i))): _*).as("sig"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val bandsWithSig = maxBucket match {
+      case Some(m) =>
+        val sizes = bandsWithSig0.groupBy("band", "band_key").agg(count(lit(1)).as("bucket_n"))
+        bandsWithSig0.join(sizes.filter(col("bucket_n") <= m), Seq("band", "band_key"))
+          .select("doc_id", "sig", "band", "band_key")
+      case None => bandsWithSig0
+    }
+    val bl = bandsWithSig.select(col("band"), col("band_key"),
+      col("doc_id").as("id_l"), col("sig").as("sig_l"))
+    val br = bandsWithSig.select(col("band"), col("band_key"),
+      col("doc_id").as("id_r"), col("sig").as("sig_r"))
+    val prefiltered = bl.join(br,
+        bl("band") === br("band") && bl("band_key") === br("band_key") &&
+          col("id_l") < col("id_r") &&
+          PortableHash.agreeCount(col("sig_l"), col("sig_r")) >= Config.EstPrefilterMinCount)
       .select("id_l", "id_r")
       .distinct()
     val sets = base.select(col("doc_id"), col("hset"))
