@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,6 +18,8 @@ object Bench {
       // stats allow instead of shuffling array payloads pair-wise
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // forcing hashes every output column; some queries emit map columns
+      .config("spark.sql.legacy.allowHashOnMapType", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warmup so it doesn't land on whichever
@@ -25,7 +28,13 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        // count() alone lets Catalyst prune unreferenced Project expressions,
+        // so projection-only queries would never run the work being timed;
+        // hashing every output column forces full evaluation while still
+        // returning a single row to the driver (bit_xor: no ANSI overflow)
+        val df = fn(spark, sfDir)
+        df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)")).collect()
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

@@ -43,7 +43,14 @@ object MlMinHash {
       .setNumHashTables(numHashTables)
       .setSeed(Config.Seed)
     val model = mh.fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, "jaccard_dist")
+    // approxSimilarityJoin keeps pairs with distCol STRICTLY below the
+    // given distance (Spark 4.1 LSHModel), so a pair at exactly
+    // sim == threshold (dist == 1 - threshold) would be dropped while
+    // pillar A's `sim >= threshold` keeps it. Widen the join by a hair
+    // and re-apply the inclusive predicate on similarity.
+    val eps = 1e-9
+    model.approxSimilarityJoin(vecs, vecs, 1.0 - threshold + eps, "jaccard_dist")
+      .filter(lit(1.0) - col("jaccard_dist") >= threshold)
       .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
       .select(
         col("datasetA.doc_id").as("id_l"),

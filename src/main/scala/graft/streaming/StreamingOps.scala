@@ -72,6 +72,14 @@ object StreamingOps {
     * set); `maxBucket` caps degenerate buckets the same way the
     * batch path does, which also bounds state growth — a production
     * deployment would add state TTL for unbounded streams.
+    * LOSSY once a bucket saturates: an arrival after the cap is still
+    * compared against the `maxBucket` STORED members, but it is not
+    * stored itself, so a pair between two post-cap arrivals in the
+    * same bucket is never emitted (the batch path with the same cap
+    * drops the whole bucket instead; here the default is also a cap
+    * of 64 while batch defaults to uncapped). Saturated-bucket
+    * arrivals are counted in the `graft.nearDup.saturatedArrivals`
+    * accumulator so operators can see when the cap is biting.
     * Output may repeat a pair discovered in several buckets within
     * one batch; downstream dedup is `dropDuplicates` on the sink
     * side (kept raw here to stay in append mode statelessly). */
@@ -83,6 +91,9 @@ object StreamingOps {
     implicit val cpEnc = Encoders.product[CandidatePair]
     implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
     implicit val stEnc = Encoders.kryo[List[(Long, Set[Long])]]
+
+    val saturated =
+      docs.sparkSession.sparkContext.longAccumulator("graft.nearDup.saturatedArrivals")
 
     val banded = MinHashLsh.rowwiseBands(docs.toDF("doc_id", "text"))
       .as[BandMember]
@@ -97,17 +108,18 @@ object StreamingOps {
           rows.toSeq.sortBy(_.doc_id).foreach { m =>
             if (!members.exists(_._1 == m.doc_id)) {
               val hs = m.hset.toSet
-              // always COMPARE against current members (no lost pairs);
-              // the cap only stops further state growth in a
-              // degenerate bucket
+              // an arrival is compared against all STORED members; once
+              // the bucket is saturated the arrival itself is dropped
+              // (not stored), so pairs among post-cap arrivals are lost
+              // — see scaladoc
               members.foreach { case (oid, ohs) =>
                 val inter = hs.intersect(ohs).size
                 val jac = inter.toDouble / (hs.size + ohs.size - inter)
                 if (jac >= threshold)
                   out += CandidatePair(math.min(oid, m.doc_id), math.max(oid, m.doc_id), jac)
               }
-              if (members.size < maxBucket)
-                members = (m.doc_id, hs) :: members
+              if (members.size < maxBucket) members = (m.doc_id, hs) :: members
+              else saturated.add(1L)
             }
           }
           state.update(members)

@@ -36,8 +36,15 @@ case class ArrayAgreeCount(left: Expression, right: Expression)
 }
 
 object ArrayAgreeCountUtil {
+  /** Signatures are fixed-size (S components); a length mismatch is a
+    * pipeline bug — fail loudly rather than truncate (which would also
+    * silently skew the agreement estimate vs the oracle). */
   def count(a: ArrayData, b: ArrayData): Int = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"graft_array_agree_count: length mismatch ($n vs ${b.numElements()})")
+    }
     var c = 0
     var i = 0
     while (i < n) {

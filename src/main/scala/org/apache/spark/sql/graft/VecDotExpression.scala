@@ -70,11 +70,24 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 object VecDotUtil {
+  /** All callers dot fixed-dimension vectors; a length mismatch is a
+    * dimension bug, and silently truncating would also diverge from
+    * the DuckDB oracle (whose out-of-range list index yields NULL,
+    * poisoning the sum). Fail loudly instead. */
+  private def checkLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"graft_vec_dot: length mismatch ($n vs ${b.numElements()})")
+    }
+    n
+  }
+
   /** Strict left-to-right double fold over float elements (IEEE
     * order matters — do not reorder or vectorize into pairwise
     * sums: the oracle replays this exact sequence). */
   def dotFloat(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkLen(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -85,7 +98,7 @@ object VecDotUtil {
   }
 
   def dotDouble(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkLen(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -96,7 +109,7 @@ object VecDotUtil {
   }
 
   def dotLong(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkLen(a, b)
     var acc = 0L
     var i = 0
     while (i < n) {

@@ -36,7 +36,9 @@ class PortableHashSpec extends SparkSpec {
     val rows = (1 to 200).map { _ =>
       val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong)
       val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong)
-      (a.distinct.sorted, b.distinct.sorted, a.take(b.length).padTo(b.length, -1L))
+      val sb = b.distinct.sorted
+      // agree-count requires equal lengths (signatures are fixed-size)
+      (a.distinct.sorted, sb, a.take(sb.length).padTo(sb.length, -1L))
     }
     val df = rows.toDF("sa", "sb", "pos")
     val out = df.select(
