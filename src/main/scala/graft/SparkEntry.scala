@@ -37,6 +37,7 @@ object SparkEntry {
     "minhash_estimate" -> ((s, d) => MinHashLsh.estimatedPairs(docs(s, d))),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => Dedup.exactGroups(docs(s, d))),
+    "dedup_normalized" -> ((s, d) => Dedup.normalizedGroups(docs(s, d))),
     "dedup_near_keep" -> ((s, d) => Dedup.nearDupKeep(docs(s, d))),
     "near_dup_groups" -> ((s, d) => Dedup.nearDupGroups(s, docs(s, d))),
     "embed_dedup_pairs" -> ((s, d) => DocEmbedding.dedupPairs(docs(s, d))),
@@ -50,6 +51,7 @@ object SparkEntry {
       graft.ml.MlMinHash.pairs(docs(s, d).filter(org.apache.spark.sql.functions.col("doc_id") < 500))),
     "simhash" -> ((s, d) => TextAnalysis.simHash(docs(s, d))),
     "simhash_dedup_pairs" -> ((s, d) => TextAnalysis.simHashPairs(docs(s, d))),
+    "simhash_dedup_keep" -> ((s, d) => TextAnalysis.simHashKeep(docs(s, d))),
     // --- text analysis ---
     "token_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
@@ -58,6 +60,10 @@ object SparkEntry {
     "word_ngram_jaccard" -> ((s, d) => TextAnalysis.wordNgramJaccard(docs(s, d))),
     "tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(docs(s, d))),
+    "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(docs(s, d))),
+    // --- deterministic sampling ---
+    "hash_sample" -> ((s, d) => Sampling.hashSample(docs(s, d))),
+    "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(docs(s, d))),
     // --- embeddings / similarity search ---
     "embedding_norms" -> ((s, d) => EmbeddingSim.norms(emb(s, d))),
     "cosine_topk" -> ((s, d) => EmbeddingSim.cosineTopK(emb(s, d))),
@@ -76,6 +82,11 @@ object SparkEntry {
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
     "q5_region_revenue" -> ((s, d) => Relational.q5RegionRevenue(s, d)),
     "q4_order_priority" -> ((s, d) => Relational.q4OrderPriority(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
+    "q10_returned_revenue" -> ((s, d) => Relational.q10ReturnedRevenue(s, d)),
+    "q14_promo_share" -> ((s, d) => Relational.q14PromoShare(s, d)),
+    "q17_small_quantity" -> ((s, d) => Relational.q17SmallQuantity(s, d)),
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "q22_no_orders" -> ((s, d) => Relational.q22NoOrders(s, d)),
     "window_top_orders" -> ((s, d) => Relational.windowTopOrders(s, d)),
     "window_running_total" -> ((s, d) => Relational.windowRunningTotal(s, d)),
@@ -93,8 +104,19 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same arithmetic, same affine
     * constants — see graft.oracle.Sql). `near_dup_groups` is
-    * iterative (not single-statement SQL) → rows-only check. */
+    * iterative on the Spark side but replayed by a recursive CTE. */
   def oracleSql: Map[String, String] = Map(
+    "near_dup_groups" -> Sql.nearDupGroups,
+    "dedup_normalized" -> Sql.dedupNormalized,
+    "simhash_dedup_keep" -> Sql.simhashDedupKeep,
+    "quality_filter" -> Sql.qualityFilter,
+    "hash_sample" -> Sql.hashSample,
+    "stratified_sample" -> Sql.stratifiedSample,
+    "q6_forecast_revenue" -> Sql.q6ForecastRevenue,
+    "q10_returned_revenue" -> Sql.q10ReturnedRevenue,
+    "q14_promo_share" -> Sql.q14PromoShare,
+    "q17_small_quantity" -> Sql.q17SmallQuantity,
+    "q18_large_orders" -> Sql.q18LargeOrders,
     "shingles" -> Sql.shingles,
     "shingle_dict" -> Sql.shingleDict,
     "minhash_signatures" -> Sql.minhashSignatures,

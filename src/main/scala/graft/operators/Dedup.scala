@@ -21,6 +21,18 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup after text NORMALIZATION (lowercase, non-alnum →
+    * space, collapse runs, trim) — catches trivially-reformatted
+    * duplicates that byte-exact dedup misses; the standard first
+    * pass before MinHash in a training-data pipeline. Same shuffle
+    * shape as [[exactGroups]] (hash agg on a derived key). */
+  def normalizedGroups(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs.groupBy(norm.as("norm_text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** Docs surviving greedy near-dup removal: drop any doc that has a
     * verified similar partner with a smaller doc_id (deterministic,
     * order-free; the SQL-expressible greedy variant of clustering). */

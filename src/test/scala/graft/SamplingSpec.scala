@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+class SamplingSpec extends SparkSpec {
+
+  private def realDocs = spark.read.parquet(s"$Sf0001/documents.parquet")
+
+  test("hash sample is deterministic, ~pct-sized, and repartition-invariant") {
+    val a = Sampling.hashSample(realDocs, 10).collect().map(_.getLong(0)).sorted
+    val b = Sampling.hashSample(realDocs.repartition(7), 10)
+      .collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "membership must not depend on layout")
+    val n = realDocs.count()
+    assert(a.length > 0 && a.length < n / 4, s"${a.length} of $n sampled")
+  }
+
+  test("stratified sample keeps at most n per stratum, deterministically") {
+    val out = Sampling.stratifiedSample(realDocs, 5)
+    val perLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.values.forall(_ <= 5), s"$perLang")
+    assert(perLang.values.exists(_ == 5), "populated strata must fill their quota")
+    val again = Sampling.stratifiedSample(realDocs, 5).collect().toSet
+    assert(out.collect().toSet == again)
+  }
+
+  test("normalized dedup collapses case/punctuation variants") {
+    val d = docsDf(
+      7L -> "Hello, World!",
+      3L -> "hello world",
+      5L -> "HELLO   world.",
+      9L -> "different text")
+    val groups = Dedup.normalizedGroups(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(groups.length == 2)
+    val hw = groups.find(_._1 == "hello world").get
+    assert(hw._2 == 3L && hw._3 == 3L)
+  }
+
+  test("quality filter applies integer-threshold gates") {
+    val d = docsDf(
+      1L -> "the of a in and the of a in and",            // all stopwords -> fails ratio
+      2L -> "short",                                       // too few tokens/chars
+      3L -> "orders stream through the data table pipeline every day")
+    val kept = TextAnalysis.qualityFilter(d).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), s"got $kept")
+  }
+
+  test("simhash keep drops the larger id of each hamming-close pair") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val d = docsDf(
+      1L -> base,
+      2L -> (base + " now"), // near-dup of 1 at bigram level
+      3L -> "completely unrelated words about database storage engines and columns")
+    val kept = TextAnalysis.simHashKeep(d).collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(3L) && !kept.contains(2L), s"got $kept")
+  }
+}
