@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-level profiling of the LSH chain (dev aid, not part of the
+  * driver contract): times each stage of similarPairs in isolation so
+  * per-query cost can be attributed. Usage: runMain graft.Profile <sfDir>
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.limit(1).collect()
+
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+
+    time("docs count")(docs.count())
+    time("signatures (narrow)")(
+      operators.MinHashLsh.signatures(docs).agg(sum(col(Config.sigCol(0)))).collect())
+    time("signaturesWithSets")(
+      operators.MinHashLsh.signaturesWithSets(docs)
+        .agg(sum(col(Config.sigCol(0))), sum(size(col("hset")))).collect())
+    val base = time("sigsWithSets checkpoint")(
+      operators.MinHashLsh.signaturesWithSets(docs).localCheckpoint())
+    time("bands+selfjoin raw count") {
+      val b = operators.MinHashLsh.bandsFromSignatures(base)
+      operators.MinHashLsh.candidatesFromBands(b, dedupe = false).count()
+    }
+    time("candidatePairs (distinct)")(
+      operators.MinHashLsh.candidatePairs(docs).count())
+    time("similarPairs full")(
+      operators.MinHashLsh.similarPairs(docs).count())
+    time("similarPairs again")(
+      operators.MinHashLsh.similarPairs(docs).count())
+    spark.stop()
+  }
+}
