@@ -29,7 +29,11 @@ object MlMinHash {
   def pairs(docs: DataFrame, k: Int = Config.K,
             threshold: Double = Config.Threshold,
             numHashTables: Int = 5): DataFrame = {
-    val sets = Shingling.shingleSets(docs, k).localCheckpoint()
+    // the MLlib pipeline is many small stages (fit, transform, hash
+    // explode, join); on a bounded input at session-default shuffle
+    // parallelism the wall-clock is task-scheduling overhead, not
+    // work — consolidate the tiny frame into a few partitions first
+    val sets = Shingling.shingleSets(docs, k).coalesce(4).localCheckpoint()
     val cv = new CountVectorizer()
       .setInputCol("shingle_set").setOutputCol("features").setBinary(true)
       // default vocabSize (2^18) silently truncates richer corpora,

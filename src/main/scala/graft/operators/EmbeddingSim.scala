@@ -104,15 +104,20 @@ object EmbeddingSim {
       .select(col("vec_id"), col("embedding"), col("cell"))
     // probe table: for every vector, its nProbe nearest centroids
     val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-        .toIndexedSeq).toDF("cell", "centroid")
-    val d2 = aggregate(zip_with(col("embedding"), col("centroid"),
-      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        val arr = c.toArray.map(_.toFloat)
+        // |centroid|^2 precomputed once on the driver (16 values)
+        (i, arr, arr.map(f => f.toDouble * f.toDouble).sum)
+      }.toIndexedSeq).toDF("cell", "centroid", "c2")
+    // rank cells by ||q - c||^2 = |q|^2 + (|c|^2 - 2 q·c); |q|^2 is
+    // constant per query so ordering by (c2 - 2·dot) is identical —
+    // and the fused VecDot replaces an interpreted zip_with/aggregate
+    // lambda pair per (vector, centroid) combination
+    val d2key = col("c2") - lit(2.0) * dot(col("embedding"), col("centroid"))
     val probeW = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
     val probes = emb.select(col("vec_id"), col("embedding"))
       .join(broadcast(centroids))
-      .withColumn("d2", d2)
+      .withColumn("d2", d2key)
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))

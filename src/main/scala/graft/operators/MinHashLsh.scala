@@ -172,11 +172,13 @@ object MinHashLsh {
   def similarPairs(docs: DataFrame, k: Int = Config.K,
                    threshold: Double = Config.Threshold,
                    maxBucket: Option[Int] = None): DataFrame = {
-    // ONE fused explode→agg pass yields signatures + hash sets,
-    // materialized once — the band self-join, the prefilter joins,
-    // and the verify join all read this frame instead of re-deriving
-    // the shingle subtree (which would run the dominant scan 4x)
-    val base = signaturesWithSets(docs, k).localCheckpoint()
+    // Signatures only (60 longs/doc ≈ 0.5 KB) are materialized for
+    // the whole corpus — the band explode and the prefilter read this
+    // slim frame. The O(text)-sized shingle-hash SETS are NOT: they
+    // are recomputed later only for docs that survive the prefilter
+    // (checkpointing sets for every doc measured ~1s of the chain at
+    // sf0.1 and would be O(corpus) state at 100 TB).
+    val base = signatures(docs, k).localCheckpoint()
     // carry the sig array THROUGH the band explode (~0.5 KB per band
     // row, O(#docs × Bands)) so the self-join emits both signatures
     // directly and the agreement prefilter is a join-residual
@@ -202,13 +204,23 @@ object MinHashLsh {
       col("doc_id").as("id_l"), col("sig").as("sig_l"))
     val br = bandsWithSig.select(col("band"), col("band_key"),
       col("doc_id").as("id_r"), col("sig").as("sig_r"))
+    // materialized: consumed twice below (survivor ids + verify join)
+    // — without this the band self-join would execute per consumer
     val prefiltered = bl.join(br,
         bl("band") === br("band") && bl("band_key") === br("band_key") &&
           col("id_l") < col("id_r") &&
           PortableHash.agreeCount(col("sig_l"), col("sig_r")) >= Config.EstPrefilterMinCount)
       .select("id_l", "id_r")
       .distinct()
-    val sets = base.select(col("doc_id"), col("hset"))
+      .localCheckpoint()
+    // hash sets ONLY for surviving docs: broadcast-semi-join the tiny
+    // survivor id list against the corpus, then the narrow per-row
+    // set projection runs on that sliver
+    val ids = prefiltered.select(col("id_l").as("doc_id"))
+      .union(prefiltered.select(col("id_r").as("doc_id"))).distinct()
+    val hset = array_sort(array_distinct(Shingling.shingleHashArray(col("text"), k)))
+    val sets = docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), hset.as("hset"))
     // |A∩B| by merge scan over the sorted sets; |A∪B| = |A|+|B|-|A∩B|
     // — same integers as array_intersect/array_union, no hash sets or
     // output arrays built per pair
