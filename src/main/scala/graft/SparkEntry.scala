@@ -92,6 +92,9 @@ object SparkEntry {
     "window_running_total" -> ((s, d) => Relational.windowRunningTotal(s, d)),
     "rollup_sales" -> ((s, d) => Relational.rollupSales(s, d)),
     "cube_sales" -> ((s, d) => Relational.cubeSales(s, d)),
+    "grouping_sets_sales" -> ((s, d) => Relational.groupingSetsSales(s, d)),
+    "pivot_sales" -> ((s, d) => Relational.pivotSales(s, d)),
+    "date_funcs" -> ((s, d) => Relational.dateFuncs(s, d)),
     "median_by_status" -> ((s, d) => Relational.medianByStatus(s, d)),
     "edit_distance_pairs" -> ((s, d) => TextAnalysis.editDistancePairs(docs(s, d))),
     "regex_token_stats" -> ((s, d) => TextAnalysis.regexTokenStats(docs(s, d))),
@@ -117,6 +120,9 @@ object SparkEntry {
     "q14_promo_share" -> Sql.q14PromoShare,
     "q17_small_quantity" -> Sql.q17SmallQuantity,
     "q18_large_orders" -> Sql.q18LargeOrders,
+    "grouping_sets_sales" -> Sql.groupingSetsSales,
+    "pivot_sales" -> Sql.pivotSales,
+    "date_funcs" -> Sql.dateFuncs,
     "shingles" -> Sql.shingles,
     "shingle_dict" -> Sql.shingleDict,
     "minhash_signatures" -> Sql.minhashSignatures,

@@ -333,6 +333,53 @@ object Relational {
       .select("l_returnflag", "exact_parts", "approx_parts", "exact_supps", "approx_supps")
   }
 
+  /** Date/time function coverage over orders: component extraction,
+    * arithmetic, truncation, formatting — every output cast to
+    * int/string so cross-engine representation is exact. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(d).cast("long").as("y"),
+        month(d).cast("long").as("m"),
+        dayofmonth(d).cast("long").as("dom"),
+        dayofyear(d).cast("long").as("doy"),
+        quarter(d).cast("long").as("q"),
+        datediff(lit("1999-01-01").cast("date"), d).cast("long").as("days_to_1999"),
+        date_format(date_add(d, 30), "yyyy-MM-dd").as("plus_30d"),
+        date_format(trunc(d, "MM"), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(d), "yyyy-MM-dd").as("month_end"))
+  }
+
+  /** PIVOT: order counts and exact-cents sales per (year x status),
+    * statuses as explicit pivot columns (never inferred — inference
+    * would be a driver-side distinct scan at 100 TB). */
+  def pivotSales(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        col("o_orderstatus"), cents(col("o_totalprice")).as("c"))
+      .groupBy("y")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("c")))
+      .select(col("y"),
+        money(coalesce(col("F"), lit(0L))).as("sales_f"),
+        money(coalesce(col("O"), lit(0L))).as("sales_o"),
+        money(coalesce(col("P"), lit(0L))).as("sales_p"))
+
+  /** Explicit GROUPING SETS (finer than rollup/cube): per-year,
+    * per-status, and grand total in one pass. */
+  def groupingSetsSales(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        col("o_orderstatus"), cents(col("o_totalprice")).as("c"))
+      .groupingSets(Seq(Seq(col("y")), Seq(col("o_orderstatus")), Seq()),
+        col("y"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("sum_c"))
+      .select(coalesce(col("y"), lit(-1L)).as("y"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("n_orders"), money(col("sum_c")).as("total_sales"))
+
   /** Distinct aggregates per order status. */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")

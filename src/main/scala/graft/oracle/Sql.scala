@@ -706,6 +706,33 @@ WHERE rnk <= 3""")
       CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class
     FROM part"""
 
+  val dateFuncs: String =
+    """SELECT o_orderkey,
+      CAST(year(o_orderdate) AS BIGINT) AS y,
+      CAST(month(o_orderdate) AS BIGINT) AS m,
+      CAST(day(o_orderdate) AS BIGINT) AS dom,
+      CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+      CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_1999,
+      strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+      strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
+      strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders"""
+
+  val pivotSales: String =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      ${money(s"coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN ${cents("o_totalprice")} END), 0)")} AS sales_f,
+      ${money(s"coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN ${cents("o_totalprice")} END), 0)")} AS sales_o,
+      ${money(s"coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN ${cents("o_totalprice")} END), 0)")} AS sales_p
+    FROM orders GROUP BY 1"""
+
+  val groupingSetsSales: String =
+    s"""SELECT coalesce(y, -1) AS y, coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+      count(*)::BIGINT AS n_orders, ${money("sum(c)")} AS total_sales
+    FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_orderstatus,
+            ${cents("o_totalprice")} AS c FROM orders)
+    GROUP BY GROUPING SETS ((y), (o_orderstatus), ())"""
+
   val distinctCounts: String =
     """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
       count(DISTINCT o_custkey)::BIGINT AS n_customers,
