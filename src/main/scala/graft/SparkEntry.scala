@@ -60,12 +60,17 @@ object SparkEntry {
     "word_ngram_jaccard" -> ((s, d) => TextAnalysis.wordNgramJaccard(docs(s, d))),
     "tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(docs(s, d))),
+    "media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.asBinaryTable(docs(s, d))).toDF()),
+    "media_frames" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.asBinaryTable(docs(s, d))).toDF()),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(docs(s, d))),
     // --- deterministic sampling ---
     "hash_sample" -> ((s, d) => Sampling.hashSample(docs(s, d))),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(docs(s, d))),
     // --- embeddings / similarity search ---
     "embedding_norms" -> ((s, d) => EmbeddingSim.norms(emb(s, d))),
+    "array_funcs" -> ((s, d) => EmbeddingSim.arrayFuncs(emb(s, d))),
     "cosine_topk" -> ((s, d) => EmbeddingSim.cosineTopK(emb(s, d))),
     "ann_buckets" -> ((s, d) => EmbeddingSim.annBuckets(emb(s, d))),
     "ann_topk" -> ((s, d) => EmbeddingSim.annTopK(emb(s, d))),
@@ -144,6 +149,9 @@ object SparkEntry {
     "word_ngram_jaccard" -> Sql.wordNgramJaccard,
     "tfidf_top_terms" -> Sql.tfidfTopTerms,
     "media_meta" -> Sql.mediaMeta,
+    "media_features" -> Sql.mediaFeatures,
+    "media_frames" -> Sql.mediaFrames,
+    "array_funcs" -> Sql.arrayFuncs,
     "embedding_norms" -> Sql.embeddingNorms,
     "cosine_topk" -> Sql.cosineTopK,
     "ann_buckets" -> Sql.annBuckets,

@@ -41,6 +41,19 @@ object EmbeddingSim {
     emb.select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
       norm2(col("embedding")).as("norm2"))
 
+  /** Array function-library coverage over the embedding column:
+    * indexing, extremes, first-occurrence position — all value
+    * passthrough (no float arithmetic), so cross-engine exact. */
+  def arrayFuncs(emb: DataFrame): DataFrame =
+    emb.select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      element_at(col("embedding"), 1).as("first_val"),
+      element_at(col("embedding"), size(col("embedding"))).as("last_val"),
+      array_max(col("embedding")).as("max_val"),
+      array_min(col("embedding")).as("min_val"),
+      expr("array_position(embedding, array_max(embedding))").as("idx_of_max"))
+
   /** Brute-force cosine top-k: for each query vector (vec_id % 100
     * == 0), the k nearest other vectors by cosine. Query set is
     * broadcast; ranking window is per-query (tiny partitions). */

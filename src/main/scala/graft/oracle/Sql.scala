@@ -272,6 +272,37 @@ SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id""")
       CAST(length(text) AS BIGINT) AS n_chars_text, n_chars AS n_chars_meta
     FROM documents""")
 
+  /** Stub-decoded media features (Multimodal.StubDecoder is a pure
+    * function of the payload bytes; the corpus is ASCII, so bytes ==
+    * code points and the checksum is the portable fold hash). */
+  val mediaFeatures: String =
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+      'image/stub' AS kind,
+      CAST(CASE WHEN length(text) > 0 THEN 64 + (ascii(substr(text, 1, 1)) & 63) ELSE 0 END AS INTEGER) AS width,
+      CAST(CASE WHEN length(text) > 1 THEN 64 + (ascii(substr(text, 2, 1)) & 63) ELSE 0 END AS INTEGER) AS height,
+      ${foldHash("text")} AS checksum
+    FROM documents"""
+
+  /** Fixed-size chunking (frame-sampling shape): one row per 64-byte
+    * chunk with its offset and fold hash. */
+  val mediaFrames: String =
+    s"""SELECT doc_id, CAST(t.i AS INTEGER) AS frame_idx,
+      CAST(t.i * 64 AS BIGINT) AS "offset",
+      CAST(length(substr(text, t.i * 64 + 1, 64)) AS BIGINT) AS frame_bytes,
+      ${foldHash("substr(text, t.i * 64 + 1, 64)")} AS frame_hash
+    FROM documents,
+      LATERAL (SELECT unnest(generate_series(0,
+        CAST(ceil(length(text) / 64.0) AS INTEGER) - 1)) AS i) t"""
+
+  val arrayFuncs: String =
+    """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      embedding[1] AS first_val,
+      embedding[len(embedding)] AS last_val,
+      list_max(embedding) AS max_val,
+      list_min(embedding) AS min_val,
+      CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS idx_of_max
+    FROM embeddings"""
+
   // ---------------- text analysis ----------------
 
   val tokenStats: String = docQ(
