@@ -31,4 +31,25 @@ object Sources {
         .select(monotonically_increasing_id().as("doc_id"),
           col("value").as("text"))
     }
+
+  /** JSON-lines source with an EXPLICIT schema. Schema inference
+    * reads the whole input once before the query even starts — an
+    * extra full pass at 100 TB — and silently widens types on dirty
+    * data; a declared StructType makes the scan single-pass and the
+    * contract explicit. Corrupt lines land in a `_corrupt_record`
+    * column when the schema declares one (PERMISSIVE default). */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** CSV source with explicit schema + header handling (same
+    * no-inference rationale as [[readJsonl]]; `inferSchema` would
+    * also be a full extra pass). */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType,
+              header: Boolean = true, sep: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("sep", sep)
+      .csv(path)
 }

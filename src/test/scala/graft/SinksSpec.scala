@@ -61,4 +61,28 @@ class SinksSpec extends SparkSpec {
     assert(gappy.map(_.getString(1)).toSet == Set("first line", "second line", "third"))
     assert(gappy.map(_.getLong(0)).distinct.length == 3)
   }
+
+  test("jsonl source round-trips with explicit schema, no inference pass") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val df = docsDf(1L -> "alpha", 2L -> "beta")
+    df.write.mode("overwrite").json(s"$dir/out")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val back = Sources.readJsonl(spark, s"$dir/out", schema).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(1L -> "alpha", 2L -> "beta"))
+  }
+
+  test("csv source round-trips through the csv sink with explicit schema") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-csvsrc").toString
+    val df = docsDf(1L -> "alpha", 2L -> "beta")
+    Sinks.writeCsvWithHeader(df, s"$dir/out", sep = "|")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val back = Sources.readCsv(spark, s"$dir/out", schema, header = true, sep = "|")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(1L -> "alpha", 2L -> "beta"))
+  }
 }
