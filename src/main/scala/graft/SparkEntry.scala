@@ -95,6 +95,8 @@ object SparkEntry {
     "q22_no_orders" -> ((s, d) => Relational.q22NoOrders(s, d)),
     "window_top_orders" -> ((s, d) => Relational.windowTopOrders(s, d)),
     "window_running_total" -> ((s, d) => Relational.windowRunningTotal(s, d)),
+    "window_lag_lead" -> ((s, d) => Relational.windowLagLead(s, d)),
+    "string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
     "rollup_sales" -> ((s, d) => Relational.rollupSales(s, d)),
     "cube_sales" -> ((s, d) => Relational.cubeSales(s, d)),
     "grouping_sets_sales" -> ((s, d) => Relational.groupingSetsSales(s, d)),
@@ -128,6 +130,8 @@ object SparkEntry {
     "grouping_sets_sales" -> Sql.groupingSetsSales,
     "pivot_sales" -> Sql.pivotSales,
     "date_funcs" -> Sql.dateFuncs,
+    "window_lag_lead" -> Sql.windowLagLead,
+    "string_funcs" -> Sql.stringFuncs,
     "shingles" -> Sql.shingles,
     "shingle_dict" -> Sql.shingleDict,
     "minhash_signatures" -> Sql.minhashSignatures,

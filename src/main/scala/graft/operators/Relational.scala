@@ -333,6 +333,43 @@ object Relational {
       .select("l_returnflag", "exact_parts", "approx_parts", "exact_supps", "approx_supps")
   }
 
+  /** Window-function variety beyond ranking/frames: lag/lead offsets,
+    * ntile bucketing, dense_rank — all over fully-tiebroken orderings
+    * so every function's output is deterministic. */
+  def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wYear = Window.partitionBy("o_custkey").orderBy(year(col("o_orderdate")))
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        cents(col("o_totalprice")).as("c"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        money(col("c")).as("price"),
+        money(lag(col("c"), 1).over(w)).as("prev_price"),
+        lead(col("o_orderdate"), 1).over(w).as("next_orderdate"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        dense_rank().over(wYear).cast("long").as("year_rank"))
+  }
+
+  /** String function-library coverage over part: padding, replace,
+    * search, slicing, predicates — engine-portable semantics only
+    * (1-based strpos, boolean predicates cast to int). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+        rpad(col("p_brand"), 12, "-").as("brand_rpad"),
+        regexp_replace(col("p_type"), "O", "0").as("type_zeroed"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        repeat(col("p_brand"), 2).as("brand_twice"),
+        reverse(col("p_name")).as("name_rev"),
+        substring(col("p_name"), 1, 3).as("name_left3"),
+        element_at(split(col("p_brand"), "#"), 2).as("brand_num"),
+        translate(col("p_type"), "AEO", "aeo").as("type_translated"),
+        col("p_name").contains("or").cast("int").as("has_or"),
+        col("p_type").startsWith("S").cast("int").as("starts_s"),
+        col("p_name").endsWith("e").cast("int").as("ends_e"))
+
   /** Date/time function coverage over orders: component extraction,
     * arithmetic, truncation, formatting — every output cast to
     * int/string so cross-engine representation is exact. */

@@ -737,6 +737,33 @@ WHERE rnk <= 3""")
       CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class
     FROM part"""
 
+  val windowLagLead: String =
+    s"""SELECT o_custkey, o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      ${money("c")} AS price,
+      ${money("lag(c, 1) OVER w")} AS prev_price,
+      strftime(lead(o_orderdate, 1) OVER w, '%Y-%m-%d') AS next_orderdate,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate)) AS BIGINT) AS year_rank
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate, ${cents("o_totalprice")} AS c FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+  val stringFuncs: String =
+    """SELECT p_partkey,
+      lpad(p_brand, 12, '*') AS brand_lpad,
+      rpad(p_brand, 12, '-') AS brand_rpad,
+      regexp_replace(p_type, 'O', '0', 'g') AS type_zeroed,
+      CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+      repeat(p_brand, 2) AS brand_twice,
+      reverse(p_name) AS name_rev,
+      substr(p_name, 1, 3) AS name_left3,
+      split_part(p_brand, '#', 2) AS brand_num,
+      translate(p_type, 'AEO', 'aeo') AS type_translated,
+      CAST(contains(p_name, 'or') AS INTEGER) AS has_or,
+      CAST(starts_with(p_type, 'S') AS INTEGER) AS starts_s,
+      CAST(ends_with(p_name, 'e') AS INTEGER) AS ends_e
+    FROM part"""
+
   val dateFuncs: String =
     """SELECT o_orderkey,
       CAST(year(o_orderdate) AS BIGINT) AS y,
