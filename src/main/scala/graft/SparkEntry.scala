@@ -82,6 +82,8 @@ object SparkEntry {
     "events_json_deciles" -> ((s, d) => EventsOps.jsonDeciles(events(s, d))),
     "events_asof_join" -> ((s, d) => EventsOps.asOfJoin(events(s, d))),
     "events_range_join" -> ((s, d) => EventsOps.rangeJoin(events(s, d))),
+    "events_funnel" -> ((s, d) => EventsOps.funnel(events(s, d))),
+    "events_retention" -> ((s, d) => EventsOps.retention(events(s, d))),
     // --- relational coverage ---
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
@@ -166,6 +168,8 @@ object SparkEntry {
     "events_json_deciles" -> Sql.eventsJsonDeciles,
     "events_asof_join" -> Sql.eventsAsOfJoin,
     "events_range_join" -> Sql.eventsRangeJoin,
+    "events_funnel" -> Sql.eventsFunnel,
+    "events_retention" -> Sql.eventsRetention,
     "q1_pricing_summary" -> Sql.q1PricingSummary,
     "q3_shipping_priority" -> Sql.q3ShippingPriority,
     "q5_region_revenue" -> Sql.q5RegionRevenue,

@@ -150,4 +150,42 @@ object EventsOps {
         sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
+
+  /** Funnel conversion: per user, did a purchase follow the FIRST
+    * click within the conversion window? Reported per click-day.
+    * Two hash aggs + one equi-join on user_id — at scale the
+    * purchase side is filtered before the join and the existence
+    * test is a max-of-indicator, never a per-user sort. */
+  def funnel(events: DataFrame, convWithinSec: Long = 3600): DataFrame = {
+    val e = withUs(events)
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("us")).as("click_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"))
+    clicks.join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("click_us"))
+      .agg(max(when(col("p_us") > col("click_us") &&
+          col("p_us") <= col("click_us") + convWithinSec * 1000000L, 1L)
+        .otherwise(0L)).as("converted"))
+      .groupBy(expr("click_us div 1000000 div 86400").as("click_day"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+  }
+
+  /** Day-over-day retention: of the users active on day d, how many
+    * were also active on d+1. Distinct (user, day) pairs self-joined
+    * with a shifted day — the classic cohort-retention shape, all
+    * integer day arithmetic. */
+  def retention(events: DataFrame): DataFrame = {
+    val days = withUs(events)
+      .select(col("user_id"), expr("us div 1000000 div 86400").as("day"))
+      .distinct()
+    val active = days.groupBy("day").agg(count(lit(1)).as("n_active"))
+    val retained = days.join(
+        days.select(col("user_id"), (col("day") - 1).as("day")),
+        Seq("user_id", "day"))
+      .groupBy("day").agg(count(lit(1)).as("n_retained"))
+    active.join(retained, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+  }
 }

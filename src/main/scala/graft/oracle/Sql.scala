@@ -481,6 +481,32 @@ WHERE rnk <= 3""")
 
   // ---------------- events ----------------
 
+  val eventsFunnel: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    c AS (SELECT user_id, min(us) AS click_us FROM ev WHERE event_type = 'click' GROUP BY user_id),
+    conv AS (
+      SELECT c.user_id, c.click_us,
+        CASE WHEN EXISTS (SELECT 1 FROM ev p
+               WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                 AND p.us > c.click_us AND p.us <= c.click_us + 3600000000)
+             THEN 1 ELSE 0 END AS converted
+      FROM c)
+    SELECT (click_us // 1000000) // 86400 AS click_day,
+      count(*)::BIGINT AS n_users, CAST(sum(converted) AS BIGINT) AS n_converted
+    FROM conv GROUP BY 1"""
+
+  val eventsRetention: String =
+    """WITH days AS (
+      SELECT DISTINCT user_id, (epoch_us(ts) // 1000000) // 86400 AS day FROM events
+    ),
+    active AS (SELECT day, count(*)::BIGINT AS n_active FROM days GROUP BY day),
+    retained AS (
+      SELECT a.day, count(*)::BIGINT AS n_retained
+      FROM days a JOIN days b ON a.user_id = b.user_id AND b.day = a.day + 1
+      GROUP BY a.day)
+    SELECT a.day, a.n_active, coalesce(r.n_retained, 0)::BIGINT AS n_retained
+    FROM active a LEFT JOIN retained r ON a.day = r.day"""
+
   val eventsWindowAgg: String =
     s"""SELECT event_type, window_start_sec, count(*)::BIGINT AS n_events,
       ${money(s"sum(${cents("value")})")} AS sum_value

@@ -80,4 +80,29 @@ class EventsOpsSpec extends SparkSpec {
     val us = e.select(EventsOps.microsCol(e)).collect().head.getLong(0)
     assert(us == 1704067201500000L)
   }
+
+  test("funnel counts first-click users and in-window conversions per day") {
+    val day = 86400L
+    val e = eventsDf(
+      (1L, day + 100L, 1L, "click", 0.0, "{}"),
+      (2L, day + 200L, 1L, "purchase", 0.0, "{}"),  // converts (100s after click)
+      (3L, day + 300L, 2L, "click", 0.0, "{}"),
+      (4L, day + 300L + 4000L, 2L, "purchase", 0.0, "{}"), // outside 1h window
+      (5L, day + 400L, 3L, "click", 0.0, "{}"))            // no purchase at all
+    val out = EventsOps.funnel(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (3L, 1L)))
+  }
+
+  test("retention counts users active on consecutive days") {
+    val day = 86400L
+    val e = eventsDf(
+      (1L, 100L, 1L, "view", 0.0, "{}"),
+      (2L, day + 100L, 1L, "view", 0.0, "{}"),   // user 1 active day0+day1
+      (3L, 200L, 2L, "view", 0.0, "{}"),          // user 2 only day0
+      (4L, day + 200L, 3L, "view", 0.0, "{}"))    // user 3 only day1
+    val out = EventsOps.retention(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(0L -> (2L, 1L), 1L -> (2L, 0L)))
+  }
 }
