@@ -99,6 +99,7 @@ object SparkEntry {
     "window_running_total" -> ((s, d) => Relational.windowRunningTotal(s, d)),
     "window_lag_lead" -> ((s, d) => Relational.windowLagLead(s, d)),
     "string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
+    "salted_join_sales" -> ((s, d) => Relational.saltedJoinSales(s, d)),
     "rollup_sales" -> ((s, d) => Relational.rollupSales(s, d)),
     "cube_sales" -> ((s, d) => Relational.cubeSales(s, d)),
     "grouping_sets_sales" -> ((s, d) => Relational.groupingSetsSales(s, d)),
@@ -134,6 +135,7 @@ object SparkEntry {
     "date_funcs" -> Sql.dateFuncs,
     "window_lag_lead" -> Sql.windowLagLead,
     "string_funcs" -> Sql.stringFuncs,
+    "salted_join_sales" -> Sql.saltedJoinSales,
     "shingles" -> Sql.shingles,
     "shingle_dict" -> Sql.shingleDict,
     "minhash_signatures" -> Sql.minhashSignatures,

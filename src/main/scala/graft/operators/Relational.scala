@@ -333,6 +333,23 @@ object Relational {
       .select("l_returnflag", "exact_parts", "approx_parts", "exact_supps", "approx_supps")
   }
 
+  /** Skew-resilient join surfaced as a query: lineitem x orders via
+    * the salted equi-join (hot orderkeys scatter across saltFactor
+    * reducer partitions), aggregated to revenue per status. The
+    * oracle is the PLAIN join+agg — salting must be semantically
+    * invisible. */
+  def saltedJoinSales(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_c"))
+    val ord = table(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    Salting.saltedEquiJoin(li, ord, "l_orderkey", col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"), sum(col("price_c")).as("sum_c"))
+      .select(col("o_orderstatus"), col("n_items"),
+        money(col("sum_c")).as("total_price"))
+  }
+
   /** Window-function variety beyond ranking/frames: lag/lead offsets,
     * ntile bucketing, dense_rank — all over fully-tiebroken orderings
     * so every function's output is deterministic. */

@@ -763,6 +763,13 @@ WHERE rnk <= 3""")
       CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class
     FROM part"""
 
+  /** Plain join+agg — the salted join must produce identical results. */
+  val saltedJoinSales: String =
+    s"""SELECT o_orderstatus, count(*)::BIGINT AS n_items,
+      ${money(s"sum(${cents("l_extendedprice")})")} AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus"""
+
   val windowLagLead: String =
     s"""SELECT o_custkey, o_orderkey,
       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
