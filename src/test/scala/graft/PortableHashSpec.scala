@@ -53,6 +53,17 @@ class PortableHashSpec extends SparkSpec {
     }
   }
 
+  test("fused array ops reject length mismatches loudly (no silent truncation)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(PortableHash.agreeCount(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("length mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("length mismatch")))
+  }
+
   test("affine family stays in [0, P) and is seed-deterministic") {
     assert(Config.coeffs == Config.coeffs) // lazy val, stable
     assert(Config.coeffs.forall { case (a, b) => a >= 1 && a < Config.P && b >= 0 && b < Config.P })
