@@ -51,6 +51,23 @@ object Profile {
       operators.MinHashLsh.similarPairs(docs).count())
     time("similarPairs again")(
       operators.MinHashLsh.similarPairs(docs).count())
+
+    // scale-slope experiment: replicate the corpus in memory with
+    // disjoint id ranges (replicas don't cross-match: texts get a
+    // replica tag appended so shingle sets differ) and measure how the
+    // chain scales with corpus size — the empirical basis for the
+    // 100 TB extrapolation in DESIGN.md
+    val scales = args.drop(1).headOption.map(_.toInt).map(Seq(_)).getOrElse(Seq(2, 4, 8))
+    val n = docs.count()
+    scales.foreach { m =>
+      val reps = (0 until m).map { r =>
+        docs.select((col("doc_id") + lit(r * 10 * n)).as("doc_id"),
+          concat(col("text"), lit(s" replica$r")).as("text"))
+      }
+      val big = reps.reduce(_ union _).repartition(32).localCheckpoint()
+      time(s"similarPairs x$m corpus")(
+        operators.MinHashLsh.similarPairs(big).count())
+    }
     spark.stop()
   }
 }

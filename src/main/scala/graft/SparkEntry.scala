@@ -11,12 +11,15 @@ import graft.oracle.Sql
   */
 object SparkEntry {
 
+  // Par.widen: a small parquet table is one scan split — without a
+  // parallelism floor the narrow per-row chains run single-threaded
+  // (no-op at scale where the scan yields many splits)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Par.widen(s.read.parquet(s"$dir/documents.parquet"))
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Par.widen(s.read.parquet(s"$dir/embeddings.parquet"))
   private def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
+    Par.widen(s.read.parquet(s"$dir/events.parquet"))
 
   /** Flagship: verified near-duplicate sentence pairs (both
     * directions, with texts) on sf0.001 — the reference pipeline's
