@@ -23,7 +23,7 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = operators.Par.widen(spark.read.parquet(s"$sfDir/documents.parquet"))
     docs.limit(1).collect()
 
     def time[A](name: String)(f: => A): A = {
@@ -67,6 +67,8 @@ object Profile {
       val big = reps.reduce(_ union _).repartition(32).localCheckpoint()
       time(s"similarPairs x$m corpus")(
         operators.MinHashLsh.similarPairs(big).count())
+      time(s"similarPairs x$m maxBucket=64")(
+        operators.MinHashLsh.similarPairs(big, maxBucket = Some(64)).count())
     }
     spark.stop()
   }
