@@ -52,6 +52,23 @@ object Profile {
     time("similarPairs again")(
       operators.MinHashLsh.similarPairs(docs).count())
 
+    // MLlib pillar-B cost attribution
+    {
+      import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+      val docs500 = docs.filter(col("doc_id") < 500)
+      val sets = time("ml: shingleSets+ckpt")(
+        operators.Shingling.shingleSets(docs500).coalesce(4).localCheckpoint())
+      val cv = new CountVectorizer().setInputCol("shingle_set")
+        .setOutputCol("features").setBinary(true).setVocabSize(1 << 21)
+      val cvm = time("ml: cv.fit")(cv.fit(sets))
+      val vecs = time("ml: cv.transform+ckpt")(cvm.transform(sets).localCheckpoint())
+      val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(5).setSeed(Config.Seed)
+      val model = time("ml: mh.fit")(mh.fit(vecs))
+      time("ml: approxSimilarityJoin")(
+        model.approxSimilarityJoin(vecs, vecs, 0.2 + 1e-9, "jaccard_dist").count())
+    }
+
     // scale-slope experiment: replicate the corpus in memory with
     // disjoint id ranges (replicas don't cross-match: texts get a
     // replica tag appended so shingle sets differ) and measure how the

@@ -44,6 +44,15 @@ object StreamingOps {
         col("user_id"), col("n_events"),
         (col("value_cents").cast("double") / 100.0).as("sum_value"))
 
+  /** Stream-static enrichment join: each streaming event picks up
+    * its user's dimension row. The static side is broadcast per
+    * micro-batch (no stream state at all — the canonical way to
+    * attach slowly-changing dimensions to a 100 TB/day stream;
+    * `broadcast()` keeps the per-batch plan from ever shuffling the
+    * stream side). */
+  def enrichStream(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
   /** Streaming EXACT dedup: one representative of each content
     * digest passes, replays are dropped (within one micro-batch the
     * surviving row is arrival-order dependent, the standard

@@ -27,6 +27,25 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches events with dimension rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Long)] // (user_id, event_id)
+    val df = input.toDF().select($"_1".as("user_id"), $"_2".as("event_id"))
+    val q = StreamingOps.enrichStream(df, dim).writeStream
+      .format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData((1L, 10L), (2L, 11L), (9L, 12L))
+      q.processAllAvailable()
+      val rows = s.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+      assert(rows == Set((1L, 10L, Some("gold")), (2L, 11L, Some("silver")),
+        (9L, 12L, None)))
+    } finally q.stop()
+  }
+
   test("native session windows close on gap") {
     val s = spark
     import s.implicits._
