@@ -176,9 +176,12 @@ object EventsOps {
     * with a shifted day — the classic cohort-retention shape, all
     * integer day arithmetic. */
   def retention(events: DataFrame): DataFrame = {
+    // materialized: both sides of the self-join and the activity agg
+    // read this frame — without it the events scan + distinct runs
+    // once per consumer
     val days = withUs(events)
       .select(col("user_id"), expr("us div 1000000 div 86400").as("day"))
-      .distinct()
+      .distinct().localCheckpoint()
     val active = days.groupBy("day").agg(count(lit(1)).as("n_active"))
     val retained = days.join(
         days.select(col("user_id"), (col("day") - 1).as("day")),
