@@ -98,6 +98,14 @@ object SparkEntry {
     "q17_small_quantity" -> ((s, d) => Relational.q17SmallQuantity(s, d)),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "q22_no_orders" -> ((s, d) => Relational.q22NoOrders(s, d)),
+    "q7_volume_shipping" -> ((s, d) => Relational.q7VolumeShipping(s, d)),
+    "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
+    "q9_profit_by_nation" -> ((s, d) => Relational.q9ProfitByNation(s, d)),
+    "q13_order_distribution" -> ((s, d) => Relational.q13OrderDistribution(s, d)),
+    "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
+    "q16_supplier_counts" -> ((s, d) => Relational.q16SupplierCounts(s, d)),
+    "q19_disjunctive" -> ((s, d) => Relational.q19Disjunctive(s, d)),
+    "q21_sole_returns" -> ((s, d) => Relational.q21SoleReturns(s, d)),
     "window_top_orders" -> ((s, d) => Relational.windowTopOrders(s, d)),
     "window_running_total" -> ((s, d) => Relational.windowRunningTotal(s, d)),
     "window_lag_lead" -> ((s, d) => Relational.windowLagLead(s, d)),
@@ -133,6 +141,14 @@ object SparkEntry {
     "q14_promo_share" -> Sql.q14PromoShare,
     "q17_small_quantity" -> Sql.q17SmallQuantity,
     "q18_large_orders" -> Sql.q18LargeOrders,
+    "q7_volume_shipping" -> Sql.q7VolumeShipping,
+    "q8_market_share" -> Sql.q8MarketShare,
+    "q9_profit_by_nation" -> Sql.q9ProfitByNation,
+    "q13_order_distribution" -> Sql.q13OrderDistribution,
+    "q15_top_supplier" -> Sql.q15TopSupplier,
+    "q16_supplier_counts" -> Sql.q16SupplierCounts,
+    "q19_disjunctive" -> Sql.q19Disjunctive,
+    "q21_sole_returns" -> Sql.q21SoleReturns,
     "grouping_sets_sales" -> Sql.groupingSetsSales,
     "pivot_sales" -> Sql.pivotSales,
     "date_funcs" -> Sql.dateFuncs,

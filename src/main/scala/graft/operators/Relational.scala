@@ -434,6 +434,182 @@ object Relational {
         coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
         col("n_orders"), money(col("sum_c")).as("total_sales"))
 
+  private def revC4: Column = cents(col("l_extendedprice")) *
+    (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+
+  /** TPC-H Q7 style: shipping volume between two nations by year —
+    * two independent dimension chains (supplier-side and
+    * customer-side nation) hang off the fact stream as broadcasts;
+    * the only shuffle is lineitem x orders on orderkey. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = table(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = table(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val li = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
+    li.join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(table(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revC4).as("rev_c4"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        (col("rev_c4").cast("double") / 10000.0).as("revenue"))
+  }
+
+  /** TPC-H Q8 style: one nation's market share of ECONOMY-part
+    * revenue inside one customer region, by order year — the share
+    * is a ratio of two exact integer sums built by conditional
+    * aggregation in a single pass. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nat = table(spark, dir, "nation")
+    val custRegion = table(spark, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNation = table(spark, dir, "supplier")
+      .join(broadcast(nat.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part").filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_3", revC4).otherwise(lit(0L))).as("nation_c4"),
+        sum(revC4).as("total_c4"))
+      .select(col("o_year"),
+        (col("nation_c4").cast("double") / col("total_c4").cast("double")).as("mkt_share"),
+        (col("total_c4").cast("double") / 10000.0).as("total_revenue"))
+  }
+
+  /** TPC-H Q9 style (adapted: no partsupp/supplycost in the schema):
+    * margin vs retail = extprice·(1−disc) − qty·retailprice, per
+    * supplier nation and order year, for parts named like '%gear%'.
+    * Both terms live in the same 10^-4-dollar integer scale, so the
+    * subtraction is exact. */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part").filter(col("p_name").contains("gear"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("retail_c"))
+    val suppNation = table(spark, dir, "supplier")
+      .join(broadcast(table(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    table(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revC4 - cents(col("l_quantity")) * col("retail_c")).as("profit_c4"),
+        count(lit(1)).as("n_items"))
+      .select(col("nation"), col("o_year"),
+        (col("profit_c4").cast("double") / 10000.0).as("margin"), col("n_items"))
+  }
+
+  /** TPC-H Q13 style: distribution of per-customer order counts
+    * (excluding URGENT orders) — the canonical LEFT OUTER join +
+    * double aggregation; customers with zero orders land in the
+    * c_count=0 bucket. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    table(spark, dir, "customer")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .select("c_count", "custdist")
+  }
+
+  /** TPC-H Q15 style: the top supplier(s) by revenue over one
+    * quarter. The global max is a 1-row broadcast joined back —
+    * never a driver-side collect, and ties all surface. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate").cast("date") < lit("1996-04-01").cast("date"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revC4).as("rev_c4"))
+    val mx = rev.agg(max(col("rev_c4")).as("mx"))
+    rev.join(broadcast(mx), col("rev_c4") === col("mx"))
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+        (col("rev_c4").cast("double") / 10000.0).as("total_revenue"))
+  }
+
+  /** TPC-H Q16 style (adapted: no partsupp): distinct suppliers
+    * shipping each (brand, type, size) combo for a size whitelist,
+    * excluding one brand and PROMO parts. countDistinct after a
+    * broadcast dimension join. */
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    table(spark, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .select(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"),
+        col("supplier_cnt"))
+  }
+
+  /** TPC-H Q19 style: disjunctive brand/size/quantity predicate —
+    * three OR'd branches that Catalyst keeps as one post-join filter
+    * with the common partkey equi-join underneath (no union of three
+    * scans). */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val part = table(spark, dir, "part")
+    val branch1 = col("p_brand") === "Brand#2" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(sum(revC4).as("rev_c4"), count(lit(1)).as("n_items"))
+      .select((col("rev_c4").cast("double") / 10000.0).as("revenue"), col("n_items"))
+  }
+
+  /** TPC-H Q21 style (adapted: no commit/receipt dates): suppliers
+    * whose returned item is the ONLY return in a multi-supplier
+    * order — EXISTS (another supplier in the order) via left-semi +
+    * NOT EXISTS (another supplier's return) via left-anti, both
+    * equi-keyed on orderkey with a suppkey inequality residual. */
+  def q21SoleReturns(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+    val others = li.select(col("l_orderkey").as("o2_orderkey"),
+      col("l_suppkey").as("o2_suppkey")).distinct()
+    val otherReturns = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey")).distinct()
+    returned
+      .join(others, col("l_orderkey") === col("o2_orderkey") &&
+        col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      .join(otherReturns, col("l_orderkey") === col("o3_orderkey") &&
+        col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
   /** Distinct aggregates per order status. */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")

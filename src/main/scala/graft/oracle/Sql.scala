@@ -824,6 +824,113 @@ WHERE rnk <= 3""")
             ${cents("o_totalprice")} AS c FROM orders)
     GROUP BY GROUPING SETS ((y), (o_orderstatus), ())"""
 
+  val q7VolumeShipping: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+      CAST(sum(rev_c4) AS DOUBLE) / 10000.0 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS BIGINT) AS l_year, $revC4 AS rev_c4
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+    GROUP BY supp_nation, cust_nation, l_year"""
+
+  val q8MarketShare: String =
+    s"""SELECT o_year,
+      CAST(nation_c4 AS DOUBLE) / CAST(total_c4 AS DOUBLE) AS mkt_share,
+      CAST(total_c4 AS DOUBLE) / 10000.0 AS total_revenue
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        sum(CASE WHEN n1.n_name = 'NATION_3' THEN $revC4 ELSE 0 END) AS nation_c4,
+        sum($revC4) AS total_c4
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      GROUP BY 1)"""
+
+  val q9ProfitByNation: String =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      CAST(sum($revC4 - ${cents("l_quantity")} * ${cents("p_retailprice")}) AS DOUBLE) / 10000.0 AS margin,
+      count(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2"""
+
+  val q13OrderDistribution: String =
+    """SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      FROM customer
+      LEFT OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+                       WHERE o_orderpriority <> '1-URGENT') o
+        ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count"""
+
+  val q15TopSupplier: String =
+    s"""WITH rev AS (
+      SELECT l_suppkey, sum($revC4) AS rev_c4
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT l_suppkey AS s_suppkey, s_name,
+      CAST(rev_c4 AS DOUBLE) / 10000.0 AS total_revenue
+    FROM rev
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_c4 = (SELECT max(rev_c4) FROM rev)"""
+
+  val q16SupplierCounts: String =
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    GROUP BY p_brand, p_type, p_size"""
+
+  val q19Disjunctive: String =
+    s"""SELECT CAST(sum($revC4) AS DOUBLE) / 10000.0 AS revenue,
+      count(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
+
+  val q21SoleReturns: String =
+    """SELECT s_suppkey, s_name, numwait
+    FROM (
+      SELECT l_suppkey, count(*)::BIGINT AS numwait
+      FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_returnflag = 'R') l1
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY l_suppkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 20"""
+
   val distinctCounts: String =
     """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
       count(DISTINCT o_custkey)::BIGINT AS n_customers,

@@ -61,4 +61,47 @@ class RelationalSpec extends SparkSpec {
     val p = Relational.topKOrders(spark, Sf0001).collect().map(_.getDouble(3))
     assert(p.length == 20 && p.sameElements(p.sortBy(-_)))
   }
+
+  test("q7: only the two chosen nations appear, both directions") {
+    // sf0.001 has no lineitem for this nation pair — use sf0.01
+    val rows = Relational.q7VolumeShipping(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pair = Set(r.getString(0), r.getString(1))
+      assert(pair == Set("NATION_1", "NATION_2"))
+    }
+  }
+
+  test("q8: market share in [0,1] per year") {
+    val rows = Relational.q8MarketShare(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("q13: custdist sums to the customer count (outer join keeps all)") {
+    val cust = spark.read.parquet(s"$Sf0001/customer.parquet").count()
+    val dist = Relational.q13OrderDistribution(spark, Sf0001).collect().map(_.getLong(1)).sum
+    assert(dist == cust)
+  }
+
+  test("q15: every returned supplier has the same (max) revenue") {
+    val rev = Relational.q15TopSupplier(spark, Sf0001).collect().map(_.getDouble(2))
+    assert(rev.nonEmpty && rev.toSet.size == 1)
+  }
+
+  test("q16: only whitelisted sizes, no excluded brand/type") {
+    val rows = Relational.q16SupplierCounts(spark, Sf0001).collect()
+    val sizes = Set(1L, 4L, 9L, 14L, 19L, 23L, 36L, 45L)
+    rows.foreach { r =>
+      assert(r.getString(0) != "Brand#5" && r.getString(1) != "PROMO")
+      assert(sizes.contains(r.getLong(2)))
+    }
+  }
+
+  test("q21: numwait descending with suppkey tiebreak, at most 20 rows") {
+    val rows = Relational.q21SoleReturns(spark, Sf0001).collect()
+      .map(r => (r.getLong(2), r.getLong(0)))
+    assert(rows.length <= 20)
+    assert(rows.sameElements(rows.sortBy(t => (-t._1, t._2))))
+  }
 }

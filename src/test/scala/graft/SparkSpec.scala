@@ -25,6 +25,7 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = TestSpark.spark
   val Sf0001 = "/root/testdata/sf0.001"
+  val Sf001 = "/root/testdata/sf0.01"
 
   /** documents-shaped frame from (id, text) pairs. */
   def docsDf(rows: (Long, String)*) = {
