@@ -106,6 +106,8 @@ object SparkEntry {
     "q16_supplier_counts" -> ((s, d) => Relational.q16SupplierCounts(s, d)),
     "q19_disjunctive" -> ((s, d) => Relational.q19Disjunctive(s, d)),
     "q21_sole_returns" -> ((s, d) => Relational.q21SoleReturns(s, d)),
+    "q12_late_shipping" -> ((s, d) => Relational.q12LateShipping(s, d)),
+    "stats_moments" -> ((s, d) => Relational.statsMoments(s, d)),
     "window_top_orders" -> ((s, d) => Relational.windowTopOrders(s, d)),
     "window_running_total" -> ((s, d) => Relational.windowRunningTotal(s, d)),
     "window_lag_lead" -> ((s, d) => Relational.windowLagLead(s, d)),
@@ -149,6 +151,8 @@ object SparkEntry {
     "q16_supplier_counts" -> Sql.q16SupplierCounts,
     "q19_disjunctive" -> Sql.q19Disjunctive,
     "q21_sole_returns" -> Sql.q21SoleReturns,
+    "q12_late_shipping" -> Sql.q12LateShipping,
+    "stats_moments" -> Sql.statsMoments,
     "grouping_sets_sales" -> Sql.groupingSetsSales,
     "pivot_sales" -> Sql.pivotSales,
     "date_funcs" -> Sql.dateFuncs,

@@ -610,6 +610,50 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q12 style (adapted: no l_shipmode/commitdate — "late"
+    * means shipped more than 90 days after the order date): per ship
+    * year, line counts split by order priority class. The only
+    * shuffle is the lineitem x orders fact-fact join on orderkey;
+    * the conditional counts are one-pass map-side partial sums. */
+  def q12LateShipping(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    table(spark, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 90))
+      .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .select("l_year", "high_line_count", "low_line_count")
+  }
+
+  /** Statistical moments per return flag, cross-engine exact: the
+    * aggregation collects only integer sums (quantity cents,
+    * discount percent, their squares and cross product — overflow-
+    * safe to ~sf1000 on int64 since |q_c| ≤ 5000, |d_pct| ≤ 10),
+    * then mean / sample variance / stddev / correlation are derived
+    * in double arithmetic with one fixed expression shape, so Spark
+    * and the oracle produce bit-identical IEEE doubles without any
+    * order-dependent float accumulation. */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val q = cents(col("l_quantity"))
+    val d = round(col("l_discount") * 100, 0).cast("long")
+    val dbl = (c: String) => col(c).cast("double")
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(q).as("sq"), sum(q * q).as("sqq"),
+        sum(d).as("sd"), sum(d * d).as("sdd"), sum(q * d).as("sqd"))
+      .select(col("l_returnflag"), col("n"),
+        (dbl("sq") / 100.0 / dbl("n")).as("mean_qty"),
+        ((dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")) /
+          (dbl("n") * (dbl("n") - 1.0)) / 10000.0).as("var_qty"),
+        sqrt((dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")) /
+          (dbl("n") * (dbl("n") - 1.0)) / 10000.0).as("std_qty"),
+        ((dbl("n") * dbl("sqd") - dbl("sq") * dbl("sd")) /
+          sqrt((dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")) *
+            (dbl("n") * dbl("sdd") - dbl("sd") * dbl("sd")))).as("corr_qty_disc"))
+  }
+
   /** Distinct aggregates per order status. */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")

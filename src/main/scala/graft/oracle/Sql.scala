@@ -931,6 +931,35 @@ WHERE rnk <= 3""")
     ORDER BY numwait DESC, s_suppkey
     LIMIT 20"""
 
+  val q12LateShipping: String =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+      sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90
+    GROUP BY 1"""
+
+  val statsMoments: String =
+    s"""SELECT l_returnflag, n,
+      CAST(sq AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mean_qty,
+      (CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS var_qty,
+      sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0) AS std_qty,
+      (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) AS corr_qty_disc
+    FROM (
+      SELECT l_returnflag, count(*)::BIGINT AS n,
+        sum(${cents("l_quantity")}) AS sq,
+        sum(${cents("l_quantity")} * ${cents("l_quantity")}) AS sqq,
+        sum(${cents("l_discount")}) AS sd,
+        sum(${cents("l_discount")} * ${cents("l_discount")}) AS sdd,
+        sum(${cents("l_quantity")} * ${cents("l_discount")}) AS sqd
+      FROM lineitem
+      GROUP BY l_returnflag)"""
+
   val distinctCounts: String =
     """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
       count(DISTINCT o_custkey)::BIGINT AS n_customers,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Relational
+import org.apache.spark.sql.functions._
 
 /** Invariant checks on the sf0.001 tables (the DuckDB oracle does
   * the exact value checking at sf0.01 — these guard shapes and
@@ -96,6 +97,34 @@ class RelationalSpec extends SparkSpec {
       assert(r.getString(0) != "Brand#5" && r.getString(1) != "PROMO")
       assert(sizes.contains(r.getLong(2)))
     }
+  }
+
+  test("q12: line counts sum to the number of late lines") {
+    val rows = Relational.q12LateShipping(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val li = spark.read.parquet(s"$Sf0001/lineitem.parquet")
+    val ord = spark.read.parquet(s"$Sf0001/orders.parquet")
+    val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 90))
+      .count()
+    assert(total == late)
+  }
+
+  test("stats_moments: agrees with Spark's own avg/var_samp/stddev/corr") {
+    val rows = Relational.statsMoments(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ref = spark.read.parquet(s"$Sf0001/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(avg("l_quantity"), var_samp("l_quantity"), stddev_samp("l_quantity"),
+        corr(col("l_quantity"), col("l_discount")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == ref.keySet)
+    for ((k, r) <- rows; f <- 1 to 4)
+      // float accumulation order differs in the reference path, so
+      // compare to 1e-9 relative, not bitwise
+      assert(math.abs(r.getDouble(f + 1) - ref(k).getDouble(f)) <=
+        1e-9 * math.max(1.0, math.abs(ref(k).getDouble(f))), s"$k field $f")
   }
 
   test("q21: numwait descending with suppkey tiebreak, at most 20 rows") {
