@@ -163,6 +163,31 @@ object MinHashLsh {
       .groupBy("doc_id")
       .agg(collect_set(col("h")).as("hset"))
 
+  /** (doc_id, sig, band, band_key): the band explode with the whole
+    * signature array carried through (~0.5 KB per band row, O(#docs
+    * × Bands)) — self-join consumers get both members' signatures
+    * directly from the join output and never join back against a
+    * signature table (which at 100 TB would be a second corpus-wide
+    * shuffle). maxBucket optionally drops degenerate buckets. */
+  private def bandsCarryingSig(base: DataFrame, maxBucket: Option[Int]): DataFrame = {
+    val r0 = Config.RowsPerBand
+    val bandStructs = (0 until Config.Bands).map { j =>
+      val cols = (j * r0 until (j + 1) * r0).map(i => col(Config.sigCol(i)).cast("string"))
+      struct(lit(j).as("band"), concat_ws(",", cols: _*).as("band_key"))
+    }
+    val b0 = base.select(col("doc_id"),
+      array((0 until Config.NumHashes).map(i => col(Config.sigCol(i))): _*).as("sig"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    maxBucket match {
+      case Some(m) =>
+        val sizes = b0.groupBy("band", "band_key").agg(count(lit(1)).as("bucket_n"))
+        b0.join(sizes.filter(col("bucket_n") <= m), Seq("band", "band_key"))
+          .select("doc_id", "sig", "band", "band_key")
+      case None => b0
+    }
+  }
+
   /** Candidates verified with EXACT shingle-hash-set Jaccard >=
     * threshold, after a cheap sketch pre-filter: pairs must agree on
     * >= Config.EstPrefilterMinCount of the S signature components
@@ -179,27 +204,11 @@ object MinHashLsh {
     // (checkpointing sets for every doc measured ~1s of the chain at
     // sf0.1 and would be O(corpus) state at 100 TB).
     val base = signatures(docs, k).localCheckpoint()
-    // carry the sig array THROUGH the band explode (~0.5 KB per band
-    // row, O(#docs × Bands)) so the self-join emits both signatures
-    // directly and the agreement prefilter is a join-residual
-    // condition — no joins against the multi-million-pair stream at
-    // all, and no DISTINCT until the prefiltered survivors
-    val r0 = Config.RowsPerBand
-    val bandStructs = (0 until Config.Bands).map { j =>
-      val cols = (j * r0 until (j + 1) * r0).map(i => col(Config.sigCol(i)).cast("string"))
-      struct(lit(j).as("band"), concat_ws(",", cols: _*).as("band_key"))
-    }
-    val bandsWithSig0 = base.select(col("doc_id"),
-      array((0 until Config.NumHashes).map(i => col(Config.sigCol(i))): _*).as("sig"),
-      explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val bandsWithSig = maxBucket match {
-      case Some(m) =>
-        val sizes = bandsWithSig0.groupBy("band", "band_key").agg(count(lit(1)).as("bucket_n"))
-        bandsWithSig0.join(sizes.filter(col("bucket_n") <= m), Seq("band", "band_key"))
-          .select("doc_id", "sig", "band", "band_key")
-      case None => bandsWithSig0
-    }
+    // the sig array rides the band explode (bandsCarryingSig) so the
+    // agreement prefilter is a join-residual condition — no joins
+    // against the multi-million-pair stream at all, and no DISTINCT
+    // until the prefiltered survivors
+    val bandsWithSig = bandsCarryingSig(base, maxBucket)
     val bl = bandsWithSig.select(col("band"), col("band_key"),
       col("doc_id").as("id_l"), col("sig").as("sig_l"))
     val br = bandsWithSig.select(col("band"), col("band_key"),
@@ -258,15 +267,22 @@ object MinHashLsh {
     * signature components; SURVEY.md Q9). Output alongside the exact
     * value for comparison. */
   def estimatedPairs(docs: DataFrame, k: Int = Config.K): DataFrame = {
-    val sig = signatures(docs, k).localCheckpoint()
-    val sigArr = sig.select(col("doc_id"),
-      array((0 until Config.NumHashes).map(i => col(Config.sigCol(i))): _*).as("sig"))
-    val cand = candidatesFromBands(bandsFromSignatures(sig))
-    val eq = PortableHash.agreeCount(col("l.sig"), col("r.sig"))
-    cand
-      .join(sigArr.as("l"), col("id_l") === col("l.doc_id"))
-      .join(sigArr.as("r"), col("id_r") === col("r.doc_id"))
+    // signatures ride the band explode: the estimate is computed in
+    // the self-join's projection, so the only shuffles are the band
+    // join and the final pair DISTINCT — the two signature-lookup
+    // joins of the naive plan (corpus-wide shuffles at 100 TB) are
+    // gone. The estimate is deterministic per pair, so DISTINCT over
+    // (id_l, id_r, est) equals dedup-then-estimate.
+    val b = bandsCarryingSig(signatures(docs, k), maxBucket = None)
+    val bl = b.select(col("band"), col("band_key"),
+      col("doc_id").as("id_l"), col("sig").as("sig_l"))
+    val br = b.select(col("band"), col("band_key"),
+      col("doc_id").as("id_r"), col("sig").as("sig_r"))
+    val eq = PortableHash.agreeCount(col("sig_l"), col("sig_r"))
+    bl.join(br, bl("band") === br("band") && bl("band_key") === br("band_key") &&
+        col("id_l") < col("id_r"))
       .select(col("id_l"), col("id_r"),
         (eq.cast("double") / lit(Config.NumHashes)).as("est_jaccard"))
+      .distinct()
   }
 }

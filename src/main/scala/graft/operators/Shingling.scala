@@ -64,10 +64,17 @@ object Shingling {
     * Map-side partial agg replaces the reference's combiner
     * (Shingling.java:45-54) automatically. */
   def shingleDict(docs: DataFrame, k: Int = Config.K): DataFrame =
-    shingles(docs, k)
+    // within-doc duplicate windows are dropped BEFORE the explode
+    // (array_distinct is a narrow per-row op), so the shuffle carries
+    // only distinct (doc_id, shingle) rows — repetitive documents
+    // don't inflate the exchange. n_docs derives from the collected
+    // set, avoiding a second (distinct-tagged) aggregate pass.
+    docs.select(col("doc_id"),
+        explode(array_distinct(shingleArray(col("text"), k))).as("shingle"))
       .groupBy("shingle")
-      .agg(array_join(array_sort(collect_set(col("doc_id"))), ",").as("doc_ids"),
-        countDistinct(col("doc_id")).as("n_docs"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .select(col("shingle"), array_join(col("ids"), ",").as("doc_ids"),
+        size(col("ids")).cast("long").as("n_docs"))
 
   /** Per-doc distinct shingle set (for exact Jaccard verification). */
   def shingleSets(docs: DataFrame, k: Int = Config.K): DataFrame =
