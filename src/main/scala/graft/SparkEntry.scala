@@ -84,6 +84,7 @@ object SparkEntry {
     "events_props_agg" -> ((s, d) => EventsOps.propsAgg(events(s, d))),
     "events_json_deciles" -> ((s, d) => EventsOps.jsonDeciles(events(s, d))),
     "events_asof_join" -> ((s, d) => EventsOps.asOfJoin(events(s, d))),
+    "events_asof_native" -> ((s, d) => EventsOps.asOfJoinNative(events(s, d))),
     "events_range_join" -> ((s, d) => EventsOps.rangeJoin(events(s, d))),
     "events_funnel" -> ((s, d) => EventsOps.funnel(events(s, d))),
     "events_retention" -> ((s, d) => EventsOps.retention(events(s, d))),
@@ -192,6 +193,9 @@ object SparkEntry {
     "events_props_agg" -> Sql.eventsPropsAgg,
     "events_json_deciles" -> Sql.eventsJsonDeciles,
     "events_asof_join" -> Sql.eventsAsOfJoin,
+    // the native operator must be indistinguishable from the window
+    // formulation — same oracle
+    "events_asof_native" -> Sql.eventsAsOfJoin,
     "events_range_join" -> Sql.eventsRangeJoin,
     "events_funnel" -> Sql.eventsFunnel,
     "events_retention" -> Sql.eventsRetention,

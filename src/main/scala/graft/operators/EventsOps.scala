@@ -93,6 +93,30 @@ object EventsOps {
         (col("us") - col("prev_match_us")).as("gap_us"))
   }
 
+  /** The same as-of join on the NATIVE whole-operator path: logical
+    * AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec (hash-clustered
+    * per side + in-partition sorted merge scan, O(1) state — see
+    * AsOfJoinPlan.scala). Output is bit-identical to [[asOfJoin]]
+    * (same oracle SQL); at scale it shuffles each side once on
+    * user_id instead of windowing over the union of both streams. */
+  def asOfJoinNative(events: DataFrame, matchType: String = "click",
+                     targetType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.graft.AsOfJoinApi
+    val us = withUs(events)
+    val targets = us.filter(col("event_type") === targetType)
+      .select(col("event_id"), col("user_id"), col("us"))
+    val matches = us.filter(col("event_type") === matchType)
+      .select(col("event_id").as("prev_match_id"), col("user_id").as("m_user"),
+        col("us").as("prev_match_us"))
+    AsOfJoinApi.join(targets, matches,
+        leftKey = "user_id", rightKey = "m_user",
+        leftTime = "us", rightTime = "prev_match_us",
+        leftSeq = "event_id", rightSeq = "prev_match_id")
+      .select(col("event_id"), col("user_id"), col("us").as("target_us"),
+        col("prev_match_id"), col("prev_match_us"),
+        (col("us") - col("prev_match_us")).as("gap_us"))
+  }
+
   /** Bounded-interval RANGE join: each `targetType` event paired with
     * every same-user `matchType` event within ±windowSec. A naive
     * `t.user = m.user AND abs(t.us - m.us) <= w` join makes Spark
