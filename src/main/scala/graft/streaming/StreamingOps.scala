@@ -53,6 +53,33 @@ object StreamingOps {
   def enrichStream(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** Stream-STREAM interval join — the streaming counterpart of
+    * EventsOps.rangeJoin: each target event joined to the same
+    * user's match events from the preceding windowSec. Both sides
+    * carry a watermark and the join condition bounds m_ts to a
+    * window around ts_ts, which is exactly what Spark's
+    * stream-stream join needs to know when buffered state on either
+    * side can be dropped — without the time-range condition state
+    * would grow forever. Inner join: targets with no in-window match
+    * are omitted (left-outer would need the watermark to pass before
+    * emitting nulls). */
+  def rangeJoinStream(targets: DataFrame, matches: DataFrame,
+                      windowSec: Int = 600,
+                      watermark: String = "30 minutes"): DataFrame = {
+    val t = targets
+      .select(col("user_id"), col("event_id").as("target_id"), col("ts_ts"))
+      .withWatermark("ts_ts", watermark)
+    val m = matches
+      .select(col("user_id").as("m_user"), col("event_id").as("match_id"),
+        col("ts_ts").as("m_ts"))
+      .withWatermark("m_ts", watermark)
+    t.join(m, col("user_id") === col("m_user") &&
+        col("m_ts") >= col("ts_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("m_ts") <= col("ts_ts"))
+      .select(col("user_id"), col("target_id"), col("match_id"),
+        col("ts_ts"), col("m_ts"))
+  }
+
   /** Streaming EXACT dedup: one representative of each content
     * digest passes, replays are dropped (within one micro-batch the
     * surviving row is arrival-order dependent, the standard

@@ -46,6 +46,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs targets with in-window matches only") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mkDf = (input: MemoryStream[(Long, Long, Long)]) => input.toDF()
+      .select($"_1".as("user_id"), $"_2".as("event_id"),
+        timestamp_micros($"_3" * 1000000L).as("ts_ts"))
+    val targets = MemoryStream[(Long, Long, Long)] // (user_id, event_id, sec)
+    val matches = MemoryStream[(Long, Long, Long)]
+    val q = StreamingOps.rangeJoinStream(mkDf(targets), mkDf(matches), windowSec = 600)
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      matches.addData((1L, 100L, 500L), (1L, 101L, 2000L), (2L, 102L, 900L))
+      targets.addData((1L, 1L, 1000L), (2L, 2L, 1000L), (3L, 3L, 1000L))
+      q.processAllAvailable()
+      val rows = s.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // user 1: click at 500 is within [400, 1000] of target at 1000;
+      // click at 2000 is AFTER the target -> excluded. user 2: 900 in
+      // range. user 3: no matches -> absent (inner join).
+      assert(rows == Set((1L, 1L, 100L), (2L, 2L, 102L)))
+    } finally q.stop()
+  }
+
   test("native session windows close on gap") {
     val s = spark
     import s.implicits._
