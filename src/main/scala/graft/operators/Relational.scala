@@ -586,22 +586,19 @@ object Relational {
 
   /** TPC-H Q21 style (adapted: no commit/receipt dates): suppliers
     * whose returned item is the ONLY return in a multi-supplier
-    * order — EXISTS (another supplier in the order) via left-semi +
-    * NOT EXISTS (another supplier's return) via left-anti, both
-    * equi-keyed on orderkey with a suppkey inequality residual. */
+    * order. The EXISTS / NOT-EXISTS pair collapses into per-order
+    * set algebra — ONE scan of lineitem, one shuffle on orderkey
+    * collecting the distinct supplier set and the distinct returned-
+    * supplier set (both tiny: suppliers per order), then a supplier-
+    * level count. The textbook semi+anti formulation would scan the
+    * fact table three times and (at scale) shuffle it twice more. */
   def q21SoleReturns(spark: SparkSession, dir: String): DataFrame = {
-    val li = table(spark, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
-    val returned = li.filter(col("l_returnflag") === "R")
-      .select("l_orderkey", "l_suppkey").distinct()
-    val others = li.select(col("l_orderkey").as("o2_orderkey"),
-      col("l_suppkey").as("o2_suppkey")).distinct()
-    val otherReturns = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey")).distinct()
-    returned
-      .join(others, col("l_orderkey") === col("o2_orderkey") &&
-        col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
-      .join(otherReturns, col("l_orderkey") === col("o3_orderkey") &&
-        col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+    table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_suppkey")).as("supps"),
+        collect_set(when(col("l_returnflag") === "R", col("l_suppkey"))).as("ret_supps"))
+      .filter(size(col("supps")) >= 2 && size(col("ret_supps")) === 1)
+      .select(element_at(col("ret_supps"), 1).as("l_suppkey"))
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
