@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator tier: logical AsOfJoinNode → AsOfJoinExec
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // optimizer-rule tier: declarative |Δt| <= w joins → bucketed form
+    ext.injectOptimizerRule(_ => RangeJoinRule)
     ext.injectFunction(one("graft_polyhash", PolyHash))
     ext.injectFunction(two("graft_shingle_hashes",
       (t, k) => ShingleHashes(t, intLit(k, "graft_shingle_hashes"))))

@@ -86,6 +86,7 @@ object SparkEntry {
     "events_asof_join" -> ((s, d) => EventsOps.asOfJoin(events(s, d))),
     "events_asof_native" -> ((s, d) => EventsOps.asOfJoinNative(events(s, d))),
     "events_range_join" -> ((s, d) => EventsOps.rangeJoin(events(s, d))),
+    "events_range_native" -> ((s, d) => EventsOps.rangeJoinNative(events(s, d))),
     "events_funnel" -> ((s, d) => EventsOps.funnel(events(s, d))),
     "events_retention" -> ((s, d) => EventsOps.retention(events(s, d))),
     // --- relational coverage ---
@@ -197,6 +198,9 @@ object SparkEntry {
     // formulation — same oracle
     "events_asof_native" -> Sql.eventsAsOfJoin,
     "events_range_join" -> Sql.eventsRangeJoin,
+    // the rule-rewritten naive join must be indistinguishable from
+    // the hand-bucketed form — same oracle
+    "events_range_native" -> Sql.eventsRangeJoin,
     "events_funnel" -> Sql.eventsFunnel,
     "events_retention" -> Sql.eventsRetention,
     "q1_pricing_summary" -> Sql.q1PricingSummary,

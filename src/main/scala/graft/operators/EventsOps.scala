@@ -149,6 +149,30 @@ object EventsOps {
     // (target, match) pair can only join through that single bucket
   }
 
+  /** The same range join written NAIVELY — plain key equality plus
+    * `abs(Δt) <= w` — and left to the engine: RangeJoinRule (the
+    * optimizer-rule tier, see RangeJoinRule.scala) rewrites it into
+    * the bucketed equi-join form automatically, so callers never
+    * hand-roll the [[rangeJoin]] transform. Oracle-identical to the
+    * hand-bucketed query. */
+  def rangeJoinNative(events: DataFrame, matchType: String = "click",
+                      targetType: String = "purchase",
+                      windowSec: Int = 600): DataFrame = {
+    org.apache.spark.sql.graft.RangeJoinRule.register(events.sparkSession)
+    val us = withUs(events).localCheckpoint()
+    val wUs = windowSec * 1000000L
+    val targets = us.filter(col("event_type") === targetType)
+      .select(col("user_id"), col("event_id").as("target_id"), col("us").as("target_us"))
+    val matches = us.filter(col("event_type") === matchType)
+      .select(col("user_id").as("m_user"), col("event_id").as("match_id"),
+        col("us").as("match_us"))
+    targets.join(matches, col("user_id") === col("m_user") &&
+        abs(col("target_us") - col("match_us")) <= lit(wUs))
+      .select(col("user_id"), col("target_id"), col("match_id"),
+        col("target_us"), col("match_us"),
+        (col("match_us") - col("target_us")).as("delta_us"))
+  }
+
   /** Structured JSON parsing via from_json (schema'd, codegen'd) —
     * metric deciles of the extracted k, with distinct-type counts. */
   def jsonDeciles(events: DataFrame): DataFrame =
