@@ -33,6 +33,7 @@ object SparkEntry {
     "shingles" -> ((s, d) => Shingling.shingles(docs(s, d))),
     "shingle_dict" -> ((s, d) => Shingling.shingleDict(docs(s, d))),
     "minhash_signatures" -> ((s, d) => MinHashLsh.signatures(docs(s, d))),
+    "group_sketch" -> ((s, d) => MinHashLsh.groupSketch(docs(s, d))),
     "lsh_bands" -> ((s, d) => MinHashLsh.bands(docs(s, d))),
     "candidate_pairs" -> ((s, d) => MinHashLsh.candidatePairs(docs(s, d))),
     "similar_pairs" -> ((s, d) => MinHashLsh.similarPairs(docs(s, d))),
@@ -164,6 +165,7 @@ object SparkEntry {
     "shingles" -> Sql.shingles,
     "shingle_dict" -> Sql.shingleDict,
     "minhash_signatures" -> Sql.minhashSignatures,
+    "group_sketch" -> Sql.groupSketch,
     "lsh_bands" -> Sql.lshBands,
     "candidate_pairs" -> Sql.candidatePairs,
     "similar_pairs" -> Sql.similarPairs,

@@ -83,6 +83,24 @@ object MinHashLsh {
         hset.as("hset"): _*)
   }
 
+  /** Per-GROUP minhash sketch via the MinHashMerge typed Aggregator
+    * (UDAF tier): each doc's narrow per-row sketch is merged
+    * elementwise-min within its group — the minhash of the group's
+    * UNION shingle set, usable for group-vs-group similarity without
+    * revisiting members. One hash-agg shuffle with map-side partial
+    * merge; output exploded to sig_NN columns for the oracle (which
+    * replays it as per-column MIN over per-doc signatures). */
+  def groupSketch(docs: DataFrame, k: Int = Config.K, groups: Int = 50): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val merge = udaf(graft.functions.MinHashMerge, ExpressionEncoder[Array[Long]]())
+    docs.filter(length(col("text")) >= 1)
+      .select((col("doc_id") % groups).as("g"), sketchCol(col("text"), k).as("sketch"))
+      .groupBy("g")
+      .agg(merge(col("sketch")).as("sketch"))
+      .select(col("g") +: (0 until Config.NumHashes).map(i =>
+        element_at(col("sketch"), i + 1).as(Config.sigCol(i))): _*)
+  }
+
   /** (doc_id, band, band_key) — band_key is the CSV of the band's r
     * signature values; (band, band_key) is the LSH bucket key. */
   def bands(docs: DataFrame, k: Int = Config.K): DataFrame =

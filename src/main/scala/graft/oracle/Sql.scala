@@ -97,6 +97,9 @@ toktab AS (
       count(DISTINCT doc_id)::BIGINT AS n_docs
     FROM shings GROUP BY shingle""")
 
+  val groupSketch: String = docQ(
+    s"SELECT doc_id % 50 AS g, ${sigCols.map(c => s"min($c) AS $c").mkString(", ")} FROM sig GROUP BY 1")
+
   val minhashSignatures: String =
     docQ(s"SELECT doc_id, ${sigCols.mkString(", ")} FROM sig")
 

@@ -83,6 +83,21 @@ class MinHashLshSpec extends SparkSpec {
     assert(capped == 0)
   }
 
+  test("group sketch UDAF equals per-column min of member signatures, repartition-invariant") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val viaUdaf = MinHashLsh.groupSketch(docs).collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    val viaMin = MinHashLsh.signatures(docs)
+      .groupBy((col("doc_id") % 50).as("g"))
+      .agg(min(Config.sigCol(0)).as(Config.sigCol(0)),
+        (1 until Config.NumHashes).map(i => min(Config.sigCol(i)).as(Config.sigCol(i))): _*)
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    assert(viaUdaf.nonEmpty && viaUdaf == viaMin)
+    val shuffled = MinHashLsh.groupSketch(docs.repartition(13)).collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    assert(shuffled == viaUdaf)
+  }
+
   test("rowwise (streaming) bands equal the aggregated formulation") {
     val agg = MinHashLsh.bands(nearDup).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
