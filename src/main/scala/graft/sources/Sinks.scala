@@ -33,6 +33,10 @@ object Sinks {
       .parquet(path)
   }
 
+  /** ORC sink (columnar interop twin of the parquet paths). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Materialize the three reference-shaped artifacts for a document
     * set: the shingle inverted index (Job 1 output), the verified
     * pair list in both directions (Job 3 output), and the similar

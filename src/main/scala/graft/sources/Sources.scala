@@ -52,4 +52,11 @@ object Sources {
       .option("header", header.toString)
       .option("sep", sep)
       .csv(path)
+
+  /** ORC source — columnar like parquet (self-describing schema,
+    * predicate pushdown, column pruning), here for interop with
+    * Hive-era corpora. No schema argument needed: ORC footers carry
+    * it, same as parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -74,6 +74,17 @@ class SinksSpec extends SparkSpec {
     assert(back == Map(1L -> "alpha", 2L -> "beta"))
   }
 
+  test("orc sink/source round-trips with pushdown-friendly scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val df = docsDf(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
+    Sinks.writeOrc(df, s"$dir/out")
+    val back = Sources.readOrc(spark, s"$dir/out")
+    val filtered = back.filter(org.apache.spark.sql.functions.col("doc_id") > 1L)
+    // the filter reaches the ORC scan (columnar pushdown parity with parquet)
+    assert(filtered.queryExecution.executedPlan.toString.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,1)]"))
+    assert(filtered.collect().map(_.getString(1)).toSet == Set("beta", "gamma"))
+  }
+
   test("csv source round-trips through the csv sink with explicit schema") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft-csvsrc").toString
