@@ -339,11 +339,16 @@ object Relational {
     * oracle is the PLAIN join+agg — salting must be semantically
     * invisible. */
   def saltedJoinSales(spark: SparkSession, dir: String): DataFrame = {
+    // salt from (orderkey, linenumber) — row-unique, so a hot
+    // orderkey's lines scatter across all saltFactor partitions
+    // (salting by the join key alone would keep them together)
     val li = table(spark, dir, "lineitem")
-      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_c"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("price_c"))
     val ord = table(spark, dir, "orders")
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
-    Salting.saltedEquiJoin(li, ord, "l_orderkey", col("l_orderkey"))
+    Salting.saltedEquiJoin(li, ord, "l_orderkey",
+        xxhash64(col("l_orderkey"), col("l_linenumber")))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_items"), sum(col("price_c")).as("sum_c"))
       .select(col("o_orderstatus"), col("n_items"),

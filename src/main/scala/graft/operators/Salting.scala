@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Inner-join `big` with `small` on `key`, salted. `bigSaltSrc` is
-    * any stable big-side column used to derive the deterministic
-    * salt. */
+  /** Inner-join `big` with `small` on `key`, salted. `bigSaltSrc`
+    * must be a stable big-side expression that VARIES WITHIN a join
+    * key (a line number, a row digest — anything row-distinguishing):
+    * the salt is derived from it, so passing the join key itself
+    * would give every row of a hot key the same salt and defeat the
+    * scatter entirely. */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
                      bigSaltSrc: Column, saltFactor: Int = 8): DataFrame = {
     val saltedBig = big.withColumn("_salt",

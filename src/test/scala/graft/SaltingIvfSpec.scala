@@ -16,6 +16,16 @@ class SaltingIvfSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("a hot key's rows scatter across multiple salts (row-varying salt source)") {
+    val s = spark
+    import s.implicits._
+    // one key owns every row — the skew case salting exists for
+    val big = (1L to 1000L).map(i => (42L, i)).toDF("k", "v")
+    val salted = big.withColumn("_salt", pmod(xxhash64(col("v")), lit(8)).cast("int"))
+    val distinctSalts = salted.select("_salt").distinct().count()
+    assert(distinctSalts == 8L)
+  }
+
   test("ivf topk returns ranked neighbors on real embeddings") {
     val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
     val out = EmbeddingSim.ivfTopK(emb, k = 3).collect()
