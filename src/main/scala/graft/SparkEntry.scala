@@ -34,6 +34,7 @@ object SparkEntry {
     "shingle_dict" -> ((s, d) => Shingling.shingleDict(docs(s, d))),
     "minhash_signatures" -> ((s, d) => MinHashLsh.signatures(docs(s, d))),
     "group_sketch" -> ((s, d) => MinHashLsh.groupSketch(docs(s, d))),
+    "sql_signatures" -> ((s, d) => MinHashLsh.signaturesSql(docs(s, d))),
     "lsh_bands" -> ((s, d) => MinHashLsh.bands(docs(s, d))),
     "candidate_pairs" -> ((s, d) => MinHashLsh.candidatePairs(docs(s, d))),
     "similar_pairs" -> ((s, d) => MinHashLsh.similarPairs(docs(s, d))),
@@ -166,6 +167,9 @@ object SparkEntry {
     "shingle_dict" -> Sql.shingleDict,
     "minhash_signatures" -> Sql.minhashSignatures,
     "group_sketch" -> Sql.groupSketch,
+    // the pure-SQL formulation must be indistinguishable from the
+    // DataFrame signatures query — same oracle
+    "sql_signatures" -> Sql.minhashSignatures,
     "lsh_bands" -> Sql.lshBands,
     "candidate_pairs" -> Sql.candidatePairs,
     "similar_pairs" -> Sql.similarPairs,

@@ -101,6 +101,24 @@ object MinHashLsh {
         element_at(col("sketch"), i + 1).as(Config.sigCol(i))): _*)
   }
 
+  /** The signature computation expressed in PURE SQL through the
+    * registered function tier (graft_shingle_hashes →
+    * graft_minhash_sketch) — the reference has no query language at
+    * all (SURVEY §2.2); here the whole native-expression pipeline is
+    * SQL-addressable and this query is oracle-checked to be
+    * indistinguishable from the DataFrame form. */
+  def signaturesSql(docs: DataFrame, k: Int = Config.K): DataFrame = {
+    val spark = docs.sparkSession
+    org.apache.spark.sql.graft.Bridge.registerAll(spark)
+    docs.createOrReplaceTempView("graft_documents_v")
+    val sigSelects = (0 until Config.NumHashes)
+      .map(i => s"element_at(sk, ${i + 1}) AS ${Config.sigCol(i)}").mkString(", ")
+    spark.sql(
+      s"""SELECT doc_id, $sigSelects FROM (
+            SELECT doc_id, graft_minhash_sketch(graft_shingle_hashes(text, $k)) AS sk
+            FROM graft_documents_v WHERE length(text) >= 1)""")
+  }
+
   /** (doc_id, band, band_key) — band_key is the CSV of the band's r
     * signature values; (band, band_key) is the LSH bucket key. */
   def bands(docs: DataFrame, k: Int = Config.K): DataFrame =

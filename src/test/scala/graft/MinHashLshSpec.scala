@@ -98,6 +98,15 @@ class MinHashLshSpec extends SparkSpec {
     assert(shuffled == viaUdaf)
   }
 
+  test("pure-SQL signatures equal the DataFrame formulation") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val viaSql = MinHashLsh.signaturesSql(docs).collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    val viaDf = MinHashLsh.signatures(docs).collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    assert(viaSql.nonEmpty && viaSql == viaDf)
+  }
+
   test("rowwise (streaming) bands equal the aggregated formulation") {
     val agg = MinHashLsh.bands(nearDup).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
