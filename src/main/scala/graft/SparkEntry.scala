@@ -37,6 +37,12 @@ object SparkEntry {
     "sql_signatures" -> ((s, d) => MinHashLsh.signaturesSql(docs(s, d))),
     "lsh_bands" -> ((s, d) => MinHashLsh.bands(docs(s, d))),
     "candidate_pairs" -> ((s, d) => MinHashLsh.candidatePairs(docs(s, d))),
+    "incremental_pairs" -> ((s, d) => {
+      val c = org.apache.spark.sql.functions.col("doc_id")
+      val all = docs(s, d)
+      MinHashLsh.incrementalCandidates(
+        MinHashLsh.bands(all.filter(c < 400)), all.filter(c >= 400))
+    }),
     "similar_pairs" -> ((s, d) => MinHashLsh.similarPairs(docs(s, d))),
     "pairs_symmetric" -> ((s, d) => MinHashLsh.pairsSymmetric(docs(s, d))),
     "minhash_estimate" -> ((s, d) => MinHashLsh.estimatedPairs(docs(s, d))),
@@ -172,6 +178,7 @@ object SparkEntry {
     "sql_signatures" -> Sql.minhashSignatures,
     "lsh_bands" -> Sql.lshBands,
     "candidate_pairs" -> Sql.candidatePairs,
+    "incremental_pairs" -> Sql.incrementalPairs,
     "similar_pairs" -> Sql.similarPairs,
     "pairs_symmetric" -> Sql.pairsSymmetric,
     "minhash_estimate" -> Sql.minhashEstimate,

@@ -189,6 +189,35 @@ object MinHashLsh {
     if (dedupe) raw.distinct() else raw
   }
 
+  /** Incremental candidate generation — the daily-ingest workflow:
+    * find near-dup candidates of a NEW batch against an EXISTING
+    * corpus band index plus within the batch itself, WITHOUT
+    * re-banding the corpus. `corpusBands` is the materialized
+    * (doc_id, band, band_key) index (the `bands` output, e.g. a
+    * partitioned parquet keyed by (band, band_key)); at 100 TB the
+    * corpus is touched only through this slim index and the join is
+    * batch-sized, not corpus-sized. Output: canonical distinct
+    * (id_l < id_r) pairs with at least one batch member. Semantics
+    * equal filtering the full-corpus candidatePairs to pairs
+    * touching the batch (the oracle replays it that way). */
+  def incrementalCandidates(corpusBands: DataFrame, newDocs: DataFrame,
+                            k: Int = Config.K): DataFrame = {
+    val nb = bands(newDocs).localCheckpoint() // consumed by both joins below
+    val cross = corpusBands
+      .select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+      .join(nb.select(col("band"), col("band_key"), col("doc_id").as("id_b")),
+        Seq("band", "band_key"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_l"),
+        greatest(col("id_a"), col("id_b")).as("id_r"))
+    val within = nb.select(col("band"), col("band_key"), col("doc_id").as("id_l"))
+      .join(nb.select(col("band"), col("band_key"), col("doc_id").as("id_r")),
+        Seq("band", "band_key"))
+      .filter(col("id_l") < col("id_r"))
+      .select("id_l", "id_r")
+    cross.union(within).distinct()
+  }
+
   /** Per-doc distinct SHINGLE-HASH set (long array) — verification
     * currency. Hash-set Jaccard differs from string-set Jaccard only
     * on intra-doc hash collisions (~(n_shingles)^2 / 2^32 per doc,

@@ -107,6 +107,12 @@ toktab AS (
 
   val candidatePairs: String = docQ("SELECT id_l, id_r FROM cand")
 
+  /** Incremental ingest: corpus = doc_id < 400, batch = the rest —
+    * incremental candidates are exactly the full-corpus candidates
+    * touching the batch. */
+  val incrementalPairs: String =
+    docQ("SELECT id_l, id_r FROM cand WHERE id_l >= 400 OR id_r >= 400")
+
   val similarPairs: String = docQ("SELECT id_l, id_r, jaccard FROM simpairs")
 
   val pairsSymmetric: String = docQ(

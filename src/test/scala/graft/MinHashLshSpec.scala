@@ -98,6 +98,19 @@ class MinHashLshSpec extends SparkSpec {
     assert(shuffled == viaUdaf)
   }
 
+  test("incremental candidates equal full-corpus candidates touching the batch") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val split = 50L
+    val corpus = docs.filter(col("doc_id") < split)
+    val batch = docs.filter(col("doc_id") >= split)
+    val inc = MinHashLsh.incrementalCandidates(MinHashLsh.bands(corpus), batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = MinHashLsh.candidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (l, r) => l >= split || r >= split }.toSet
+    assert(inc.nonEmpty && inc == full)
+  }
+
   test("pure-SQL signatures equal the DataFrame formulation") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val viaSql = MinHashLsh.signaturesSql(docs).collect()
