@@ -70,6 +70,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("durable sink: watermark-finalized windows land in parquet via checkpointed writeStream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val input = MemoryStream[(Long, String, Double, Long)]
+    val df = input.toDF()
+      .select(timestamp_micros($"_1" * 1000000L).as("ts_ts"), $"_2".as("event_type"),
+        $"_3".as("value"), $"_4".as("user_id"))
+    // append mode: a window is emitted exactly once, when the
+    // watermark passes its end — the exactly-once durable layout
+    val q = StreamingOps.windowCounts(df, watermark = "10 minutes").writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData((0L, "click", 1.10, 1L), (300L, "click", 2.20, 1L))
+      q.processAllAvailable()
+      // advance event time far past window [0,600) + watermark
+      input.addData((7200L, "view", 9.90, 2L))
+      q.processAllAvailable()
+      val rows = s.read.parquet(s"$dir/out").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      // only the finalized window is on disk; the late-horizon one is
+      // still open in state
+      assert(rows.toSet == Set((0L, "click", 2L, 3.30)))
+    } finally q.stop()
+  }
+
   test("native session windows close on gap") {
     val s = spark
     import s.implicits._
