@@ -13,6 +13,11 @@ import graft.functions.PortableHash
   * preserving mapPartitions with batched per-partition decoder
   * setup (the same shape a real codec-backed extractor needs: open
   * the codec once per partition, stream records through it).
+  * `mapPartitions` over a typed Dataset is the Scala analog of
+  * PySpark's `mapInPandas` batch-UDF shape — same per-partition
+  * batching, same schema contract, no Python worker round-trip;
+  * a Python decode stage would plug into this exact pipeline
+  * position with an identical output schema.
   *
   * At 100 TB: payloads stay in executor space end-to-end (no
   * collect), decode is a narrow transformation, and downstream
