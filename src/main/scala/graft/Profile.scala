@@ -69,6 +69,33 @@ object Profile {
         model.approxSimilarityJoin(vecs, vecs, 0.2 + 1e-9, "jaccard_dist").count())
     }
 
+    // as-of operator scaling: the window-over-union formulation vs
+    // the native merge-scan operator on replicated event streams
+    // (disjoint user/event id ranges per replica — same per-user
+    // density, m× the users, the realistic growth axis)
+    val events0 = operators.Par.widen(spark.read.parquet(s"$sfDir/events.parquet"))
+    Seq(8, 32, 64).foreach { m =>
+      val reps = (0 until m).map { r =>
+        events0.select((col("event_id") + lit(r * 100000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(r * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }
+      val big = reps.reduce(_ union _).repartition(32).localCheckpoint()
+      // force every output column (count() would let Catalyst prune
+      // the unreferenced window expressions — the Bench r1 pitfall)
+      def force(df: org.apache.spark.sql.DataFrame): Unit =
+        df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)")).collect()
+      def timeMin(name: String)(f: => Unit): Unit = {
+        val best = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"[profile] $name%-28s $best%8.3f s (best of 3)")
+      }
+      timeMin(s"asOf window x$m")(force(operators.EventsOps.asOfJoin(big)))
+      timeMin(s"asOf native x$m")(force(operators.EventsOps.asOfJoinNative(big)))
+    }
+
     // scale-slope experiment: replicate the corpus in memory with
     // disjoint id ranges (replicas don't cross-match: texts get a
     // replica tag appended so shingle sets differ) and measure how the
