@@ -174,10 +174,17 @@ object AsOfJoinApi {
         case a: AttributeReference if a.name == name => a
       }.getOrElse(throw new IllegalArgumentException(
         s"as-of join: no column '$name' in [${plan.output.map(_.name).mkString(", ")}]"))
+    def longAttr(plan: LogicalPlan, name: String): AttributeReference = {
+      val a = attr(plan, name)
+      require(a.dataType == org.apache.spark.sql.types.LongType,
+        s"as-of join: column '$name' must be LongType (epoch micros / sequence), " +
+          s"got ${a.dataType.simpleString} — cast it before joining")
+      a
+    }
     val node = AsOfJoinNode(lplan, rplan,
       attr(lplan, leftKey), attr(rplan, rightKey),
-      attr(lplan, leftTime), attr(rplan, rightTime),
-      attr(lplan, leftSeq), attr(rplan, rightSeq))
+      longAttr(lplan, leftTime), longAttr(rplan, rightTime),
+      longAttr(lplan, leftSeq), longAttr(rplan, rightSeq))
     org.apache.spark.sql.classic.Dataset.ofRows(spark, node)
   }
 }

@@ -49,6 +49,17 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 100L, 13L, None, None)))
   }
 
+  test("non-long time column is rejected with a clear message") {
+    import spark.implicits._
+    val l = Seq((1L, "not-a-time", 1L)).toDF("user_id", "us", "event_id")
+    val r = Seq((1L, 5L, 2L)).toDF("m_user", "m_us", "m_id")
+    val e = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.AsOfJoinApi.join(
+        l, r, "user_id", "m_user", "us", "m_us", "event_id", "m_id")
+    }
+    assert(e.getMessage.contains("must be LongType"))
+  }
+
   test("self-derived sides (shared lineage) are safe: fresh right exprIds") {
     import spark.implicits._
     val base = Seq((1L, 10L, 1L, "t"), (1L, 5L, 2L, "m"), (1L, 20L, 3L, "m"))
