@@ -49,6 +49,26 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 100L, 13L, None, None)))
   }
 
+  test("randomized: native as-of equals a brute-force scala baseline") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val lRows = (1L to 250L).map(i => (rnd.nextInt(15).toLong, rnd.nextInt(1000).toLong, i))
+    val rRows = (1001L to 1250L).map(i => (rnd.nextInt(15).toLong, rnd.nextInt(1000).toLong, i))
+    val got = org.apache.spark.sql.graft.AsOfJoinApi.join(
+        lRows.toDF("user_id", "us", "event_id"),
+        rRows.toDF("m_user", "m_us", "m_id"),
+        "user_id", "m_user", "us", "m_us", "event_id", "m_id")
+      .select("event_id", "m_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val expected = lRows.map { case (k, t, s) =>
+      val best = rRows.filter { case (rk, rt, rs) =>
+        rk == k && (rt < t || (rt == t && rs <= s))
+      }.sortBy { case (_, rt, rs) => (rt, rs) }.lastOption
+      s -> best.map(_._3)
+    }.toMap
+    assert(got == expected && expected.values.exists(_.nonEmpty))
+  }
+
   test("non-long time column is rejected with a clear message") {
     import spark.implicits._
     val l = Seq((1L, "not-a-time", 1L)).toDF("user_id", "us", "event_id")

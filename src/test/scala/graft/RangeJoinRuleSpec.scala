@@ -54,6 +54,25 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(got == expected && got.contains((1L, 10L)))
   }
 
+  test("randomized: rewritten join equals brute force incl. negative times and key skew") {
+    RangeJoinRule.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val lRows = (1L to 300L).map(i => (i, rnd.nextInt(20).toLong, rnd.nextLong() % 5000L))
+    val rRows = (1L to 300L).map(i => (i, rnd.nextInt(20).toLong, rnd.nextLong() % 5000L))
+    val w = 137L
+    val got = lRows.toDF("lid", "lk", "lt")
+      .join(rRows.toDF("rid", "rk", "rt"),
+        col("lk") === col("rk") && abs(col("lt") - col("rt")) <= lit(w))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (lid, lk, lt) <- lRows
+      (rid, rk, rt) <- rRows
+      if lk == rk && math.abs(lt - rt) <= w
+    } yield (lid, rid)).toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
   test("already-bucketed join is not re-bucketed (single Generate)") {
     RangeJoinRule.register(spark)
     val optimized = EventsOps.rangeJoin(events).queryExecution.optimizedPlan
