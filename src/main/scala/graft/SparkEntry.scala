@@ -76,6 +76,7 @@ object SparkEntry {
     "media_frames" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.asBinaryTable(docs(s, d))).toDF()),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(docs(s, d))),
+    "pipeline_kept" -> ((s, d) => TrainingPipeline.kept(docs(s, d))),
     // --- deterministic sampling ---
     "hash_sample" -> ((s, d) => Sampling.hashSample(docs(s, d))),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(docs(s, d))),
@@ -146,6 +147,7 @@ object SparkEntry {
     "dedup_normalized" -> Sql.dedupNormalized,
     "simhash_dedup_keep" -> Sql.simhashDedupKeep,
     "quality_filter" -> Sql.qualityFilter,
+    "pipeline_kept" -> Sql.pipelineKept,
     "hash_sample" -> Sql.hashSample,
     "stratified_sample" -> Sql.stratifiedSample,
     "q6_forecast_revenue" -> Sql.q6ForecastRevenue,

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data selection pipeline — the capstone
+  * composition of the engine's stages in ONE lazy lineage:
+  *
+  *   near-dup removal (drop the larger id of each verified
+  *   MinHash/LSH pair) → quality gate (integer-threshold token/char
+  *   ratios) → 10% deterministic hash sample
+  *
+  * Stage-order note: near-dup detection runs against the FULL corpus
+  * — sampling first would split dup pairs across the sample boundary
+  * and leak near-dups into the output; the quality gate and sample
+  * predicates are row-local so their relative order is free and
+  * Catalyst fuses them into one scan of the survivors. Output is the
+  * kept-manifest with provenance stats, the thing a training run
+  * consumes (write it with Sinks.writePartitionedParquet by lang).
+  */
+object TrainingPipeline {
+
+  def kept(docs: DataFrame): DataFrame = {
+    val keptIds = Dedup.nearDupKeep(docs).select(col("kept_id").as("doc_id"))
+    val quality = TextAnalysis.qualityFilter(docs)
+      .select("doc_id", "n_chars", "n_tokens")
+    Sampling.hashSample(docs).select("doc_id", "lang")
+      .join(quality, Seq("doc_id"))
+      .join(keptIds, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "n_chars", "n_tokens")
+  }
+}

@@ -369,6 +369,24 @@ SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id""")
       AND len(list_distinct(toks)) * 10 >= len(toks) * 3""")
   }
 
+  /** The composed training pipeline: quality gate ∧ 10% hash sample
+    * ∧ near-dup keep — each predicate replayed from its stage's
+    * oracle form. */
+  val pipelineKept: String = {
+    val (a, b) = Config.coeffs(0)
+    val stop = listIn("toks", Seq("the", "a", "of", "in", "and"))
+    docQ(s"""SELECT q.doc_id, d.lang, q.n_chars, q.n_tokens
+    FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(len(toks) AS BIGINT) AS n_tokens
+          FROM toktab
+          WHERE len(toks) >= 5 AND length(text) >= 20 AND length(text) <= 10000
+            AND $stop * 2 <= len(toks)
+            AND len(list_distinct(toks)) * 10 >= len(toks) * 3) q
+    JOIN documents d ON q.doc_id = d.doc_id
+    WHERE (($a * q.doc_id + $b) % $P) % 100 < 10
+      AND q.doc_id NOT IN (SELECT id_r FROM simpairs)""")
+  }
+
   val langId: String = {
     import graft.operators.TextAnalysis._
     val en = listIn("toks", EnMarkers)

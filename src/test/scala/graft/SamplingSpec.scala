@@ -5,6 +5,16 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 class SamplingSpec extends SparkSpec {
 
+  test("training pipeline output is the intersection of its three stages") {
+    import graft.operators.{Dedup, Sampling, TextAnalysis, TrainingPipeline}
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val out = TrainingPipeline.kept(docs).collect().map(_.getLong(0)).toSet
+    val kept = Dedup.nearDupKeep(docs).collect().map(_.getLong(0)).toSet
+    val quality = TextAnalysis.qualityFilter(docs).collect().map(_.getLong(0)).toSet
+    val sample = Sampling.hashSample(docs).collect().map(_.getLong(0)).toSet
+    assert(out.nonEmpty && out == (kept & quality & sample))
+  }
+
   private def realDocs = spark.read.parquet(s"$Sf0001/documents.parquet")
 
   test("hash sample is deterministic, ~pct-sized, and repartition-invariant") {
