@@ -118,6 +118,9 @@ object SparkEntry {
     "q19_disjunctive" -> ((s, d) => Relational.q19Disjunctive(s, d)),
     "q21_sole_returns" -> ((s, d) => Relational.q21SoleReturns(s, d)),
     "q12_late_shipping" -> ((s, d) => Relational.q12LateShipping(s, d)),
+    "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
+    "q11_important_suppliers" -> ((s, d) => Relational.q11ImportantSuppliers(s, d)),
+    "q20_dominant_suppliers" -> ((s, d) => Relational.q20DominantSuppliers(s, d)),
     "stats_moments" -> ((s, d) => Relational.statsMoments(s, d)),
     "window_top_orders" -> ((s, d) => Relational.windowTopOrders(s, d)),
     "window_running_total" -> ((s, d) => Relational.windowRunningTotal(s, d)),
@@ -164,6 +167,9 @@ object SparkEntry {
     "q19_disjunctive" -> Sql.q19Disjunctive,
     "q21_sole_returns" -> Sql.q21SoleReturns,
     "q12_late_shipping" -> Sql.q12LateShipping,
+    "q2_min_cost_supplier" -> Sql.q2MinCostSupplier,
+    "q11_important_suppliers" -> Sql.q11ImportantSuppliers,
+    "q20_dominant_suppliers" -> Sql.q20DominantSuppliers,
     "stats_moments" -> Sql.statsMoments,
     "grouping_sets_sales" -> Sql.groupingSetsSales,
     "pivot_sales" -> Sql.pivotSales,

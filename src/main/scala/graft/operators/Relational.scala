@@ -612,6 +612,74 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q2 style (adapted: no partsupp/supplycost — "cost" is
+    * the minimum extended price a supplier ever shipped the part
+    * at): for gear parts in a size whitelist, the ASIA supplier(s)
+    * achieving the part's minimum price. Per-group min join-back via
+    * an unpartitioned-free window over p_partkey (one shuffle on the
+    * aggregated (part, supplier) frame; ties all surface). */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part")
+      .filter(col("p_name").contains("gear") && col("p_size").isin(5, 15, 25, 35, 45))
+      .select("p_partkey", "p_name")
+    val suppAsia = table(spark, dir, "supplier")
+      .join(broadcast(table(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
+    val perPartSupp = table(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppAsia), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("nation"))
+      .agg(min(cents(col("l_extendedprice"))).as("min_price_c"))
+    val w = Window.partitionBy("p_partkey")
+    perPartSupp
+      .withColumn("part_min_c", min(col("min_price_c")).over(w))
+      .filter(col("min_price_c") === col("part_min_c"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("nation"), money(col("min_price_c")).as("min_price"))
+  }
+
+  /** TPC-H Q11 style (adapted: revenue share instead of stock
+    * value): suppliers contributing more than 0.1% of total revenue.
+    * The global total is a 1-row BROADCAST equi-joined on a constant
+    * key (never a nested-loop), and the share test is exact integer
+    * (rev > total div 1000) — no float ratio anywhere. */
+  def q11ImportantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val rev = table(spark, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(sum(revC4).as("rev_c4"))
+    val total = rev.agg(sum(col("rev_c4")).as("total_c4")).withColumn("j", lit(1))
+    rev.withColumn("j", lit(1))
+      .join(broadcast(total), Seq("j"))
+      .filter(col("rev_c4") > expr("total_c4 div 1000"))
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_c4").cast("double") / 10000.0).as("revenue"))
+  }
+
+  /** TPC-H Q20 style (adapted: no partsupp/availqty — "excess"
+    * relative to expectation): suppliers who shipped MORE THAN TWICE
+    * their fair share of some part's total quantity (fair share =
+    * total / #suppliers of the part). Per-part shares via one window
+    * over the aggregated (part, supplier) frame; the comparison is
+    * exact integer cross-multiplication (qty·n > 2·total), never a
+    * float ratio. */
+  def q20DominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val perPartSupp = table(spark, dir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(cents(col("l_quantity"))).as("qty_c"))
+    val w = Window.partitionBy("l_partkey")
+    perPartSupp
+      .withColumn("total_c", sum(col("qty_c")).over(w))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .filter(col("qty_c") * col("n_supp") > col("total_c") * 2)
+      .select("l_suppkey").distinct()
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
   /** TPC-H Q12 style (adapted: no l_shipmode/commitdate — "late"
     * means shipped more than 90 days after the order date): per ship
     * year, line counts split by order priority class. The only

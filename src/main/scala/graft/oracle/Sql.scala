@@ -958,6 +958,44 @@ WHERE rnk <= 3""")
     ORDER BY numwait DESC, s_suppkey
     LIMIT 20"""
 
+  val q2MinCostSupplier: String =
+    s"""SELECT p_partkey, p_name, s_suppkey, s_name, nation,
+      CAST(min_price_c AS DOUBLE) / 100.0 AS min_price
+    FROM (
+      SELECT p_partkey, p_name, s_suppkey, s_name, nation, min_price_c,
+        min(min_price_c) OVER (PARTITION BY p_partkey) AS part_min_c
+      FROM (
+        SELECT p_partkey, p_name, s_suppkey, s_name, n_name AS nation,
+          min(${cents("l_extendedprice")}) AS min_price_c
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+          AND p_name LIKE '%gear%' AND p_size IN (5, 15, 25, 35, 45)
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        GROUP BY 1, 2, 3, 4, 5))
+    WHERE min_price_c = part_min_c"""
+
+  val q11ImportantSuppliers: String =
+    s"""WITH rev AS (
+      SELECT l_suppkey, sum($revC4) AS rev_c4 FROM lineitem GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(rev_c4 AS DOUBLE) / 10000.0 AS revenue
+    FROM rev
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_c4 > (SELECT sum(rev_c4) FROM rev) // 1000"""
+
+  val q20DominantSuppliers: String =
+    s"""SELECT DISTINCT s_suppkey, s_name
+    FROM (
+      SELECT l_partkey, l_suppkey, qty_c,
+        sum(qty_c) OVER (PARTITION BY l_partkey) AS total_c,
+        count(*) OVER (PARTITION BY l_partkey) AS n_supp
+      FROM (
+        SELECT l_partkey, l_suppkey, sum(${cents("l_quantity")}) AS qty_c
+        FROM lineitem GROUP BY 1, 2))
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE qty_c * n_supp > total_c * 2"""
+
   val q12LateShipping: String =
     """SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,

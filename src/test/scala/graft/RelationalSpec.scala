@@ -99,6 +99,31 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q2: every returned supplier achieves its part's minimum price") {
+    val rows = Relational.q2MinCostSupplier(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    val perPart = rows.groupBy(_.getLong(0))
+    perPart.values.foreach { rs =>
+      assert(rs.map(_.getDouble(5)).distinct.length == 1) // all ties share the min
+    }
+  }
+
+  test("q11: every kept supplier clears the 0.1% revenue threshold") {
+    val rows = Relational.q11ImportantSuppliers(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(s"$Sf0001/lineitem.parquet")
+      .select(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("t"))
+      .collect().head.getLong(0)
+    rows.foreach(r => assert(r.getDouble(2) * 10000.0 > (total / 1000L).toDouble))
+  }
+
+  test("q20: dominant suppliers exceed twice their fair share of some part") {
+    val rows = Relational.q20DominantSuppliers(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
   test("q12: line counts sum to the number of late lines") {
     val rows = Relational.q12LateShipping(spark, Sf0001).collect()
     assert(rows.nonEmpty)
