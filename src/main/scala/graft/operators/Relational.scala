@@ -643,16 +643,17 @@ object Relational {
 
   /** TPC-H Q11 style (adapted: revenue share instead of stock
     * value): suppliers contributing more than 0.1% of total revenue.
-    * The global total is a 1-row BROADCAST equi-joined on a constant
-    * key (never a nested-loop), and the share test is exact integer
-    * (rev > total div 1000) — no float ratio anywhere. */
+    * The global total is a 1-ROW broadcast crossed into the
+    * per-supplier frame (a nested-loop join whose inner side is one
+    * row by construction — bounded, see PlanAuditSpec), and the
+    * share test is exact integer (rev > total div 1000) — no float
+    * ratio anywhere. */
   def q11ImportantSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val rev = table(spark, dir, "lineitem")
       .groupBy("l_suppkey")
       .agg(sum(revC4).as("rev_c4"))
-    val total = rev.agg(sum(col("rev_c4")).as("total_c4")).withColumn("j", lit(1))
-    rev.withColumn("j", lit(1))
-      .join(broadcast(total), Seq("j"))
+    val total = rev.agg(sum(col("rev_c4")).as("total_c4"))
+    rev.crossJoin(broadcast(total))
       .filter(col("rev_c4") > expr("total_c4 div 1000"))
       .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
