@@ -74,6 +74,24 @@ class SinksSpec extends SparkSpec {
     assert(back == Map(1L -> "alpha", 2L -> "beta"))
   }
 
+  test("jsonl source lands corrupt lines in _corrupt_record, keeps good rows") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl-corrupt")
+    Files.writeString(dir.resolve("data.jsonl"),
+      """{"doc_id": 1, "text": "good"}
+        |this is not json at all
+        |{"doc_id": 3, "text": "also good"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    val rows = Sources.readJsonl(spark, dir.toString, schema)
+      .collect().map(r => (Option(r.get(0)), Option(r.getString(2)))).toSet
+    assert(rows == Set(
+      (Some(1L), None), (Some(3L), None),
+      (None, Some("this is not json at all"))))
+  }
+
   test("orc sink/source round-trips with pushdown-friendly scan") {
     val dir = Files.createTempDirectory("graft-orc").toString
     val df = docsDf(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
