@@ -32,6 +32,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Logical backward as-of join. Output = left columns followed by
   * the right columns (right side forced nullable: left-outer). */
@@ -73,6 +74,10 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
@@ -93,6 +98,8 @@ case class AsOfJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrdering = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val nRight = right.output.length
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKey = BindReferences.bindReference(leftKey, left.output)
       val lTime = BindReferences.bindReference(leftTime, left.output)
@@ -117,7 +124,7 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKey.eval(l)
-          if (lk == null) return project(joined(l, nullRight))
+          if (lk == null) { numOutputRows += 1; return project(joined(l, nullRight)) }
           val lt = lTime.eval(l)
           val ls = lSeq.eval(l)
           var advancing = lt != null && ls != null
@@ -143,6 +150,8 @@ case class AsOfJoinExec(
           }
           val matched = lastMatch != null && lt != null && ls != null &&
             keyOrdering.compare(lastMatchKey, lk) == 0
+          numOutputRows += 1
+          if (matched) numMatched += 1
           project(joined(l, if (matched) lastMatch else nullRight))
         }
       }
