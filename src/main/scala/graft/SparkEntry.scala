@@ -37,6 +37,7 @@ object SparkEntry {
     "sql_signatures" -> ((s, d) => MinHashLsh.signaturesSql(docs(s, d))),
     "lsh_bands" -> ((s, d) => MinHashLsh.bands(docs(s, d))),
     "candidate_pairs" -> ((s, d) => MinHashLsh.candidatePairs(docs(s, d))),
+    "collision_counts" -> ((s, d) => MinHashLsh.collisionCounts(docs(s, d))),
     "incremental_pairs" -> ((s, d) => {
       val c = org.apache.spark.sql.functions.col("doc_id")
       val all = docs(s, d)
@@ -186,6 +187,7 @@ object SparkEntry {
     "sql_signatures" -> Sql.minhashSignatures,
     "lsh_bands" -> Sql.lshBands,
     "candidate_pairs" -> Sql.candidatePairs,
+    "collision_counts" -> Sql.collisionCounts,
     "incremental_pairs" -> Sql.incrementalPairs,
     "similar_pairs" -> Sql.similarPairs,
     "pairs_symmetric" -> Sql.pairsSymmetric,

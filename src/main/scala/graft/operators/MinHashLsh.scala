@@ -189,6 +189,23 @@ object MinHashLsh {
     if (dedupe) raw.distinct() else raw
   }
 
+  /** Collision-COUNTING candidates (cf. C2Net, ICDE 2019 — counting
+    * collisions instead of boolean collision): each candidate pair
+    * with the number of bands it collides in, a confidence signal
+    * the plain DISTINCT candidate set throws away (a 10-band
+    * collision is near-certainly a dup; a 1-band collision at
+    * b=10/r=6 is often noise). Same single shuffle as
+    * candidatePairs — the DISTINCT just becomes a count aggregate. */
+  def collisionCounts(docs: DataFrame, k: Int = Config.K): DataFrame = {
+    val b = bands(docs, k)
+    val l = b.select(col("band"), col("band_key"), col("doc_id").as("id_l"))
+    val r = b.select(col("band"), col("band_key"), col("doc_id").as("id_r"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_l") < col("id_r"))
+      .groupBy("id_l", "id_r")
+      .agg(count(lit(1)).as("n_collisions"))
+  }
+
   /** Incremental candidate generation — the daily-ingest workflow:
     * find near-dup candidates of a NEW batch against an EXISTING
     * corpus band index plus within the batch itself, WITHOUT

@@ -107,6 +107,12 @@ toktab AS (
 
   val candidatePairs: String = docQ("SELECT id_l, id_r FROM cand")
 
+  val collisionCounts: String = docQ(
+    """SELECT l.doc_id AS id_l, r.doc_id AS id_r, count(*)::BIGINT AS n_collisions
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    GROUP BY 1, 2""")
+
   /** Incremental ingest: corpus = doc_id < 400, batch = the rest —
     * incremental candidates are exactly the full-corpus candidates
     * touching the batch. */

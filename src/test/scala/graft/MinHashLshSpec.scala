@@ -98,6 +98,16 @@ class MinHashLshSpec extends SparkSpec {
     assert(shuffled == viaUdaf)
   }
 
+  test("collision counts cover exactly the candidate set, bounded by Bands, exact dups at max") {
+    val counts = MinHashLsh.collisionCounts(nearDup).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cand = MinHashLsh.candidatePairs(nearDup).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(counts.keySet == cand)
+    assert(counts.values.forall(n => n >= 1 && n <= Config.Bands))
+    assert(counts((1L, 4L)) == Config.Bands) // exact dup collides in every band
+  }
+
   test("incremental candidates equal full-corpus candidates touching the batch") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val split = 50L
