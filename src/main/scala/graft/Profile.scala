@@ -96,6 +96,40 @@ object Profile {
       timeMin(s"asOf native x$m")(force(operators.EventsOps.asOfJoinNative(big)))
     }
 
+    // skew experiment: 90% of a 4M-row fact sits on ONE key; plain
+    // shuffle join puts that key in a single task, salting scatters
+    // it across 8
+    {
+      import org.apache.spark.sql.functions.{broadcast => _, _}
+      val n = 4000000L
+      val facts = spark.range(n).select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 1000L).as("k"),
+        col("id").as("v")).localCheckpoint()
+      val dim = spark.range(1000).select(col("id").as("k"),
+        concat(lit("name_"), col("id")).as("name")).localCheckpoint()
+      def timeMin(name: String)(f: => Unit): Unit = {
+        val best = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"[profile] $name%-28s $best%8.3f s (best of 3)")
+      }
+      // disable broadcast so both paths exercise the SHUFFLE join the
+      // skew guard exists for (a 1000-row dim would broadcast and
+      // sidestep skew entirely — at scale the dim side is too big)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      timeMin("skew join plain")(
+        facts.join(dim, Seq("k")).agg(count(lit(1))).collect())
+      timeMin("skew join salted x8")(
+        operators.Salting.saltedEquiJoin(facts, dim, "k", col("v"))
+          .agg(count(lit(1))).collect())
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      timeMin("skew join plain AQE")(
+        facts.join(dim, Seq("k")).agg(count(lit(1))).collect())
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (64 * 1024 * 1024).toString)
+    }
+
     // scale-slope experiment: replicate the corpus in memory with
     // disjoint id ranges (replicas don't cross-match: texts get a
     // replica tag appended so shingle sets differ) and measure how the
