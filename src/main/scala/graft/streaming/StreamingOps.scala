@@ -94,6 +94,26 @@ object StreamingOps {
       .withWatermark("ts_ts", watermark)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Streaming counterpart of TrainingPipeline.kept: exact dedup
+    * (watermark-bounded state) → quality gate → deterministic hash
+    * sample. The two predicates are row-local (stateless), so the
+    * only stateful operator is the dedup — the whole chain runs in
+    * one micro-batch pass with state bounded by the watermark. The
+    * sample membership is the same affine hash as the batch path,
+    * so a doc keeps the same sample fate in either mode. */
+  def pipelineStream(docs: DataFrame, watermark: String = "1 hour",
+                     pct: Int = 10): DataFrame = {
+    val (a, b) = graft.Config.coeffs(0)
+    val toks = graft.operators.TextAnalysis.tokensCol(col("text"))
+    exactDedupStream(docs, watermark)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .filter(col("n_tokens") >= 5 &&
+        col("n_chars") >= 20 && col("n_chars") <= 10000)
+      .filter(((lit(a) * col("doc_id") + lit(b)) % lit(graft.Config.P)) % 100 < pct)
+      .select("doc_id", "ts_ts", "n_chars", "n_tokens")
+  }
+
   case class BandMember(band: Int, band_key: String, doc_id: Long, hset: Seq[Long])
   case class CandidatePair(id_l: Long, id_r: Long, jaccard: Double)
 

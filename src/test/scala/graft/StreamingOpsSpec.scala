@@ -101,6 +101,36 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pipeline: dedup then quality gate then hash sample") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val (a, b) = Config.coeffs(0)
+    // pick ids on both sides of the 10% sample boundary
+    val inSample = (0L until 1000L).filter(i => ((a * i + b) % Config.P) % 100 < 10)
+    val goodText = "a sentence long enough to clear the twenty character gate easily"
+    val input = MemoryStream[(Long, String, Long)] // (doc_id, text, sec)
+    val df = input.toDF().select($"_1".as("doc_id"), $"_2".as("text"),
+      timestamp_micros($"_3" * 1000000L).as("ts_ts"))
+    val q = StreamingOps.pipelineStream(df).writeStream
+      .format("memory").queryName("pipe").outputMode("append").start()
+    try {
+      val keepId = inSample.head
+      val dropIdSample = (0L until 1000L).find(i => !inSample.contains(i)).get
+      input.addData(
+        (keepId, goodText, 10L),
+        (dropIdSample, goodText + " x", 12L),    // out of sample
+        (inSample(1), "too short", 13L))         // fails quality gate
+      q.processAllAvailable()
+      // dup text arrives in a LATER micro-batch: the stored
+      // representative wins deterministically
+      input.addData((keepId + 1000000L, goodText, 11L))
+      q.processAllAvailable()
+      val rows = s.table("pipe").collect().map(_.getLong(0)).toSet
+      assert(rows == Set(keepId))
+    } finally q.stop()
+  }
+
   test("native session windows close on gap") {
     val s = spark
     import s.implicits._
