@@ -285,6 +285,12 @@ object MinHashLsh {
     // are recomputed later only for docs that survive the prefilter
     // (checkpointing sets for every doc measured ~1s of the chain at
     // sf0.1 and would be O(corpus) state at 100 TB).
+    // Checkpointed deliberately: ReuseExchange does cover the bare
+    // self-join (candidatePairs runs checkpoint-free), but in the
+    // COMPOSITE consumers (dedup keep/groups, pipeline_kept) the
+    // extra plan context around the chain defeats exchange reuse and
+    // the sketch ran twice — measured +0.8 s per composite query
+    // without this checkpoint.
     val base = signatures(docs, k).localCheckpoint()
     // the sig array rides the band explode (bandsCarryingSig) so the
     // agreement prefilter is a join-residual condition — no joins
