@@ -14,7 +14,8 @@ object Explain {
       else Seq("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
         "similar_pairs", "cosine_topk", "events_sessionize",
         "embed_dedup_pairs", "simhash_dedup_pairs", "events_range_join",
-        "tfidf_top_terms")
+        "tfidf_top_terms", "events_asof_native", "events_range_native",
+        "incremental_pairs", "pipeline_kept", "group_sketch")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
