@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators._
+
+/** Degenerate-input behavior: empty corpus, single document, and
+  * whitespace/empty text must flow through the core chains without
+  * crashing and with sane (usually empty) output — the shapes a
+  * 100 TB pipeline hits in stray partitions and fresh ingests. */
+class EdgeCaseSpec extends SparkSpec {
+
+  private val empty = docsDf()
+  private val single = docsDf(1L -> "one lonely document with enough text in it")
+
+  test("empty corpus: minhash chain yields empty frames, not errors") {
+    assert(MinHashLsh.signatures(empty).count() == 0)
+    assert(MinHashLsh.candidatePairs(empty).count() == 0)
+    assert(MinHashLsh.similarPairs(empty).count() == 0)
+    assert(MinHashLsh.collisionCounts(empty).count() == 0)
+    assert(MinHashLsh.groupSketch(empty).count() == 0)
+    assert(Shingling.shingleDict(empty).count() == 0)
+  }
+
+  test("empty corpus: dedup and analysis operators stay empty") {
+    assert(Dedup.exactGroups(empty).count() == 0)
+    assert(Dedup.nearDupKeep(empty).count() == 0)
+    assert(TextAnalysis.simHash(empty).count() == 0)
+    assert(TextAnalysis.tokenStats(empty).count() == 0)
+    import org.apache.spark.sql.functions.{length, lit}
+    assert(TrainingPipeline.kept(empty
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(empty("text")).cast("long"))).count() == 0)
+  }
+
+  test("single document: no self-pairs anywhere") {
+    assert(MinHashLsh.signatures(single).count() == 1)
+    assert(MinHashLsh.candidatePairs(single).count() == 0)
+    assert(MinHashLsh.similarPairs(single).count() == 0)
+    assert(Dedup.nearDupKeep(single).count() == 1)
+  }
+
+  test("empty and whitespace-only texts are dropped by the sketch, kept by token stats") {
+    val docs = docsDf(1L -> "", 2L -> "   ", 3L -> "real content here")
+    // empty text has no shingles -> no signature row; whitespace has
+    // windows (spaces are characters in the reference semantics)
+    val sigs = MinHashLsh.signatures(docs).collect().map(_.getLong(0)).toSet
+    assert(sigs == Set(2L, 3L))
+    assert(TextAnalysis.tokenStats(docs).count() == 3)
+  }
+}
