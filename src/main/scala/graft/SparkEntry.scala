@@ -38,6 +38,12 @@ object SparkEntry {
     "lsh_bands" -> ((s, d) => MinHashLsh.bands(docs(s, d))),
     "candidate_pairs" -> ((s, d) => MinHashLsh.candidatePairs(docs(s, d))),
     "collision_counts" -> ((s, d) => MinHashLsh.collisionCounts(docs(s, d))),
+    "ingest_filter" -> ((s, d) => {
+      val c = org.apache.spark.sql.functions.col("doc_id")
+      val all = docs(s, d)
+      IncrementalIngest.filterBatch(all.filter(c >= 400),
+        MinHashLsh.bands(all.filter(c < 400)), all.filter(c < 400))
+    }),
     "incremental_pairs" -> ((s, d) => {
       val c = org.apache.spark.sql.functions.col("doc_id")
       val all = docs(s, d)
@@ -189,6 +195,7 @@ object SparkEntry {
     "candidate_pairs" -> Sql.candidatePairs,
     "collision_counts" -> Sql.collisionCounts,
     "incremental_pairs" -> Sql.incrementalPairs,
+    "ingest_filter" -> Sql.ingestFilter,
     "similar_pairs" -> Sql.similarPairs,
     "pairs_symmetric" -> Sql.pairsSymmetric,
     "minhash_estimate" -> Sql.minhashEstimate,

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Config
+import graft.functions.PortableHash
+
+/** Continuous corpus ingest with incremental near-dup filtering —
+  * the production loop the incremental candidate operator exists
+  * for: a persistent corpus (texts) + band index (doc_id, band,
+  * band_key) live on disk; each arriving batch is banded, probed
+  * against the index, EXACT-verified against only the matched
+  * corpus docs, and survivors are appended to both stores.
+  *
+  * Scale shape: all per-batch work is batch-sized — the corpus is
+  * touched only through (a) the slim band index on the join's build
+  * side and (b) the handful of matched docs re-read for exact
+  * verification (predicate-pushed doc_id IN (...) scan). Nothing
+  * ever re-bands or re-reads the whole corpus. Verification uses
+  * the same fused sorted-set intersection as the batch path, so a
+  * batch doc is dropped iff a batch-mode run over corpus+batch
+  * would have paired it.
+  */
+object IncrementalIngest {
+
+  /** One ingest round, pure batch-to-batch (the foreachBatch body,
+    * factored for testability): returns the batch docs that survive
+    * near-dup filtering against the corpus AND against earlier-id
+    * batch members. */
+  def filterBatch(batch: DataFrame, corpusBands: DataFrame, corpusTexts: DataFrame,
+                  k: Int = Config.K,
+                  threshold: Double = Config.Threshold): DataFrame = {
+    val cand = MinHashLsh.incrementalCandidates(corpusBands, batch, k)
+      .localCheckpoint() // consumed for both sides' doc-id lists below
+    if (cand.isEmpty) return batch
+    val hset = array_sort(array_distinct(Shingling.shingleHashArray(col("text"), k)))
+    // sets ONLY for docs that appear in some candidate pair: batch
+    // side from the batch, corpus side via a pruned corpus read
+    val ids = cand.select(col("id_l").as("doc_id"))
+      .union(cand.select(col("id_r").as("doc_id"))).distinct()
+    val sets = batch.select(col("doc_id"), col("text"))
+      .union(corpusTexts.select(col("doc_id"), col("text")))
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), hset.as("hset"))
+    val inter = PortableHash.sortedIntersectCount(col("l.hset"), col("r.hset"))
+    val jac = inter.cast("double") /
+      (size(col("l.hset")) + size(col("r.hset")) - inter)
+    // drop the LARGER id of each verified pair — corpus ids are
+    // smaller than batch ids by construction (monotonic ingest), so
+    // corpus docs always win and within-batch dups keep the min id
+    val dupIds = cand
+      .join(sets.as("l"), col("id_l") === col("l.doc_id"))
+      .join(sets.as("r"), col("id_r") === col("r.doc_id"))
+      .filter(jac >= threshold)
+      .select(col("id_r").as("doc_id")).distinct()
+    batch.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** The continuous loop: stream of (doc_id, text, ...) docs →
+    * per-micro-batch incremental dedup against the persistent stores
+    * at `corpusDir`/`indexDir`, survivors appended to both. doc_ids
+    * must be monotonically increasing across batches (ingest
+    * sequence numbers). */
+  def ingestDedupStream(docs: DataFrame, corpusDir: String, indexDir: String,
+                        checkpointDir: String,
+                        k: Int = Config.K,
+                        threshold: Double = Config.Threshold)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        def readOr(path: String, empty: => DataFrame): DataFrame =
+          try spark.read.parquet(path)
+          catch { case _: org.apache.spark.sql.AnalysisException => empty }
+        val emptyBands = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("band",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("band_key",
+              org.apache.spark.sql.types.StringType))))
+        val corpusTexts = readOr(corpusDir, batch.limit(0))
+        val corpusBands = readOr(indexDir, emptyBands)
+        val kept = filterBatch(batch, corpusBands, corpusTexts, k, threshold)
+          .localCheckpoint() // consumed by two appends below
+        kept.write.mode("append").parquet(corpusDir)
+        MinHashLsh.bands(kept, k).write.mode("append").parquet(indexDir)
+      }
+      .start()
+}

@@ -113,6 +113,22 @@ toktab AS (
       ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
     GROUP BY 1, 2""")
 
+  /** Ingest filtering (IncrementalIngest.filterBatch with corpus =
+    * doc_id < 400): a batch doc survives iff NO bucket-colliding
+    * partner (corpus or earlier batch id) reaches exact hash-set
+    * Jaccard >= t. No sketch prefilter here (filterBatch verifies
+    * every candidate directly), so the oracle drops via cand + hset,
+    * not via simpairs. */
+  val ingestFilter: String = docQ(
+    s"""SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id >= 400 AND d.doc_id NOT IN (
+      SELECT c.id_r FROM cand c
+      JOIN hset x ON c.id_l = x.doc_id
+      JOIN hset y ON c.id_r = y.doc_id
+      WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
+            / len(list_distinct(list_concat(x.hs, y.hs))) >= $T)""")
+
   /** Incremental ingest: corpus = doc_id < 400, batch = the rest —
     * incremental candidates are exactly the full-corpus candidates
     * touching the batch. */
