@@ -2,6 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, expr, xxhash64}
 object Bench {
+  /** Release every persisted RDD block. Operator-internal
+    * `localCheckpoint`s pin MEMORY_AND_DISK blocks for the session's
+    * lifetime; across 93 queries × reps in one JVM they squeeze
+    * execution memory and slow UNRELATED queries (the r02 2.8×
+    * across-the-board regression). A harness that runs many queries
+    * in one session must release them between queries. */
+  private def releaseCaches(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, count, lit, row_number}
@@ -60,20 +70,33 @@ object Bench {
           val df = fn(spark, sfDir)
           df.select(xxhash64(df.columns.map(col): _*).as("h"))
             .agg(expr("bit_xor(h)")).collect()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // each rep re-invokes fn and re-checkpoints — release the
+          // blocks so rep N+1 (and every later query) starts clean
+          releaseCaches(spark)
+          dt
         }
         name -> times.min
       } catch {
         case e: Throwable =>
           // a broken query must NOT masquerade as a fast one
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          releaseCaches(spark)
           name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout capture windows have truncated this line before (r02 lost
+    // 31 of 93 timings) — persist the full JSON to a file as well
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
+    println(json)
     spark.stop()
   }
 }

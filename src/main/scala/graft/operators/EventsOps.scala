@@ -131,16 +131,25 @@ object EventsOps {
   def rangeJoin(events: DataFrame, matchType: String = "click",
                 targetType: String = "purchase",
                 windowSec: Int = 600): DataFrame = {
-    val us = withUs(events).localCheckpoint()
+    // NO checkpoint: both sides derive from the same scan but each is
+    // a heavily-filtered sliver — re-scanning twice with pushed
+    // filters is far cheaper than materializing the FULL events frame
+    // (at 100 TB a full-frame checkpoint is O(corpus) executor disk;
+    // at sf0.1 it was the r02 25s pathology, fixed to sub-second)
+    val us = withUs(events)
     val wUs = windowSec * 1000000L
+    // the probe key carries RangeJoinRule's reserved marker prefix:
+    // it tells the optimizer rule this join is ALREADY bucketed (the
+    // explicit opt-out that replaced the old structural sniff)
+    val bucket = s"${org.apache.spark.sql.graft.RangeJoinRule.BucketMarkerPrefix}_manual"
     val targets = us.filter(col("event_type") === targetType)
       .select(col("user_id"), col("event_id").as("target_id"), col("us").as("target_us"),
         explode(array(expr(s"us div $wUs") - 1, expr(s"us div $wUs"),
-          expr(s"us div $wUs") + 1)).as("bucket"))
+          expr(s"us div $wUs") + 1)).as(bucket))
     val matches = us.filter(col("event_type") === matchType)
       .select(col("user_id"), col("event_id").as("match_id"), col("us").as("match_us"),
-        expr(s"us div $wUs").as("bucket"))
-    targets.join(matches, Seq("user_id", "bucket"))
+        expr(s"us div $wUs").as(bucket))
+    targets.join(matches, Seq("user_id", bucket))
       .filter(abs(col("target_us") - col("match_us")) <= wUs)
       .select(col("user_id"), col("target_id"), col("match_id"),
         col("target_us"), col("match_us"),
@@ -159,7 +168,8 @@ object EventsOps {
                       targetType: String = "purchase",
                       windowSec: Int = 600): DataFrame = {
     org.apache.spark.sql.graft.RangeJoinRule.register(events.sparkSession)
-    val us = withUs(events).localCheckpoint()
+    // no checkpoint — same rationale as [[rangeJoin]]
+    val us = withUs(events)
     val wUs = windowSec * 1000000L
     val targets = us.filter(col("event_type") === targetType)
       .select(col("user_id"), col("event_id").as("target_id"), col("us").as("target_us"))

@@ -60,7 +60,15 @@ object IncrementalIngest {
     * per-micro-batch incremental dedup against the persistent stores
     * at `corpusDir`/`indexDir`, survivors appended to both. doc_ids
     * must be monotonically increasing across batches (ingest
-    * sequence numbers). */
+    * sequence numbers).
+    *
+    * Idempotent under foreachBatch's at-least-once replay: both
+    * stores are partitioned by `ingest_batch`, each round OVERWRITES
+    * only its own partition (dynamic partition overwrite), and the
+    * corpus/index reads exclude the in-flight batch's partition — so
+    * a crash between the two writes and the checkpoint commit
+    * replays to the identical result instead of duplicating rows or
+    * leaving the index out of sync with the corpus. */
   def ingestDedupStream(docs: DataFrame, corpusDir: String, indexDir: String,
                         checkpointDir: String,
                         k: Int = Config.K,
@@ -68,10 +76,17 @@ object IncrementalIngest {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // exclude this batch's own partition: on first attempt it
+        // doesn't exist; on replay after a partial write it must not
+        // feed back into the dedup decision (a corpus copy of a batch
+        // doc shares its doc_id, so the id_a =!= id_b filter would
+        // hide it and the replay would diverge from the first run)
         def readOr(path: String, empty: => DataFrame): DataFrame =
           try spark.read.parquet(path)
+            .filter(col("ingest_batch") =!= batchId)
+            .drop("ingest_batch")
           catch { case _: org.apache.spark.sql.AnalysisException => empty }
         val emptyBands = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -85,9 +100,15 @@ object IncrementalIngest {
         val corpusTexts = readOr(corpusDir, batch.limit(0))
         val corpusBands = readOr(indexDir, emptyBands)
         val kept = filterBatch(batch, corpusBands, corpusTexts, k, threshold)
-          .localCheckpoint() // consumed by two appends below
-        kept.write.mode("append").parquet(corpusDir)
-        MinHashLsh.bands(kept, k).write.mode("append").parquet(indexDir)
+          .localCheckpoint() // consumed by two writes below
+        def writePartition(df: DataFrame, dir: String): Unit =
+          df.withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(dir)
+        writePartition(kept, corpusDir)
+        writePartition(MinHashLsh.bands(kept, k), indexDir)
       }
       .start()
 }

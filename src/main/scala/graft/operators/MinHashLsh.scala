@@ -219,7 +219,7 @@ object MinHashLsh {
     * touching the batch (the oracle replays it that way). */
   def incrementalCandidates(corpusBands: DataFrame, newDocs: DataFrame,
                             k: Int = Config.K): DataFrame = {
-    val nb = bands(newDocs).localCheckpoint() // consumed by both joins below
+    val nb = bands(newDocs, k).localCheckpoint() // consumed by both joins below
     val cross = corpusBands
       .select(col("band"), col("band_key"), col("doc_id").as("id_a"))
       .join(nb.select(col("band"), col("band_key"), col("doc_id").as("id_b")),

@@ -96,20 +96,32 @@ object StreamingOps {
 
   /** Streaming counterpart of TrainingPipeline.kept: exact dedup
     * (watermark-bounded state) → quality gate → deterministic hash
-    * sample. The two predicates are row-local (stateless), so the
-    * only stateful operator is the dedup — the whole chain runs in
-    * one micro-batch pass with state bounded by the watermark. The
-    * sample membership is the same affine hash as the batch path,
-    * so a doc keeps the same sample fate in either mode. */
+    * sample. The gate applies the SAME predicates as the batch
+    * `TextAnalysis.qualityFilter` (length, token count, stopword
+    * ratio, type-token ratio — all row-local, stateless), and the
+    * sample membership is the same affine hash, so a doc's gate and
+    * sample fate is identical in either mode. The one semantic
+    * divergence from the batch pipeline is the dedup stage: EXACT
+    * content dedup here vs near-dup (MinHash-verified) in batch —
+    * near-dup membership needs corpus-wide candidate state, which in
+    * streaming is [[nearDupStream]]'s job. */
   def pipelineStream(docs: DataFrame, watermark: String = "1 hour",
                      pct: Int = 10): DataFrame = {
     val (a, b) = graft.Config.coeffs(0)
     val toks = graft.operators.TextAnalysis.tokensCol(col("text"))
+    val stop = Seq("the", "a", "of", "in", "and")
     exactDedupStream(docs, watermark)
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_types", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stopwords",
+        size(filter(toks, t => t.isin(stop: _*))).cast("long"))
       .filter(col("n_tokens") >= 5 &&
-        col("n_chars") >= 20 && col("n_chars") <= 10000)
+        col("n_chars") >= 20 && col("n_chars") <= 10000 &&
+        // stopword_ratio <= 0.5 and type_token_ratio >= 0.3, integer
+        // arithmetic — bit-identical to TextAnalysis.qualityFilter
+        col("n_stopwords") * 2 <= col("n_tokens") &&
+        col("n_types") * 10 >= col("n_tokens") * 3)
       .filter(((lit(a) * col("doc_id") + lit(b)) % lit(graft.Config.P)) % 100 < pct)
       .select("doc_id", "ts_ts", "n_chars", "n_tokens")
   }

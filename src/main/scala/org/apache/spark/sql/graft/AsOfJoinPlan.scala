@@ -139,12 +139,20 @@ case class AsOfJoinExec(
               else {
                 val rt = rTime.eval(rHead)
                 val rs = rSeq.eval(rHead)
-                val precedes = rt != null && rs != null &&
-                  (rt.asInstanceOf[Long] < lt.asInstanceOf[Long] ||
-                    (rt.asInstanceOf[Long] == lt.asInstanceOf[Long] &&
-                      rs.asInstanceOf[Long] <= ls.asInstanceOf[Long]))
-                if (precedes) { lastMatch = rHead; lastMatchKey = rk; rHead = null }
-                else advancing = false
+                if (rt == null || rs == null) {
+                  // null time/seq can never match, and Ascending sort
+                  // puts nulls FIRST — stopping here would leave the
+                  // null row blocking every valid row behind it for
+                  // this key; discard it and keep scanning
+                  rHead = null
+                } else {
+                  val precedes =
+                    rt.asInstanceOf[Long] < lt.asInstanceOf[Long] ||
+                      (rt.asInstanceOf[Long] == lt.asInstanceOf[Long] &&
+                        rs.asInstanceOf[Long] <= ls.asInstanceOf[Long])
+                  if (precedes) { lastMatch = rHead; lastMatchKey = rk; rHead = null }
+                  else advancing = false
+                }
               }
             }
           }

@@ -32,6 +32,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
@@ -48,6 +49,18 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val BucketL = "__graft_bucket_l"
   private val BucketR = "__graft_bucket_r"
+
+  /** Column-name prefix reserved as the "already bucketed" marker.
+    * The rule's own rewrite emits `__graft_bucket_l/_r`; hand-bucketed
+    * joins that must not be re-bucketed (EventsOps.rangeJoin) name
+    * their probe key with this prefix too. */
+  val BucketMarkerPrefix = "__graft_bucket"
+
+  /** Set on the Join node this rule emits — survives later transform
+    * copies (Catalyst copies tags on node replacement), so the
+    * fixed-point batch never re-matches its own output even if the
+    * marker columns get aliased away. */
+  private val rewrittenTag = TreeNodeTag[Boolean]("graft.rangeJoin.rewritten")
 
   private def isIntegral(e: Expression): Boolean = e.dataType match {
     case LongType | IntegerType | ShortType | ByteType => true
@@ -88,22 +101,23 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** True if the subtree already explodes a 3-element probe array —
-    * the structural signature of bucketed-range probing, both this
-    * rule's own rewrite and the hand-bucketed form
-    * (EventsOps.rangeJoin). Suppresses re-bucketing an already-
-    * bucketed join (the residual abs() predicate survives the manual
-    * transform and would otherwise re-match). */
-  private def hasBucketProbeGenerate(plan: LogicalPlan): Boolean = plan.exists {
-    case Generate(Explode(CreateArray(elems, _)), _, _, _, _, _)
-        if elems.length == 3 && elems.forall(isIntegral) => true
-    case _ => false
+  /** True if EITHER side already carries a `__graft_bucket*` marker
+    * column — this rule's own rewrite (`__graft_bucket_l/_r`) or a
+    * hand-bucketed form that opted out by naming its probe key with
+    * the reserved prefix (EventsOps.rangeJoin). An EXPLICIT marker,
+    * not a structural sniff: an unrelated 3-element integral explode
+    * under either child no longer suppresses a rewrite the user asked
+    * for, and a hand-bucketed join is recognized whichever side its
+    * probe explode sits on. */
+  private def hasBucketMarker(plan: LogicalPlan): Boolean = plan.exists {
+    node => node.output.exists(_.name.startsWith(BucketMarkerPrefix))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if !cond.references.exists(a => a.name == BucketL || a.name == BucketR) &&
-          !hasBucketProbeGenerate(left) =>
+        if j.getTagValue(rewrittenTag).isEmpty &&
+          !cond.references.exists(a => a.name.startsWith(BucketMarkerPrefix)) &&
+          !hasBucketMarker(left) && !hasBucketMarker(right) =>
       val conjuncts = splitConjunctivePredicates(cond)
       conjuncts.flatMap(c => rangePredicate(c, left, right)).headOption match {
         case Some((lt, rt, w)) =>
@@ -116,7 +130,9 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           val brAlias = Alias(floorDiv(rt, w), BucketR)()
           val rightProj = Project(right.output :+ brAlias, right)
           val newCond = And(cond, EqualTo(bl, brAlias.toAttribute))
-          Project(j.output, Join(leftGen, rightProj, Inner, Some(newCond), hint))
+          val newJoin = Join(leftGen, rightProj, Inner, Some(newCond), hint)
+          newJoin.setTagValue(rewrittenTag, true)
+          Project(j.output, newJoin)
         case None => j
       }
   }

@@ -49,6 +49,28 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 100L, 13L, None, None)))
   }
 
+  test("null right time/seq rows are skipped, not scan-blocking") {
+    import spark.implicits._
+    // Ascending sort puts nulls FIRST within a key group: the null-us
+    // right row heads key 1's group. The scan must discard it and
+    // still find the valid row behind it (the r02 advisory bug left
+    // every left row of the key unmatched).
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 11L)).toDF("user_id", "us", "event_id")
+    val right = Seq(
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)),
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(90L), java.lang.Long.valueOf(2L)),
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(50L), null.asInstanceOf[java.lang.Long]),
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(60L), java.lang.Long.valueOf(4L))
+    ).toDF("m_user", "m_us", "m_id")
+    val out = org.apache.spark.sql.graft.AsOfJoinApi.join(
+        left, right, "user_id", "m_user", "us", "m_us", "event_id", "m_id")
+      .select("user_id", "m_us", "m_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(out == Set(
+      (1L, Some(90L), Some(2L)),
+      (2L, Some(60L), Some(4L))))
+  }
+
   test("randomized: native as-of equals a brute-force scala baseline") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

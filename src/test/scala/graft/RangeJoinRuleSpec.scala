@@ -73,6 +73,23 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(got == expected && expected.nonEmpty)
   }
 
+  test("unrelated left-side 3-element explode does NOT suppress the rewrite") {
+    RangeJoinRule.register(spark)
+    import spark.implicits._
+    // the old structural guard keyed on "any 3-element integral
+    // explode under the left child" and silently disabled the
+    // rewrite a user asked for in exactly this shape
+    val l = Seq((1L, 100L, Seq(7L, 8L, 9L)), (2L, 900L, Seq(1L, 2L, 3L)))
+      .toDF("lid", "lt", "tags")
+      .select(col("lid"), col("lt"), explode(col("tags")).as("tag"))
+    val r = Seq((10L, 150L), (11L, 5000L)).toDF("rid", "rt")
+    val joined = l.join(r, abs(col("lt") - col("rt")) <= lit(100L))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    val rows = joined.select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(rows.toSet == Set((1L, 10L)) && rows.length == 3) // one per exploded tag
+  }
+
   test("already-bucketed join is not re-bucketed (single Generate)") {
     RangeJoinRule.register(spark)
     val optimized = EventsOps.rangeJoin(events).queryExecution.optimizedPlan
