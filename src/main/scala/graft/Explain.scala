@@ -1,16 +1,30 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import java.nio.file.{Files, Paths}
 
-/** Plan-audit main: prints the formatted physical plan of selected
-  * queries so shuffle counts, broadcast choices, PushedFilters and
-  * WholeStageCodegen spans can be eyeballed per round.
-  * Usage: runMain graft.Explain <sfDir> [query ...]
+/** Plan-audit main: formatted physical plans of SparkEntry queries,
+  * so shuffle counts, broadcast choices, PushedFilters and
+  * WholeStageCodegen spans can be eyeballed — and DIFFED — per round
+  * (a plan regression should surface in review, not as a bench
+  * mystery).
+  *
+  * Usage: runMain graft.Explain <sfDir> [--out dir] [query ...]
+  * With --out, writes one `<dir>/<name>.txt` per query (all queries
+  * when none are named) — commit the directory as PLANS_r{N}/.
+  * Without --out, prints the (selected or default) plans to stdout.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.tail.toSeq
+    val rest = args.drop(1).toSeq
+    val outDir = rest.sliding(2).collectFirst { case Seq("--out", d) => d }
+    val named = rest.filterNot(_.startsWith("--"))
+      .filterNot(d => outDir.contains(d))
+    val names =
+      if (named.nonEmpty) named
+      else if (outDir.nonEmpty) SparkEntry.queries.keys.toSeq.sorted
       else Seq("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
         "similar_pairs", "cosine_topk", "events_sessionize",
         "embed_dedup_pairs", "simhash_dedup_pairs", "events_range_join",
@@ -28,9 +42,21 @@ object Explain {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    outDir.foreach(d => new java.io.File(d).mkdirs())
     names.foreach { n =>
-      println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val plan =
+        try SparkEntry.queries(n)(spark, sfDir).queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        catch { case e: Throwable => s"FAILED TO PLAN: ${e.getMessage}" }
+      outDir match {
+        case Some(d) => Files.writeString(Paths.get(s"$d/$n.txt"), plan)
+        case None =>
+          println(s"\n========== $n ==========")
+          println(plan)
+      }
+      // some query constructors materialize checkpoints — release them
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

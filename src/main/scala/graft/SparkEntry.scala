@@ -37,6 +37,10 @@ object SparkEntry {
     "sql_signatures" -> ((s, d) => MinHashLsh.signaturesSql(docs(s, d))),
     "lsh_bands" -> ((s, d) => MinHashLsh.bands(docs(s, d))),
     "candidate_pairs" -> ((s, d) => MinHashLsh.candidatePairs(docs(s, d))),
+    // scale posture: the degenerate-bucket guard ON (cap chosen so it
+    // genuinely drops buckets at sf0.01 — max bucket there is 58)
+    "candidate_pairs_capped" -> ((s, d) =>
+      MinHashLsh.candidatePairs(docs(s, d), maxBucket = Some(20))),
     "collision_counts" -> ((s, d) => MinHashLsh.collisionCounts(docs(s, d))),
     "ingest_filter" -> ((s, d) => {
       val c = org.apache.spark.sql.functions.col("doc_id")
@@ -67,6 +71,10 @@ object SparkEntry {
     // input is quadratic (pillar A is the scale path)
     "ml_minhash_pairs" -> ((s, d) =>
       graft.ml.MlMinHash.pairs(docs(s, d).filter(org.apache.spark.sql.functions.col("doc_id") < 500))),
+    // rows-only: per-query bucket probe (approxNearestNeighbors) on
+    // the same bounded subset as the pairs cross-check
+    "ml_ann_topk" -> ((s, d) =>
+      graft.ml.MlMinHash.annTopK(docs(s, d).filter(org.apache.spark.sql.functions.col("doc_id") < 500))),
     "simhash" -> ((s, d) => TextAnalysis.simHash(docs(s, d))),
     "simhash_dedup_pairs" -> ((s, d) => TextAnalysis.simHashPairs(docs(s, d))),
     "simhash_dedup_keep" -> ((s, d) => TextAnalysis.simHashKeep(docs(s, d))),
@@ -82,6 +90,13 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.asBinaryTable(docs(s, d))).toDF()),
     "media_frames" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.asBinaryTable(docs(s, d))).toDF()),
+    // binary→binary composition: resize (byte decimation) feeding the
+    // frame sampler — the multimodal pipeline shape end-to-end
+    "media_resize" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.resizeStub(Multimodal.asBinaryTable(docs(s, d))).toDF()
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("payload"))).toDF()),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(docs(s, d))),
     "pipeline_kept" -> ((s, d) => TrainingPipeline.kept(docs(s, d))),
     // --- deterministic sampling ---
@@ -105,6 +120,9 @@ object SparkEntry {
     "events_range_native" -> ((s, d) => EventsOps.rangeJoinNative(events(s, d))),
     "events_funnel" -> ((s, d) => EventsOps.funnel(events(s, d))),
     "events_retention" -> ((s, d) => EventsOps.retention(events(s, d))),
+    // --- streaming (real Structured Streaming runs, memory sink) ---
+    "stream_window_counts" -> ((s, d) => graft.streaming.StreamingQueries.streamWindowCounts(s, d)),
+    "stream_near_dup" -> ((s, d) => graft.streaming.StreamingQueries.streamNearDup(s, d)),
     // --- relational coverage ---
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
@@ -193,6 +211,8 @@ object SparkEntry {
     "sql_signatures" -> Sql.minhashSignatures,
     "lsh_bands" -> Sql.lshBands,
     "candidate_pairs" -> Sql.candidatePairs,
+    // the cap constant MUST match the registered query's maxBucket
+    "candidate_pairs_capped" -> Sql.candidatePairsCapped(20),
     "collision_counts" -> Sql.collisionCounts,
     "incremental_pairs" -> Sql.incrementalPairs,
     "ingest_filter" -> Sql.ingestFilter,
@@ -214,12 +234,15 @@ object SparkEntry {
     "media_meta" -> Sql.mediaMeta,
     "media_features" -> Sql.mediaFeatures,
     "media_frames" -> Sql.mediaFrames,
+    "media_resize" -> Sql.mediaResize,
     "array_funcs" -> Sql.arrayFuncs,
     "embedding_norms" -> Sql.embeddingNorms,
     "cosine_topk" -> Sql.cosineTopK,
     "ann_buckets" -> Sql.annBuckets,
     "ann_topk" -> Sql.annTopK,
     "events_window_agg" -> Sql.eventsWindowAgg,
+    "stream_window_counts" -> Sql.streamWindowCounts,
+    "stream_near_dup" -> Sql.streamNearDup,
     "events_sessionize" -> Sql.eventsSessionize,
     "events_props_agg" -> Sql.eventsPropsAgg,
     "events_json_deciles" -> Sql.eventsJsonDeciles,

@@ -61,4 +61,42 @@ object MlMinHash {
         col("datasetB.doc_id").as("id_r"),
         (lit(1.0) - col("jaccard_dist")).as("jaccard"))
   }
+
+  /** Per-QUERY ANN probe through MLlib's approxNearestNeighbors —
+    * the bucket-probe consumer shape (cf. the reference's per-key
+    * bucket probe, MinHashLSH.java:135-143): hash ONE key on the
+    * driver, scan only its hash-bucket matches, exact-rank the
+    * survivors. The natural API for "top-k neighbors of THIS doc"
+    * (approxSimilarityJoin is the corpus × corpus form). Query keys
+    * here are every `queryEvery`-th doc, probed in a driver loop —
+    * that is the API's intended per-request shape, not a data-scale
+    * loop (requests are O(#queries), the corpus is never collected).
+    * Rows-only check: MLlib's internal hash family is not
+    * SQL-replayable. */
+  def annTopK(docs: DataFrame, k: Int = Config.K, numNeighbors: Int = 3,
+              numHashTables: Int = 5, queryEvery: Long = 100): DataFrame = {
+    val sets = Shingling.shingleSets(docs, k).coalesce(4).localCheckpoint()
+    val cv = new CountVectorizer()
+      .setInputCol("shingle_set").setOutputCol("features").setBinary(true)
+      .setVocabSize(1 << 21)
+    val vecs = cv.fit(sets).transform(sets)
+      .select(col("doc_id"), col("features")).localCheckpoint()
+    val model = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables)
+      .setSeed(Config.Seed)
+      .fit(vecs)
+    val queries = vecs.filter(col("doc_id") % queryEvery === 0).collect()
+    queries.map { row =>
+      val qid = row.getLong(0)
+      val qv = row.getAs[org.apache.spark.ml.linalg.Vector](1)
+      // ask for one extra: the key itself is its own nearest neighbor
+      model.approxNearestNeighbors(vecs, qv, numNeighbors + 1, "jaccard_dist")
+        .filter(col("doc_id") =!= qid)
+        .orderBy(col("jaccard_dist"), col("doc_id"))
+        .limit(numNeighbors)
+        .select(lit(qid).as("query_id"), col("doc_id").as("neighbor_id"),
+          (lit(1.0) - col("jaccard_dist")).as("jaccard"))
+    }.reduce(_ union _)
+  }
 }

@@ -107,6 +107,17 @@ toktab AS (
 
   val candidatePairs: String = docQ("SELECT id_l, id_r FROM cand")
 
+  /** candidatePairs with the degenerate-bucket guard ON: buckets
+    * holding more than m members contribute no pairs — the scale
+    * posture's skew cap, replayed exactly. */
+  def candidatePairsCapped(m: Int): String = docQ(
+    s"""SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+    FROM (SELECT band, band_key FROM bands
+          GROUP BY band, band_key HAVING count(*) <= $m) ok
+    JOIN bands l ON l.band = ok.band AND l.band_key = ok.band_key
+    JOIN bands r ON r.band = ok.band AND r.band_key = ok.band_key
+      AND l.doc_id < r.doc_id""")
+
   val collisionCounts: String = docQ(
     """SELECT l.doc_id AS id_l, r.doc_id AS id_r, count(*)::BIGINT AS n_collisions
     FROM bands l JOIN bands r
@@ -324,6 +335,26 @@ SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id""")
     FROM documents,
       LATERAL (SELECT unnest(generate_series(0,
         CAST(ceil(length(text) / 64.0) AS INTEGER) - 1)) AS i) t"""
+
+  /** resizeStub(factor=4) → frameSample(64): the resized payload
+    * keeps every 4th byte (texts are ASCII, so byte i = char i+1);
+    * frames then chunk the RESIZED string exactly like mediaFrames. */
+  val mediaResize: String =
+    s"""WITH resized AS (
+      SELECT doc_id,
+        string_agg(substr(text, (i - 1) * 4 + 1, 1), '' ORDER BY i) AS rtext
+      FROM documents,
+        LATERAL (SELECT unnest(generate_series(1,
+          CAST(ceil(length(text) / 4.0) AS INTEGER))) AS i) t
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(t.i AS INTEGER) AS frame_idx,
+      CAST(t.i * 64 AS BIGINT) AS "offset",
+      CAST(length(substr(rtext, t.i * 64 + 1, 64)) AS BIGINT) AS frame_bytes,
+      ${foldHash("substr(rtext, t.i * 64 + 1, 64)")} AS frame_hash
+    FROM resized,
+      LATERAL (SELECT unnest(generate_series(0,
+        CAST(ceil(length(rtext) / 64.0) AS INTEGER) - 1)) AS i) t"""
 
   val arrayFuncs: String =
     """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
@@ -561,6 +592,24 @@ WHERE rnk <= 3""")
       ${money(s"sum(${cents("value")})")} AS sum_value
     FROM (SELECT event_type, (epoch_us(ts) // 1000000) // 600 * 600 AS window_start_sec, value FROM events)
     GROUP BY event_type, window_start_sec"""
+
+  /** Streaming windowCounts in complete mode = the batch GROUP BY;
+    * Spark's window() is epoch-aligned floor to the window length. */
+  val streamWindowCounts: String =
+    s"""SELECT window_start_us, event_type, count(*)::BIGINT AS n_events,
+      ${money(s"sum(${cents("value")})")} AS sum_value
+    FROM (SELECT event_type, epoch_us(ts) // 600000000 * 600000000 AS window_start_us, value FROM events)
+    GROUP BY window_start_us, event_type"""
+
+  /** Streaming nearDupStream with an uncapped bucket = band-collision
+    * candidates verified at EXACT hash-set Jaccard >= t (no sketch
+    * prefilter — the stream verifies every collision directly). */
+  val streamNearDup: String = {
+    val jac = "len(list_intersect(x.hs, y.hs))::DOUBLE / len(list_distinct(list_concat(x.hs, y.hs)))"
+    docQ(s"""SELECT c.id_l, c.id_r, $jac AS jaccard
+    FROM cand c JOIN hset x ON c.id_l = x.doc_id JOIN hset y ON c.id_r = y.doc_id
+    WHERE $jac >= $T""")
+  }
 
   val eventsSessionize: String =
     s"""WITH e AS (

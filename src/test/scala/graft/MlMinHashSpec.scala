@@ -21,6 +21,26 @@ class MlMinHashSpec extends SparkSpec {
     assert(overlapB >= 0.8, s"B-recall in A too low: $overlapB")
   }
 
+  test("annTopK: per-query probe returns k true-ish neighbors, self excluded") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val rows = MlMinHash.annTopK(docs, numNeighbors = 3, queryEvery = 50).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (qid, ns) =>
+      assert(ns.length <= 3)
+      assert(!ns.exists(_.getLong(1) == qid), s"query $qid returned itself")
+    }
+    // the planted near-dup of a query doc must surface as its top hit:
+    // pick any verified pair whose smaller id is a query id
+    val sim = MinHashLsh.similarPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = sim.filter { case (l, _) => l % 50 == 0 }
+    planted.foreach { case (q, dup) =>
+      val hits = byQuery.get(q).toSeq.flatten.map(_.getLong(1)).toSet
+      assert(hits.contains(dup), s"query $q missing planted near-dup $dup (got $hits)")
+    }
+  }
+
   test("mllib pairs are deterministic under the fixed seed") {
     val docs = docsDf(
       1L -> "the quick brown fox jumps over the lazy dog",
