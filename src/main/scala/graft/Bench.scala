@@ -2,15 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, expr, xxhash64}
 object Bench {
-  /** Release every persisted RDD block. Operator-internal
-    * `localCheckpoint`s pin MEMORY_AND_DISK blocks for the session's
-    * lifetime; across 93 queries × reps in one JVM they squeeze
-    * execution memory and slow UNRELATED queries (the r02 2.8×
-    * across-the-board regression). A harness that runs many queries
-    * in one session must release them between queries. */
+  // see graft.Caches — the r02 2.8× regression lesson
   private def releaseCaches(spark: SparkSession): Unit =
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    Caches.releaseAll(spark)
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window

@@ -55,8 +55,7 @@ object Explain {
           println(plan)
       }
       // some query constructors materialize checkpoints — release them
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      Caches.releaseAll(spark)
     }
     spark.stop()
   }

@@ -35,8 +35,7 @@ object Verify {
         // operator-internal localCheckpoints pin blocks for the
         // session lifetime; 90+ queries in one JVM must release them
         // (same lesson as Bench — the r02 2.8× regression)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        Caches.releaseAll(spark)
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -14,8 +14,28 @@ import org.apache.spark.sql.DataFrame
   * that shuffling them is free.
   */
 object Par {
+  private val DefaultSplitBytes = 128L * 1024 * 1024
+
+  /** Estimated scan-split count, read from the ANALYZED plan's file
+    * statistics — no physical planning, no RDD materialization (the
+    * previous `df.rdd.getNumPartitions` planned the entire query just
+    * to count partitions, once per registered-query construction). */
+  private def estimatedSplits(df: DataFrame): Option[Long] = {
+    val splitBytes =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes"))
+      catch { case _: Throwable => DefaultSplitBytes }
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        math.max(1L, (l.relation.sizeInBytes + splitBytes - 1) / splitBytes)
+    }
+  }
+
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    estimatedSplits(df) match {
+      case Some(n) if n >= target => df // big scan: already parallel
+      case _ => df.repartition(target) // small or unknown: cheap floor
+    }
   }
 }
