@@ -123,6 +123,12 @@ object SparkEntry {
     // --- streaming (real Structured Streaming runs, memory sink) ---
     "stream_window_counts" -> ((s, d) => graft.streaming.StreamingQueries.streamWindowCounts(s, d)),
     "stream_near_dup" -> ((s, d) => graft.streaming.StreamingQueries.streamNearDup(s, d)),
+    "stream_session_windows" -> ((s, d) => graft.streaming.StreamingQueries.streamSessionWindows(s, d)),
+    "stream_enrich" -> ((s, d) => graft.streaming.StreamingQueries.streamEnrich(s, d)),
+    "stream_range_join" -> ((s, d) => graft.streaming.StreamingQueries.streamRangeJoin(s, d)),
+    "stream_exact_dedup" -> ((s, d) => graft.streaming.StreamingQueries.streamExactDedup(s, d)),
+    "stream_pipeline" -> ((s, d) => graft.streaming.StreamingQueries.streamPipeline(s, d)),
+    "stream_sessionize" -> ((s, d) => graft.streaming.StreamingQueries.streamSessionize(s, d)),
     // --- relational coverage ---
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
@@ -243,6 +249,12 @@ object SparkEntry {
     "events_window_agg" -> Sql.eventsWindowAgg,
     "stream_window_counts" -> Sql.streamWindowCounts,
     "stream_near_dup" -> Sql.streamNearDup,
+    "stream_session_windows" -> Sql.streamSessionWindows,
+    "stream_enrich" -> Sql.streamEnrich,
+    "stream_range_join" -> Sql.streamRangeJoin,
+    "stream_exact_dedup" -> Sql.streamExactDedup,
+    "stream_pipeline" -> Sql.streamPipeline,
+    "stream_sessionize" -> Sql.streamSessionize,
     "events_sessionize" -> Sql.eventsSessionize,
     "events_props_agg" -> Sql.eventsPropsAgg,
     "events_json_deciles" -> Sql.eventsJsonDeciles,

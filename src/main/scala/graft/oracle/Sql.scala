@@ -611,6 +611,86 @@ WHERE rnk <= 3""")
     WHERE $jac >= $T""")
   }
 
+  /** Streaming session_window sessions: merge at <= gap (an event at
+    * exactly last+gap EXTENDS the session — verified empirically), so
+    * a new session starts iff the micros gap strictly exceeds 30 min;
+    * session end = last event + gap. */
+  val streamSessionWindows: String =
+    s"""WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, ${cents("value")} AS c FROM events
+    ),
+    f AS (
+      SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                     THEN 1::BIGINT ELSE 0::BIGINT END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM f
+    )
+    SELECT user_id, min(us) AS session_start_us, max(us) + 1800000000 AS session_end_us,
+      count(*)::BIGINT AS n_events, ${money("sum(c)")} AS sum_value
+    FROM s GROUP BY user_id, sid"""
+
+  /** Stream-static enrichment = plain left join to the customer dim. */
+  val streamEnrich: String =
+    """SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment, c.c_nationkey
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"""
+
+  /** Stream-stream interval join: one-sided 600 s window (clicks at
+    * or before the purchase). */
+  val streamRangeJoin: String =
+    """SELECT t.user_id, t.target_id, m.match_id, t.target_us, m.match_us
+    FROM (SELECT user_id, event_id AS target_id, epoch_us(ts) AS target_us
+          FROM events WHERE event_type = 'purchase') t
+    JOIN (SELECT user_id, event_id AS match_id, epoch_us(ts) AS match_us
+          FROM events WHERE event_type = 'click') m
+      ON t.user_id = m.user_id
+     AND m.match_us >= t.target_us - 600 * 1000000
+     AND m.match_us <= t.target_us"""
+
+  /** Streaming exact dedup over the doc∪shifted-copy feed: every copy
+    * is dropped (its original arrived in an earlier micro-batch), so
+    * the kept set is exactly the original documents. */
+  val streamExactDedup: String =
+    """SELECT doc_id, (3600 + doc_id) * 1000000 AS us, md5(text) AS text_md5 FROM documents"""
+
+  /** Streaming pipeline = exact dedup (drops only the copies) ∘
+    * quality gate ∘ 10% hash sample — the batch gate + sample
+    * predicates over the original documents. */
+  val streamPipeline: String = {
+    val (a, b) = Config.coeffs(0)
+    val stop = listIn("toks", Seq("the", "a", "of", "in", "and"))
+    docQ(s"""SELECT doc_id, (3600 + doc_id) * 1000000 AS us,
+      CAST(length(text) AS BIGINT) AS n_chars, CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM toktab
+    WHERE len(toks) >= 5 AND length(text) >= 20 AND length(text) <= 10000
+      AND $stop * 2 <= len(toks)
+      AND len(list_distinct(toks)) * 10 >= len(toks) * 3
+      AND (($a * doc_id + $b) % $P) % 100 < 10""")
+  }
+
+  /** Custom-state streaming sessionization: gap chaining in MICROS
+    * (`diff > gap` starts a new session), bounds floored to seconds. */
+  val streamSessionize: String =
+    s"""WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, ${cents("value")} AS c FROM events
+    ),
+    f AS (
+      SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                     THEN 1::BIGINT ELSE 0::BIGINT END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM f
+    )
+    SELECT user_id, min(us) // 1000000 AS start_sec, max(us) // 1000000 AS end_sec,
+      count(*)::BIGINT AS n_events, ${money("sum(c)")} AS sum_value
+    FROM s GROUP BY user_id, sid"""
+
   val eventsSessionize: String =
     s"""WITH e AS (
       SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS sec, ${cents("value")} AS c FROM events

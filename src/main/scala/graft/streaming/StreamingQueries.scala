@@ -58,6 +58,210 @@ object StreamingQueries {
       col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Native session windows computed by the STREAMING sessionWindows
+    * (watermark + session_window aggregation) in append output mode.
+    * Append emits a session only once the watermark passes its end,
+    * so after the time-ordered feed two far-future sentinel events
+    * (filtered from the output) advance the watermark and flush every
+    * real session: the sentinel batch raises the max event time, and
+    * the batch after it runs with the advanced watermark. Empirically
+    * session_window merges events at EXACTLY gap distance (an event
+    * at last+gap extends the session), i.e. a new session starts iff
+    * the gap is strictly exceeded — the oracle replays that with
+    * lag()-over-user chaining. Output keys are integer epoch micros. */
+  def streamSessionWindows(spark: SparkSession, sfDir: String,
+                           nChunks: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val rows = events
+      .select(col("user_id"), EventsOps.microsCol(events).as("us"), col("value"))
+      .as[(Long, Long, Double)].collect().sortBy(_._2).toIndexedSeq
+    val maxUs = rows.last._2
+    val input = MemoryStream[(Long, Long, Double)]
+    val stream = input.toDF().toDF("user_id", "us", "value")
+      .withColumn("ts_ts", timestamp_micros(col("us")))
+    val name = "graft_stream_session_windows"
+    val q = StreamingOps.sessionWindows(stream).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      feed(input, rows, nChunks, () => q.processAllAvailable())
+      Seq(1, 2).foreach { i =>
+        input.addData((-i.toLong, maxUs + i * 4L * 3600 * 1000000L, 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Stream-static enrichment: each streaming event joined to its
+    * user's customer-dimension row (events.user_id is a c_custkey).
+    * Stateless — every micro-batch broadcasts the dim and emits its
+    * enriched rows, so the final table equals the batch left join
+    * whatever the chunking. */
+  def streamEnrich(spark: SparkSession, sfDir: String,
+                   nChunks: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)].collect().sortBy(_._1).toIndexedSeq
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"), col("c_nationkey"))
+    val input = MemoryStream[(Long, Long, String, Double)]
+    val stream = input.toDF().toDF("event_id", "user_id", "event_type", "value")
+    val name = "graft_stream_enrich"
+    val q = StreamingOps.enrichStream(stream, dim).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try feed(input, rows, nChunks, () => q.processAllAvailable())
+    finally q.stop()
+    spark.table(name).select("event_id", "user_id", "event_type", "value",
+      "c_mktsegment", "c_nationkey")
+  }
+
+  /** Stream-STREAM interval join (rangeJoinStream): purchases joined
+    * to the same user's clicks in the preceding 600 s. Both streams
+    * are fed in lockstep over ALIGNED TIME windows (not row counts):
+    * every click with m_ts <= a target's ts arrives in the same
+    * micro-batch as the target or earlier, so with the default
+    * 30-minute watermark (>> the 600 s join window) no buffered row
+    * is evicted before its partner arrives and the inner-join output
+    * equals the batch interval join exactly. */
+  def streamRangeJoin(spark: SparkSession, sfDir: String,
+                      nChunks: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val all = events
+      .select(col("user_id"), col("event_id"), EventsOps.microsCol(events).as("us"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val targets = all.filter(_._4 == "purchase").sortBy(_._3)
+    val matches = all.filter(_._4 == "click").sortBy(_._3)
+    val lo = all.iterator.map(_._3).min
+    val step = math.max(1L, (all.iterator.map(_._3).max - lo) / nChunks + 1)
+    val tIn = MemoryStream[(Long, Long, Long)]
+    val mIn = MemoryStream[(Long, Long, Long)]
+    def asDf(in: MemoryStream[(Long, Long, Long)]): DataFrame =
+      in.toDF().toDF("user_id", "event_id", "us")
+        .withColumn("ts_ts", timestamp_micros(col("us"))).drop("us")
+    val name = "graft_stream_range_join"
+    val q = StreamingOps.rangeJoinStream(asDf(tIn), asDf(mIn)).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try (0 until nChunks).foreach { j =>
+      val a = lo + j * step
+      val b = a + step
+      tIn.addData(targets.filter(r => r._3 >= a && r._3 < b).map(r => (r._1, r._2, r._3)).toSeq)
+      mIn.addData(matches.filter(r => r._3 >= a && r._3 < b).map(r => (r._1, r._2, r._3)).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).select(col("user_id"), col("target_id"), col("match_id"),
+      unix_micros(col("ts_ts")).as("target_us"),
+      unix_micros(col("m_ts")).as("match_us"))
+  }
+
+  /** Dedup-stream feed: the documents table followed by an exact COPY
+    * of every text under a shifted doc_id, with synthetic event times
+    * (originals at doc_id seconds, copies offset past the originals'
+    * span but well inside the 1 h dedup watermark at the oracle sf).
+    * Fed time-sorted, every copy arrives after its original and in a
+    * LATER micro-batch (texts are distinct within each half), so the
+    * streaming dedup deterministically keeps exactly the originals. */
+  private def dedupFeed(spark: SparkSession, sfDir: String): IndexedSeq[(Long, String, Long)] = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val n = docs.length
+    // +3600 s base: an event at epoch 0 sits exactly on the initial
+    // watermark and is discarded as late — keep every feed time
+    // strictly above the largest watermark the run can reach
+    val originals = docs.map { case (id, t) => (id, t, (3600 + id) * 1000000L) }
+    val copies = docs.map { case (id, t) => (id + 1000000L, t, (3600 + n + 100 + id) * 1000000L) }
+    (originals ++ copies).sortBy(_._3).toIndexedSeq
+  }
+
+  /** Streaming exact dedup over the doc∪copy feed: every shifted copy
+    * is dropped by dropDuplicatesWithinWatermark state carried across
+    * micro-batches; the kept set is exactly the original documents
+    * (replayed by batch SQL over the documents table alone). */
+  def streamExactDedup(spark: SparkSession, sfDir: String,
+                       nChunks: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = dedupFeed(spark, sfDir)
+    val input = MemoryStream[(Long, String, Long)]
+    val stream = input.toDF().toDF("doc_id", "text", "us")
+      .withColumn("ts_ts", timestamp_micros(col("us")))
+    val name = "graft_stream_exact_dedup"
+    val q = StreamingOps.exactDedupStream(stream).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try feed(input, rows, nChunks, () => q.processAllAvailable())
+    finally q.stop()
+    spark.table(name).select(col("doc_id"),
+      unix_micros(col("ts_ts")).as("us"), col("text_md5"))
+  }
+
+  /** The full streaming training pipeline (exact dedup → quality gate
+    * → deterministic hash sample) over the same doc∪copy feed: the
+    * copies prove the stateful dedup stage, and the row-local gate +
+    * sample are bit-identical to the batch predicates, so the kept
+    * set is replayed by the batch gates over the documents table. */
+  def streamPipeline(spark: SparkSession, sfDir: String,
+                     nChunks: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = dedupFeed(spark, sfDir)
+    val input = MemoryStream[(Long, String, Long)]
+    val stream = input.toDF().toDF("doc_id", "text", "us")
+      .withColumn("ts_ts", timestamp_micros(col("us")))
+    val name = "graft_stream_pipeline"
+    val q = StreamingOps.pipelineStream(stream).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try feed(input, rows, nChunks, () => q.processAllAvailable())
+    finally q.stop()
+    spark.table(name).select(col("doc_id"),
+      unix_micros(col("ts_ts")).as("us"), col("n_chars"), col("n_tokens"))
+  }
+
+  /** Custom-state sessionization (flatMapGroupsWithState with an
+    * event-time timeout) over the real events stream: sessions close
+    * either when a later same-user event exceeds the gap or when the
+    * watermark times the state out. Two far-future sentinel events
+    * (dropped from the output) advance the watermark so every open
+    * session flushes; the feed is globally time-ordered so no event
+    * is late. The gap comparison is in MICROseconds (`diff > gap`
+    * starts a new session), replayed by lag()-chaining in the oracle. */
+  def streamSessionize(spark: SparkSession, sfDir: String,
+                       nChunks: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val rows = events
+      .select(col("user_id"), col("event_id"), EventsOps.microsCol(events).as("us"),
+        col("value"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._3, r._2))
+      .map(r => StreamingOps.SessionEvent(r._1, r._2, r._3, r._4)).toIndexedSeq
+    val maxUs = rows.iterator.map(_.us).max
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val name = "graft_stream_sessionize"
+    val q = StreamingOps.sessionizeStateful(input.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      feed(input, rows, nChunks, () => q.processAllAvailable())
+      Seq(1, 2).foreach { i =>
+        input.addData(StreamingOps.SessionEvent(-i.toLong, 0L,
+          maxUs + i * 4L * 3600 * 1000000L, 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
+      .select("user_id", "start_sec", "end_sec", "n_events", "sum_value")
+  }
+
   /** Near-duplicate pairs discovered ONLINE by nearDupStream (the
     * per-bucket stateful membership operator): docs arrive in doc_id
     * order across several micro-batches; a pair is emitted the

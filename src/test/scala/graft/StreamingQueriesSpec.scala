@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.EventsOps
+import graft.streaming.StreamingQueries
+
+/** End-to-end checks of the driver-facing STREAMING queries: each
+  * wrapper runs a real multi-micro-batch Structured Streaming query
+  * over sf0.001 parquet; the result must equal the equivalent BATCH
+  * computation (the same equivalence the DuckDB oracle replays at
+  * sf0.01).
+  */
+class StreamingQueriesSpec extends SparkSpec {
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(col): _*).collect()
+      .map(r => cols.indices.map(r.get)).sortBy(_.mkString("|")).toIndexedSeq
+  }
+
+  private def assertSameAs(streamed: DataFrame, batch: DataFrame): Unit = {
+    val s = canon(streamed)
+    val b = canon(batch)
+    assert(s.length == b.length, s"rows: streamed=${s.length} batch=${b.length}")
+    s.zip(b).zipWithIndex.foreach { case ((l, r), i) => assert(l == r, s"row $i: $l != $r") }
+  }
+
+  private def eventsUs: DataFrame = {
+    val e = spark.read.parquet(s"$Sf0001/events.parquet")
+    e.withColumn("us", EventsOps.microsCol(e))
+  }
+
+  private def sessionsBatch(startExpr: String, endExpr: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    eventsUs
+      .withColumn("c", round(col("value") * 100, 0).cast("long"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("min_us"),
+        max(col("us")).as("max_us"), sum(col("c")).as("cents"))
+      .select(col("user_id"), expr(startExpr).as("s"), expr(endExpr).as("e"),
+        col("n_events"), (col("cents").cast("double") / 100.0).as("sum_value"))
+  }
+
+  test("stream_session_windows equals batch gap-chained sessions (end = last + gap)") {
+    assertSameAs(
+      StreamingQueries.streamSessionWindows(spark, Sf0001),
+      sessionsBatch("min_us", "max_us + 1800000000")
+        .toDF("user_id", "session_start_us", "session_end_us", "n_events", "sum_value"))
+  }
+
+  test("stream_sessionize equals batch gap-chained sessions (second-floored bounds)") {
+    assertSameAs(
+      StreamingQueries.streamSessionize(spark, Sf0001),
+      sessionsBatch("min_us div 1000000", "max_us div 1000000")
+        .toDF("user_id", "start_sec", "end_sec", "n_events", "sum_value"))
+  }
+
+  test("stream_enrich equals the batch left join to the customer dim") {
+    val batch = eventsUs.join(
+        spark.read.parquet(s"$Sf0001/customer.parquet")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"), col("c_nationkey")),
+        Seq("user_id"), "left")
+      .select("event_id", "user_id", "event_type", "value", "c_mktsegment", "c_nationkey")
+    assertSameAs(StreamingQueries.streamEnrich(spark, Sf0001), batch)
+  }
+
+  test("stream_range_join equals the batch one-sided interval join") {
+    val e = eventsUs
+    val t = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("target_id"), col("us").as("target_us"))
+    val m = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("m_user"), col("event_id").as("match_id"),
+        col("us").as("match_us"))
+    val batch = t.join(m, col("user_id") === col("m_user") &&
+        col("match_us") >= col("target_us") - 600000000L &&
+        col("match_us") <= col("target_us"))
+      .select("user_id", "target_id", "match_id", "target_us", "match_us")
+    assertSameAs(StreamingQueries.streamRangeJoin(spark, Sf0001), batch)
+  }
+
+  test("stream_exact_dedup keeps exactly the original documents (copies dropped)") {
+    val batch = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), ((col("doc_id") + 3600) * 1000000L).as("us"),
+        md5(col("text")).as("text_md5"))
+    assertSameAs(StreamingQueries.streamExactDedup(spark, Sf0001), batch)
+  }
+
+  test("stream_pipeline equals the batch quality gate + hash sample over originals") {
+    val (a, b) = Config.coeffs(0)
+    val toks = graft.operators.TextAnalysis.tokensCol(col("text"))
+    val stop = Seq("the", "a", "of", "in", "and")
+    val batch = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_types", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stopwords", size(filter(toks, t => t.isin(stop: _*))).cast("long"))
+      .filter(col("n_tokens") >= 5 && col("n_chars") >= 20 && col("n_chars") <= 10000 &&
+        col("n_stopwords") * 2 <= col("n_tokens") &&
+        col("n_types") * 10 >= col("n_tokens") * 3)
+      .filter(((lit(a) * col("doc_id") + lit(b)) % lit(Config.P)) % 100 < 10)
+      .select(col("doc_id"), ((col("doc_id") + 3600) * 1000000L).as("us"),
+        col("n_chars"), col("n_tokens"))
+    assertSameAs(StreamingQueries.streamPipeline(spark, Sf0001), batch)
+  }
+}
