@@ -51,7 +51,12 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     warmup(spark, sfDir)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-joined query-name filter (iteration aid, same as Verify)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       try {
         // count() alone lets Catalyst prune unreferenced Project expressions,
         // so projection-only queries would never run the work being timed;
@@ -70,21 +75,28 @@ object Bench {
           releaseCaches(spark)
           dt
         }
-        name -> times.min
+        name -> times
       } catch {
         case e: Throwable =>
           // a broken query must NOT masquerade as a fast one
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           releaseCaches(spark)
-          name -> -1.0
+          name -> Seq(-1.0)
       }
     }
-    def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v.min) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // raw per-rep times (run order): lets a reader separate noise from a
+    // real regression without re-running — headline stays min-of-reps
+    val repsJson = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir"}"""
     // stdout capture windows have truncated this line before (r02 lost
     // 31 of 93 timings) — persist the full JSON to a file as well
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")

@@ -87,6 +87,12 @@ object MlMinHash {
       .setSeed(Config.Seed)
       .fit(vecs)
     val queries = vecs.filter(col("doc_id") % queryEvery === 0).collect()
+    // no query keys (e.g. no doc_id divisible by queryEvery): an empty
+    // result with the output schema, not a reduce() throw
+    if (queries.isEmpty)
+      return vecs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0.0).as("jaccard")).limit(0)
     queries.map { row =>
       val qid = row.getLong(0)
       val qv = row.getAs[org.apache.spark.ml.linalg.Vector](1)

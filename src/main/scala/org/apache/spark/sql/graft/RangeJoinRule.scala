@@ -101,17 +101,17 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** True if EITHER side already carries a `__graft_bucket*` marker
-    * column — this rule's own rewrite (`__graft_bucket_l/_r`) or a
-    * hand-bucketed form that opted out by naming its probe key with
-    * the reserved prefix (EventsOps.rangeJoin). An EXPLICIT marker,
-    * not a structural sniff: an unrelated 3-element integral explode
-    * under either child no longer suppresses a rewrite the user asked
-    * for, and a hand-bucketed join is recognized whichever side its
-    * probe explode sits on. */
-  private def hasBucketMarker(plan: LogicalPlan): Boolean = plan.exists {
-    node => node.output.exists(_.name.startsWith(BucketMarkerPrefix))
-  }
+  /** True if the child's TOP-LEVEL output carries a `__graft_bucket*`
+    * marker column — this rule's own rewrite (`__graft_bucket_l/_r`)
+    * or a hand-bucketed form that opted out by naming its probe key
+    * with the reserved prefix (EventsOps.rangeJoin). Deliberately NOT
+    * a deep subtree scan: the rewrite projects its markers away above
+    * the new join (and rewrittenTag guards self-rematch), so a range
+    * join stacked ABOVE an already-bucketed one — cascaded range
+    * joins — still gets its own independent rewrite instead of
+    * silently falling back to a nested-loop plan. */
+  private def hasBucketMarker(plan: LogicalPlan): Boolean =
+    plan.output.exists(_.name.startsWith(BucketMarkerPrefix))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)

@@ -90,6 +90,26 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(rows.toSet == Set((1L, 10L)) && rows.length == 3) // one per exploded tag
   }
 
+  test("cascaded range joins: a range join ABOVE a rewritten one is also rewritten") {
+    RangeJoinRule.register(spark)
+    import spark.implicits._
+    // the old guard scanned the whole subtree for marker columns, so
+    // the outer join here could never be rewritten and planned as a
+    // nested-loop — cascaded interval joins are a real shape (e.g.
+    // event -> sensor-window -> calibration-window)
+    val a = Seq((1L, 100L), (2L, 900L)).toDF("aid", "at")
+    val b = Seq((10L, 150L), (11L, 950L)).toDF("bid", "bt")
+    val c = Seq((20L, 160L), (21L, 5000L)).toDF("cid", "ct")
+    val inner = a.join(b, abs(col("at") - col("bt")) <= lit(100L))
+    val outer = inner.join(c, abs(col("bt") - col("ct")) <= lit(50L))
+    val plan = outer.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"outer range join fell back to a nested-loop plan:\n$plan")
+    val rows = outer.select("aid", "bid", "cid").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(rows == Set((1L, 10L, 20L)))
+  }
+
   test("already-bucketed join is not re-bucketed (single Generate)") {
     RangeJoinRule.register(spark)
     val optimized = EventsOps.rangeJoin(events).queryExecution.optimizedPlan
