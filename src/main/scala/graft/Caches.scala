@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Session cache hygiene. Several operators materialize internal
   * frames with `localCheckpoint` (consumed by multiple joins in one
@@ -10,13 +10,49 @@ import org.apache.spark.sql.SparkSession
   * — must release them between queries or execution memory shrinks
   * until unrelated queries spill (measured: a 93-query loop slowed
   * 2.8× across the board before Bench/Verify adopted this).
+  *
+  * Operators route their checkpoints through [[checkpoint]], which
+  * records the persisted RDD ids it creates; [[releaseAll]] then
+  * frees ONLY those — a frame the caller cached deliberately
+  * (`df.cache()`, a user's own `localCheckpoint`) survives.
   */
 object Caches {
 
-  /** Unpersist every persisted RDD block in the session (async).
-    * Safe at any point after a query's results are consumed: the
-    * checkpoints are query-internal, never shared across queries. */
-  def releaseAll(spark: SparkSession): Unit =
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+  // ids of persistent RDDs created by graft operators' checkpoint()
+  private val graftIds = scala.collection.mutable.Set.empty[Int]
+
+  /** `ds.localCheckpoint()` + registration: the persisted blocks this
+    * call creates are tracked so releaseAll can free them without
+    * touching caller-owned caches. (The registration is a
+    * before/after diff of the session's persistent-RDD ids under this
+    * object's lock — concurrent graft checkpoints stay correctly
+    * attributed; a caller persisting on another thread in the same
+    * instant could be mis-captured, which is benign for the internal
+    * Bench/Verify/Explain loops this serves.) */
+  def checkpoint[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    val sc = ds.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = ds.localCheckpoint()
+    graftIds ++= (sc.getPersistentRDDs.keySet -- before)
+    cp
+  }
+
+  /** Unpersist every graft-created checkpoint block (async) and
+    * forget the registry. Safe after a query's results are consumed:
+    * graft checkpoints are query-internal, never shared across
+    * queries. NOTE a DataFrame previously RETURNED by a graft
+    * operator may hold one of these checkpoints in its lineage —
+    * re-collecting it after release throws (localCheckpoint truncates
+    * lineage, so the blocks are unrecoverable); release between
+    * queries, not between uses of one result. */
+  def releaseAll(spark: SparkSession): Unit = synchronized {
+    val persisted = spark.sparkContext.getPersistentRDDs
+    graftIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+    graftIds.clear()
+  }
+
+  /** `.graftCheckpoint()` syntax for [[checkpoint]]. */
+  implicit class CheckpointSyntax[T](private val ds: Dataset[T]) extends AnyVal {
+    def graftCheckpoint(): Dataset[T] = Caches.checkpoint(ds)
+  }
 }

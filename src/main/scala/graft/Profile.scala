@@ -1,5 +1,6 @@
 package graft
 
+import graft.Caches.CheckpointSyntax
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -40,7 +41,7 @@ object Profile {
       operators.MinHashLsh.signaturesWithSets(docs)
         .agg(sum(col(Config.sigCol(0))), sum(size(col("hset")))).collect())
     val base = time("sigsWithSets checkpoint")(
-      operators.MinHashLsh.signaturesWithSets(docs).localCheckpoint())
+      operators.MinHashLsh.signaturesWithSets(docs).graftCheckpoint())
     time("bands+selfjoin raw count") {
       val b = operators.MinHashLsh.bandsFromSignatures(base)
       operators.MinHashLsh.candidatesFromBands(b, dedupe = false).count()
@@ -57,11 +58,11 @@ object Profile {
       import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
       val docs500 = docs.filter(col("doc_id") < 500)
       val sets = time("ml: shingleSets+ckpt")(
-        operators.Shingling.shingleSets(docs500).coalesce(4).localCheckpoint())
+        operators.Shingling.shingleSets(docs500).coalesce(4).graftCheckpoint())
       val cv = new CountVectorizer().setInputCol("shingle_set")
         .setOutputCol("features").setBinary(true).setVocabSize(1 << 21)
       val cvm = time("ml: cv.fit")(cv.fit(sets))
-      val vecs = time("ml: cv.transform+ckpt")(cvm.transform(sets).localCheckpoint())
+      val vecs = time("ml: cv.transform+ckpt")(cvm.transform(sets).graftCheckpoint())
       val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(5).setSeed(Config.Seed)
       val model = time("ml: mh.fit")(mh.fit(vecs))
@@ -80,7 +81,7 @@ object Profile {
           col("ts"), (col("user_id") + lit(r * 10000000L)).as("user_id"),
           col("event_type"), col("value"), col("props"))
       }
-      val big = reps.reduce(_ union _).repartition(32).localCheckpoint()
+      val big = reps.reduce(_ union _).repartition(32).graftCheckpoint()
       // force every output column (count() would let Catalyst prune
       // the unreferenced window expressions — the Bench r1 pitfall)
       def force(df: org.apache.spark.sql.DataFrame): Unit =
@@ -104,9 +105,9 @@ object Profile {
       val n = 4000000L
       val facts = spark.range(n).select(
         when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 1000L).as("k"),
-        col("id").as("v")).localCheckpoint()
+        col("id").as("v")).graftCheckpoint()
       val dim = spark.range(1000).select(col("id").as("k"),
-        concat(lit("name_"), col("id")).as("name")).localCheckpoint()
+        concat(lit("name_"), col("id")).as("name")).graftCheckpoint()
       def timeMin(name: String)(f: => Unit): Unit = {
         val best = (1 to 3).map { _ =>
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -142,7 +143,7 @@ object Profile {
         docs.select((col("doc_id") + lit(r * 10 * n)).as("doc_id"),
           concat(col("text"), lit(s" replica$r")).as("text"))
       }
-      val big = reps.reduce(_ union _).repartition(32).localCheckpoint()
+      val big = reps.reduce(_ union _).repartition(32).graftCheckpoint()
       time(s"similarPairs x$m corpus")(
         operators.MinHashLsh.similarPairs(big).count())
       time(s"similarPairs x$m maxBucket=64")(

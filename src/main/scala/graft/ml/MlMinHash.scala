@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.Caches.CheckpointSyntax
 import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -33,7 +34,7 @@ object MlMinHash {
     // explode, join); on a bounded input at session-default shuffle
     // parallelism the wall-clock is task-scheduling overhead, not
     // work — consolidate the tiny frame into a few partitions first
-    val sets = Shingling.shingleSets(docs, k).coalesce(4).localCheckpoint()
+    val sets = Shingling.shingleSets(docs, k).coalesce(4).graftCheckpoint()
     val cv = new CountVectorizer()
       .setInputCol("shingle_set").setOutputCol("features").setBinary(true)
       // default vocabSize (2^18) silently truncates richer corpora,
@@ -41,7 +42,7 @@ object MlMinHash {
       .setVocabSize(1 << 21)
     // fit + both sides of the self-join re-read this frame: without a
     // checkpoint the shingle agg + vectorization runs three times
-    val vecs = cv.fit(sets).transform(sets).localCheckpoint()
+    val vecs = cv.fit(sets).transform(sets).graftCheckpoint()
     val mh = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables)
@@ -75,12 +76,12 @@ object MlMinHash {
     * SQL-replayable. */
   def annTopK(docs: DataFrame, k: Int = Config.K, numNeighbors: Int = 3,
               numHashTables: Int = 5, queryEvery: Long = 100): DataFrame = {
-    val sets = Shingling.shingleSets(docs, k).coalesce(4).localCheckpoint()
+    val sets = Shingling.shingleSets(docs, k).coalesce(4).graftCheckpoint()
     val cv = new CountVectorizer()
       .setInputCol("shingle_set").setOutputCol("features").setBinary(true)
       .setVocabSize(1 << 21)
     val vecs = cv.fit(sets).transform(sets)
-      .select(col("doc_id"), col("features")).localCheckpoint()
+      .select(col("doc_id"), col("features")).graftCheckpoint()
     val model = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables)

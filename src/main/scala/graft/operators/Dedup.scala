@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches.CheckpointSyntax
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Config
@@ -57,14 +58,14 @@ object Dedup {
     // — every iteration then joins two checkpointed frames instead of
     // re-deriving the whole LSH pipeline
     val pairs = MinHashLsh.similarPairs(docs, k, threshold)
-      .select(col("id_l"), col("id_r")).localCheckpoint()
+      .select(col("id_l"), col("id_r")).graftCheckpoint()
     val edges = pairs
       .union(pairs.select(col("id_r").as("id_l"), col("id_l").as("id_r")))
-      .localCheckpoint()
+      .graftCheckpoint()
     var labels = edges.select(col("id_l").as("doc_id"))
       .union(edges.select(col("id_r").as("doc_id"))).distinct()
       .withColumn("group_id", col("doc_id"))
-      .localCheckpoint()
+      .graftCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -75,7 +76,7 @@ object Dedup {
       val updated = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val changed = updated.as("u")
         .join(labels.as("o"), Seq("doc_id"))
         .filter(col("u.group_id") =!= col("o.group_id"))

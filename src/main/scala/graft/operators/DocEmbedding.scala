@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches.CheckpointSyntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Config
@@ -104,7 +105,7 @@ object DocEmbedding {
   def dedupPairs(docs: DataFrame, k: Int = Config.K,
                  threshold: Double = CosThreshold,
                  maxBucket: Option[Int] = None): DataFrame = {
-    val emb = featureEmbed(docs, k).localCheckpoint()
+    val emb = featureEmbed(docs, k).graftCheckpoint()
     val b0 = embedBuckets(emb)
     // degenerate-bucket guard (same policy as the minhash path's
     // candidatePairs(maxBucket)): a sign-bucket shared by millions of

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches.CheckpointSyntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -153,7 +154,7 @@ object EmbeddingSim {
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= math.max(nProbe, 1))
       .select("vec_id", "embedding", "cell", "pr")
-      .localCheckpoint()
+      .graftCheckpoint()
     val assigned = ranked.filter(col("pr") === 1)
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
     val probes = ranked.filter(col("pr") <= nProbe)

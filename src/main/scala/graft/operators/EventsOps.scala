@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches.CheckpointSyntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
@@ -239,7 +240,7 @@ object EventsOps {
     // once per consumer
     val days = withUs(events)
       .select(col("user_id"), expr("us div 1000000 div 86400").as("day"))
-      .distinct().localCheckpoint()
+      .distinct().graftCheckpoint()
     val active = days.groupBy("day").agg(count(lit(1)).as("n_active"))
     val retained = days.join(
         days.select(col("user_id"), (col("day") - 1).as("day")),

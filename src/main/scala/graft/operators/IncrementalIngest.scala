@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches.CheckpointSyntax
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Config
@@ -31,7 +32,7 @@ object IncrementalIngest {
                   k: Int = Config.K,
                   threshold: Double = Config.Threshold): DataFrame = {
     val cand = MinHashLsh.incrementalCandidates(corpusBands, batch, k)
-      .localCheckpoint() // consumed for both sides' doc-id lists below
+      .graftCheckpoint() // consumed for both sides' doc-id lists below
     if (cand.isEmpty) return batch
     val hset = array_sort(array_distinct(Shingling.shingleHashArray(col("text"), k)))
     // sets ONLY for docs that appear in some candidate pair: batch
@@ -77,38 +78,55 @@ object IncrementalIngest {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // exclude this batch's own partition: on first attempt it
-        // doesn't exist; on replay after a partial write it must not
-        // feed back into the dedup decision (a corpus copy of a batch
-        // doc shares its doc_id, so the id_a =!= id_b filter would
-        // hide it and the replay would diverge from the first run)
-        def readOr(path: String, empty: => DataFrame): DataFrame =
-          try spark.read.parquet(path)
-            .filter(col("ingest_batch") =!= batchId)
-            .drop("ingest_batch")
-          catch { case _: org.apache.spark.sql.AnalysisException => empty }
-        val emptyBands = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("doc_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("band",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("band_key",
-              org.apache.spark.sql.types.StringType))))
-        val corpusTexts = readOr(corpusDir, batch.limit(0))
-        val corpusBands = readOr(indexDir, emptyBands)
-        val kept = filterBatch(batch, corpusBands, corpusTexts, k, threshold)
-          .localCheckpoint() // consumed by two writes below
-        def writePartition(df: DataFrame, dir: String): Unit =
-          df.withColumn("ingest_batch", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(dir)
-        writePartition(kept, corpusDir)
-        writePartition(MinHashLsh.bands(kept, k), indexDir)
+        ingestBatch(batch, batchId, corpusDir, indexDir, k, threshold)
       }
       .start()
+
+  /** One foreachBatch round against the persistent stores — public so
+    * the at-least-once REPLAY path is directly testable (call it
+    * twice with the same batchId, with a partial write in between: the
+    * stores must converge to the single-run state). */
+  def ingestBatch(batch: DataFrame, batchId: Long,
+                  corpusDir: String, indexDir: String,
+                  k: Int = Config.K,
+                  threshold: Double = Config.Threshold): Unit = {
+    val spark = batch.sparkSession
+    // exclude this batch's own partition: on first attempt it
+    // doesn't exist; on replay after a partial write it must not
+    // feed back into the dedup decision (a corpus copy of a batch
+    // doc shares its doc_id, so the id_a =!= id_b filter would
+    // hide it and the replay would diverge from the first run).
+    // ONLY path-not-found reads as "no corpus yet": any other
+    // analysis error (schema drift, corrupted store) must surface —
+    // swallowing it would silently re-ingest everything
+    def readOr(path: String, empty: => DataFrame): DataFrame =
+      try spark.read.parquet(path)
+        .filter(col("ingest_batch") =!= batchId)
+        .drop("ingest_batch")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => empty
+      }
+    val emptyBands = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("band_key",
+          org.apache.spark.sql.types.StringType))))
+    val corpusTexts = readOr(corpusDir, batch.limit(0))
+    val corpusBands = readOr(indexDir, emptyBands)
+    val kept = filterBatch(batch, corpusBands, corpusTexts, k, threshold)
+      .graftCheckpoint() // consumed by two writes below
+    def writePartition(df: DataFrame, dir: String): Unit =
+      df.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(dir)
+    writePartition(kept, corpusDir)
+    writePartition(MinHashLsh.bands(kept, k), indexDir)
+  }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches.CheckpointSyntax
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Config
@@ -219,7 +220,7 @@ object MinHashLsh {
     * touching the batch (the oracle replays it that way). */
   def incrementalCandidates(corpusBands: DataFrame, newDocs: DataFrame,
                             k: Int = Config.K): DataFrame = {
-    val nb = bands(newDocs, k).localCheckpoint() // consumed by both joins below
+    val nb = bands(newDocs, k).graftCheckpoint() // consumed by both joins below
     val cross = corpusBands
       .select(col("band"), col("band_key"), col("doc_id").as("id_a"))
       .join(nb.select(col("band"), col("band_key"), col("doc_id").as("id_b")),
@@ -291,7 +292,7 @@ object MinHashLsh {
     // extra plan context around the chain defeats exchange reuse and
     // the sketch ran twice — measured +0.8 s per composite query
     // without this checkpoint.
-    val base = signatures(docs, k).localCheckpoint()
+    val base = signatures(docs, k).graftCheckpoint()
     // the sig array rides the band explode (bandsCarryingSig) so the
     // agreement prefilter is a join-residual condition — no joins
     // against the multi-million-pair stream at all, and no DISTINCT
@@ -309,7 +310,7 @@ object MinHashLsh {
           PortableHash.agreeCount(col("sig_l"), col("sig_r")) >= Config.EstPrefilterMinCount)
       .select("id_l", "id_r")
       .distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
     // hash sets ONLY for surviving docs: broadcast-semi-join the tiny
     // survivor id list against the corpus, then the narrow per-row
     // set projection runs on that sliver
@@ -339,7 +340,7 @@ object MinHashLsh {
                      threshold: Double = Config.Threshold): DataFrame = {
     // the union below reads p twice — materialize the (tiny) verified
     // pair list or the whole LSH chain executes once per branch
-    val p = similarPairs(docs, k, threshold).localCheckpoint()
+    val p = similarPairs(docs, k, threshold).graftCheckpoint()
     val both = p.select(col("id_l").as("id_a"), col("id_r").as("id_b"))
       .union(p.select(col("id_r").as("id_a"), col("id_l").as("id_b")))
     val texts = docs.select(col("doc_id"), col("text"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches.CheckpointSyntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Config
@@ -204,7 +205,7 @@ object TextAnalysis {
     val bits = 30
     val nBlocks = maxHamming + 1
     // fingerprint frame feeds the block explode AND both verify sides
-    val fp = wordSimHash(docs).localCheckpoint()
+    val fp = wordSimHash(docs).graftCheckpoint()
     val widths = (0 until nBlocks).map(i => bits / nBlocks + (if (i < bits % nBlocks) 1 else 0))
     val los = widths.scanLeft(0)(_ + _)
     val bstructs = (0 until nBlocks).map { i =>

@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.Caches.CheckpointSyntax
 import org.apache.spark.sql.DataFrame
 import graft.operators.{MinHashLsh, Shingling}
 
@@ -50,7 +51,7 @@ object Sinks {
       s"$outDir/shingling")
     // run the expensive verify pipeline ONCE; both pair artifacts
     // derive from the materialized result
-    val sim = MinHashLsh.similarPairs(docs).localCheckpoint()
+    val sim = MinHashLsh.similarPairs(docs).graftCheckpoint()
     val texts = docs.select(col("doc_id"), col("text"))
     val both = sim.select(col("id_l").as("id_a"), col("id_r").as("id_b"))
       .union(sim.select(col("id_r").as("id_a"), col("id_l").as("id_b")))

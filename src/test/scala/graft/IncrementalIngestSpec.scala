@@ -56,6 +56,54 @@ class IncrementalIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("crash replay: partial write between the two store writes converges on restart") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-ingest-crash").toString
+    def batchDf(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+    // clean reference run: two batches straight through
+    IncrementalIngest.ingestBatch(batchDf(1L -> a, 2L -> b), 0L,
+      s"$dir/ref/corpus", s"$dir/ref/index")
+    IncrementalIngest.ingestBatch(batchDf(10L -> a, 11L -> c), 1L,
+      s"$dir/ref/corpus", s"$dir/ref/index")
+    // crashing run: batch 1's corpus partition lands but the process
+    // dies BEFORE the index write (simulated by deleting the index
+    // partition the run would have written) — then the engine
+    // re-delivers batch 1 after restart
+    IncrementalIngest.ingestBatch(batchDf(1L -> a, 2L -> b), 0L,
+      s"$dir/crash/corpus", s"$dir/crash/index")
+    IncrementalIngest.ingestBatch(batchDf(10L -> a, 11L -> c), 1L,
+      s"$dir/crash/corpus", s"$dir/crash/index")
+    val lostPartition = new java.io.File(s"$dir/crash/index/ingest_batch=1")
+    assert(lostPartition.exists())
+    lostPartition.listFiles().foreach(_.delete())
+    assert(lostPartition.delete())
+    IncrementalIngest.ingestBatch(batchDf(10L -> a, 11L -> c), 1L,
+      s"$dir/crash/corpus", s"$dir/crash/index") // the replay
+    // bit-identical stores vs the clean run
+    def dump(path: String): Seq[String] =
+      s.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    assert(dump(s"$dir/crash/corpus") == dump(s"$dir/ref/corpus"))
+    assert(dump(s"$dir/crash/index") == dump(s"$dir/ref/index"))
+  }
+
+  test("readOr surfaces non-path analysis errors instead of re-ingesting everything") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-ingest-badstore").toString
+    // a "corpus" store that exists but is NOT parquet: the read fails
+    // with an analysis error that must propagate, not read as empty
+    Files.createDirectory(java.nio.file.Paths.get(s"$dir/corpus"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/corpus/garbage.txt"), "not parquet")
+    val e = intercept[Exception] {
+      IncrementalIngest.ingestBatch(Seq(1L -> a).toDF("doc_id", "text"), 0L,
+        s"$dir/corpus", s"$dir/index")
+    }
+    assert(!e.isInstanceOf[java.util.NoSuchElementException],
+      s"store corruption must not be silently treated as an empty corpus: $e")
+  }
+
   test("ingest replay is idempotent: re-running a batch overwrites, never duplicates") {
     val s = spark
     import s.implicits._
