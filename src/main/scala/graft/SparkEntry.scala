@@ -90,6 +90,12 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.asBinaryTable(docs(s, d))).toDF()),
     "media_frames" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.asBinaryTable(docs(s, d))).toDF()),
+    // REAL codec round trip: text → PNG raster (JDK encoder) → ImageIO
+    // decode → true dims + decoded-pixel checksum (n_bytes excluded:
+    // the encoded size is encoder-dependent, the decoded pixels aren't)
+    "media_decode" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.encodePng(docs(s, d))).toDF()
+        .select("doc_id", "kind", "width", "height", "checksum")),
     // binary→binary composition: resize (byte decimation) feeding the
     // frame sampler — the multimodal pipeline shape end-to-end
     "media_resize" -> ((s, d) =>
@@ -109,6 +115,10 @@ object SparkEntry {
     "ann_buckets" -> ((s, d) => EmbeddingSim.annBuckets(emb(s, d))),
     "ann_topk" -> ((s, d) => EmbeddingSim.annTopK(emb(s, d))),
     "ann_ivf_topk" -> ((s, d) => EmbeddingSim.ivfTopK(emb(s, d))), // rows-only (KMeans quantizer)
+    // rows-only: same quantizer served from a persisted parquet model
+    // artifact (fit-once/serve-many — loads if present, else fits+saves)
+    "ann_ivf_persisted" -> ((s, d) => EmbeddingSim.ivfTopKPersisted(emb(s, d),
+      s"${sys.props("java.io.tmpdir")}/graft_ivf_model_${d.replaceAll("[^a-zA-Z0-9]", "_")}")),
     // --- events ---
     "events_window_agg" -> ((s, d) => EventsOps.windowAgg(events(s, d))),
     "events_sessionize" -> ((s, d) => EventsOps.sessionize(events(s, d))),
@@ -240,6 +250,7 @@ object SparkEntry {
     "media_meta" -> Sql.mediaMeta,
     "media_features" -> Sql.mediaFeatures,
     "media_frames" -> Sql.mediaFrames,
+    "media_decode" -> Sql.mediaDecode,
     "media_resize" -> Sql.mediaResize,
     "array_funcs" -> Sql.arrayFuncs,
     "embedding_norms" -> Sql.embeddingNorms,

@@ -95,8 +95,27 @@ object EmbeddingSim {
 
   /** Coarse-quantizer model for IVF ANN: the KMeans centroids with
     * |c|^2 precomputed. O(nCells × dim) — driver-held constant,
-    * independent of table size, cheap to broadcast. */
-  case class IvfModel(nCells: Int, centroids: IndexedSeq[(Int, Array[Float], Double)])
+    * independent of table size, cheap to broadcast. Persistable: a
+    * production ANN index outlives one JVM (fit once per corpus
+    * version, serve from the artifact). */
+  case class IvfModel(nCells: Int, centroids: IndexedSeq[(Int, Array[Float], Double)]) {
+    /** Persist the quantizer as a (cell, centroid, c2) parquet — tiny
+      * (nCells rows), one file. */
+    def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+      spark.createDataFrame(centroids).toDF("cell", "centroid", "c2")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  object IvfModel {
+    /** Load a quantizer persisted by [[IvfModel.save]]. */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfModel = {
+      val rows = spark.read.parquet(path).select("cell", "centroid", "c2").collect()
+      val cs = rows.map { r =>
+        (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2))
+      }.sortBy(_._1).toIndexedSeq
+      IvfModel(cs.length, cs)
+    }
+  }
 
   /** MODEL BUILD, separated from the probe (a real engine fits the
     * quantizer once per corpus version and serves many queries from
@@ -117,16 +136,46 @@ object EmbeddingSim {
     }.toIndexedSeq)
   }
 
-  /** Fit cache keyed by (input plan, nCells): repeated ivfTopK calls
-    * over the same input (bench reps, a session's query stream) reuse
-    * the centroids instead of refitting. Values are O(nCells × dim). */
-  private val fitCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), IvfModel]()
+  /** Cache key that CHANGES WITH THE DATA, not just the plan: the
+    * canonicalized plan plus every input file's (path, length,
+    * mod-time). Rewriting parquet at the same path therefore misses
+    * the cache and refits instead of silently serving stale
+    * centroids; a non-file input (in-memory frame) degrades to the
+    * plan string alone. */
+  private def dataSignature(emb: DataFrame): String = {
+    val conf = emb.sparkSession.sessionState.newHadoopConf()
+    val files = emb.inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }
+    emb.queryExecution.analyzed.canonicalized.toString + files.mkString("|", ";", "")
+  }
 
-  private def ivfFitCached(emb: DataFrame, nCells: Int): IvfModel =
-    fitCache.computeIfAbsent(
-      (emb.queryExecution.analyzed.canonicalized.toString, nCells),
-      _ => ivfFit(emb, nCells))
+  /** Fit cache: repeated ivfTopK calls over the same input (bench
+    * reps, a session's query stream) reuse the centroids instead of
+    * refitting. Access-order LRU bounded to a handful of models
+    * (values are O(nCells × dim)) so distinct inputs can't accumulate
+    * without bound over a long-lived session; callers who want
+    * explicit lifecycle control use ivfFit/ivfProbe (or the persisted
+    * artifact) and never touch this cache. */
+  private val MaxFitCacheEntries = 8
+  private val fitCache =
+    new java.util.LinkedHashMap[(String, Int), IvfModel](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), IvfModel]): Boolean =
+        size() > MaxFitCacheEntries
+    }
+
+  private def ivfFitCached(emb: DataFrame, nCells: Int): IvfModel = {
+    val key = (dataSignature(emb), nCells)
+    val hit = fitCache.synchronized(Option(fitCache.get(key)))
+    hit.getOrElse {
+      val m = ivfFit(emb, nCells)
+      fitCache.synchronized(fitCache.put(key, m))
+      m
+    }
+  }
 
   /** PROBE against a prebuilt quantizer: one broadcast join of the
     * table against the centroids ranks every vector's cells by
@@ -180,6 +229,28 @@ object EmbeddingSim {
   def ivfTopK(emb: DataFrame, k: Int = 3, nCells: Int = 16,
               nProbe: Int = 2): DataFrame =
     ivfProbe(emb, ivfFitCached(emb, nCells), k, nProbe)
+
+  /** [[ivfTopK]] served from a PERSISTED quantizer: load the model
+    * artifact if present, else fit once and save it — every later
+    * call (and every later SESSION pointed at the same modelDir)
+    * probes from the artifact without refitting. The fit-once /
+    * serve-many lifecycle a production ANN index needs. */
+  def ivfTopKPersisted(emb: DataFrame, modelDir: String, k: Int = 3,
+                       nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val loaded =
+      try Some(IvfModel.load(spark, modelDir))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+      }
+    val model = loaded.getOrElse {
+      val m = ivfFit(emb, nCells)
+      m.save(spark, modelDir)
+      m
+    }
+    ivfProbe(emb, model, k, nProbe)
+  }
 
   /** LSH-bucketed ANN top-k: rank by cosine only within each
     * vector's sign-LSH bucket — the candidate-pruned scale path

@@ -325,6 +325,23 @@ SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id""")
       ${foldHash("text")} AS checksum
     FROM documents"""
 
+  /** REAL PNG round trip (encodePng → ImageIO decode): the raster is
+    * a 16-wide grayscale image with pixel i = char i (zero-padded to
+    * the last row), so the decoded dimensions and the fold over the
+    * decoded pixels re-derive from the text alone — PNG is lossless,
+    * making the checksum independent of the encoder's byte stream
+    * (which is why n_bytes is NOT part of this query's output). */
+  val mediaDecode: String = {
+    val h = "greatest(1, (length(text) + 15) // 16)"
+    val pixelFold =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 16 * $h), " +
+        s"i -> CASE WHEN i <= length(text) THEN ascii(substr(text, i, 1))::BIGINT % 256 " +
+        s"ELSE 0::BIGINT END)), (acc, x) -> (acc * 31 + x) % $P)"
+    s"""SELECT doc_id, 'image/png' AS kind, CAST(16 AS INTEGER) AS width,
+      CAST($h AS INTEGER) AS height, $pixelFold AS checksum
+    FROM documents"""
+  }
+
   /** Fixed-size chunking (frame-sampling shape): one row per 64-byte
     * chunk with its offset and fold hash. */
   val mediaFrames: String =

@@ -47,4 +47,60 @@ class SaltingIvfSpec extends SparkSpec {
     val recall = brute.intersect(ivfForQ).size.toDouble / brute.size
     assert(recall >= 0.5, s"ivf recall vs brute force too low: $recall")
   }
+
+  test("ivf model round-trips through parquet and serves a NEW session identically") {
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-model").toString
+    val fitted = EmbeddingSim.ivfFit(emb, nCells = 8)
+    fitted.save(spark, s"$dir/model")
+    // a separate session (fresh session state — the "second JVM" of
+    // the fit-once/serve-many lifecycle) loads the artifact
+    val s2 = spark.newSession()
+    val loaded = EmbeddingSim.IvfModel.load(s2, s"$dir/model")
+    assert(loaded.nCells == fitted.nCells)
+    loaded.centroids.zip(fitted.centroids).foreach { case ((ci, cv, c2), (fi, fv, f2)) =>
+      assert(ci == fi && c2 == f2 && cv.toSeq == fv.toSeq)
+    }
+    val a = EmbeddingSim.ivfProbe(emb, fitted).collect().map(_.toSeq).toSet
+    val b = EmbeddingSim.ivfProbe(emb, loaded).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("ivfTopKPersisted fits+saves on first call, then serves from the artifact") {
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-persist").toString
+    val first = EmbeddingSim.ivfTopKPersisted(emb, s"$dir/model").collect().map(_.toSeq).toSet
+    assert(new java.io.File(s"$dir/model").exists())
+    val modelFiles = spark.read.parquet(s"$dir/model").inputFiles.toSeq
+    val second = EmbeddingSim.ivfTopKPersisted(emb, s"$dir/model").collect().map(_.toSeq).toSet
+    assert(first == second && first.nonEmpty)
+    // second call must NOT have refit/rewritten the artifact
+    assert(spark.read.parquet(s"$dir/model").inputFiles.toSeq == modelFiles)
+  }
+
+  test("ivf fit cache refits when data at the same path is rewritten") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stale").toString
+    def write(shift: Double): Unit =
+      (0L until 64L).map(i => (i, Array.tabulate(4)(j => (i % 8 + j + shift).toFloat)))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/emb")
+    write(0.0)
+    val before = EmbeddingSim.ivfTopK(s.read.parquet(s"$dir/emb"), k = 2, nCells = 4)
+      .collect().map(_.toSeq).toSet
+    Thread.sleep(1100) // ensure a distinct mod-time second on coarse filesystems
+    write(100.0) // same path, very different geometry
+    val after = EmbeddingSim.ivfTopK(s.read.parquet(s"$dir/emb"), k = 2, nCells = 4)
+      .collect().map(_.toSeq).toSet
+    // a stale plan-keyed cache would score the new vectors against the
+    // OLD centroids; with per-file signatures the refit sees the new
+    // data, so the result matches a fresh fit+probe exactly
+    val fresh = EmbeddingSim.ivfProbe(
+      s.read.parquet(s"$dir/emb"),
+      EmbeddingSim.ivfFit(s.read.parquet(s"$dir/emb"), nCells = 4), k = 2)
+      .collect().map(_.toSeq).toSet
+    assert(after == fresh, "cache served stale centroids after the data changed")
+    assert(before != after || before == fresh)
+  }
 }
