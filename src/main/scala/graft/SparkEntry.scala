@@ -64,13 +64,11 @@ object SparkEntry {
     "near_dup_groups" -> ((s, d) => Dedup.nearDupGroups(s, docs(s, d))),
     "embed_dedup_pairs" -> ((s, d) => DocEmbedding.dedupPairs(docs(s, d))),
     "embed_dedup_keep" -> ((s, d) => DocEmbedding.dedupKeep(docs(s, d))),
-    // pillar-B cross-check on a deterministic bounded subset (the
-    // same 500-doc scale the recall spec uses): MLlib's OR-only LSH
-    // has near-total candidate fan-out on this corpus (background
-    // J~0.46 -> P(candidate)~1-(1-J)^tables ~ 0.95), so unbounded
-    // input is quadratic (pillar A is the scale path)
-    "ml_minhash_pairs" -> ((s, d) =>
-      graft.ml.MlMinHash.pairs(docs(s, d).filter(org.apache.spark.sql.functions.col("doc_id") < 500))),
+    // pillar-B cross-check, UNCAPPED: AND-OR banding over MLlib's own
+    // hash family (compound band keys, pillar A's S-curve) replaces
+    // the OR-only approxSimilarityJoin whose ~95% background admit
+    // rate forced the old 500-doc input cap
+    "ml_minhash_pairs" -> ((s, d) => graft.ml.MlMinHash.pairsBanded(docs(s, d))),
     // rows-only: per-query bucket probe (approxNearestNeighbors) on
     // the same bounded subset as the pairs cross-check
     "ml_ann_topk" -> ((s, d) =>

@@ -63,6 +63,82 @@ object MlMinHash {
         (lit(1.0) - col("jaccard_dist")).as("jaccard"))
   }
 
+  /** AND-amplified pillar-B pairs: MLlib's OR-only amplification
+    * (approxSimilarityJoin joins on ANY single hash-table collision)
+    * admits ~P(candidate)=1-(1-J)^tables ≈ 0.95 of all pairs on this
+    * corpus (background J≈0.46) — quadratic. Here the SAME MLlib hash
+    * family (`MinHashLSH.fit(...).transform`) is AND-OR banded like
+    * pillar A: bands compound keys of rowsPerBand consecutive hash
+    * values, candidates from the (band, key) equi-join, exact vector
+    * Jaccard on survivors. With (b=10, r=6) the background admit rate
+    * drops to ~1-(1-0.46^6)^10 ≈ 9% while J=0.8 pairs keep ≈ 95%
+    * recall — the same S-curve as pillar A, so the full corpus is
+    * feasible with NO input cap. The per-pair Jaccard UDF is the one
+    * deliberate UDF in the repo: it runs on banded CANDIDATES (not
+    * the corpus), and MLlib vector internals have no codegen'd
+    * accessor. Rows-only check (MLlib hash family, like [[pairs]]). */
+  def pairsBanded(docs: DataFrame, k: Int = Config.K,
+                  threshold: Double = Config.Threshold,
+                  bands: Int = Config.Bands,
+                  rowsPerBand: Int = Config.RowsPerBand): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.ml.linalg.{DenseVector, SparseVector, Vector}
+    val sets = Shingling.shingleSets(docs, k).graftCheckpoint()
+    val cv = new CountVectorizer()
+      .setInputCol("shingle_set").setOutputCol("features").setBinary(true)
+      .setVocabSize(1 << 21)
+    val vecs = cv.fit(sets).transform(sets)
+      .select(col("doc_id"), col("features")).graftCheckpoint()
+    val model = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(bands * rowsPerBand)
+      .setSeed(Config.Seed)
+      .fit(vecs)
+    // hashes: array<vector>, one 1-element vector per table — band j's
+    // key is the concatenation of its rowsPerBand integral hash values
+    val bandKeys = (0 until bands).map { j =>
+      concat_ws(",", (0 until rowsPerBand).map { r =>
+        vector_to_array(element_at(col("hashes"), j * rowsPerBand + r + 1))
+          .getItem(0).cast("long").cast("string")
+      }: _*)
+    }
+    // SLIM banding frame: the self-join shuffles (band, key, id) only —
+    // shipping each side's feature vector through the candidate join
+    // would put O(candidates × vector) bytes on the wire; instead the
+    // deduped pair list joins the per-doc features back afterwards
+    // (corpus-sized build side, broadcastable)
+    val banded = model.transform(vecs)
+      .select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+      .graftCheckpoint()
+    val l = banded.select(col("band"), col("band_key"), col("doc_id").as("id_l"))
+    val r = banded.select(col("band"), col("band_key"), col("doc_id").as("id_r"))
+    def indices(v: Vector): Array[Int] = v match {
+      case s: SparseVector => s.indices
+      case d: DenseVector =>
+        d.values.iterator.zipWithIndex.filter(_._1 != 0.0).map(_._2).toArray
+    }
+    val jac = udf { (a: Vector, b: Vector) =>
+      val x = indices(a)
+      val y = indices(b)
+      var i = 0; var j = 0; var inter = 0
+      while (i < x.length && j < y.length) {
+        if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
+        else if (x(i) < y(j)) i += 1
+        else j += 1
+      }
+      inter.toDouble / (x.length + y.length - inter)
+    }
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+      .join(broadcast(vecs.select(col("doc_id").as("id_l"), col("features").as("f_l"))), "id_l")
+      .join(broadcast(vecs.select(col("doc_id").as("id_r"), col("features").as("f_r"))), "id_r")
+      .withColumn("jaccard", jac(col("f_l"), col("f_r")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_l", "id_r", "jaccard")
+  }
+
   /** Per-QUERY ANN probe through MLlib's approxNearestNeighbors —
     * the bucket-probe consumer shape (cf. the reference's per-key
     * bucket probe, MinHashLSH.java:135-143): hash ONE key on the

@@ -21,6 +21,31 @@ class MlMinHashSpec extends SparkSpec {
     assert(overlapB >= 0.8, s"B-recall in A too low: $overlapB")
   }
 
+  test("AND-OR banded mllib pairs agree with the DataFrame pipeline (high recall both ways)") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val a = MinHashLsh.similarPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = MlMinHash.pairsBanded(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.nonEmpty && b.nonEmpty)
+    val overlapA = a.intersect(b).size.toDouble / a.size
+    val overlapB = a.intersect(b).size.toDouble / b.size
+    assert(overlapA >= 0.8, s"A-recall in B too low: $overlapA (A=${a.size}, B=${b.size})")
+    assert(overlapB >= 0.8, s"B-recall in A too low: $overlapB")
+  }
+
+  test("banded pillar-B admits far fewer candidates than OR-only on the same corpus") {
+    // the scale claim behind removing the input cap: banding's
+    // background admit rate (~(1-(1-J^r)^b)) must be a small fraction
+    // of OR-only's (~1-(1-J)^tables ≈ 0.95 here)
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val n = docs.count()
+    val allPairs = n * (n - 1) / 2
+    val banded = MlMinHash.pairsBanded(docs, threshold = 0.0) // no verify cut: raw candidates
+    assert(banded.count() < allPairs / 4,
+      s"banding admitted ${banded.count()} of $allPairs pairs — not a candidate pruner")
+  }
+
   test("annTopK: per-query probe returns k true-ish neighbors, self excluded") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val rows = MlMinHash.annTopK(docs, numNeighbors = 3, queryEvery = 50).collect()
