@@ -166,6 +166,10 @@ object SparkEntry {
     "window_lag_lead" -> ((s, d) => Relational.windowLagLead(s, d)),
     "string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
     "salted_join_sales" -> ((s, d) => Relational.saltedJoinSales(s, d)),
+    // planted-skew pair: same result, guard off vs on — benched so the
+    // artifact quantifies the salting win on a genuinely hot key
+    "skew_join_unsalted" -> ((s, d) => Relational.skewJoinUnsalted(s, d)),
+    "skew_join_salted" -> ((s, d) => Relational.skewJoinSalted(s, d)),
     "rollup_sales" -> ((s, d) => Relational.rollupSales(s, d)),
     "cube_sales" -> ((s, d) => Relational.cubeSales(s, d)),
     "grouping_sets_sales" -> ((s, d) => Relational.groupingSetsSales(s, d)),
@@ -216,6 +220,9 @@ object SparkEntry {
     "window_lag_lead" -> Sql.windowLagLead,
     "string_funcs" -> Sql.stringFuncs,
     "salted_join_sales" -> Sql.saltedJoinSales,
+    // one oracle for both fixture variants — identical by construction
+    "skew_join_unsalted" -> Sql.skewJoin,
+    "skew_join_salted" -> Sql.skewJoin,
     "shingles" -> Sql.shingles,
     "shingle_dict" -> Sql.shingleDict,
     "minhash_signatures" -> Sql.minhashSignatures,

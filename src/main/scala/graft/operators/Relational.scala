@@ -355,6 +355,53 @@ object Relational {
         money(col("sum_c")).as("total_price"))
   }
 
+  /** Planted-skew join fixture: 99% of lineitem rows collapse onto
+    * ONE join key (the remainder spread over 1..999), joined to a
+    * derived 1000-key dimension with 8× row multiplicity, `merge`
+    * hint on the dim so the join SHUFFLES (broadcast would hide the
+    * skew the fixture exists to demonstrate, and AQE's skew split
+    * does not trigger below its 256 MB partition threshold at this
+    * sf). The [[skewJoinUnsalted]] plan puts ~99% of the join+agg in
+    * one reducer task; [[skewJoinSalted]] scatters the hot key across
+    * saltFactor salts. Identical results (one oracle) — the benched
+    * pair quantifies the salting guard's win on real skew. */
+  private def skewSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = table(spark, dir, "lineitem")
+      .select(
+        when(pmod(col("l_orderkey"), lit(100)) < 99, 0L)
+          .otherwise(pmod(col("l_orderkey"), lit(1000))).as("hk"),
+        col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("price_c"))
+    val dim = spark.range(0, 1000)
+      .select(col("id").as("hk"),
+        explode(sequence(lit(0L), lit(127L))).as("rep"))
+    (li, dim)
+  }
+
+  private def skewAgg(joined: DataFrame): DataFrame =
+    joined
+      .groupBy(pmod(col("hk") + col("rep"), lit(7)).as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price_c") * (col("rep") + 1)).as("sum_c"))
+      .select(col("grp"), col("n_rows"), money(col("sum_c")).as("total"))
+
+  /** The skew fixture WITHOUT the guard: plain shuffle equi-join, one
+    * hot reducer. Kept registered (and benched) as the baseline the
+    * salted form is measured against. */
+  def skewJoinUnsalted(spark: SparkSession, dir: String): DataFrame = {
+    val (li, dim) = skewSides(spark, dir)
+    skewAgg(li.join(dim.hint("merge"), Seq("hk")))
+  }
+
+  /** The skew fixture WITH the salting guard: the hot key's rows
+    * scatter across 8 salts (row-unique salt source), the dim
+    * explodes 8×, and no reducer owns more than ~1/8 of the hot key. */
+  def skewJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val (li, dim) = skewSides(spark, dir)
+    skewAgg(Salting.saltedEquiJoin(li, dim.hint("merge"), "hk",
+      xxhash64(col("l_orderkey"), col("l_linenumber"))))
+  }
+
   /** Window-function variety beyond ranking/frames: lag/lead offsets,
     * ntile bucketing, dense_rank — all over fully-tiebroken orderings
     * so every function's output is deterministic. */

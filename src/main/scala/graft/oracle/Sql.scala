@@ -965,6 +965,22 @@ WHERE rnk <= 3""")
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus"""
 
+  /** One oracle for BOTH skew-fixture variants (salted and unsalted
+    * are result-identical by construction). */
+  val skewJoin: String =
+    s"""WITH li AS (
+      SELECT CASE WHEN l_orderkey % 100 < 99 THEN 0 ELSE l_orderkey % 1000 END AS hk,
+        ${cents("l_extendedprice")} AS price_c
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT h.hk, r.rep FROM generate_series(0, 999) h(hk), generate_series(0, 127) r(rep)
+    )
+    SELECT (li.hk + rep) % 7 AS grp, count(*)::BIGINT AS n_rows,
+      ${money("sum(price_c * (rep + 1))")} AS total
+    FROM li JOIN dim ON li.hk = dim.hk
+    GROUP BY 1"""
+
   val windowLagLead: String =
     s"""SELECT o_custkey, o_orderkey,
       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
