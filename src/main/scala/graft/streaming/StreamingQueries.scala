@@ -31,6 +31,20 @@ object StreamingQueries {
       process() // one micro-batch per chunk: state carries across batches
     }
 
+  /** Run a streaming harness query under a SMALL state partitioning:
+    * stateful operators create one state store per shuffle partition
+    * per side per micro-batch, so a batch session's 32-partition
+    * default multiplies store setup/commit cost by 4-8× for zero
+    * benefit at harness data sizes (state partitioning is a
+    * deployment choice pinned at first checkpoint — a production
+    * stream sizes it to throughput, a test harness to overhead). */
+  private def withStatePartitions[A](spark: SparkSession, n: Int = 8)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Tumbling-window counts per event type, computed by the
     * STREAMING windowCounts (watermark + window aggregation) in
     * complete output mode — state is never evicted, so the final
@@ -49,10 +63,12 @@ object StreamingQueries {
     val stream = input.toDF().toDF("event_type", "us", "value")
       .withColumn("ts_ts", timestamp_micros(col("us")))
     val name = "graft_stream_window_counts"
-    val q = StreamingOps.windowCounts(stream).writeStream
-      .format("memory").queryName(name).outputMode("complete").start()
-    try feed(input, rows, nChunks, () => q.processAllAvailable())
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = StreamingOps.windowCounts(stream).writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try feed(input, rows, nChunks, () => q.processAllAvailable())
+      finally q.stop()
+    }
     spark.table(name).select(
       unix_micros(col("window_start")).as("window_start_us"),
       col("event_type"), col("n_events"), col("sum_value"))
@@ -82,15 +98,17 @@ object StreamingQueries {
     val stream = input.toDF().toDF("user_id", "us", "value")
       .withColumn("ts_ts", timestamp_micros(col("us")))
     val name = "graft_stream_session_windows"
-    val q = StreamingOps.sessionWindows(stream).writeStream
-      .format("memory").queryName(name).outputMode("append").start()
-    try {
-      feed(input, rows, nChunks, () => q.processAllAvailable())
-      Seq(1, 2).foreach { i =>
-        input.addData((-i.toLong, maxUs + i * 4L * 3600 * 1000000L, 0.0))
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withStatePartitions(spark) {
+      val q = StreamingOps.sessionWindows(stream).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        feed(input, rows, nChunks, () => q.processAllAvailable())
+        Seq(1, 2).foreach { i =>
+          input.addData((-i.toLong, maxUs + i * 4L * 3600 * 1000000L, 0.0))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.table(name).filter(col("user_id") >= 0)
       .select(col("user_id"),
         unix_micros(col("session_start")).as("session_start_us"),
@@ -115,10 +133,12 @@ object StreamingQueries {
     val input = MemoryStream[(Long, Long, String, Double)]
     val stream = input.toDF().toDF("event_id", "user_id", "event_type", "value")
     val name = "graft_stream_enrich"
-    val q = StreamingOps.enrichStream(stream, dim).writeStream
-      .format("memory").queryName(name).outputMode("append").start()
-    try feed(input, rows, nChunks, () => q.processAllAvailable())
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = StreamingOps.enrichStream(stream, dim).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try feed(input, rows, nChunks, () => q.processAllAvailable())
+      finally q.stop()
+    }
     spark.table(name).select("event_id", "user_id", "event_type", "value",
       "c_mktsegment", "c_nationkey")
   }
@@ -150,15 +170,17 @@ object StreamingQueries {
       in.toDF().toDF("user_id", "event_id", "us")
         .withColumn("ts_ts", timestamp_micros(col("us"))).drop("us")
     val name = "graft_stream_range_join"
-    val q = StreamingOps.rangeJoinStream(asDf(tIn), asDf(mIn)).writeStream
-      .format("memory").queryName(name).outputMode("append").start()
-    try (0 until nChunks).foreach { j =>
-      val a = lo + j * step
-      val b = a + step
-      tIn.addData(targets.filter(r => r._3 >= a && r._3 < b).map(r => (r._1, r._2, r._3)).toSeq)
-      mIn.addData(matches.filter(r => r._3 >= a && r._3 < b).map(r => (r._1, r._2, r._3)).toSeq)
-      q.processAllAvailable()
-    } finally q.stop()
+    withStatePartitions(spark) {
+      val q = StreamingOps.rangeJoinStream(asDf(tIn), asDf(mIn)).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try (0 until nChunks).foreach { j =>
+        val a = lo + j * step
+        val b = a + step
+        tIn.addData(targets.filter(r => r._3 >= a && r._3 < b).map(r => (r._1, r._2, r._3)).toSeq)
+        mIn.addData(matches.filter(r => r._3 >= a && r._3 < b).map(r => (r._1, r._2, r._3)).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     spark.table(name).select(col("user_id"), col("target_id"), col("match_id"),
       unix_micros(col("ts_ts")).as("target_us"),
       unix_micros(col("m_ts")).as("match_us"))
@@ -197,10 +219,12 @@ object StreamingQueries {
     val stream = input.toDF().toDF("doc_id", "text", "us")
       .withColumn("ts_ts", timestamp_micros(col("us")))
     val name = "graft_stream_exact_dedup"
-    val q = StreamingOps.exactDedupStream(stream).writeStream
-      .format("memory").queryName(name).outputMode("append").start()
-    try feed(input, rows, nChunks, () => q.processAllAvailable())
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = StreamingOps.exactDedupStream(stream).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try feed(input, rows, nChunks, () => q.processAllAvailable())
+      finally q.stop()
+    }
     spark.table(name).select(col("doc_id"),
       unix_micros(col("ts_ts")).as("us"), col("text_md5"))
   }
@@ -219,10 +243,12 @@ object StreamingQueries {
     val stream = input.toDF().toDF("doc_id", "text", "us")
       .withColumn("ts_ts", timestamp_micros(col("us")))
     val name = "graft_stream_pipeline"
-    val q = StreamingOps.pipelineStream(stream).writeStream
-      .format("memory").queryName(name).outputMode("append").start()
-    try feed(input, rows, nChunks, () => q.processAllAvailable())
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = StreamingOps.pipelineStream(stream).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try feed(input, rows, nChunks, () => q.processAllAvailable())
+      finally q.stop()
+    }
     spark.table(name).select(col("doc_id"),
       unix_micros(col("ts_ts")).as("us"), col("n_chars"), col("n_tokens"))
   }
@@ -248,16 +274,18 @@ object StreamingQueries {
     val maxUs = rows.iterator.map(_.us).max
     val input = MemoryStream[StreamingOps.SessionEvent]
     val name = "graft_stream_sessionize"
-    val q = StreamingOps.sessionizeStateful(input.toDS()).writeStream
-      .format("memory").queryName(name).outputMode("append").start()
-    try {
-      feed(input, rows, nChunks, () => q.processAllAvailable())
-      Seq(1, 2).foreach { i =>
-        input.addData(StreamingOps.SessionEvent(-i.toLong, 0L,
-          maxUs + i * 4L * 3600 * 1000000L, 0.0))
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withStatePartitions(spark) {
+      val q = StreamingOps.sessionizeStateful(input.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        feed(input, rows, nChunks, () => q.processAllAvailable())
+        Seq(1, 2).foreach { i =>
+          input.addData(StreamingOps.SessionEvent(-i.toLong, 0L,
+            maxUs + i * 4L * 3600 * 1000000L, 0.0))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.table(name).filter(col("user_id") >= 0)
       .select("user_id", "start_sec", "end_sec", "n_events", "sum_value")
   }
@@ -280,10 +308,12 @@ object StreamingQueries {
       .collect().sortBy(_._1).toIndexedSeq
     val input = MemoryStream[(Long, String)]
     val name = "graft_stream_near_dup"
-    val q = StreamingOps.nearDupStream(input.toDS(), maxBucket = Int.MaxValue)
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try feed(input, docs, nChunks, () => q.processAllAvailable())
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = StreamingOps.nearDupStream(input.toDS(), maxBucket = Int.MaxValue)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try feed(input, docs, nChunks, () => q.processAllAvailable())
+      finally q.stop()
+    }
     spark.table(name).dropDuplicates("id_l", "id_r")
       .select("id_l", "id_r", "jaccard")
   }
