@@ -82,6 +82,8 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
     "word_ngram_jaccard" -> ((s, d) => TextAnalysis.wordNgramJaccard(docs(s, d))),
+    "contamination_pairs" -> ((s, d) => TextAnalysis.contaminationPairs(docs(s, d))),
+    "repetition_stats" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d))),
     "tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(docs(s, d))),
     "media_features" -> ((s, d) =>
@@ -251,6 +253,8 @@ object SparkEntry {
     "lang_id" -> Sql.langId,
     "doc_fingerprint" -> Sql.fingerprint,
     "word_ngram_jaccard" -> Sql.wordNgramJaccard,
+    "contamination_pairs" -> Sql.contaminationPairs,
+    "repetition_stats" -> Sql.repetitionStats,
     "tfidf_top_terms" -> Sql.tfidfTopTerms,
     "media_meta" -> Sql.mediaMeta,
     "media_features" -> Sql.mediaFeatures,

@@ -150,6 +150,65 @@ object TextAnalysis {
       size(array_distinct(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
         .cast("long").as("n_distinct_pieces"))
 
+  /** Distinct word n-grams of a text as joined strings (n >= 1);
+    * empty array when the text has fewer than n tokens. */
+  private def wordNgramsCol(text: Column, n: Int): Column = {
+    val toks = tokensCol(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - lit(n)), i =>
+        concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark DECONTAMINATION: every corpus doc sharing at least
+    * `minShared` distinct word n-grams with some doc of the held-out
+    * benchmark set (here: doc_id % benchEvery == 0 — in production,
+    * the eval suites' texts). The standard training-data hygiene
+    * check (n-gram collision against benchmarks); candidates come
+    * from the n-gram equi-join, never doc×doc — at 100 TB the
+    * benchmark side is tiny and broadcast, so the corpus is scanned
+    * once, shuffled only by matching gram. */
+  def contaminationPairs(docs: DataFrame, n: Int = 5, minShared: Int = 3,
+                         benchEvery: Long = 97): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(wordNgramsCol(col("text"), n)).as("gram"))
+    val corpus = grams.filter(col("doc_id") % benchEvery =!= 0)
+    val bench = grams.filter(col("doc_id") % benchEvery === 0)
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    corpus.join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id", "bench_id")
+      // grams are distinct per doc, so count(*) = |shared gram set|
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Gopher-style repetition signals, all exact integers: longest
+    * same-token run (filters "spam spam spam ..." docs), bigram
+    * duplication (n_bigrams vs distinct). The run fold is a single
+    * pass over the token array (aggregate HOF — codegen'd, no UDF,
+    * no shuffle). */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val runFold = aggregate(
+      toks,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("mx"), run).as("mx"))
+      },
+      acc => acc.getField("mx"))
+    val allBigrams = when(size(toks) >= 2, size(toks) - 1).otherwise(0)
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_types"),
+      runFold.as("max_run"),
+      allBigrams.cast("long").as("n_bigrams"),
+      size(wordNgramsCol(col("text"), 2)).cast("long").as("n_distinct_bigrams"))
+  }
+
   /** Distinct word bigrams of a text ("a b c" -> ["a b", "b c"]) —
     * fused native expression; equals [[bigramsColBuiltins]]
     * (spec-checked). */

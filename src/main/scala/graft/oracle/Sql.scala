@@ -469,6 +469,47 @@ SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id""")
     FROM toktab""")
   }
 
+  /** Benchmark decontamination: corpus docs sharing >= 3 distinct
+    * word 5-grams with a benchmark doc (doc_id % 97 == 0). */
+  val contaminationPairs: String = docQ(
+    s""", grams AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+        THEN list_distinct(list_transform(generate_series(1, len(toks) - 4),
+          i -> array_to_string(toks[i:i+4], ' ')))
+        ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM toktab
+    )
+    SELECT c.doc_id, b.bench_id, count(*)::BIGINT AS n_shared
+    FROM (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0) c
+    JOIN (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 97 = 0) b USING (gram)
+    GROUP BY 1, 2
+    HAVING count(*) >= 3""")
+
+  /** Repetition signals: longest same-token run via gaps-and-islands
+    * (Spark computes it as a one-pass fold — same integers). */
+  val repetitionStats: String = docQ(
+    s""", pos AS (
+      SELECT doc_id, toks[i] AS tok, i
+      FROM toktab, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) t
+    ),
+    runs AS (
+      SELECT doc_id, max(cnt) AS max_run FROM (
+        SELECT doc_id, count(*) AS cnt FROM (
+          SELECT doc_id, tok, i,
+            i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+          FROM pos)
+        GROUP BY doc_id, tok, grp)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+      COALESCE(r.max_run, 0)::BIGINT AS max_run,
+      CAST(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS BIGINT) AS n_bigrams,
+      CAST(CASE WHEN len(toks) >= 2 THEN len(list_distinct(list_transform(
+        generate_series(1, len(toks) - 1), i -> array_to_string(toks[i:i+1], ' '))))
+        ELSE 0 END AS BIGINT) AS n_distinct_bigrams
+    FROM toktab t LEFT JOIN runs r ON t.doc_id = r.doc_id""")
+
   /** Mirrors the Spark side's HASHED bigram sets: same fold hash per
     * bigram, distinct-ed, so |A∩B| / (|A|+|B|-|A∩B|) is bit-equal. */
   val wordNgramJaccard: String = docQ(

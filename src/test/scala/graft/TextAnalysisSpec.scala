@@ -116,6 +116,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.simHashPairs(d, maxBucket = Some(1)).count() == 0)
   }
 
+  test("contaminationPairs flags only docs sharing enough n-grams with a benchmark doc") {
+    // ids chosen so 0 and 97 are "benchmark" (id % 97 == 0)
+    val d = docsDf(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta", // benchmark
+      1L -> "alpha beta gamma delta epsilon zeta different tail", // shares 5-gram window(s)
+      2L -> "completely unrelated words here nothing matches benchmark text",
+      3L -> "alpha beta gamma x delta epsilon zeta y") // no shared 5-gram (broken windows)
+    val out = TextAnalysis.contaminationPairs(d, n = 5, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 shares windows "alpha..epsilon" and "beta..zeta" with bench 0
+    assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 0L)), s"got ${out.toSeq}")
+    assert(out.head._3 == 2)
+  }
+
+  test("repetitionStats: longest run and bigram duplication are exact") {
+    val d = docsDf(
+      1L -> "spam spam spam ham spam",
+      2L -> "a b a b a b",
+      3L -> "")
+    val m = TextAnalysis.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(m(1L) == (5L, 2L, 3L, 4L, 3L)) // runs: spam×3; bigrams: ss,ss,sh,hs -> 3 distinct
+    assert(m(2L) == (6L, 2L, 1L, 5L, 2L)) // alternating: max run 1, bigrams ab/ba
+    assert(m(3L) == (0L, 0L, 0L, 0L, 0L))
+  }
+
   test("sf0.001: blocked simhash dedup catches most minhash near-dup pairs") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val mh = graft.operators.MinHashLsh.similarPairs(docs).select("id_l", "id_r")
