@@ -105,8 +105,10 @@ object MlMinHash {
     // SLIM banding frame: the self-join shuffles (band, key, id) only —
     // shipping each side's feature vector through the candidate join
     // would put O(candidates × vector) bytes on the wire; instead the
-    // deduped pair list joins the per-doc features back afterwards
-    // (corpus-sized build side, broadcastable)
+    // deduped pair list joins the per-doc features back afterwards.
+    // No broadcast hint: the build side is corpus-sized, so Catalyst
+    // broadcasts while stats allow and degrades to a shuffle join on
+    // doc_id past the threshold — forcing broadcast would OOM at scale
     val banded = model.transform(vecs)
       .select(col("doc_id"),
         posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
@@ -132,8 +134,8 @@ object MlMinHash {
     l.join(r, Seq("band", "band_key"))
       .filter(col("id_l") < col("id_r"))
       .select("id_l", "id_r").distinct()
-      .join(broadcast(vecs.select(col("doc_id").as("id_l"), col("features").as("f_l"))), "id_l")
-      .join(broadcast(vecs.select(col("doc_id").as("id_r"), col("features").as("f_r"))), "id_r")
+      .join(vecs.select(col("doc_id").as("id_l"), col("features").as("f_l")), "id_l")
+      .join(vecs.select(col("doc_id").as("id_r"), col("features").as("f_r")), "id_r")
       .withColumn("jaccard", jac(col("f_l"), col("f_r")))
       .filter(col("jaccard") >= threshold)
       .select("id_l", "id_r", "jaccard")
