@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exactGroups(docs(s, d))),
     "dedup_normalized" -> ((s, d) => Dedup.normalizedGroups(docs(s, d))),
     "dedup_near_keep" -> ((s, d) => Dedup.nearDupKeep(docs(s, d))),
+    "dedup_keep_best" -> ((s, d) => Dedup.nearDupKeepBest(docs(s, d))),
     "near_dup_groups" -> ((s, d) => Dedup.nearDupGroups(s, docs(s, d))),
     "embed_dedup_pairs" -> ((s, d) => DocEmbedding.dedupPairs(docs(s, d))),
     "embed_dedup_keep" -> ((s, d) => DocEmbedding.dedupKeep(docs(s, d))),
@@ -108,6 +109,8 @@ object SparkEntry {
     // --- deterministic sampling ---
     "hash_sample" -> ((s, d) => Sampling.hashSample(docs(s, d))),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(docs(s, d))),
+    "sequence_packing" -> ((s, d) => Sampling.sequencePacking(docs(s, d))),
+    "doc_chunks" -> ((s, d) => TextAnalysis.docChunks(docs(s, d))),
     // --- embeddings / similarity search ---
     "embedding_norms" -> ((s, d) => EmbeddingSim.norms(emb(s, d))),
     "array_funcs" -> ((s, d) => EmbeddingSim.arrayFuncs(emb(s, d))),
@@ -244,6 +247,9 @@ object SparkEntry {
     "minhash_estimate" -> Sql.minhashEstimate,
     "dedup_exact" -> Sql.dedupExact,
     "dedup_near_keep" -> Sql.dedupNearKeep,
+    "dedup_keep_best" -> Sql.dedupKeepBest,
+    "doc_chunks" -> Sql.docChunks,
+    "sequence_packing" -> Sql.sequencePacking,
     "embed_dedup_pairs" -> Sql.embedDedupPairs,
     "embed_dedup_keep" -> Sql.embedDedupKeep,
     "simhash" -> Sql.simhash,

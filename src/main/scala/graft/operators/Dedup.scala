@@ -44,6 +44,29 @@ object Dedup {
       .select(col("doc_id").as("kept_id"))
   }
 
+  /** QUALITY-ranked near-dup keep: drop a doc iff some verified
+    * near-dup partner is BETTER (more tokens; smaller doc_id breaks
+    * ties) — what a production pipeline actually wants from dedup
+    * (keep the richest member of each duplicate neighborhood, not
+    * the one with the smallest id). Same join shape as
+    * [[nearDupKeep]]: the verified-pair edge list is tiny relative
+    * to the corpus, the quality attach is an equi-join on doc_id. */
+  def nearDupKeepBest(docs: DataFrame, k: Int = Config.K,
+                      threshold: Double = Config.Threshold): DataFrame = {
+    val q = docs.select(col("doc_id"),
+      size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"))
+    val pairs = MinHashLsh.similarPairs(docs, k, threshold)
+    val sym = pairs.select(col("id_l").as("a"), col("id_r").as("b"))
+      .union(pairs.select(col("id_r").as("a"), col("id_l").as("b")))
+    val dropped = sym
+      .join(q.select(col("doc_id").as("a"), col("n_tokens").as("ta")), "a")
+      .join(q.select(col("doc_id").as("b"), col("n_tokens").as("tb")), "b")
+      .filter(col("tb") > col("ta") || (col("tb") === col("ta") && col("b") < col("a")))
+      .select(col("a").as("doc_id")).distinct()
+    q.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("kept_id"), col("n_tokens"))
+  }
+
   /** Connected near-dup components via iterative min-label
     * propagation on the verified-pair graph. Returns
     * (doc_id, group_id) for every doc in some similar pair; group_id

@@ -29,6 +29,28 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** SEQUENCE PACKING assignment: pack documents into fixed
+    * token-budget training bins, streaming first-fit within hash
+    * buckets. Each doc lands in the bin its running token offset
+    * falls into (bin = floor(tokens-before / budget)) — the standard
+    * streaming pack (a bin may overflow by at most one doc, never
+    * split one). Buckets are the parallelism unit: packing is
+    * inherently sequential PER STREAM, so the corpus is hash-split
+    * into independent streams first — at 100 TB each bucket packs
+    * locally after one exchange, no global order needed. */
+  def sequencePacking(docs: DataFrame, budget: Int = 256,
+                      buckets: Int = 32): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    docs
+      .select(col("doc_id"),
+        size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(buckets)).cast("int"))
+      .withColumn("tokens_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        expr(s"tokens_before div $budget").as("bin"), col("tokens_before"))
+  }
+
   /** Deterministic stratified sample: the n docs per stratum (lang)
     * with the smallest affine hash of doc_id — an order-free,
     * replayable "random n per class" (class-balancing downsample).

@@ -182,6 +182,34 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Context-window CHUNKING: split each document's tokens into
+    * overlapping fixed-size chunks (the RAG/embedding preprocessing
+    * shape — chunk i covers tokens [i·stride, i·stride + chunkTokens)
+    * with stride = chunkTokens - overlap). Pure per-row flatMap via
+    * HOFs — narrow, codegen'd, no UDF; at 100 TB this is a
+    * map-only stage whose output is partitioned like its input. */
+  def docChunks(docs: DataFrame, chunkTokens: Int = 16,
+                overlap: Int = 4): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val withT = docs.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    val n = size(col("toks"))
+    // exact for any realistic doc: double division of ints < 2^53
+    val nChunks = floor((n + lit(stride - 1)).cast("double") / stride).cast("int")
+    withT
+      .filter(n > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nChunks - 1), i => {
+          val piece = slice(col("toks"), i * stride + 1, lit(chunkTokens))
+          struct(i.as("chunk_idx"),
+            (i * stride).cast("long").as("start_tok"),
+            size(piece).cast("long").as("n_chunk_tokens"),
+            concat_ws(" ", piece).as("chunk_text"))
+        })).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
+        col("c.n_chunk_tokens"), col("c.chunk_text"))
+  }
+
   /** Gopher-style repetition signals, all exact integers: longest
     * same-token run (filters "spam spam spam ..." docs), bigram
     * duplication (n_bigrams vs distinct). The run fold is a single

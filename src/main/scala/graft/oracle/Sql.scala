@@ -171,6 +171,43 @@ toktab AS (
     """SELECT doc_id AS kept_id FROM documents
     WHERE doc_id NOT IN (SELECT id_r FROM simpairs)""")
 
+  /** Quality-ranked near-dup keep: a doc is dropped iff some verified
+    * partner has more tokens (smaller doc_id breaks ties). */
+  val dedupKeepBest: String = docQ(
+    """, sym AS (
+      SELECT id_l AS a, id_r AS b FROM simpairs
+      UNION ALL SELECT id_r, id_l FROM simpairs
+    ),
+    tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toktab)
+    SELECT t.doc_id AS kept_id, t.n_tokens FROM tk t
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sym s JOIN tk x ON s.b = x.doc_id
+      WHERE s.a = t.doc_id
+        AND (x.n_tokens > t.n_tokens OR (x.n_tokens = t.n_tokens AND s.b < s.a)))""")
+
+  /** Overlapping token chunks: chunk i covers tokens
+    * [i*12, i*12 + 16) (stride 12 = 16 - overlap 4). */
+  val docChunks: String = docQ(
+    """SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS chunk_idx,
+      CAST((t.i - 1) * 12 AS BIGINT) AS start_tok,
+      CAST(len(toks[(t.i - 1) * 12 + 1 : least((t.i - 1) * 12 + 16, len(toks))]) AS BIGINT) AS n_chunk_tokens,
+      array_to_string(toks[(t.i - 1) * 12 + 1 : least((t.i - 1) * 12 + 16, len(toks))], ' ') AS chunk_text
+    FROM toktab,
+      LATERAL (SELECT unnest(generate_series(1,
+        CAST(ceil(len(toks) / 12.0) AS BIGINT))) AS i) t
+    WHERE len(toks) > 0""")
+
+  /** Streaming first-fit packing: bin = tokens-before div budget
+    * within each doc_id-ordered hash bucket. */
+  val sequencePacking: String = docQ(
+    """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(doc_id % 32 AS INTEGER) AS bucket,
+      (sum(len(toks)::BIGINT) OVER w - len(toks)::BIGINT) // 256 AS bin,
+      sum(len(toks)::BIGINT) OVER w - len(toks)::BIGINT AS tokens_before
+    FROM toktab
+    WINDOW w AS (PARTITION BY doc_id % 32 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+
   /** CTE chain for the feature-hashed document embedding + sign-LSH
     * dedup (DocEmbedding.scala) — appended after docCtes, so `hashed`
     * is in scope. Mirrors: distinct hashes → 64 signed conditional

@@ -20,6 +20,19 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("keep-best: the richer member of a near-dup pair survives regardless of id") {
+    val d = docsDf(
+      // doc 1 is a near-dup PREFIX of doc 2; doc 2 has more tokens, so
+      // keep-best keeps 2 even though min-id dedup would keep 1
+      1L -> "the quick brown fox jumps over the lazy dog today right",
+      2L -> "the quick brown fox jumps over the lazy dog today right now",
+      3L -> "totally unrelated content qqq zzz www")
+    val kept = Dedup.nearDupKeepBest(d).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"got $kept")
+    // sanity: min-id keep makes the opposite choice on the same pair
+    assert(Dedup.nearDupKeep(d).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("near-dup groups: transitive chain A~B~C collapses to one group") {
     // B is near-dup of both A and C, but A and C may not pair directly:
     val d = docsDf(

@@ -26,6 +26,31 @@ class SamplingSpec extends SparkSpec {
     assert(a.length > 0 && a.length < n / 4, s"${a.length} of $n sampled")
   }
 
+  test("sequence packing: bins respect the streaming first-fit rule per bucket") {
+    val s = spark
+    import s.implicits._
+    // one bucket (ids ≡ 0 mod 32), token counts 3, 2, 4 -> with
+    // budget 5: offsets 0, 3, 5 -> bins 0, 0, 1
+    val d = Seq((0L, "a b c"), (32L, "d e"), (64L, "f g h i"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Sampling.sequencePacking(d, budget = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(0L -> (0L, 0L), 32L -> (0L, 3L), 64L -> (1L, 5L)), s"got $out")
+  }
+
+  test("doc chunks: overlapping windows cover all tokens with the right stride") {
+    val d = docsDf(1L -> (1 to 30).map(i => s"t$i").mkString(" "), 2L -> "")
+    val chunks = graft.operators.TextAnalysis.docChunks(d, chunkTokens = 16, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(chunks.forall(_._1 == 1L)) // empty doc yields no chunks
+    val byIdx = chunks.sortBy(_._2)
+    // 30 tokens, stride 12: starts 0, 12, 24 -> sizes 16, 16, 6
+    assert(byIdx.map(c => (c._3, c._4)).toSeq == Seq((0L, 16L), (12L, 16L), (24L, 6L)))
+    assert(byIdx.head._5.startsWith("t1 t2 ") && byIdx.last._5 == "t25 t26 t27 t28 t29 t30")
+    // consecutive chunks overlap by exactly 4 tokens
+    assert(byIdx(0)._5.split(" ").takeRight(4).toSeq == byIdx(1)._5.split(" ").take(4).toSeq)
+  }
+
   test("stratified sample keeps at most n per stratum, deterministically") {
     val out = Sampling.stratifiedSample(realDocs, 5)
     val perLang = out.groupBy("lang").count().collect()
