@@ -86,6 +86,15 @@ object SparkEntry {
     "contamination_pairs" -> ((s, d) => TextAnalysis.contaminationPairs(docs(s, d))),
     "repetition_stats" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d))),
     "tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
+    // --- corpus statistics ---
+    "vocab_topk" -> ((s, d) => CorpusStats.vocabTopK(docs(s, d))),
+    "unigram_score" -> ((s, d) => CorpusStats.unigramScore(docs(s, d))),
+    "source_overlap" -> ((s, d) => CorpusStats.sourceOverlap(docs(s, d))),
+    "chunk_dedup" -> ((s, d) => CorpusStats.chunkDedup(docs(s, d))),
+    // asymmetric containment (short-doc-inside-long-doc) via a
+    // guaranteed-recall prefix-filter join — minhash bands would miss
+    // low-Jaccard/high-containment pairs
+    "containment_pairs" -> ((s, d) => CorpusStats.containmentPairs(docs(s, d))),
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(docs(s, d))),
     "media_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.asBinaryTable(docs(s, d))).toDF()),
@@ -262,6 +271,11 @@ object SparkEntry {
     "contamination_pairs" -> Sql.contaminationPairs,
     "repetition_stats" -> Sql.repetitionStats,
     "tfidf_top_terms" -> Sql.tfidfTopTerms,
+    "vocab_topk" -> Sql.vocabTopK,
+    "unigram_score" -> Sql.unigramScore,
+    "source_overlap" -> Sql.sourceOverlap,
+    "chunk_dedup" -> Sql.chunkDedup,
+    "containment_pairs" -> Sql.containmentPairs,
     "media_meta" -> Sql.mediaMeta,
     "media_features" -> Sql.mediaFeatures,
     "media_frames" -> Sql.mediaFrames,

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Config
+import graft.functions.PortableHash
+
+/** Corpus-level statistics for a training-data pipeline: global
+  * vocabulary (BPE/tokenizer prep), unigram-LM document scoring,
+  * cross-source overlap reporting, and cross-document chunk-level
+  * exact dedup. All built-in expressions (codegen'd, no UDFs); all
+  * mirrored bit-exactly by DuckDB oracle SQL (graft.oracle.Sql).
+  *
+  * Reference analog: none (the reference is a 5-sentence minhash
+  * pipeline, Main.java:45-90) — these are the north-star extensions
+  * a 100 TB text corpus needs before/alongside dedup.
+  */
+object CorpusStats {
+
+  /** Global token vocabulary, top-k by occurrence count — the
+    * tokenizer-training / vocab-pruning shape. Ranks are assigned
+    * AFTER a distributed top-k (TakeOrderedAndProject), so the
+    * single-partition row_number window only ever sees `topK` rows —
+    * never the full vocabulary (100M+ types at corpus scale). */
+  def vocabTopK(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val counts = docs
+      .select(explode(TextAnalysis.tokensCol(col("text"))).as("token"),
+        col("doc_id"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    // distributed top-k (per-partition heads + driver merge of k rows
+    // each), THEN rank over the k survivors
+    val top = counts
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(topK)
+    top.withColumn("rank",
+      row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("token").asc))
+        .cast("long"))
+  }
+
+  /** Unigram-LM document quality score: the mean corpus probability
+    * of the document's tokens — the cheap stand-in for "LM
+    * perplexity" filtering. All shuffle-side arithmetic is INTEGER
+    * (sum of corpus term frequencies per doc); the only floating
+    * point is two exact final divisions, so the score is bit-portable
+    * to the oracle with no log/libm involved:
+    *   score = (sum_tf / n_tokens) / total_tf
+    * where sum_tf = Σ_occurrences corpusCount(token). Higher =
+    * more in-distribution text. The per-token corpus counts join is
+    * an equi-join on token (both sides partitioned by token); the
+    * corpus-total scalar is a 1-row cross join (bounded by
+    * construction, same shape as tfidf's doc-count scalar). */
+  def unigramScore(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("ctf"))
+    val total = counts.agg(sum(col("ctf")).as("total_tf"))
+    tok.join(counts, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ctf")).as("sum_tf"))
+      .crossJoin(total)
+      .select(col("doc_id"), col("n_tokens"), col("sum_tf"),
+        ((col("sum_tf").cast("double") / col("n_tokens").cast("double"))
+          / col("total_tf").cast("double")).as("unigram_score"))
+  }
+
+  /** Cross-source overlap report: exact shingle-set Jaccard between
+    * every pair of `source` values that share at least one shingle.
+    * Intersections come from an EQUI-JOIN on the shingle hash over
+    * the distinct (source, h) pairs — per-source sets are never
+    * materialized as arrays, and each hash contributes at most
+    * |sources|^2 join rows, so the shape holds when per-source sets
+    * have billions of shingles. Source pairs with zero shared
+    * shingles (impossible-to-join) are intentionally absent: the
+    * report lists observed overlap. */
+  def sourceOverlap(docs: DataFrame, k: Int = Config.K): DataFrame = {
+    val sh = docs
+      .select(col("source"),
+        explode(Shingling.shingleHashArray(col("text"), k)).as("h"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("source").as("src_l"), col("h"))
+      .join(sh.select(col("source").as("src_r"), col("h")), Seq("h"))
+      .filter(col("src_l") < col("src_r"))
+      .groupBy("src_l", "src_r")
+      .agg(count(lit(1)).as("n_inter"))
+    // sizes has one row per source — broadcast both lookups
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_l"), col("n").as("n_l"))), Seq("src_l"))
+      .join(broadcast(sizes.select(col("source").as("src_r"), col("n").as("n_r"))), Seq("src_r"))
+      .select(col("src_l"), col("src_r"), col("n_l"), col("n_r"), col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("n_l") + col("n_r") - col("n_inter")).cast("double")).as("jaccard"))
+  }
+
+  /** Asymmetric CONTAINMENT join: c(A in B) = |A∩B| / |A| — catches
+    * a short document embedded in a longer one, which symmetric
+    * Jaccard under-scores (a doc 1/4 the size of its container has
+    * J <= 0.25 but containment 1.0), so minhash-band candidate
+    * generation would MISS it (band recall is Jaccard-shaped).
+    * Candidates instead come from a PREFIX FILTER with guaranteed
+    * recall: each doc probes on its floor((1-t)*n)+1 globally-RAREST
+    * gram hashes (rarity = corpus doc frequency). If a pair shares
+    * none of A's prefix, then A is missing more than (1-t)*n of its
+    * grams from B, so cont(A in B) < t — no true pair is ever
+    * dropped. Rare-first ordering keeps the candidate equi-join
+    * fan-out bounded (the hot grams everyone shares are probed only
+    * by docs that have nothing rarer). Sets are hashed word
+    * TRIGRAMS, not char shingles: containment is about embedded
+    * passages, and word n-grams are discriminative where char-3
+    * shingles of a small vocabulary saturate (nearly every doc
+    * "contains" every other). Exact verification on sorted hash
+    * sets, both directions reported.
+    * Output: id_l, id_r, n_l, n_r, cont_l_in_r, cont_r_in_l for
+    * pairs where either direction >= threshold. */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+                       threshold: Double = Config.Threshold): DataFrame = {
+    val gramHashes = array_distinct(transform(
+      TextAnalysis.wordNgramsCol(col("text"), n),
+      g => PortableHash.charFoldHash(g)))
+    // distinct (doc_id, gram-hash) pairs — the set representation
+    val dh = docs.select(col("doc_id"), explode(gramHashes).as("h"))
+    val dfreq = dh.groupBy("h").agg(count(lit(1)).as("df"))
+    // per-doc rarity rank and set size in one window pass
+    val wRank = Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
+    val wAll = Window.partitionBy("doc_id")
+    val ranked = dh.join(dfreq, Seq("h"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val prefix = ranked
+      .filter(col("rn") <= floor(col("n").cast("double") * lit(1.0 - threshold)) + 1)
+      .select(col("doc_id").as("id_a"), col("h"))
+    // candidate = A's prefix shingle appears ANYWHERE in B
+    val cand = prefix
+      .join(dh.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_l"),
+        greatest(col("id_a"), col("id_b")).as("id_r"))
+      .distinct()
+    // exact verify on sorted sets (merge-scan intersection)
+    val sets = docs.select(col("doc_id"), sort_array(gramHashes).as("hset"))
+    val inter = PortableHash.sortedIntersectCount(col("l.hset"), col("r.hset"))
+    cand
+      .join(sets.as("l"), col("id_l") === col("l.doc_id"))
+      .join(sets.as("r"), col("id_r") === col("r.doc_id"))
+      .select(col("id_l"), col("id_r"),
+        size(col("l.hset")).cast("long").as("n_l"),
+        size(col("r.hset")).cast("long").as("n_r"),
+        (inter.cast("double") / size(col("l.hset"))).as("cont_l_in_r"),
+        (inter.cast("double") / size(col("r.hset"))).as("cont_r_in_l"))
+      .filter(greatest(col("cont_l_in_r"), col("cont_r_in_l")) >= threshold)
+  }
+
+  /** Cross-document chunk-level exact dedup (keep-first): hash every
+    * context-window chunk (TextAnalysis.docChunks), keep one copy
+    * per distinct chunk text — the earliest by (doc_id, chunk_idx) —
+    * and report how many copies existed. Implemented as a min-struct
+    * AGGREGATE (not a row_number window): partial aggregation
+    * combines map-side, so a boilerplate chunk repeated millions of
+    * times never lands on a single reducer the way a window
+    * partition would. */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 16,
+                 overlap: Int = 4): DataFrame = {
+    val hashed = TextAnalysis.docChunks(docs, chunkTokens, overlap)
+      .withColumn("chunk_hash", PortableHash.charFoldHash(col("chunk_text")))
+    hashed
+      .groupBy("chunk_hash")
+      .agg(
+        min(struct(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          col("n_chunk_tokens"), col("chunk_text"))).as("first"),
+        count(lit(1)).as("n_copies"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.chunk_idx").as("chunk_idx"),
+        col("first.start_tok").as("start_tok"),
+        col("first.n_chunk_tokens").as("n_chunk_tokens"),
+        col("first.chunk_text").as("chunk_text"),
+        col("chunk_hash"), col("n_copies"))
+  }
+}

@@ -280,6 +280,27 @@ object MinHashLsh {
   def similarPairs(docs: DataFrame, k: Int = Config.K,
                    threshold: Double = Config.Threshold,
                    maxBucket: Option[Int] = None): DataFrame = {
+    val (prefiltered, sets) = prefilteredWithSets(docs, k, maxBucket)
+    // |A∩B| by merge scan over the sorted sets; |A∪B| = |A|+|B|-|A∩B|
+    // — same integers as array_intersect/array_union, no hash sets or
+    // output arrays built per pair
+    val inter = PortableHash.sortedIntersectCount(col("l.hset"), col("r.hset"))
+    val jac = inter.cast("double") /
+      (size(col("l.hset")) + size(col("r.hset")) - inter)
+    prefiltered
+      .join(sets.as("l"), col("id_l") === col("l.doc_id"))
+      .join(sets.as("r"), col("id_r") === col("r.doc_id"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_l"), col("id_r"), col("jaccard"))
+  }
+
+  /** Shared verify-stage feed: the sketch-prefiltered candidate pair
+    * list plus the sorted shingle-hash sets of ONLY the surviving
+    * docs. Factored out so Jaccard ([[similarPairs]]) and asymmetric
+    * containment ([[containmentPairs]]) verify the same candidates. */
+  private def prefilteredWithSets(docs: DataFrame, k: Int,
+                                  maxBucket: Option[Int]): (DataFrame, DataFrame) = {
     // Signatures only (60 longs/doc ≈ 0.5 KB) are materialized for
     // the whole corpus — the band explode and the prefilter read this
     // slim frame. The O(text)-sized shingle-hash SETS are NOT: they
@@ -319,19 +340,9 @@ object MinHashLsh {
     val hset = array_sort(array_distinct(Shingling.shingleHashArray(col("text"), k)))
     val sets = docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), hset.as("hset"))
-    // |A∩B| by merge scan over the sorted sets; |A∪B| = |A|+|B|-|A∩B|
-    // — same integers as array_intersect/array_union, no hash sets or
-    // output arrays built per pair
-    val inter = PortableHash.sortedIntersectCount(col("l.hset"), col("r.hset"))
-    val jac = inter.cast("double") /
-      (size(col("l.hset")) + size(col("r.hset")) - inter)
-    prefiltered
-      .join(sets.as("l"), col("id_l") === col("l.doc_id"))
-      .join(sets.as("r"), col("id_r") === col("r.doc_id"))
-      .withColumn("jaccard", jac)
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_l"), col("id_r"), col("jaccard"))
+    (prefiltered, sets)
   }
+
 
   /** Both-directions pair listing joined back to the texts — the
     * shape of the reference's final output (CollectCandidates.java:

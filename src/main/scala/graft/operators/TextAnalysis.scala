@@ -152,7 +152,7 @@ object TextAnalysis {
 
   /** Distinct word n-grams of a text as joined strings (n >= 1);
     * empty array when the text has fewer than n tokens. */
-  private def wordNgramsCol(text: Column, n: Int): Column = {
+  private[operators] def wordNgramsCol(text: Column, n: Int): Column = {
     val toks = tokensCol(text)
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - lit(n)), i =>

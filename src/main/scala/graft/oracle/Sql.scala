@@ -161,6 +161,38 @@ toktab AS (
     FROM cand c JOIN sig l ON c.id_l = l.doc_id JOIN sig r ON c.id_r = r.doc_id""")
   }
 
+  /** Asymmetric containment with prefix-filter candidates over
+    * hashed word TRIGRAMS: each doc probes on its floor((1-T)*n)+1
+    * rarest distinct gram hashes (rarity = corpus doc frequency,
+    * ties by hash); a pair sharing none of the prefix provably has
+    * containment < T. Verification: |A∩B|/|A| and |A∩B|/|B| on the
+    * full distinct-hash sets, kept when either >= T. */
+  val containmentPairs: String = docQ(
+    s""", tg AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+            THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+            ELSE []::VARCHAR[] END AS grams FROM toktab),
+    tgr AS (SELECT doc_id, unnest(grams) AS g FROM tg),
+    dh AS (SELECT DISTINCT doc_id, ${foldHash("g")} AS h FROM tgr),
+    chset AS (SELECT doc_id, list(DISTINCT h) AS hs FROM dh GROUP BY doc_id),
+    dfq AS (SELECT h, count(*)::BIGINT AS df FROM dh GROUP BY h),
+    rk AS (SELECT d.doc_id, d.h,
+             row_number() OVER (PARTITION BY d.doc_id ORDER BY f.df, d.h) AS rn,
+             count(*) OVER (PARTITION BY d.doc_id) AS n
+           FROM dh d JOIN dfq f ON d.h = f.h),
+    pfx AS (SELECT doc_id, h FROM rk
+            WHERE rn <= floor(n::DOUBLE * (1.0::DOUBLE - $T::DOUBLE)) + 1),
+    ccand AS (SELECT DISTINCT least(p.doc_id, b.doc_id) AS id_l,
+                greatest(p.doc_id, b.doc_id) AS id_r
+              FROM pfx p JOIN dh b ON p.h = b.h AND p.doc_id <> b.doc_id)
+    SELECT id_l, id_r,
+      CAST(len(x.hs) AS BIGINT) AS n_l, CAST(len(y.hs) AS BIGINT) AS n_r,
+      len(list_intersect(x.hs, y.hs))::DOUBLE / len(x.hs) AS cont_l_in_r,
+      len(list_intersect(x.hs, y.hs))::DOUBLE / len(y.hs) AS cont_r_in_l
+    FROM ccand JOIN chset x ON id_l = x.doc_id JOIN chset y ON id_r = y.doc_id
+    WHERE greatest(len(list_intersect(x.hs, y.hs))::DOUBLE / len(x.hs),
+                   len(list_intersect(x.hs, y.hs))::DOUBLE / len(y.hs)) >= $T""")
+
   // ---------------- dedup ----------------
 
   val dedupExact: String =
@@ -196,6 +228,67 @@ toktab AS (
       LATERAL (SELECT unnest(generate_series(1,
         CAST(ceil(len(toks) / 12.0) AS BIGINT))) AS i) t
     WHERE len(toks) > 0""")
+
+  /** Cross-document chunk dedup keep-first: replay docChunks, fold-
+    * hash each chunk text, keep the (doc_id, chunk_idx)-earliest row
+    * per hash with its copy count. */
+  val chunkDedup: String = docQ(
+    s""", chunks AS (
+      SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS chunk_idx,
+        CAST((t.i - 1) * 12 AS BIGINT) AS start_tok,
+        CAST(len(toks[(t.i - 1) * 12 + 1 : least((t.i - 1) * 12 + 16, len(toks))]) AS BIGINT) AS n_chunk_tokens,
+        array_to_string(toks[(t.i - 1) * 12 + 1 : least((t.i - 1) * 12 + 16, len(toks))], ' ') AS chunk_text
+      FROM toktab,
+        LATERAL (SELECT unnest(generate_series(1,
+          CAST(ceil(len(toks) / 12.0) AS BIGINT))) AS i) t
+      WHERE len(toks) > 0),
+    chash AS (SELECT *, ${foldHash("chunk_text")} AS chunk_hash FROM chunks)
+    SELECT doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text, chunk_hash,
+      n_copies::BIGINT AS n_copies
+    FROM (SELECT *,
+            row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS rn,
+            count(*) OVER (PARTITION BY chunk_hash) AS n_copies
+          FROM chash)
+    WHERE rn = 1""")
+
+  /** Global vocabulary top-k by occurrence count (ties broken by
+    * token text), with document frequency. */
+  val vocabTopK: String = docQ(
+    """, tok AS (SELECT doc_id, unnest(toks) AS token FROM toktab),
+    vc AS (SELECT token, count(*)::BIGINT AS n_occurrences,
+             count(DISTINCT doc_id)::BIGINT AS n_docs
+           FROM tok GROUP BY token),
+    rk AS (SELECT token, n_occurrences, n_docs,
+             CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS "rank"
+           FROM vc)
+    SELECT token, n_occurrences, n_docs, "rank" FROM rk WHERE "rank" <= 100""")
+
+  /** Unigram-LM score: integer per-doc sum of corpus term
+    * frequencies, two exact double divisions at the end (no log). */
+  val unigramScore: String = docQ(
+    """, tok AS (SELECT doc_id, unnest(toks) AS token FROM toktab),
+    ctf AS (SELECT token, count(*)::BIGINT AS ctf FROM tok GROUP BY token),
+    tot AS (SELECT sum(ctf)::BIGINT AS total_tf FROM ctf),
+    perdoc AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                 sum(c.ctf)::BIGINT AS sum_tf
+               FROM tok t JOIN ctf c USING (token) GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens, sum_tf,
+      (sum_tf::DOUBLE / n_tokens::DOUBLE) / total_tf::DOUBLE AS unigram_score
+    FROM perdoc CROSS JOIN tot""")
+
+  /** Cross-source shingle-set Jaccard (pairs sharing >= 1 shingle):
+    * intersections via equi-join on the hash over distinct
+    * (source, h) pairs — mirrors the Spark shape. */
+  val sourceOverlap: String = docQ(
+    """, srch AS (SELECT DISTINCT d.source AS source, hx.h AS h
+        FROM hashed hx JOIN documents d ON hx.doc_id = d.doc_id),
+    ssz AS (SELECT source, count(*)::BIGINT AS n FROM srch GROUP BY source),
+    sint AS (SELECT l.source AS src_l, r.source AS src_r, count(*)::BIGINT AS n_inter
+             FROM srch l JOIN srch r ON l.h = r.h AND l.source < r.source
+             GROUP BY 1, 2)
+    SELECT src_l, src_r, a.n AS n_l, b.n AS n_r, n_inter,
+      n_inter::DOUBLE / (a.n + b.n - n_inter)::DOUBLE AS jaccard
+    FROM sint JOIN ssz a ON src_l = a.source JOIN ssz b ON src_r = b.source""")
 
   /** Streaming first-fit packing: bin = tokens-before div budget
     * within each doc_id-ordered hash bucket. */

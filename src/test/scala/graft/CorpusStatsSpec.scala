@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusStats, MinHashLsh, TextAnalysis}
+
+class CorpusStatsSpec extends SparkSpec {
+
+  test("vocab top-k: ranks are dense, counts non-increasing, df <= tf") {
+    val d = docsDf(
+      1L -> "a a a b b c",
+      2L -> "a b d",
+      3L -> "a c c")
+    val rows = CorpusStats.vocabTopK(d, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a: 5 occurrences in 3 docs; c: 3 in 2; b: 3 in 2 (tie -> b before c)
+    assert(rows.toSeq == Seq(("a", 5L, 3L, 1L), ("b", 3L, 2L, 2L), ("c", 3L, 2L, 3L)))
+  }
+
+  test("unigram score: common-token docs outscore rare-token docs; score recomputes") {
+    val d = docsDf(
+      1L -> "a a a a", // all most-common token
+      2L -> "x y z w", // all singletons
+      3L -> "a a x y")
+    val rows = CorpusStats.unigramScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val total = 12.0 // 12 token occurrences overall
+    // doc 1: each 'a' has ctf 6 -> sum_tf 24
+    assert(rows(1L)._2 == 24L)
+    assert(rows(1L)._3 == (24.0 / 4.0) / total)
+    // doc 2: four singleton-ish tokens: x,y have ctf 2 (appear in doc 3 too), z,w ctf 1
+    assert(rows(2L)._2 == 2 + 2 + 1 + 1)
+    assert(rows(1L)._3 > rows(2L)._3)
+  }
+
+  test("source overlap: identical sources have jaccard 1, disjoint pairs absent") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "abcdefgh", "s1"),
+      (2L, "abcdefgh", "s2"), // same text as s1 -> identical shingle sets
+      (3L, "zzzzzzzz", "s3")  // shares no 3-shingle with the others
+    ).toDF("doc_id", "text", "source")
+    val rows = CorpusStats.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(rows == Map(("s1", "s2") -> 1.0)) // s3 pairs have zero overlap -> absent
+  }
+
+  test("chunk dedup: one row per distinct chunk, keep-first, copy counts add up") {
+    // docs 1 and 2 are identical -> every chunk duplicated; doc 3 unique
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = docsDf(1L -> text, 2L -> text, 3L -> "solo chunk here")
+    val all = TextAnalysis.docChunks(d).count()
+    val kept = CorpusStats.chunkDedup(d)
+    val rows = kept.collect()
+    assert(rows.map(_.getAs[Long]("chunk_hash")).distinct.length == rows.length)
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == all)
+    // doc 2's chunks are all dups of doc 1's -> doc 2 contributes nothing
+    assert(!rows.map(_.getAs[Long]("doc_id")).contains(2L))
+  }
+
+  test("containment pairs: a short doc embedded in a long one is caught at cont ~1") {
+    val shortT = "the quick brown fox jumps over the lazy dog"
+    val longT = shortT + " while the calm owl watches from a tall oak tree nearby tonight"
+    val d = docsDf(1L -> shortT, 2L -> longT,
+      3L -> "completely different words qqq www eee rrr ttt yyy")
+    val rows = CorpusStats.containmentPairs(d, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 1)
+    val (l, r, contL, contR) = rows.head
+    assert((l, r) == (1L, 2L))
+    assert(contL > 0.95) // nearly every shingle of the short doc is in the long one
+    assert(contR < 0.8)  // but not vice versa
+    // symmetric Jaccard under-scores this pair: it is NOT in similar_pairs at 0.8
+    assert(MinHashLsh.similarPairs(d, threshold = 0.8).count() == 0)
+  }
+}

@@ -18,9 +18,12 @@ class PlanAuditSpec extends SparkSpec {
     * - tfidf_top_terms: the corpus doc-count scalar (1 row) crossed
     *   into the per-term stream.
     * - q11_important_suppliers: the global revenue total (1 row)
-    *   crossed into the per-supplier frame. */
+    *   crossed into the per-supplier frame.
+    * - unigram_score: the corpus total-token-count scalar (1 row)
+    *   crossed into the per-doc frame. */
   private val boundedByConstruction =
-    Set("cosine_topk", "ann_ivf_topk", "tfidf_top_terms", "q11_important_suppliers")
+    Set("cosine_topk", "ann_ivf_topk", "tfidf_top_terms", "q11_important_suppliers",
+      "unigram_score")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
