@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Caches.CheckpointSyntax
 import graft.Config
 import graft.functions.PortableHash
 
@@ -56,7 +57,10 @@ object CorpusStats {
   def unigramScore(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+    // vocabulary-sized and read twice (per-token join + total scalar)
+    // — materialize once instead of re-aggregating the token stream
     val counts = tok.groupBy("token").agg(count(lit(1)).as("ctf"))
+      .graftCheckpoint()
     val total = counts.agg(sum(col("ctf")).as("total_tf"))
     tok.join(counts, Seq("token"))
       .groupBy("doc_id")
@@ -77,10 +81,13 @@ object CorpusStats {
     * shingles (impossible-to-join) are intentionally absent: the
     * report lists observed overlap. */
   def sourceOverlap(docs: DataFrame, k: Int = Config.K): DataFrame = {
+    // read three times (sizes + both join sides) — materialize the
+    // distinct (source, h) stream once
     val sh = docs
       .select(col("source"),
         explode(Shingling.shingleHashArray(col("text"), k)).as("h"))
       .distinct()
+      .graftCheckpoint()
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("source").as("src_l"), col("h"))
       .join(sh.select(col("source").as("src_r"), col("h")), Seq("h"))
@@ -121,8 +128,11 @@ object CorpusStats {
     val gramHashes = array_distinct(transform(
       TextAnalysis.wordNgramsCol(col("text"), n),
       g => PortableHash.charFoldHash(g)))
-    // distinct (doc_id, gram-hash) pairs — the set representation
+    // distinct (doc_id, gram-hash) pairs — the set representation;
+    // read three times (doc frequencies, rarity ranking, candidate
+    // probe side) — materialize once
     val dh = docs.select(col("doc_id"), explode(gramHashes).as("h"))
+      .graftCheckpoint()
     val dfreq = dh.groupBy("h").agg(count(lit(1)).as("df"))
     // per-doc rarity rank and set size in one window pass
     val wRank = Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
