@@ -118,6 +118,11 @@ object SparkEntry {
     // --- deterministic sampling ---
     "hash_sample" -> ((s, d) => Sampling.hashSample(docs(s, d))),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(docs(s, d))),
+    "mixture_sample" -> ((s, d) => Sampling.mixtureSample(docs(s, d))),
+    "budget_select" -> ((s, d) => Sampling.budgetSelect(docs(s, d))),
+    // cluster-level consolidation: one richest survivor per connected
+    // near-dup component (edge-level keep-best can drop whole cycles)
+    "group_keep_best" -> ((s, d) => Dedup.nearDupGroupsKeepBest(s, docs(s, d))),
     "sequence_packing" -> ((s, d) => Sampling.sequencePacking(docs(s, d))),
     "doc_chunks" -> ((s, d) => TextAnalysis.docChunks(docs(s, d))),
     // --- embeddings / similarity search ---
@@ -210,6 +215,9 @@ object SparkEntry {
     "pipeline_kept" -> Sql.pipelineKept,
     "hash_sample" -> Sql.hashSample,
     "stratified_sample" -> Sql.stratifiedSample,
+    "mixture_sample" -> Sql.mixtureSample,
+    "budget_select" -> Sql.budgetSelect,
+    "group_keep_best" -> Sql.nearDupGroupsKeepBest,
     "q6_forecast_revenue" -> Sql.q6ForecastRevenue,
     "q10_returned_revenue" -> Sql.q10ReturnedRevenue,
     "q14_promo_share" -> Sql.q14PromoShare,

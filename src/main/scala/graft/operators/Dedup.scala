@@ -116,4 +116,27 @@ object Dedup {
           "raise maxIter (component diameter exceeds it)")
     labels
   }
+
+  /** CLUSTER-level consolidation: one surviving doc per connected
+    * near-dup component — the richest member (most tokens, ties by
+    * smaller doc_id). [[nearDupKeepBest]] decides per-EDGE, which
+    * can drop every member of a cycle whose best neighbors differ;
+    * consolidating per component guarantees exactly one survivor per
+    * group. Arg-max as a max-struct AGGREGATE (map-side partial
+    * combine — a mega-cluster never serializes through one window
+    * partition's sort). */
+  def nearDupGroupsKeepBest(spark: SparkSession, docs: DataFrame,
+                            k: Int = Config.K,
+                            threshold: Double = Config.Threshold,
+                            maxIter: Int = 40): DataFrame = {
+    val labels = nearDupGroups(spark, docs, k, threshold, maxIter)
+    val q = docs.select(col("doc_id"),
+      size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"))
+    labels.join(q, Seq("doc_id"))
+      .groupBy("group_id")
+      .agg(max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("group_size"))
+      .select(col("group_id"), (-col("best.neg_id")).as("kept_id"),
+        col("best.n_tokens").as("n_tokens"), col("group_size"))
+  }
 }

@@ -51,6 +51,58 @@ object Sampling {
         expr(s"tokens_before div $budget").as("bin"), col("tokens_before"))
   }
 
+  /** Domain MIXING resample: bring every `source` down to ~`quota`
+    * docs (sources under quota keep everything) — the "data mixture"
+    * step that rebalances a crawl before training. Membership is
+    * deterministic: keep doc iff hash(doc_id) mod count_source <
+    * quota, so P(keep) = quota/count exactly, all integer arithmetic
+    * (the affine family's member 2 — members 0/1 belong to
+    * [[hashSample]]/[[stratifiedSample]], keeping the samples
+    * independent). One
+    * broadcast join against the per-source counts (bounded: one row
+    * per source), then a narrow filter — no shuffle of the corpus. */
+  def mixtureSample(docs: DataFrame, quota: Int = 10): DataFrame = {
+    val (a, b) = Config.coeffs(2)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(counts), Seq("source"))
+      .filter(((lit(a) * col("doc_id") + lit(b)) % lit(Config.P)) % col("n_source") < quota)
+      .select(col("doc_id"), col("source"), col("n_source"))
+  }
+
+  /** Token-BUDGET data selection: keep the highest-quality documents
+    * whose token spans fit entirely inside a global token budget
+    * (quality = distinct-token count, ties by doc_id) — "take the
+    * best N tokens", the selection step after scoring/dedup. Scalable
+    * two-phase shape: the global running sum is NOT a corpus-wide
+    * single-partition window. Phase 1 aggregates token totals per
+    * quality SCORE (bucket table bounded by the score range, e.g.
+    * <= max tokens per doc) and cumulates across buckets — the only
+    * unpartitioned window runs over that bounded bucket table.
+    * Phase 2 ranks docs WITHIN their score bucket (hash-partitioned
+    * window) and offsets by the bucket's cumulative start. */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long = 5000L): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col("text"))
+    val scored = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("score"))
+    // phase 1: per-score token totals, cumulated best-score-first
+    // (one row per distinct score — the window input is bounded)
+    val buckets = scored.groupBy("score")
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val wB = Window.orderBy(col("score").desc)
+    val bcum = buckets.withColumn("bucket_before",
+      coalesce(sum(col("bucket_tokens"))
+        .over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // phase 2: rank within the score bucket only
+    val wD = Window.partitionBy("score").orderBy("doc_id")
+    scored.join(broadcast(bcum.select("score", "bucket_before")), Seq("score"))
+      .withColumn("tokens_before",
+        col("bucket_before") + sum(col("n_tokens")).over(wD) - col("n_tokens"))
+      .filter(col("tokens_before") + col("n_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("score"), col("n_tokens"), col("tokens_before"))
+  }
+
   /** Deterministic stratified sample: the n docs per stratum (lang)
     * with the smallest affine hash of doc_id — an order-free,
     * replayable "random n per class" (class-balancing downsample).

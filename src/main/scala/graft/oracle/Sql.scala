@@ -439,6 +439,32 @@ reach AS (
 SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id""")
       .replaceFirst("WITH ", "WITH RECURSIVE ")
 
+  /** Cluster-level keep-best: the connected-component labels (same
+    * recursive CTE as nearDupGroups) arg-maxed per group on
+    * (n_tokens desc, doc_id asc). */
+  val nearDupGroupsKeepBest: String =
+    docQ(s""", gedges AS (
+  SELECT id_l AS a, id_r AS b FROM simpairs
+  UNION ALL
+  SELECT id_r AS a, id_l AS b FROM simpairs
+),
+gnodes AS (SELECT DISTINCT a AS doc_id FROM gedges),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM gnodes
+  UNION
+  SELECT reach.doc_id, e.b AS r FROM reach JOIN gedges e ON reach.r = e.a
+),
+glab AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id),
+gq AS (SELECT g.doc_id, g.group_id, CAST(len(t.toks) AS BIGINT) AS n_tokens
+       FROM glab g JOIN toktab t ON g.doc_id = t.doc_id)
+SELECT group_id, doc_id AS kept_id, n_tokens, group_size::BIGINT AS group_size
+FROM (SELECT *,
+        row_number() OVER (PARTITION BY group_id ORDER BY n_tokens DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY group_id) AS group_size
+      FROM gq)
+WHERE rn = 1""")
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+
   val fingerprint: String = docQ(
     s"""SELECT doc_id, ${foldHash("text")} AS fingerprint,
       CAST(length(text) AS BIGINT) AS n_chars_text, n_chars AS n_chars_meta
@@ -549,6 +575,38 @@ SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id""")
       FROM documents)
     WHERE rn <= 50"""
   }
+
+  /** Domain-mixing resample: keep iff hash(doc_id) mod count_source
+    * < quota (affine member 2) — P(keep) = quota/count exactly. */
+  val mixtureSample: String = {
+    val (a, b) = Config.coeffs(2)
+    s"""WITH mcnt AS (SELECT source, count(*)::BIGINT AS n_source
+           FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source, m.n_source
+    FROM documents d JOIN mcnt m ON d.source = m.source
+    WHERE (($a * d.doc_id + $b) % $P) % m.n_source < 10"""
+  }
+
+  /** Token-budget selection: per-score bucket totals cumulated
+    * best-first, docs ranked within their bucket, kept while the
+    * span fits inside the budget. */
+  val budgetSelect: String = docQ(
+    """, bsc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(toks)) AS BIGINT) AS score FROM toktab),
+    bkt AS (SELECT score, sum(n_tokens)::BIGINT AS bucket_tokens
+            FROM bsc GROUP BY score),
+    bcum AS (SELECT score, coalesce(sum(bucket_tokens) OVER (
+               ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS bucket_before FROM bkt),
+    brk AS (SELECT s.doc_id, s.score, s.n_tokens,
+             b.bucket_before
+               + sum(s.n_tokens) OVER (PARTITION BY s.score ORDER BY s.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - s.n_tokens AS tokens_before
+            FROM bsc s JOIN bcum b ON s.score = b.score)
+    SELECT doc_id, score, n_tokens, tokens_before::BIGINT AS tokens_before
+    FROM brk WHERE tokens_before + n_tokens <= 5000""")
 
   /** DuckDB regexp_replace needs the 'g' flag to match Spark's
     * replace-all semantics. */

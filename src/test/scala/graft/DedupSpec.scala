@@ -48,4 +48,18 @@ class DedupSpec extends SparkSpec {
     assert(label.size == 1 && label.head == 1L, s"got $groups")
     assert(!groups.contains(4L))
   }
+
+  test("group keep-best: exactly one survivor per component — its richest member") {
+    val d = docsDf(
+      // one transitive chain 1~2~3; doc 3 has the most tokens
+      1L -> "aaaa bbbb cccc dddd eeee ffff gggg hhhh",
+      2L -> "aaaa bbbb cccc dddd eeee ffff gggg hhhX",
+      3L -> "aaaa bbbb cccc dddd eeee ffff gggg hhhX bbbb",
+      4L -> "unrelated zzz qqq vvv www yyy xxx uuu")
+    val rows = Dedup.nearDupGroupsKeepBest(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.length == 1, s"got ${rows.toSeq}")
+    val (groupId, keptId, size) = rows.head
+    assert(groupId == 1L && keptId == 3L && size == 3L)
+  }
 }

@@ -26,6 +26,42 @@ class SamplingSpec extends SparkSpec {
     assert(a.length > 0 && a.length < n / 4, s"${a.length} of $n sampled")
   }
 
+  test("mixture sample: oversized sources shrink to ~quota, small sources keep all") {
+    val s = spark
+    import s.implicits._
+    // srcBig: 100 docs; srcSmall: 3 docs (< quota -> all kept)
+    val d = ((1L to 100L).map(i => (i, s"text $i", "srcBig")) ++
+      Seq((201L, "a", "srcSmall"), (202L, "b", "srcSmall"), (203L, "c", "srcSmall")))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.mixtureSample(d, quota = 10).collect()
+      .map(r => r.getString(1) -> r.getLong(0))
+    val bySrc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc("srcSmall") == 3)
+    // hash mod 100 < 10 keeps ~10 of 100 (exact count is hash-dependent
+    // but must be well under the source size and non-empty)
+    assert(bySrc("srcBig") >= 3 && bySrc("srcBig") <= 25, s"got $bySrc")
+    // deterministic: same membership under repartition
+    val again = Sampling.mixtureSample(d.repartition(7), quota = 10)
+      .collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(out.map(_._2).sorted))
+  }
+
+  test("budget select: highest-score docs first, spans fit entirely in budget") {
+    val s = spark
+    import s.implicits._
+    // scores (distinct tokens): doc1=5, doc2=3, doc3=2; tokens 5/3/2
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "f g h"),
+      (3L, "i j")).toDF("doc_id", "text")
+    // budget 8: doc1 (5, before=0) + doc2 (3, before=5) fit; doc3 (before=8) doesn't
+    val kept = Sampling.budgetSelect(d, budgetTokens = 8L).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(kept == Map(1L -> 0L, 2L -> 5L))
+    // budget 10: all three fit (doc3 spans [8, 10])
+    assert(Sampling.budgetSelect(d, budgetTokens = 10L).count() == 3)
+  }
+
   test("sequence packing: bins respect the streaming first-fit rule per bucket") {
     val s = spark
     import s.implicits._
