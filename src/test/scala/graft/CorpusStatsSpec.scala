@@ -73,4 +73,52 @@ class CorpusStatsSpec extends SparkSpec {
     // symmetric Jaccard under-scores this pair: it is NOT in similar_pairs at 0.8
     assert(MinHashLsh.similarPairs(d, threshold = 0.8).count() == 0)
   }
+
+  test("containment prefix filter: ZERO false negatives vs brute force on random docs") {
+    // small vocabulary forces heavy overlap; seeded -> reproducible
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val base = (1L to 30L).map { i =>
+      val n = 8 + rnd.nextInt(16)
+      i -> Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    // plant embedded docs: contiguous token slices of earlier docs
+    // (every trigram of a slice is a trigram of its source -> cont 1.0)
+    val planted = (31L to 40L).map { i =>
+      val (_, src) = base(rnd.nextInt(base.length))
+      val toks = src.split(" ").toSeq
+      val len = 5 + rnd.nextInt(math.max(1, toks.length - 5))
+      val off = rnd.nextInt(math.max(1, toks.length - len + 1))
+      i -> toks.slice(off, off + len).mkString(" ")
+    }
+    val docs = base ++ planted
+    val d = docsDf(docs: _*)
+    val got = CorpusStats.containmentPairs(d, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(4), r.getDouble(5))).toMap
+    // brute force: distinct word trigrams per doc, all pairs
+    def grams(t: String): Set[Seq[String]] = {
+      val toks = t.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.length < 3) Set.empty else toks.sliding(3).map(_.toSeq).toSet
+    }
+    val gs = docs.map { case (id, t) => id -> grams(t) }.toMap
+    var expected = 0
+    for (a <- docs.map(_._1); b <- docs.map(_._1) if a < b) {
+      val (ga, gb) = (gs(a), gs(b))
+      if (ga.nonEmpty && gb.nonEmpty) {
+        val inter = (ga & gb).size.toDouble
+        val (cl, cr) = (inter / ga.size, inter / gb.size)
+        if (math.max(cl, cr) >= 0.8) {
+          expected += 1
+          assert(got.contains((a, b)),
+            s"missed pair ($a,$b) cont=($cl,$cr) — prefix filter recall broken")
+          val (gl, gr) = got((a, b))
+          assert(math.abs(gl - cl) < 1e-12 && math.abs(gr - cr) < 1e-12,
+            s"pair ($a,$b): got ($gl,$gr) expected ($cl,$cr)")
+        }
+      }
+    }
+    // the fixture must actually exercise the property
+    assert(expected >= 3, s"weak fixture: only $expected qualifying pairs")
+    assert(got.size == expected, s"got ${got.size} pairs, brute force says $expected")
+  }
 }
