@@ -47,4 +47,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(sigs == Set(2L, 3L))
     assert(TextAnalysis.tokenStats(docs).count() == 3)
   }
+
+  test("empty corpus: corpus-stats and selection operators stay empty") {
+    import org.apache.spark.sql.functions.lit
+    assert(CorpusStats.vocabTopK(empty).count() == 0)
+    assert(CorpusStats.unigramScore(empty).count() == 0)
+    assert(CorpusStats.chunkDedup(empty).count() == 0)
+    assert(CorpusStats.containmentPairs(empty).count() == 0)
+    assert(CorpusStats.sourceOverlap(empty.withColumn("source", lit("s"))).count() == 0)
+    assert(Sampling.budgetSelect(empty).count() == 0)
+    assert(Sampling.mixtureSample(empty.withColumn("source", lit("s"))).count() == 0)
+  }
+
+  test("short texts: containment and chunk dedup handle docs below the gram size") {
+    // "a b" has no trigram; "x" no tokens beyond one; none may crash
+    val docs = docsDf(1L -> "a b", 2L -> "x", 3L -> "", 4L -> "p q r s t u v w")
+    assert(CorpusStats.containmentPairs(docs).count() == 0)
+    // chunk dedup keeps the non-empty docs' chunks (1 chunk each)
+    val kept = CorpusStats.chunkDedup(docs).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 2L, 4L))
+    // budget select includes zero/low-token docs without dividing by zero
+    assert(Sampling.budgetSelect(docs, budgetTokens = 100L).count() == 4)
+  }
 }
