@@ -144,14 +144,22 @@ object CorpusStats {
       .filter(col("rn") <= floor(col("n").cast("double") * lit(1.0 - threshold)) + 1)
       .select(col("doc_id").as("id_a"), col("h"))
     // candidate = A's prefix shingle appears ANYWHERE in B
+    // materialized: consumed twice below (survivor ids + verify join)
     val cand = prefix
       .join(dh.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
       .filter(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_l"),
         greatest(col("id_a"), col("id_b")).as("id_r"))
       .distinct()
-    // exact verify on sorted sets (merge-scan intersection)
-    val sets = docs.select(col("doc_id"), sort_array(gramHashes).as("hset"))
+      .graftCheckpoint()
+    // exact verify on sorted sets — built ONLY for candidate
+    // survivors (semi-join on the tiny id list), so the O(text)-sized
+    // set projection never runs corpus-wide (same discipline as
+    // MinHashLsh's verify stage)
+    val candIds = cand.select(col("id_l").as("doc_id"))
+      .union(cand.select(col("id_r").as("doc_id"))).distinct()
+    val sets = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), sort_array(gramHashes).as("hset"))
     val inter = PortableHash.sortedIntersectCount(col("l.hset"), col("r.hset"))
     cand
       .join(sets.as("l"), col("id_l") === col("l.doc_id"))
@@ -176,17 +184,20 @@ object CorpusStats {
                  overlap: Int = 4): DataFrame = {
     val hashed = TextAnalysis.docChunks(docs, chunkTokens, overlap)
       .withColumn("chunk_hash", PortableHash.charFoldHash(col("chunk_text")))
+    // group key carries the TEXT, not just the 31-bit hash: distinct
+    // chunks colliding under the fold hash (expected past ~65k
+    // distinct chunks, certain at corpus scale) must NOT merge — the
+    // hash only spreads the shuffle, the text decides identity
     hashed
-      .groupBy("chunk_hash")
+      .groupBy("chunk_hash", "chunk_text")
       .agg(
         min(struct(col("doc_id"), col("chunk_idx"), col("start_tok"),
-          col("n_chunk_tokens"), col("chunk_text"))).as("first"),
+          col("n_chunk_tokens"))).as("first"),
         count(lit(1)).as("n_copies"))
       .select(col("first.doc_id").as("doc_id"),
         col("first.chunk_idx").as("chunk_idx"),
         col("first.start_tok").as("start_tok"),
         col("first.n_chunk_tokens").as("n_chunk_tokens"),
-        col("first.chunk_text").as("chunk_text"),
-        col("chunk_hash"), col("n_copies"))
+        col("chunk_text"), col("chunk_hash"), col("n_copies"))
   }
 }

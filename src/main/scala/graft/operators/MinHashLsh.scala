@@ -295,10 +295,12 @@ object MinHashLsh {
       .select(col("id_l"), col("id_r"), col("jaccard"))
   }
 
-  /** Shared verify-stage feed: the sketch-prefiltered candidate pair
-    * list plus the sorted shingle-hash sets of ONLY the surviving
-    * docs. Factored out so Jaccard ([[similarPairs]]) and asymmetric
-    * containment ([[containmentPairs]]) verify the same candidates. */
+  /** Verify-stage feed for [[similarPairs]]: the sketch-prefiltered
+    * candidate pair list plus the sorted shingle-hash sets of ONLY
+    * the surviving docs. (Containment deliberately does NOT share
+    * these candidates — band recall is Jaccard-shaped and would miss
+    * high-containment/low-Jaccard pairs; see
+    * CorpusStats.containmentPairs' prefix filter.) */
   private def prefilteredWithSets(docs: DataFrame, k: Int,
                                   maxBucket: Option[Int]): (DataFrame, DataFrame) = {
     // Signatures only (60 longs/doc ≈ 0.5 KB) are materialized for

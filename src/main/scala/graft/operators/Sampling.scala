@@ -24,8 +24,11 @@ object Sampling {
     * by the oracle. */
   def hashSample(docs: DataFrame, pct: Int = 10): DataFrame = {
     val (a, b) = Config.coeffs(0)
+    // doc_id reduced mod P BEFORE the multiply: a*(P-1)+b fits signed
+    // 64-bit (PortableHash.affine's bound), a raw 2^32+ id would not
+    val h = pmod(col("doc_id"), lit(Config.P))
     docs
-      .filter(((lit(a) * col("doc_id") + lit(b)) % lit(Config.P)) % 100 < pct)
+      .filter(((lit(a) * h + lit(b)) % lit(Config.P)) % 100 < pct)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
@@ -55,7 +58,9 @@ object Sampling {
     * docs (sources under quota keep everything) — the "data mixture"
     * step that rebalances a crawl before training. Membership is
     * deterministic: keep doc iff hash(doc_id) mod count_source <
-    * quota, so P(keep) = quota/count exactly, all integer arithmetic
+    * quota, so P(keep) ~= quota/count (approximately — folding the
+    * hash by a modulus that does not divide P over-represents low
+    * residues by one part in floor(P/count)), all integer arithmetic
     * (the affine family's member 2 — members 0/1 belong to
     * [[hashSample]]/[[stratifiedSample]], keeping the samples
     * independent). One
@@ -64,9 +69,10 @@ object Sampling {
   def mixtureSample(docs: DataFrame, quota: Int = 10): DataFrame = {
     val (a, b) = Config.coeffs(2)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val h = (lit(a) * pmod(col("doc_id"), lit(Config.P)) + lit(b)) % lit(Config.P)
     docs.select(col("doc_id"), col("source"))
       .join(broadcast(counts), Seq("source"))
-      .filter(((lit(a) * col("doc_id") + lit(b)) % lit(Config.P)) % col("n_source") < quota)
+      .filter(h % col("n_source") < quota)
       .select(col("doc_id"), col("source"), col("n_source"))
   }
 
@@ -111,7 +117,7 @@ object Sampling {
     * on lang. */
   def stratifiedSample(docs: DataFrame, perStratum: Int = 50): DataFrame = {
     val (a, b) = Config.coeffs(1)
-    val h = (lit(a) * col("doc_id") + lit(b)) % lit(Config.P)
+    val h = (lit(a) * pmod(col("doc_id"), lit(Config.P)) + lit(b)) % lit(Config.P)
     val w = Window.partitionBy("lang").orderBy(h, col("doc_id"))
     docs
       .select(col("doc_id"), col("lang"), h.as("sample_h"))

@@ -217,9 +217,10 @@ toktab AS (
       WHERE s.a = t.doc_id
         AND (x.n_tokens > t.n_tokens OR (x.n_tokens = t.n_tokens AND s.b < s.a)))""")
 
-  /** Overlapping token chunks: chunk i covers tokens
-    * [i*12, i*12 + 16) (stride 12 = 16 - overlap 4). */
-  val docChunks: String = docQ(
+  /** Shared chunk-generation SELECT body (stride 12 = 16 - overlap
+    * 4) — one definition so docChunks and chunkDedup cannot
+    * desynchronize from the Spark constants. */
+  private val chunkSelect: String =
     """SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS chunk_idx,
       CAST((t.i - 1) * 12 AS BIGINT) AS start_tok,
       CAST(len(toks[(t.i - 1) * 12 + 1 : least((t.i - 1) * 12 + 16, len(toks))]) AS BIGINT) AS n_chunk_tokens,
@@ -227,27 +228,24 @@ toktab AS (
     FROM toktab,
       LATERAL (SELECT unnest(generate_series(1,
         CAST(ceil(len(toks) / 12.0) AS BIGINT))) AS i) t
-    WHERE len(toks) > 0""")
+    WHERE len(toks) > 0"""
+
+  /** Overlapping token chunks: chunk i covers tokens
+    * [i*12, i*12 + 16) (stride 12 = 16 - overlap 4). */
+  val docChunks: String = docQ(chunkSelect)
 
   /** Cross-document chunk dedup keep-first: replay docChunks, fold-
     * hash each chunk text, keep the (doc_id, chunk_idx)-earliest row
-    * per hash with its copy count. */
+    * per DISTINCT TEXT (the hash only spreads the shuffle — colliding
+    * texts stay separate) with its copy count. */
   val chunkDedup: String = docQ(
-    s""", chunks AS (
-      SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS chunk_idx,
-        CAST((t.i - 1) * 12 AS BIGINT) AS start_tok,
-        CAST(len(toks[(t.i - 1) * 12 + 1 : least((t.i - 1) * 12 + 16, len(toks))]) AS BIGINT) AS n_chunk_tokens,
-        array_to_string(toks[(t.i - 1) * 12 + 1 : least((t.i - 1) * 12 + 16, len(toks))], ' ') AS chunk_text
-      FROM toktab,
-        LATERAL (SELECT unnest(generate_series(1,
-          CAST(ceil(len(toks) / 12.0) AS BIGINT))) AS i) t
-      WHERE len(toks) > 0),
+    s""", chunks AS ($chunkSelect),
     chash AS (SELECT *, ${foldHash("chunk_text")} AS chunk_hash FROM chunks)
     SELECT doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text, chunk_hash,
       n_copies::BIGINT AS n_copies
     FROM (SELECT *,
-            row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS rn,
-            count(*) OVER (PARTITION BY chunk_hash) AS n_copies
+            row_number() OVER (PARTITION BY chunk_hash, chunk_text ORDER BY doc_id, chunk_idx) AS rn,
+            count(*) OVER (PARTITION BY chunk_hash, chunk_text) AS n_copies
           FROM chash)
     WHERE rn = 1""")
 
@@ -563,7 +561,7 @@ WHERE rn = 1""")
   val hashSample: String = {
     val (a, b) = Config.coeffs(0)
     s"""SELECT doc_id, lang, source, n_chars FROM documents
-    WHERE (($a * doc_id + $b) % $P) % 100 < 10"""
+    WHERE (($a * (doc_id % $P) + $b) % $P) % 100 < 10"""
   }
 
   val stratifiedSample: String = {
@@ -571,20 +569,20 @@ WHERE rn = 1""")
     s"""SELECT doc_id, lang, rn FROM (
       SELECT doc_id, lang,
         CAST(row_number() OVER (PARTITION BY lang
-          ORDER BY ($a * doc_id + $b) % $P, doc_id) AS BIGINT) AS rn
+          ORDER BY ($a * (doc_id % $P) + $b) % $P, doc_id) AS BIGINT) AS rn
       FROM documents)
     WHERE rn <= 50"""
   }
 
   /** Domain-mixing resample: keep iff hash(doc_id) mod count_source
-    * < quota (affine member 2) — P(keep) = quota/count exactly. */
+    * < quota (affine member 2) — P(keep) ~= quota/count. */
   val mixtureSample: String = {
     val (a, b) = Config.coeffs(2)
     s"""WITH mcnt AS (SELECT source, count(*)::BIGINT AS n_source
            FROM documents GROUP BY source)
     SELECT d.doc_id, d.source, m.n_source
     FROM documents d JOIN mcnt m ON d.source = m.source
-    WHERE (($a * d.doc_id + $b) % $P) % m.n_source < 10"""
+    WHERE (($a * (d.doc_id % $P) + $b) % $P) % m.n_source < 10"""
   }
 
   /** Token-budget selection: per-score bucket totals cumulated
