@@ -115,6 +115,7 @@ object SparkEntry {
             org.apache.spark.sql.functions.col("payload"))).toDF()),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(docs(s, d))),
     "pipeline_kept" -> ((s, d) => TrainingPipeline.kept(docs(s, d))),
+    "pipeline_budget" -> ((s, d) => TrainingPipeline.keptBudget(docs(s, d))),
     // --- deterministic sampling ---
     "hash_sample" -> ((s, d) => Sampling.hashSample(docs(s, d))),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(docs(s, d))),
@@ -213,6 +214,7 @@ object SparkEntry {
     "simhash_dedup_keep" -> Sql.simhashDedupKeep,
     "quality_filter" -> Sql.qualityFilter,
     "pipeline_kept" -> Sql.pipelineKept,
+    "pipeline_budget" -> Sql.pipelineBudget,
     "hash_sample" -> Sql.hashSample,
     "stratified_sample" -> Sql.stratifiedSample,
     "mixture_sample" -> Sql.mixtureSample,

@@ -29,4 +29,17 @@ object TrainingPipeline {
       .join(keptIds, Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "n_chars", "n_tokens")
   }
+
+  /** Variant with token-BUDGET selection as the final stage instead
+    * of the flat 10% sample: near-dup removal → quality gate →
+    * "best docs until the token budget fills". Same stage-order
+    * rule (dedup sees the full corpus); the budget phases run over
+    * the filtered pool only. */
+  def keptBudget(docs: DataFrame, budgetTokens: Long = 5000L): DataFrame = {
+    val keptIds = Dedup.nearDupKeep(docs).select(col("kept_id").as("doc_id"))
+    val pool = docs
+      .join(TextAnalysis.qualityFilter(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(keptIds, Seq("doc_id"), "left_semi")
+    Sampling.budgetSelect(pool, budgetTokens)
+  }
 }

@@ -613,6 +613,15 @@ WHERE rn = 1""")
       min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
     FROM documents GROUP BY 1"""
 
+  /** The quality-gate predicate over a toktab row — ONE definition
+    * for qualityFilter and both pipeline composites. */
+  private val qualityPred: String = {
+    val stop = listIn("toks", Seq("the", "a", "of", "in", "and"))
+    s"""len(toks) >= 5 AND length(text) >= 20 AND length(text) <= 10000
+      AND $stop * 2 <= len(toks)
+      AND len(list_distinct(toks)) * 10 >= len(toks) * 3"""
+  }
+
   val qualityFilter: String = {
     val stop = listIn("toks", Seq("the", "a", "of", "in", "and"))
     docQ(s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
@@ -620,9 +629,7 @@ WHERE rn = 1""")
       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
       $stop AS n_stopwords
     FROM toktab
-    WHERE len(toks) >= 5 AND length(text) >= 20 AND length(text) <= 10000
-      AND $stop * 2 <= len(toks)
-      AND len(list_distinct(toks)) * 10 >= len(toks) * 3""")
+    WHERE $qualityPred""")
   }
 
   /** The composed training pipeline: quality gate ∧ 10% hash sample
@@ -630,18 +637,39 @@ WHERE rn = 1""")
     * oracle form. */
   val pipelineKept: String = {
     val (a, b) = Config.coeffs(0)
-    val stop = listIn("toks", Seq("the", "a", "of", "in", "and"))
     docQ(s"""SELECT q.doc_id, d.lang, q.n_chars, q.n_tokens
     FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
             CAST(len(toks) AS BIGINT) AS n_tokens
           FROM toktab
-          WHERE len(toks) >= 5 AND length(text) >= 20 AND length(text) <= 10000
-            AND $stop * 2 <= len(toks)
-            AND len(list_distinct(toks)) * 10 >= len(toks) * 3) q
+          WHERE $qualityPred) q
     JOIN documents d ON q.doc_id = d.doc_id
-    WHERE (($a * q.doc_id + $b) % $P) % 100 < 10
+    WHERE (($a * (q.doc_id % $P) + $b) % $P) % 100 < 10
       AND q.doc_id NOT IN (SELECT id_r FROM simpairs)""")
   }
+
+  /** Pipeline variant with token-BUDGET selection as the final
+    * stage: dedup-survivors ∧ quality gate feed the same per-score
+    * bucket cumsum as budgetSelect. */
+  val pipelineBudget: String = docQ(
+    s""", pool AS (SELECT doc_id, toks FROM toktab
+      WHERE $qualityPred
+        AND doc_id NOT IN (SELECT id_r FROM simpairs)),
+    bsc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(toks)) AS BIGINT) AS score FROM pool),
+    bkt AS (SELECT score, sum(n_tokens)::BIGINT AS bucket_tokens
+            FROM bsc GROUP BY score),
+    bcum AS (SELECT score, coalesce(sum(bucket_tokens) OVER (
+               ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS bucket_before FROM bkt),
+    brk AS (SELECT s.doc_id, s.score, s.n_tokens,
+             b.bucket_before
+               + sum(s.n_tokens) OVER (PARTITION BY s.score ORDER BY s.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - s.n_tokens AS tokens_before
+            FROM bsc s JOIN bcum b ON s.score = b.score)
+    SELECT doc_id, score, n_tokens, tokens_before::BIGINT AS tokens_before
+    FROM brk WHERE tokens_before + n_tokens <= 5000""")
 
   val langId: String = {
     import graft.operators.TextAnalysis._

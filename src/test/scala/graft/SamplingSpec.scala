@@ -15,6 +15,21 @@ class SamplingSpec extends SparkSpec {
     assert(out.nonEmpty && out == (kept & quality & sample))
   }
 
+  test("budget pipeline: members come from the filtered pool, budget respected") {
+    import graft.operators.{Dedup, TextAnalysis, TrainingPipeline}
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val budget = 500L
+    val rows = TrainingPipeline.keptBudget(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val kept = Dedup.nearDupKeep(docs).collect().map(_.getLong(0)).toSet
+    val quality = TextAnalysis.qualityFilter(docs).collect().map(_.getLong(0)).toSet
+    assert(rows.forall { case (id, _, _) => kept(id) && quality(id) })
+    // every kept span ends inside the budget
+    assert(rows.forall { case (_, n, before) => before + n <= budget })
+    assert(rows.map(_._2).sum <= budget)
+  }
+
   private def realDocs = spark.read.parquet(s"$Sf0001/documents.parquet")
 
   test("hash sample is deterministic, ~pct-sized, and repartition-invariant") {
