@@ -153,12 +153,14 @@ object CorpusStats {
       .distinct()
       .graftCheckpoint()
     // exact verify on sorted sets — built ONLY for candidate
-    // survivors (semi-join on the tiny id list), so the O(text)-sized
-    // set projection never runs corpus-wide (same discipline as
-    // MinHashLsh's verify stage)
+    // survivors (semi-join on the id list), so the O(text)-sized set
+    // projection never runs corpus-wide. NO broadcast hint: unlike
+    // MinHashLsh's sketch-gated survivors this list has no agreement
+    // prefilter bounding it, so on a templated corpus it can approach
+    // corpus size — Catalyst/AQE picks broadcast only when it fits
     val candIds = cand.select(col("id_l").as("doc_id"))
       .union(cand.select(col("id_r").as("doc_id"))).distinct()
-    val sets = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), sort_array(gramHashes).as("hset"))
     val inter = PortableHash.sortedIntersectCount(col("l.hset"), col("r.hset"))
     cand

@@ -558,10 +558,14 @@ WHERE rn = 1""")
     FROM toktab""")
   }
 
+  /** Non-negative residue mirroring Spark's pmod (DuckDB % keeps the
+    * dividend's sign, so a bare % diverges on negative ids). */
+  private def pmodP(e: String): String = s"((($e) % $P) + $P) % $P"
+
   val hashSample: String = {
     val (a, b) = Config.coeffs(0)
     s"""SELECT doc_id, lang, source, n_chars FROM documents
-    WHERE (($a * (doc_id % $P) + $b) % $P) % 100 < 10"""
+    WHERE (($a * ${pmodP("doc_id")} + $b) % $P) % 100 < 10"""
   }
 
   val stratifiedSample: String = {
@@ -569,7 +573,7 @@ WHERE rn = 1""")
     s"""SELECT doc_id, lang, rn FROM (
       SELECT doc_id, lang,
         CAST(row_number() OVER (PARTITION BY lang
-          ORDER BY ($a * (doc_id % $P) + $b) % $P, doc_id) AS BIGINT) AS rn
+          ORDER BY ($a * ${pmodP("doc_id")} + $b) % $P, doc_id) AS BIGINT) AS rn
       FROM documents)
     WHERE rn <= 50"""
   }
@@ -582,15 +586,15 @@ WHERE rn = 1""")
            FROM documents GROUP BY source)
     SELECT d.doc_id, d.source, m.n_source
     FROM documents d JOIN mcnt m ON d.source = m.source
-    WHERE (($a * (d.doc_id % $P) + $b) % $P) % m.n_source < 10"""
+    WHERE (($a * ${pmodP("d.doc_id")} + $b) % $P) % m.n_source < 10"""
   }
 
-  /** Token-budget selection: per-score bucket totals cumulated
-    * best-first, docs ranked within their bucket, kept while the
-    * span fits inside the budget. */
-  val budgetSelect: String = docQ(
-    """, bsc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-            CAST(len(list_distinct(toks)) AS BIGINT) AS score FROM toktab),
+  /** Budget-selection CTE chain over a (doc_id, toks) source CTE —
+    * ONE definition of the per-score bucket cumsum (budget 5000) for
+    * budgetSelect and pipelineBudget. */
+  private def budgetCumsum(srcCte: String): String =
+    s""", bsc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(toks)) AS BIGINT) AS score FROM $srcCte),
     bkt AS (SELECT score, sum(n_tokens)::BIGINT AS bucket_tokens
             FROM bsc GROUP BY score),
     bcum AS (SELECT score, coalesce(sum(bucket_tokens) OVER (
@@ -604,7 +608,12 @@ WHERE rn = 1""")
                - s.n_tokens AS tokens_before
             FROM bsc s JOIN bcum b ON s.score = b.score)
     SELECT doc_id, score, n_tokens, tokens_before::BIGINT AS tokens_before
-    FROM brk WHERE tokens_before + n_tokens <= 5000""")
+    FROM brk WHERE tokens_before + n_tokens <= 5000"""
+
+  /** Token-budget selection: per-score bucket totals cumulated
+    * best-first, docs ranked within their bucket, kept while the
+    * span fits inside the budget. */
+  val budgetSelect: String = docQ(budgetCumsum("toktab"))
 
   /** DuckDB regexp_replace needs the 'g' flag to match Spark's
     * replace-all semantics. */
@@ -643,7 +652,7 @@ WHERE rn = 1""")
           FROM toktab
           WHERE $qualityPred) q
     JOIN documents d ON q.doc_id = d.doc_id
-    WHERE (($a * (q.doc_id % $P) + $b) % $P) % 100 < 10
+    WHERE (($a * ${pmodP("q.doc_id")} + $b) % $P) % 100 < 10
       AND q.doc_id NOT IN (SELECT id_r FROM simpairs)""")
   }
 
@@ -653,23 +662,8 @@ WHERE rn = 1""")
   val pipelineBudget: String = docQ(
     s""", pool AS (SELECT doc_id, toks FROM toktab
       WHERE $qualityPred
-        AND doc_id NOT IN (SELECT id_r FROM simpairs)),
-    bsc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-            CAST(len(list_distinct(toks)) AS BIGINT) AS score FROM pool),
-    bkt AS (SELECT score, sum(n_tokens)::BIGINT AS bucket_tokens
-            FROM bsc GROUP BY score),
-    bcum AS (SELECT score, coalesce(sum(bucket_tokens) OVER (
-               ORDER BY score DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-               AS bucket_before FROM bkt),
-    brk AS (SELECT s.doc_id, s.score, s.n_tokens,
-             b.bucket_before
-               + sum(s.n_tokens) OVER (PARTITION BY s.score ORDER BY s.doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - s.n_tokens AS tokens_before
-            FROM bsc s JOIN bcum b ON s.score = b.score)
-    SELECT doc_id, score, n_tokens, tokens_before::BIGINT AS tokens_before
-    FROM brk WHERE tokens_before + n_tokens <= 5000""")
+        AND doc_id NOT IN (SELECT id_r FROM simpairs))
+    ${budgetCumsum("pool")}""")
 
   val langId: String = {
     import graft.operators.TextAnalysis._
