@@ -39,6 +39,14 @@ object Config {
     * (reference: Main.java:57 jaccardThreshold=0.8, intended as
     * similarity per MinHashLSH.java:177). */
   val Threshold: Double = 0.8
+  /** The same threshold as an exact rational (per-cent numerator over
+    * 100): recall-bound arithmetic (e.g. the containment prefix
+    * length) must be integer-exact — `1.0 - 0.8` in doubles is
+    * 0.19999999999999996, which shaves the prefix one gram short
+    * whenever (1-t)*n lands on an integer. Both the Spark operator
+    * and the DuckDB oracle derive the bound from THIS constant. */
+  val ThresholdPct: Int = 80
+  require(ThresholdPct / 100.0 == Threshold, "Threshold and ThresholdPct must agree")
 
   /** Candidate pre-filter: minimum number of agreeing signature
     * components (out of NumHashes) before paying for exact

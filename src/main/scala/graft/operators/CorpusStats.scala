@@ -19,12 +19,16 @@ import graft.functions.PortableHash
   */
 object CorpusStats {
 
+  /** Default vocab size — shared with the oracle (Sql.vocabTopK
+    * interpolates this constant). */
+  val DefaultVocabTopK: Int = 100
+
   /** Global token vocabulary, top-k by occurrence count — the
     * tokenizer-training / vocab-pruning shape. Ranks are assigned
     * AFTER a distributed top-k (TakeOrderedAndProject), so the
     * single-partition row_number window only ever sees `topK` rows —
     * never the full vocabulary (100M+ types at corpus scale). */
-  def vocabTopK(docs: DataFrame, topK: Int = 100): DataFrame = {
+  def vocabTopK(docs: DataFrame, topK: Int = DefaultVocabTopK): DataFrame = {
     val counts = docs
       .select(explode(TextAnalysis.tokensCol(col("text"))).as("token"),
         col("doc_id"))
@@ -109,11 +113,15 @@ object CorpusStats {
     * J <= 0.25 but containment 1.0), so minhash-band candidate
     * generation would MISS it (band recall is Jaccard-shaped).
     * Candidates instead come from a PREFIX FILTER with guaranteed
-    * recall: each doc probes on its floor((1-t)*n)+1 globally-RAREST
-    * gram hashes (rarity = corpus doc frequency). If a pair shares
-    * none of A's prefix, then A is missing more than (1-t)*n of its
-    * grams from B, so cont(A in B) < t — no true pair is ever
-    * dropped. Rare-first ordering keeps the candidate equi-join
+    * recall: each doc probes on its n - ceil(t*n) + 1 globally-RAREST
+    * gram hashes (rarity = corpus doc frequency), with the bound
+    * computed in EXACT integer arithmetic from the rational t =
+    * ThresholdPct/100 — the float form floor((1-t)*n)+1 under-counts
+    * by one whenever (1-t)*n is an integer, because 1.0-0.8 is
+    * 0.19999999999999996 in doubles. If containment >= t then
+    * |A∩B| >= ceil(t*n), so A misses at most n - ceil(t*n) grams
+    * from B and a prefix one longer must intersect — no true pair is
+    * ever dropped. Rare-first ordering keeps the candidate equi-join
     * fan-out bounded (the hot grams everyone shares are probed only
     * by docs that have nothing rarer). Sets are hashed word
     * TRIGRAMS, not char shingles: containment is about embedded
@@ -140,8 +148,15 @@ object CorpusStats {
     val ranked = dh.join(dfreq, Seq("h"))
       .withColumn("rn", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(wAll))
+    // prefix length n - ceil(t*n) + 1 in pure integer arithmetic:
+    // ceil(pct*n/100) = (pct*n + 99) div 100, so no FP rounding can
+    // shave the recall bound
+    val tPct = math.round(threshold * 100).toInt
+    require(tPct / 100.0 == threshold,
+      s"containment threshold must be a whole percent for exact prefix arithmetic, got $threshold")
+    val ceilTn = expr(s"(${tPct}L * n + 99L) div 100L")
     val prefix = ranked
-      .filter(col("rn") <= floor(col("n").cast("double") * lit(1.0 - threshold)) + 1)
+      .filter(col("rn") <= col("n") - ceilTn + lit(1L))
       .select(col("doc_id").as("id_a"), col("h"))
     // candidate = A's prefix shingle appears ANYWHERE in B
     // materialized: consumed twice below (survivor ids + verify join)

@@ -19,10 +19,21 @@ import graft.Config
   */
 object Sampling {
 
+  /** Operator defaults, shared with the DuckDB oracle — oracle/
+    * Sql.scala interpolates THESE constants into its SQL, so a
+    * changed default can't silently desynchronize engine and
+    * oracle. */
+  val DefaultPct: Int = 10
+  val DefaultPackBudget: Int = 256
+  val DefaultPackBuckets: Int = 32
+  val DefaultQuota: Int = 10
+  val DefaultBudgetTokens: Long = 5000L
+  val DefaultPerStratum: Int = 50
+
   /** Keep ~pct% of docs: (a·doc_id + b) mod P mod 100 < pct, with
     * (a, b) = the seeded affine family's member 0 — replayed exactly
     * by the oracle. */
-  def hashSample(docs: DataFrame, pct: Int = 10): DataFrame = {
+  def hashSample(docs: DataFrame, pct: Int = DefaultPct): DataFrame = {
     val (a, b) = Config.coeffs(0)
     // doc_id reduced mod P BEFORE the multiply: a*(P-1)+b fits signed
     // 64-bit (PortableHash.affine's bound), a raw 2^32+ id would not
@@ -41,8 +52,8 @@ object Sampling {
     * inherently sequential PER STREAM, so the corpus is hash-split
     * into independent streams first — at 100 TB each bucket packs
     * locally after one exchange, no global order needed. */
-  def sequencePacking(docs: DataFrame, budget: Int = 256,
-                      buckets: Int = 32): DataFrame = {
+  def sequencePacking(docs: DataFrame, budget: Int = DefaultPackBudget,
+                      buckets: Int = DefaultPackBuckets): DataFrame = {
     val w = Window.partitionBy("bucket").orderBy("doc_id")
     docs
       .select(col("doc_id"),
@@ -66,7 +77,7 @@ object Sampling {
     * independent). One
     * broadcast join against the per-source counts (bounded: one row
     * per source), then a narrow filter — no shuffle of the corpus. */
-  def mixtureSample(docs: DataFrame, quota: Int = 10): DataFrame = {
+  def mixtureSample(docs: DataFrame, quota: Int = DefaultQuota): DataFrame = {
     val (a, b) = Config.coeffs(2)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
     val h = (lit(a) * pmod(col("doc_id"), lit(Config.P)) + lit(b)) % lit(Config.P)
@@ -87,7 +98,8 @@ object Sampling {
     * unpartitioned window runs over that bounded bucket table.
     * Phase 2 ranks docs WITHIN their score bucket (hash-partitioned
     * window) and offsets by the bucket's cumulative start. */
-  def budgetSelect(docs: DataFrame, budgetTokens: Long = 5000L): DataFrame = {
+  def budgetSelect(docs: DataFrame,
+                   budgetTokens: Long = DefaultBudgetTokens): DataFrame = {
     val toks = TextAnalysis.tokensCol(col("text"))
     val scored = docs.select(col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
@@ -115,7 +127,8 @@ object Sampling {
     * Per-stratum top-n is a window over the stratum only; at scale
     * the heavy strata sort locally after one hash-partition exchange
     * on lang. */
-  def stratifiedSample(docs: DataFrame, perStratum: Int = 50): DataFrame = {
+  def stratifiedSample(docs: DataFrame,
+                       perStratum: Int = DefaultPerStratum): DataFrame = {
     val (a, b) = Config.coeffs(1)
     val h = (lit(a) * pmod(col("doc_id"), lit(Config.P)) + lit(b)) % lit(Config.P)
     val w = Window.partitionBy("lang").orderBy(h, col("doc_id"))

@@ -16,6 +16,16 @@ object Sql {
   private val B = Config.Bands
   private val R = Config.RowsPerBand
   private val T = Config.Threshold
+  private val Tpct = Config.ThresholdPct
+  // operator defaults — interpolated, never re-typed as literals, so
+  // engine and oracle stay pinned to one definition
+  private val SamplePct = graft.operators.Sampling.DefaultPct
+  private val PackBudget = graft.operators.Sampling.DefaultPackBudget
+  private val PackBuckets = graft.operators.Sampling.DefaultPackBuckets
+  private val MixQuota = graft.operators.Sampling.DefaultQuota
+  private val BudgetTokens = graft.operators.Sampling.DefaultBudgetTokens
+  private val PerStratum = graft.operators.Sampling.DefaultPerStratum
+  private val VocabTopK = graft.operators.CorpusStats.DefaultVocabTopK
 
   /** DuckDB fold hash over the characters of an expression —
     * mirrors PortableHash.charFoldHash. */
@@ -162,11 +172,14 @@ toktab AS (
   }
 
   /** Asymmetric containment with prefix-filter candidates over
-    * hashed word TRIGRAMS: each doc probes on its floor((1-T)*n)+1
+    * hashed word TRIGRAMS: each doc probes on its n - ceil(T*n) + 1
     * rarest distinct gram hashes (rarity = corpus doc frequency,
-    * ties by hash); a pair sharing none of the prefix provably has
-    * containment < T. Verification: |A∩B|/|A| and |A∩B|/|B| on the
-    * full distinct-hash sets, kept when either >= T. */
+    * ties by hash), the bound in exact integer arithmetic from
+    * T = Tpct/100 (mirrors CorpusStats.containmentPairs — FP would
+    * shave it when (1-T)*n is integral); a pair sharing none of the
+    * prefix provably has containment < T. Verification: |A∩B|/|A|
+    * and |A∩B|/|B| on the full distinct-hash sets, kept when either
+    * >= T. */
   val containmentPairs: String = docQ(
     s""", tg AS (SELECT doc_id, CASE WHEN len(toks) >= 3
             THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -181,7 +194,7 @@ toktab AS (
              count(*) OVER (PARTITION BY d.doc_id) AS n
            FROM dh d JOIN dfq f ON d.h = f.h),
     pfx AS (SELECT doc_id, h FROM rk
-            WHERE rn <= floor(n::DOUBLE * (1.0::DOUBLE - $T::DOUBLE)) + 1),
+            WHERE rn <= n - (($Tpct * n + 99) // 100) + 1),
     ccand AS (SELECT DISTINCT least(p.doc_id, b.doc_id) AS id_l,
                 greatest(p.doc_id, b.doc_id) AS id_r
               FROM pfx p JOIN dh b ON p.h = b.h AND p.doc_id <> b.doc_id)
@@ -252,14 +265,14 @@ toktab AS (
   /** Global vocabulary top-k by occurrence count (ties broken by
     * token text), with document frequency. */
   val vocabTopK: String = docQ(
-    """, tok AS (SELECT doc_id, unnest(toks) AS token FROM toktab),
+    s""", tok AS (SELECT doc_id, unnest(toks) AS token FROM toktab),
     vc AS (SELECT token, count(*)::BIGINT AS n_occurrences,
              count(DISTINCT doc_id)::BIGINT AS n_docs
            FROM tok GROUP BY token),
     rk AS (SELECT token, n_occurrences, n_docs,
              CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS "rank"
            FROM vc)
-    SELECT token, n_occurrences, n_docs, "rank" FROM rk WHERE "rank" <= 100""")
+    SELECT token, n_occurrences, n_docs, "rank" FROM rk WHERE "rank" <= $VocabTopK""")
 
   /** Unigram-LM score: integer per-doc sum of corpus term
     * frequencies, two exact double divisions at the end (no log). */
@@ -289,14 +302,17 @@ toktab AS (
     FROM sint JOIN ssz a ON src_l = a.source JOIN ssz b ON src_r = b.source""")
 
   /** Streaming first-fit packing: bin = tokens-before div budget
-    * within each doc_id-ordered hash bucket. */
+    * within each doc_id-ordered hash bucket. DuckDB widens window
+    * sum(BIGINT) to HUGEINT (int128) — the driver's hash is
+    * type-sensitive, so CAST back to BIGINT before it reaches an
+    * output column. */
   val sequencePacking: String = docQ(
-    """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-      CAST(doc_id % 32 AS INTEGER) AS bucket,
-      (sum(len(toks)::BIGINT) OVER w - len(toks)::BIGINT) // 256 AS bin,
-      sum(len(toks)::BIGINT) OVER w - len(toks)::BIGINT AS tokens_before
+    s"""SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(doc_id % $PackBuckets AS INTEGER) AS bucket,
+      (CAST(sum(len(toks)::BIGINT) OVER w AS BIGINT) - len(toks)::BIGINT) // $PackBudget AS bin,
+      CAST(sum(len(toks)::BIGINT) OVER w AS BIGINT) - len(toks)::BIGINT AS tokens_before
     FROM toktab
-    WINDOW w AS (PARTITION BY doc_id % 32 ORDER BY doc_id
+    WINDOW w AS (PARTITION BY doc_id % $PackBuckets ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
 
   /** CTE chain for the feature-hashed document embedding + sign-LSH
@@ -565,7 +581,7 @@ WHERE rn = 1""")
   val hashSample: String = {
     val (a, b) = Config.coeffs(0)
     s"""SELECT doc_id, lang, source, n_chars FROM documents
-    WHERE (($a * ${pmodP("doc_id")} + $b) % $P) % 100 < 10"""
+    WHERE (($a * ${pmodP("doc_id")} + $b) % $P) % 100 < $SamplePct"""
   }
 
   val stratifiedSample: String = {
@@ -575,7 +591,7 @@ WHERE rn = 1""")
         CAST(row_number() OVER (PARTITION BY lang
           ORDER BY ($a * ${pmodP("doc_id")} + $b) % $P, doc_id) AS BIGINT) AS rn
       FROM documents)
-    WHERE rn <= 50"""
+    WHERE rn <= $PerStratum"""
   }
 
   /** Domain-mixing resample: keep iff hash(doc_id) mod count_source
@@ -586,7 +602,7 @@ WHERE rn = 1""")
            FROM documents GROUP BY source)
     SELECT d.doc_id, d.source, m.n_source
     FROM documents d JOIN mcnt m ON d.source = m.source
-    WHERE (($a * ${pmodP("d.doc_id")} + $b) % $P) % m.n_source < 10"""
+    WHERE (($a * ${pmodP("d.doc_id")} + $b) % $P) % m.n_source < $MixQuota"""
   }
 
   /** Budget-selection CTE chain over a (doc_id, toks) source CTE —
@@ -608,7 +624,7 @@ WHERE rn = 1""")
                - s.n_tokens AS tokens_before
             FROM bsc s JOIN bcum b ON s.score = b.score)
     SELECT doc_id, score, n_tokens, tokens_before::BIGINT AS tokens_before
-    FROM brk WHERE tokens_before + n_tokens <= 5000"""
+    FROM brk WHERE tokens_before + n_tokens <= $BudgetTokens"""
 
   /** Token-budget selection: per-score bucket totals cumulated
     * best-first, docs ranked within their bucket, kept while the
@@ -652,7 +668,7 @@ WHERE rn = 1""")
           FROM toktab
           WHERE $qualityPred) q
     JOIN documents d ON q.doc_id = d.doc_id
-    WHERE (($a * ${pmodP("q.doc_id")} + $b) % $P) % 100 < 10
+    WHERE (($a * ${pmodP("q.doc_id")} + $b) % $P) % 100 < $SamplePct
       AND q.doc_id NOT IN (SELECT id_r FROM simpairs)""")
   }
 
@@ -934,7 +950,7 @@ WHERE rnk <= 3""")
     WHERE len(toks) >= 5 AND length(text) >= 20 AND length(text) <= 10000
       AND $stop * 2 <= len(toks)
       AND len(list_distinct(toks)) * 10 >= len(toks) * 3
-      AND (($a * doc_id + $b) % $P) % 100 < 10""")
+      AND (($a * ${pmodP("doc_id")} + $b) % $P) % 100 < $SamplePct""")
   }
 
   /** Custom-state streaming sessionization: gap chaining in MICROS

@@ -106,7 +106,7 @@ object StreamingOps {
     * near-dup membership needs corpus-wide candidate state, which in
     * streaming is [[nearDupStream]]'s job. */
   def pipelineStream(docs: DataFrame, watermark: String = "1 hour",
-                     pct: Int = 10): DataFrame = {
+                     pct: Int = graft.operators.Sampling.DefaultPct): DataFrame = {
     val (a, b) = graft.Config.coeffs(0)
     val toks = graft.operators.TextAnalysis.tokensCol(col("text"))
     val stop = Seq("the", "a", "of", "in", "and")
@@ -122,7 +122,11 @@ object StreamingOps {
         // arithmetic — bit-identical to TextAnalysis.qualityFilter
         col("n_stopwords") * 2 <= col("n_tokens") &&
         col("n_types") * 10 >= col("n_tokens") * 3)
-      .filter(((lit(a) * col("doc_id") + lit(b)) % lit(graft.Config.P)) % 100 < pct)
+      // doc_id reduced mod P BEFORE the multiply (same as
+      // Sampling.hashSample): a*(P-1)+b fits signed 64-bit, a raw
+      // 2^32+ id would overflow and diverge from the batch sampler
+      .filter(((lit(a) * pmod(col("doc_id"), lit(graft.Config.P)) + lit(b)) %
+        lit(graft.Config.P)) % 100 < pct)
       .select("doc_id", "ts_ts", "n_chars", "n_tokens")
   }
 

@@ -9,9 +9,34 @@ import sys, os, json, glob
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# The driver's hash is physical-type-sensitive: DuckDB widening (e.g.
+# window sum(BIGINT) -> HUGEINT) fails there even when pandas-canonical
+# values match. Map DuckDB type names to arrow names and fail on any
+# numeric kind/width mismatch so the local gate agrees with the driver.
+DUCK_TO_ARROW = {
+    "TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
+    "BIGINT": "int64", "HUGEINT": "int128",
+    "UTINYINT": "uint8", "USMALLINT": "uint16", "UINTEGER": "uint32",
+    "UBIGINT": "uint64", "UHUGEINT": "uint128",
+    "FLOAT": "float", "DOUBLE": "double", "BOOLEAN": "bool",
+}
+
+def type_mismatches(spark_schema, duck_cols, duck_types):
+    bad = []
+    arrow = {f.name: str(f.type) for f in spark_schema}
+    for c, t in zip(duck_cols, duck_types):
+        dt = DUCK_TO_ARROW.get(str(t).upper())
+        st = arrow.get(c)
+        if dt is None or st is None:
+            continue  # non-numeric / struct / missing col handled elsewhere
+        if dt != st:
+            bad.append(f"{c} (type: spark={st} duck={str(t).upper()}->{dt})")
+    return bad
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
@@ -38,9 +63,15 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"FAIL {name}: cannot read spark parquet: {e}"); n_bad += 1; continue
         try:
-            duck_df = con.execute(sql).fetchdf()
+            rel = con.sql(sql)
+            duck_cols, duck_types = list(rel.columns), list(rel.types)
+            duck_df = rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}"); n_bad += 1; continue
+        spark_schema = pq.read_schema(sorted(glob.glob(f"{pdir}/*.parquet"))[0])
+        tbad = type_mismatches(spark_schema, duck_cols, duck_types)
+        if tbad:
+            print(f"FAIL {name}: {'; '.join(tbad)}"); n_bad += 1; continue
         s, d = canon(spark_df), canon(duck_df)
         if list(s.columns) != list(d.columns):
             print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}"); n_bad += 1; continue
