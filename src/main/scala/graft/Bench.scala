@@ -97,12 +97,17 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir"}"""
-    // stdout capture windows have truncated this line before (r02 lost
-    // 31 of 93 timings) — persist the full JSON to a file as well
+    // The driver's stdout capture has a byte budget and has clipped the
+    // tail mid-JSON twice (r02 lost 31 of 93 timings, r04 parsed:null).
+    // Full record (incl. per-rep times) goes to the file; stdout gets a
+    // COMPACT line without "reps" — roughly half the bytes — so the
+    // captured artifact stays machine-readable.
+    val jsonCompact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps_in":"BENCH_LOCAL.json"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
-    println(json)
+    println(jsonCompact)
     spark.stop()
   }
 }

@@ -308,7 +308,13 @@ object StreamingQueries {
       .collect().sortBy(_._1).toIndexedSeq
     val input = MemoryStream[(Long, String)]
     val name = "graft_stream_near_dup"
-    withStatePartitions(spark) {
+    // 16, not the harness-default 8: unlike the store-bound harness
+    // queries, this one does real CPU work INSIDE the stateful op
+    // (per-bucket exact-Jaccard verify) plus rowwise banding before
+    // the shuffle, so partitions = cores-for-verify. Measured sf0.1
+    // steady-state: 7.3 s @ 8, 5.7 s @ 16, 5.9 s @ 32 (the r4 5.8 →
+    // 8.6 regression was exactly this knob dropping 32 → 8).
+    withStatePartitions(spark, 16) {
       val q = StreamingOps.nearDupStream(input.toDS(), maxBucket = Int.MaxValue)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try feed(input, docs, nChunks, () => q.processAllAvailable())
