@@ -17,10 +17,14 @@ import graft.operators.EventsOps
   * computation (complete-mode aggregation; append-mode emission of
   * pairs whose membership is arrival-order independent).
   *
-  * The driver-side `collect()` feeding the MemoryStream is harness
+  * The driver-side `collect()` feeding a MemoryStream is harness
   * scaffolding, not operator design — a production deployment reads
   * from a real source (Kafka/files); the transforms under test are
-  * identical either way.
+  * identical either way. Two queries (stream_exact_dedup,
+  * stream_pipeline) instead use a real FILE source via
+  * [[runDedupFeedFileQuery]] — executor-written parquet chunks
+  * replayed with readStream + maxFilesPerTrigger=1 — so that path
+  * has NO corpus-sized driver transfer at all.
   */
 object StreamingQueries {
 
@@ -186,72 +190,94 @@ object StreamingQueries {
       unix_micros(col("m_ts")).as("match_us"))
   }
 
-  /** Dedup-stream feed: the documents table followed by an exact COPY
-    * of every text under a shifted doc_id, with synthetic event times
-    * (originals at doc_id seconds, copies offset past the originals'
-    * span but well inside the 1 h dedup watermark at the oracle sf).
-    * Fed time-sorted, every copy arrives after its original and in a
-    * LATER micro-batch (texts are distinct within each half), so the
-    * streaming dedup deterministically keeps exactly the originals. */
-  private def dedupFeed(spark: SparkSession, sfDir: String): IndexedSeq[(Long, String, Long)] = {
-    import spark.implicits._
+  /** FILE-SOURCE dedup feed + query runner: builds the doc∪copy feed
+    * (the documents table, then an exact COPY of every text under a
+    * shifted doc_id — originals at (3600+id) s, copies offset
+    * (n+100) s past them, well inside the 1 h dedup watermark at the
+    * oracle sf) ENTIRELY executor-side, writes it as `nChunks`
+    * single-file parquet chunks covering disjoint ascending
+    * event-time ranges, and replays them through a real
+    * `readStream.parquet` source with maxFilesPerTrigger=1 — one
+    * micro-batch per chunk, in mtime order, state carried across
+    * batches. Unlike the MemoryStream harness used by the other
+    * stream queries, the corpus NEVER passes through the driver:
+    * this is the shape a production deployment uses (tail a landing
+    * directory). The only driver-side values are the doc count (one
+    * scalar agg, sizes the copy offset) and file moves.
+    *
+    * Determinism: a copy always lands >= 2 chunks after its original
+    * — the copy offset (n+100) s exceeds the chunk width
+    * ~(2n+100)/nChunks s for any nChunks >= 2 — so no original/copy
+    * pair ever shares a micro-batch, and chunk ranges ascend so no
+    * row is ever late for the watermark. */
+  private def runDedupFeedFileQuery(spark: SparkSession, sfDir: String,
+                                    nChunks: Int, name: String)
+                                   (transform: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Path}
+    import java.nio.file.attribute.FileTime
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
-    val n = docs.length
-    // +3600 s base: an event at epoch 0 sits exactly on the initial
-    // watermark and is discarded as late — keep every feed time
-    // strictly above the largest watermark the run can reach
-    val originals = docs.map { case (id, t) => (id, t, (3600 + id) * 1000000L) }
-    val copies = docs.map { case (id, t) => (id + 1000000L, t, (3600 + n + 100 + id) * 1000000L) }
-    (originals ++ copies).sortBy(_._3).toIndexedSeq
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val feedDf = docs.select(col("doc_id"), col("text"),
+        ((col("doc_id") + 3600L) * 1000000L).as("us"))
+      .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        ((col("doc_id") + 3700L + n) * 1000000L).as("us")))
+    val root = Files.createTempDirectory("graft_feed_")
+    val watch = Files.createDirectory(root.resolve("in"))
+    try {
+      val lo = 3600L * 1000000L
+      val hi = (3700L + 2 * n) * 1000000L
+      val step = (hi - lo) / nChunks + 1
+      val baseMs = System.currentTimeMillis()
+      (0 until nChunks).foreach { j =>
+        val stage = root.resolve(s"stage_$j")
+        feedDf.filter(col("us") >= lo + j * step && col("us") < lo + (j + 1) * step)
+          .repartition(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst.orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
+        val tgt = watch.resolve(f"chunk-$j%04d.parquet")
+        Files.move(part, tgt)
+        // strictly increasing mtimes pin FileStreamSource's pick order
+        Files.setLastModifiedTime(tgt, FileTime.fromMillis(baseMs + j * 2000L))
+      }
+      val stream = spark.readStream.schema(feedDf.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch.toString)
+        .withColumn("ts_ts", timestamp_micros(col("us")))
+      withStatePartitions(spark) {
+        val q = transform(stream).writeStream
+          .format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      spark.table(name)
+    } finally {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 
-  /** Streaming exact dedup over the doc∪copy feed: every shifted copy
-    * is dropped by dropDuplicatesWithinWatermark state carried across
-    * micro-batches; the kept set is exactly the original documents
-    * (replayed by batch SQL over the documents table alone). */
+  /** Streaming exact dedup over the doc∪copy FILE feed: every shifted
+    * copy is dropped by dropDuplicatesWithinWatermark state carried
+    * across micro-batches; the kept set is exactly the original
+    * documents (replayed by batch SQL over the documents table). */
   def streamExactDedup(spark: SparkSession, sfDir: String,
-                       nChunks: Int = 4): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val rows = dedupFeed(spark, sfDir)
-    val input = MemoryStream[(Long, String, Long)]
-    val stream = input.toDF().toDF("doc_id", "text", "us")
-      .withColumn("ts_ts", timestamp_micros(col("us")))
-    val name = "graft_stream_exact_dedup"
-    withStatePartitions(spark) {
-      val q = StreamingOps.exactDedupStream(stream).writeStream
-        .format("memory").queryName(name).outputMode("append").start()
-      try feed(input, rows, nChunks, () => q.processAllAvailable())
-      finally q.stop()
-    }
-    spark.table(name).select(col("doc_id"),
-      unix_micros(col("ts_ts")).as("us"), col("text_md5"))
-  }
+                       nChunks: Int = 4): DataFrame =
+    runDedupFeedFileQuery(spark, sfDir, nChunks, "graft_stream_exact_dedup")(
+      StreamingOps.exactDedupStream(_))
+      .select(col("doc_id"), unix_micros(col("ts_ts")).as("us"), col("text_md5"))
 
   /** The full streaming training pipeline (exact dedup → quality gate
-    * → deterministic hash sample) over the same doc∪copy feed: the
-    * copies prove the stateful dedup stage, and the row-local gate +
-    * sample are bit-identical to the batch predicates, so the kept
-    * set is replayed by the batch gates over the documents table. */
+    * → deterministic hash sample) over the same doc∪copy FILE feed:
+    * the copies prove the stateful dedup stage, and the row-local
+    * gate + sample are bit-identical to the batch predicates, so the
+    * kept set is replayed by the batch gates over the documents
+    * table. */
   def streamPipeline(spark: SparkSession, sfDir: String,
-                     nChunks: Int = 4): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val rows = dedupFeed(spark, sfDir)
-    val input = MemoryStream[(Long, String, Long)]
-    val stream = input.toDF().toDF("doc_id", "text", "us")
-      .withColumn("ts_ts", timestamp_micros(col("us")))
-    val name = "graft_stream_pipeline"
-    withStatePartitions(spark) {
-      val q = StreamingOps.pipelineStream(stream).writeStream
-        .format("memory").queryName(name).outputMode("append").start()
-      try feed(input, rows, nChunks, () => q.processAllAvailable())
-      finally q.stop()
-    }
-    spark.table(name).select(col("doc_id"),
-      unix_micros(col("ts_ts")).as("us"), col("n_chars"), col("n_tokens"))
-  }
+                     nChunks: Int = 4): DataFrame =
+    runDedupFeedFileQuery(spark, sfDir, nChunks, "graft_stream_pipeline")(
+      StreamingOps.pipelineStream(_))
+      .select(col("doc_id"), unix_micros(col("ts_ts")).as("us"),
+        col("n_chars"), col("n_tokens"))
 
   /** Custom-state sessionization (flatMapGroupsWithState with an
     * event-time timeout) over the real events stream: sessions close
