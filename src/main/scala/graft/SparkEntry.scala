@@ -106,6 +106,18 @@ object SparkEntry {
     "media_decode" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.encodePng(docs(s, d))).toDF()
         .select("doc_id", "kind", "width", "height", "checksum")),
+    // the OTHER stock-JRE codecs round-tripped for real — GIF (indexed
+    // palette), BMP (24-bit RGB), WBMP (1-bit) — on a deterministic
+    // fifth of the corpus (per-row ImageIO setup dominates; format
+    // coverage doesn't need every row 3 more times)
+    "media_decode_formats" -> ((s, d) => {
+      val sample = docs(s, d)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+      Seq("gif", "bmp", "wbmp").map { fmt =>
+        Multimodal.extractFeatures(Multimodal.encodeImage(sample, fmt)).toDF()
+          .select("doc_id", "kind", "width", "height", "checksum")
+      }.reduce(_.unionAll(_))
+    }),
     // binary→binary composition: resize (byte decimation) feeding the
     // frame sampler — the multimodal pipeline shape end-to-end
     "media_resize" -> ((s, d) =>
@@ -137,6 +149,26 @@ object SparkEntry {
     // artifact (fit-once/serve-many — loads if present, else fits+saves)
     "ann_ivf_persisted" -> ((s, d) => EmbeddingSim.ivfTopKPersisted(emb(s, d),
       s"${sys.props("java.io.tmpdir")}/graft_ivf_model_${d.replaceAll("[^a-zA-Z0-9]", "_")}")),
+    // rows-only: INCREMENTAL index lifecycle — fit+build the cell
+    // table on 90% of the vectors, append the held-out 10% to their
+    // nearest persisted centroid (no refit; drift-gated), probe from
+    // the combined table so post-fit vectors are first-class neighbors
+    "ann_ivf_append" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val all = emb(s, d)
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val modelDir = s"${sys.props("java.io.tmpdir")}/graft_ivf_apd_model_$tag"
+      val indexDir = s"${sys.props("java.io.tmpdir")}/graft_ivf_apd_index_$tag"
+      EmbeddingSim.ivfIndexBuild(all.filter(col("vec_id") % 10 =!= 0), modelDir, indexDir)
+      EmbeddingSim.ivfAppend(all.filter(col("vec_id") % 10 === 0), modelDir, indexDir, batchId = 1L)
+      EmbeddingSim.ivfProbeIndex(all.filter(col("vec_id") % 100 === 0), modelDir, indexDir,
+        k = 5, nProbe = 4)
+    }),
+    // bit-checked ANN QUALITY GATE: recall of the rows-only
+    // approximate families vs their exact formulations, emitted as
+    // one integer row per family — the oracle replays the expected
+    // pass state, so a recall regression fails the hash check
+    "ann_recall" -> ((s, d) => AnnRecall.recallGate(emb(s, d), docs(s, d))),
     // --- events ---
     "events_window_agg" -> ((s, d) => EventsOps.windowAgg(events(s, d))),
     "events_sessionize" -> ((s, d) => EventsOps.sessionize(events(s, d))),
@@ -290,6 +322,8 @@ object SparkEntry {
     "media_features" -> Sql.mediaFeatures,
     "media_frames" -> Sql.mediaFrames,
     "media_decode" -> Sql.mediaDecode,
+    "media_decode_formats" -> Sql.mediaDecodeFormats,
+    "ann_recall" -> Sql.annRecall,
     "media_resize" -> Sql.mediaResize,
     "array_funcs" -> Sql.arrayFuncs,
     "embedding_norms" -> Sql.embeddingNorms,

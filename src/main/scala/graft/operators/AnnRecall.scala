@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.Caches.CheckpointSyntax
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Bit-checked QUALITY GATE for the approximate-NN family.
+  *
+  * The rows-only ANN queries (ann_ivf_topk, ann_ivf_persisted,
+  * ml_ann_topk) can't be SQL-replayed — a KMeans quantizer and
+  * MLlib's hash family live outside the oracle's reach. What CAN be
+  * pinned bit-exactly is the quality claim itself: "the approximate
+  * result recovers at least FLOOR% of the exact top-k". This
+  * operator computes recall IN SPARK against the exact formulations
+  * (brute-force cosine top-k for IVF; exact shingle-set Jaccard
+  * top-k for the MLlib pillar) and emits one integer row per family;
+  * the oracle replays the expected PASS state, so any recall
+  * regression below the floor flips a bit and fails the hash check.
+  *
+  * Floors are calibrated ~2 hit-steps below the measured recall at
+  * the oracle sf (see the constants) — tight enough that a real
+  * quantizer/banding regression trips them, loose enough that a
+  * boundary tie reshuffle cannot.
+  *
+  * Reference analog: none (SURVEY §2.2 — the reference has no ANN);
+  * this is the quality-gate pattern a production ANN index ships
+  * with.
+  */
+object AnnRecall {
+
+  /** Recall floor (percent of exact top-3 pairs recovered) for the
+    * IVF quantizer path at the serving defaults (16 cells, nProbe=4):
+    * measured 53% at sf0.01 / 61% at sf0.1 (the synthetic embeddings
+    * have weak cluster structure, so cosine neighbors scatter across
+    * Voronoi cells — nProbe 2/4/6/8 measured 40/53/86/100 at sf0.01).
+    * Floor = measured-at-oracle-sf minus two hit-steps (1 hit =
+    * ~7 pct at 15 exact pairs). */
+  val IvfFloorPct: Int = 40
+
+  /** Recall floor for MLlib MinHashLSH approxNearestNeighbors
+    * (5 OR-ed tables) vs exact shingle Jaccard — measured 100% at
+    * sf0.01 on the doc_id < 500 slice (73% at sf0.1); floor leaves a
+    * three-step margin. */
+  val MlFloorPct: Int = 80
+
+  private val K = 3
+
+  /** One integer row per ANN family: (family, floor_pct,
+    * meets_floor). Counts are driver-side scalars (bounded: two
+    * count() aggregates per family); the corpus never leaves the
+    * executors. */
+  def recallGate(emb: DataFrame, docs: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // --- embedding domain: IVF vs brute-force cosine, same k, same
+    // query set (vec_id % 100 == 0 — cosineTopK's definition) ---
+    val exactE = EmbeddingSim.cosineTopK(emb, K)
+      .select("query_id", "neighbor_id").graftCheckpoint()
+    val ivf = EmbeddingSim.ivfTopK(emb, K).select("query_id", "neighbor_id")
+    val eTot = exactE.count()
+    val ivfHits = exactE.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+    // --- text domain: MLlib minhash ANN vs exact shingle-set
+    // Jaccard top-k on the same input slice and query set ---
+    val d500 = docs.filter(col("doc_id") < 500)
+    val sets = d500.select(col("doc_id"),
+      array_sort(array_distinct(Shingling.shingleHashArray(col("text")))).as("hset"))
+      .graftCheckpoint()
+    val q = sets.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("hset").as("q_set"))
+    val inter = PortableHash.sortedIntersectCount(col("q_set"), col("hset"))
+    val jac = inter.cast("double") /
+      (size(col("q_set")) + size(col("hset")) - inter)
+    val w = Window.partitionBy("query_id").orderBy(col("jaccard").desc, col("neighbor_id"))
+    val exactT = sets
+      .join(broadcast(q), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), jac.as("jaccard"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select("query_id", "neighbor_id").graftCheckpoint()
+    val ml = graft.ml.MlMinHash.annTopK(d500).select("query_id", "neighbor_id")
+    val tTot = exactT.count()
+    val mlHits = exactT.join(ml, Seq("query_id", "neighbor_id"), "left_semi").count()
+    def pct(hits: Long, total: Long): Long =
+      if (total == 0) 100L else hits * 100L / total
+    Seq(
+      ("ivf", IvfFloorPct.toLong,
+        if (pct(ivfHits, eTot) >= IvfFloorPct) 1L else 0L),
+      ("ml_minhash", MlFloorPct.toLong,
+        if (pct(mlHits, tTot) >= MlFloorPct) 1L else 0L))
+      .toDF("family", "floor_pct", "meets_floor")
+  }
+}

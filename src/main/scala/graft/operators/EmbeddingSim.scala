@@ -23,6 +23,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object EmbeddingSim {
 
+  /** Serving default for IVF probes: cells ranked per query, top
+    * nProbe searched. 4 of the 16 default cells — the quarter-of-
+    * cells operating point. Recall@3 vs brute force on the synthetic
+    * embeddings (weak cluster structure, neighbors scatter):
+    * nProbe 2/4/6/8 → 40/53/86/100 pct at sf0.01, 43/61/76/83 at
+    * sf0.1; the ann_recall gate pins the floor for THIS default. */
+  val DefaultNProbe: Int = 4
+
   /** Sequential-fold dot product of two float-array columns — the
     * fused native expression (VecDotExpression.scala); same
     * left-to-right IEEE fold as the HOF formulation and the oracle. */
@@ -94,26 +102,39 @@ object EmbeddingSim {
   }
 
   /** Coarse-quantizer model for IVF ANN: the KMeans centroids with
-    * |c|^2 precomputed. O(nCells × dim) — driver-held constant,
-    * independent of table size, cheap to broadcast. Persistable: a
-    * production ANN index outlives one JVM (fit once per corpus
-    * version, serve from the artifact). */
-  case class IvfModel(nCells: Int, centroids: IndexedSeq[(Int, Array[Float], Double)]) {
-    /** Persist the quantizer as a (cell, centroid, c2) parquet — tiny
-      * (nCells rows), one file. */
+    * |c|^2 precomputed, plus the fit-time mean squared assignment
+    * distance (the drift baseline for incremental appends).
+    * O(nCells × dim) — driver-held constant, independent of table
+    * size, cheap to broadcast. Persistable: a production ANN index
+    * outlives one JVM (fit once per corpus version, serve from the
+    * artifact). */
+  case class IvfModel(nCells: Int, centroids: IndexedSeq[(Int, Array[Float], Double)],
+                      meanD2: Double) {
+    /** Persist the quantizer as a (cell, centroid, c2, mean_d2)
+      * parquet — tiny (nCells rows), one file. */
     def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
-      spark.createDataFrame(centroids).toDF("cell", "centroid", "c2")
+      spark.createDataFrame(centroids.map { case (c, v, n2) => (c, v, n2, meanD2) })
+        .toDF("cell", "centroid", "c2", "mean_d2")
         .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   object IvfModel {
-    /** Load a quantizer persisted by [[IvfModel.save]]. */
+    /** Load a quantizer persisted by [[IvfModel.save]]. An artifact
+      * written before the drift baseline existed loads with
+      * meanD2 = 0 — "no baseline", which disables the append drift
+      * gate rather than failing the read. */
     def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfModel = {
-      val rows = spark.read.parquet(path).select("cell", "centroid", "c2").collect()
+      val raw = spark.read.parquet(path)
+      val hasBaseline = raw.columns.contains("mean_d2")
+      val rows =
+        (if (hasBaseline) raw.select("cell", "centroid", "c2", "mean_d2")
+         else raw.select("cell", "centroid", "c2")).collect()
       val cs = rows.map { r =>
         (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2))
       }.sortBy(_._1).toIndexedSeq
-      IvfModel(cs.length, cs)
+      val meanD2 =
+        if (hasBaseline) rows.headOption.map(_.getDouble(3)).getOrElse(0.0) else 0.0
+      IvfModel(cs.length, cs, meanD2)
     }
   }
 
@@ -130,10 +151,13 @@ object EmbeddingSim {
       .setFeaturesCol("features").setPredictionCol("cell")
       .setMaxIter(10)
       .fit(withVec)
+    // trainingCost = sum of squared assignment distances at fit time;
+    // its mean is the drift baseline appends compare against
+    val meanD2 = model.summary.trainingCost / math.max(1L, withVec.count()).toDouble
     IvfModel(nCells, model.clusterCenters.zipWithIndex.map { case (c, i) =>
       val arr = c.toArray.map(_.toFloat)
       (i, arr, arr.map(f => f.toDouble * f.toDouble).sum)
-    }.toIndexedSeq)
+    }.toIndexedSeq, meanD2)
   }
 
   /** Cache key that CHANGES WITH THE DATA, not just the plan: the
@@ -184,7 +208,7 @@ object EmbeddingSim {
     * query's probe set. Candidates come from the (cell) equi-join of
     * probes × assignments — bucketed, never all-pairs. */
   def ivfProbe(emb: DataFrame, model: IvfModel, k: Int = 3,
-               nProbe: Int = 2): DataFrame = {
+               nProbe: Int = DefaultNProbe): DataFrame = {
     val spark = emb.sparkSession
     val centroids = spark.createDataFrame(model.centroids)
       .toDF("cell", "centroid", "c2")
@@ -227,7 +251,7 @@ object EmbeddingSim {
     * Composition of [[ivfFit]] (cached per input) + [[ivfProbe]].
     * Rows-only check (the quantizer is not SQL-replayable). */
   def ivfTopK(emb: DataFrame, k: Int = 3, nCells: Int = 16,
-              nProbe: Int = 2): DataFrame =
+              nProbe: Int = DefaultNProbe): DataFrame =
     ivfProbe(emb, ivfFitCached(emb, nCells), k, nProbe)
 
   /** [[ivfTopK]] served from a PERSISTED quantizer: load the model
@@ -236,7 +260,7 @@ object EmbeddingSim {
     * probes from the artifact without refitting. The fit-once /
     * serve-many lifecycle a production ANN index needs. */
   def ivfTopKPersisted(emb: DataFrame, modelDir: String, k: Int = 3,
-                       nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+                       nCells: Int = 16, nProbe: Int = DefaultNProbe): DataFrame = {
     val spark = emb.sparkSession
     val loaded =
       try Some(IvfModel.load(spark, modelDir))
@@ -250,6 +274,118 @@ object EmbeddingSim {
       m
     }
     ivfProbe(emb, model, k, nProbe)
+  }
+
+  /** Nearest-centroid assignment of each vector under a prebuilt
+    * quantizer: one broadcast join against the centroids (batch-sized
+    * work — nothing else is read), argmin of ||v - c||^2 via the
+    * (c2 - 2 q·c) ordering, plus the TRUE squared distance (for the
+    * drift gate: |v|^2 + key). */
+  private def assignCells(emb: DataFrame, model: IvfModel): DataFrame = {
+    val centroids = emb.sparkSession.createDataFrame(
+      model.centroids).toDF("cell", "centroid", "c2")
+    val w = Window.partitionBy("vec_id").orderBy(col("d2key"), col("cell"))
+    emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(centroids))
+      .withColumn("d2key", col("c2") - lit(2.0) * dot(col("embedding"), col("centroid")))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") === 1)
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        (norm2(col("embedding")) + col("d2key")).as("d2"))
+  }
+
+  /** Outcome of an incremental IVF append: how many vectors landed in
+    * the cell table, their mean squared centroid distance, and
+    * whether that distance says the quantizer is STALE. */
+  case class IvfAppendResult(appended: Long, meanD2: Double, needsRefit: Boolean)
+
+  /** Drift gate for [[ivfAppend]]: refit when an appended batch's
+    * mean squared assignment distance exceeds this factor times the
+    * FIT-TIME mean. Appending far-from-centroid vectors quietly
+    * degrades IVF recall (cells stop being tight Voronoi regions —
+    * probes look in the wrong nProbe cells), so past this threshold
+    * the right move is a refit, not another append. 2× is
+    * conservative: same-distribution batches land near 1×, a shifted
+    * distribution (new domain, new encoder version) jumps well past
+    * 2×. */
+  val IvfDriftFactor: Double = 2.0
+
+  /** Build the PERSISTED IVF index: quantizer artifact at `modelDir`
+    * (fit here if absent — the ivfTopKPersisted lifecycle) and the
+    * CELL TABLE at `indexDir` — (cell, vec_id, embedding, d2) rows
+    * partitioned by ingest_batch, the IncrementalIngest store layout
+    * (idempotent per-partition overwrite). */
+  def ivfIndexBuild(emb: DataFrame, modelDir: String, indexDir: String,
+                    nCells: Int = 16): IvfModel = {
+    val spark = emb.sparkSession
+    val model =
+      try IvfModel.load(spark, modelDir)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          val m = ivfFit(emb, nCells)
+          m.save(spark, modelDir)
+          m
+      }
+    assignCells(emb, model).withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(indexDir)
+    model
+  }
+
+  /** INCREMENTAL append to a persisted IVF index: assign the new
+    * embeddings to their nearest persisted centroid (batch-sized —
+    * the existing cell table is not read, let alone refit) and
+    * append them as their own ingest_batch partition. Returns the
+    * drift verdict: needsRefit = batch mean d2 > [[IvfDriftFactor]] ×
+    * fit-time mean d2 — the caller refits via [[ivfIndexBuild]] over
+    * the full corpus when the gate trips. */
+  def ivfAppend(newEmb: DataFrame, modelDir: String, indexDir: String,
+                batchId: Long): IvfAppendResult = {
+    val spark = newEmb.sparkSession
+    val model = IvfModel.load(spark, modelDir)
+    val assigned = assignCells(newEmb, model).graftCheckpoint()
+    assigned.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(indexDir)
+    val stats = assigned.agg(count(lit(1)), avg(col("d2"))).head()
+    val n = stats.getLong(0)
+    val meanD2 = if (n == 0) 0.0 else stats.getDouble(1)
+    IvfAppendResult(n, meanD2, model.meanD2 > 0 && meanD2 > IvfDriftFactor * model.meanD2)
+  }
+
+  /** PROBE a persisted incremental index: queries rank their nProbe
+    * nearest cells under the persisted quantizer, candidates come
+    * from the CELL TABLE (build partition ∪ every appended batch), so
+    * post-fit vectors are first-class neighbors without any refit. */
+  def ivfProbeIndex(queries: DataFrame, modelDir: String, indexDir: String,
+                    k: Int = 3, nProbe: Int = DefaultNProbe): DataFrame = {
+    val spark = queries.sparkSession
+    val model = IvfModel.load(spark, modelDir)
+    val centroids = spark.createDataFrame(model.centroids).toDF("cell", "centroid", "c2")
+    val probeW = Window.partitionBy("vec_id").orderBy(col("d2key"), col("cell"))
+    val probes = queries.select(col("vec_id"), col("embedding"))
+      .join(broadcast(centroids))
+      .withColumn("d2key", col("c2") - lit(2.0) * dot(col("embedding"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= math.max(nProbe, 1))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+    val index = spark.read.parquet(indexDir)
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val scored = probes
+      .join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
   /** LSH-bucketed ANN top-k: rank by cosine only within each

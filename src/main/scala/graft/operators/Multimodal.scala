@@ -7,12 +7,13 @@ import graft.functions.PortableHash
 /** Multimodal-column plumbing: opaque binary payloads + typed
   * metadata, with a decode/feature-extraction stage.
   *
-  * The decode step is REAL for PNG/JPEG: the JDK's `ImageIO`
+  * The decode step is REAL for every format the JRE ships a reader
+  * for — PNG, JPEG, GIF, BMP, WBMP: the JDK's `ImageIO`
   * (java.desktop — no external dependency) decodes recognized image
   * payloads to true width/height/pixel-checksum features; payloads
   * no reader recognizes fall back to the clearly-marked
   * deterministic `StubDecoder` (the stand-in for codecs the JRE
-  * doesn't ship, e.g. audio/video). Either way the Spark-side
+  * doesn't ship, i.e. audio/video). Either way the Spark-side
   * plumbing is identical: binary columns, schema, partition-
   * preserving mapPartitions with batched per-partition decoder
   * setup (the same shape a real codec-backed extractor needs: open
@@ -99,35 +100,87 @@ object Multimodal {
 
   case class Encoded(doc_id: Long, payload: Array[Byte])
 
-  /** documents -> REAL PNG payloads: each text rendered as a
-    * deterministic 16-wide grayscale raster (pixel i = char i mod
-    * 256, zero-padded to the last row) and encoded with the JDK PNG
-    * writer. PNG is lossless, so whatever byte stream the encoder
-    * emits, the DECODED pixels equal the source mapping — which is
-    * what the decode features hash, keeping the round trip
-    * oracle-replayable from the text alone. */
-  def encodePng(docs: DataFrame, width: Int = 16): DataFrame = {
+  /** documents -> REAL image payloads in `format`: each text rendered
+    * as a deterministic 16-wide raster and encoded with the JDK's
+    * writer for that format. Every stock-JRE writer is covered —
+    * png/bmp/gif/wbmp — each through a representation that makes the
+    * round trip LOSSLESS so the decoded pixels re-derive from the
+    * text alone (oracle-replayable) whatever byte stream the encoder
+    * emits:
+    *   - png/bmp: 24-bit RGB raster, pixel i = gray (c,c,c) with
+    *     c = char i mod 256 — both formats store RGB verbatim and
+    *     `getRGB` reads it back without color-space conversion;
+    *   - gif: 8-bit INDEXED raster over an explicit 256-entry gray
+    *     palette (palette index = c) — GIF stores palette + indices
+    *     exactly; going through TYPE_BYTE_GRAY instead would gamma-
+    *     convert in getRGB and break bit-exactness;
+    *   - wbmp: 1-bit raster (the codec is binary by spec), bit =
+    *     char i mod 2, decoding to 0 or 255 per pixel.
+    * Zero-padding to the last row in all formats. */
+  def encodeImage(docs: DataFrame, format: String, width: Int = 16): DataFrame = {
+    require(Set("png", "bmp", "gif", "wbmp")(format),
+      s"no lossless stock-JRE fixture path for format '$format'")
     implicit val enc = Encoders.product[Encoded]
     docs.select(col("doc_id").cast("long"), col("text"))
       .mapPartitions { rows =>
+        import java.awt.image.{BufferedImage, IndexColorModel}
+        // per-partition setup (shared palette; writers are fetched per
+        // record because ImageIO writer instances are not thread-safe
+        // to cache across partitions)
+        val grayLut = Array.tabulate(256)(_.toByte)
+        val grayPalette = new IndexColorModel(8, 256, grayLut, grayLut, grayLut)
         rows.map { row =>
           val id = row.getLong(0)
           val text = row.getString(1)
           val h = math.max(1, (text.length + width - 1) / width)
-          val img = new java.awt.image.BufferedImage(
-            width, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val img = format match {
+            case "gif" =>
+              new BufferedImage(width, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+            case "wbmp" =>
+              new BufferedImage(width, h, BufferedImage.TYPE_BYTE_BINARY)
+            case _ =>
+              new BufferedImage(width, h, BufferedImage.TYPE_INT_RGB)
+          }
+          val raster = img.getRaster
           var i = 0
           while (i < width * h) {
-            val g = if (i < text.length) text.charAt(i) % 256 else 0
-            img.setRGB(i % width, i / width, (g << 16) | (g << 8) | g)
+            val c = if (i < text.length) text.charAt(i) % 256 else 0
+            format match {
+              case "gif"  => raster.setSample(i % width, i / width, 0, c)
+              case "wbmp" => raster.setSample(i % width, i / width, 0, c % 2)
+              case _      => img.setRGB(i % width, i / width, (c << 16) | (c << 8) | c)
+            }
             i += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          // explicit writer, interlace OFF: the JDK GIF writer's
+          // default progressive mode garbles rows for heights 2-4
+          // (rows land interlace-shifted on decode — measured
+          // width*(height-1) wrong pixels); MODE_DISABLED round-trips
+          // bit-exactly at every size
+          val writers = javax.imageio.ImageIO.getImageWritersByFormatName(format)
+          require(writers.hasNext, s"JRE has no ImageIO writer for '$format'")
+          val writer = writers.next()
+          val param = writer.getDefaultWriteParam
+          if (param.canWriteProgressive)
+            param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          try {
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+          } finally {
+            writer.dispose()
+            ios.close()
+          }
           Encoded(id, bos.toByteArray)
         }
       }(enc).toDF()
   }
+
+  /** documents -> REAL PNG payloads (the original fixture format —
+    * see [[encodeImage]]). */
+  def encodePng(docs: DataFrame, width: Int = 16): DataFrame =
+    encodeImage(docs, "png", width)
 
   /** Decode + feature-extract via mapPartitions: decoder state is
     * set up ONCE per partition (the shape a real codec binding

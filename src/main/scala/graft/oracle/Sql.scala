@@ -512,6 +512,42 @@ WHERE rn = 1""")
     FROM documents"""
   }
 
+  /** The ANN quality gate's EXPECTED state: one row per approximate
+    * family with meets_floor = 1. The quantizer/hash-family results
+    * themselves aren't SQL-replayable, but the quality claim is a
+    * bit — Spark computes real recall vs the exact formulation and
+    * emits 0 when it dips below the floor, which fails this hash
+    * check. Floors interpolate the SAME constants the gate uses. */
+  val annRecall: String = {
+    import graft.operators.AnnRecall.{IvfFloorPct, MlFloorPct}
+    s"""SELECT 'ivf' AS family, CAST($IvfFloorPct AS BIGINT) AS floor_pct,
+      CAST(1 AS BIGINT) AS meets_floor
+    UNION ALL
+    SELECT 'ml_minhash', CAST($MlFloorPct AS BIGINT), CAST(1 AS BIGINT)"""
+  }
+
+  /** GIF/BMP/WBMP round trips (encodeImage → ImageIO decode) on the
+    * doc_id % 5 = 0 fifth of the corpus — the mediaDecode
+    * re-derivation pattern per format: gif/bmp decode to the same
+    * gray raster as png (pixel i = char i mod 256); wbmp is 1-bit by
+    * spec, pixel i = (char i mod 2) decoding to 0 / 255. */
+  val mediaDecodeFormats: String = {
+    val h = "greatest(1, (length(text) + 15) // 16)"
+    def fold(pixel: String) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 16 * $h), " +
+        s"i -> CASE WHEN i <= length(text) THEN $pixel ELSE 0::BIGINT END)), " +
+        s"(acc, x) -> (acc * 31 + x) % $P)"
+    val grayFold = fold("ascii(substr(text, i, 1))::BIGINT % 256")
+    val bitFold = fold("(ascii(substr(text, i, 1))::BIGINT % 2) * 255")
+    val branches = Seq("gif" -> grayFold, "bmp" -> grayFold, "wbmp" -> bitFold)
+      .map { case (fmt, f) =>
+        s"""SELECT doc_id, 'image/$fmt' AS kind, CAST(16 AS INTEGER) AS width,
+          CAST($h AS INTEGER) AS height, $f AS checksum
+        FROM documents WHERE doc_id % 5 = 0"""
+      }
+    branches.mkString("\nUNION ALL\n")
+  }
+
   /** Fixed-size chunking (frame-sampling shape): one row per 64-byte
     * chunk with its offset and fold hash. */
   val mediaFrames: String =

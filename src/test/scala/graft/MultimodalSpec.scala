@@ -38,6 +38,22 @@ class MultimodalSpec extends SparkSpec {
     assert(f.n_bytes > 8)
   }
 
+  test("real GIF/BMP/WBMP round trips are lossless: decoded pixels re-derive from the text") {
+    val text = "the quick brown fox jumps over the lazy dog" // 44 chars -> 16x3
+    val d = docsDf(7L -> text)
+    val gray = text.map(_.toInt % 256).padTo(48, 0)
+    val grayFold = gray.foldLeft(0L)((a, g) => (a * 31 + g) % Config.P)
+    // wbmp is 1-bit by spec: pixel = (char mod 2) decoding to 0 / 255
+    val bitFold = text.map(c => (c.toInt % 2) * 255).padTo(48, 0)
+      .foldLeft(0L)((a, g) => (a * 31 + g) % Config.P)
+    for ((fmt, expect) <- Seq("gif" -> grayFold, "bmp" -> grayFold, "wbmp" -> bitFold)) {
+      val f = Multimodal.extractFeatures(Multimodal.encodeImage(d, fmt)).collect().head
+      assert(f.kind == s"image/$fmt", s"ImageIO did not recognize the $fmt payload: ${f.kind}")
+      assert(f.width == 16 && f.height == 3, s"$fmt dims ${f.width}x${f.height}")
+      assert(f.checksum == expect, s"$fmt decoded-pixel checksum must re-derive from the text")
+    }
+  }
+
   test("unrecognizable payloads still fall back to the stub decoder") {
     val d = docsDf(1L -> "plain text, no image magic bytes")
     val f = Multimodal.extractFeatures(Multimodal.asBinaryTable(d)).collect().head

@@ -15,6 +15,8 @@ class PlanAuditSpec extends SparkSpec {
     *   ann_buckets/ann_topk/ann_ivf_topk).
     * - ann_ivf_topk: probe set x fixed centroid list (numCentroids
     *   is a constant).
+    * - ann_ivf_append: same fixed-centroid broadcast, in the
+    *   build/assign/probe stages of the incremental index lifecycle.
     * - tfidf_top_terms: the corpus doc-count scalar (1 row) crossed
     *   into the per-term stream.
     * - q11_important_suppliers: the global revenue total (1 row)
@@ -22,8 +24,8 @@ class PlanAuditSpec extends SparkSpec {
     * - unigram_score: the corpus total-token-count scalar (1 row)
     *   crossed into the per-doc frame. */
   private val boundedByConstruction =
-    Set("cosine_topk", "ann_ivf_topk", "tfidf_top_terms", "q11_important_suppliers",
-      "unigram_score")
+    Set("cosine_topk", "ann_ivf_topk", "ann_ivf_append", "tfidf_top_terms",
+      "q11_important_suppliers", "unigram_score")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

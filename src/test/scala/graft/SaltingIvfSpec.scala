@@ -66,6 +66,34 @@ class SaltingIvfSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("ivf incremental append: probes see post-fit vectors; drift gate trips on a shifted batch") {
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 10 === 0)
+    EmbeddingSim.ivfIndexBuild(base, s"$dir/model", s"$dir/index", nCells = 8)
+    val res = EmbeddingSim.ivfAppend(fresh, s"$dir/model", s"$dir/index", batchId = 1L)
+    assert(res.appended == fresh.count())
+    // same-distribution batch: the drift gate must NOT trip
+    assert(!res.needsRefit, s"same-distribution append flagged refit (meanD2=${res.meanD2})")
+    // a probe from the combined index can return appended vectors as
+    // neighbors — and must, for a query whose true nearest lives in
+    // the appended slice (every appended id is a candidate in its cell)
+    val probed = EmbeddingSim.ivfProbeIndex(emb.filter(col("vec_id") % 100 === 0),
+      s"$dir/model", s"$dir/index", k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(probed.nonEmpty)
+    val appendedNeighbors = probed.filter { case (_, n) => n % 10 == 0 }
+    assert(appendedNeighbors.nonEmpty,
+      "no appended vector ever surfaced as a neighbor — the index append is not visible to probes")
+    // drift: an obviously shifted batch (embeddings scaled far away)
+    // must trip the refit gate
+    val shifted = fresh.select(col("vec_id") + 1000000L as "vec_id",
+      transform(col("embedding"), x => x * lit(50.0f)).as("embedding"))
+    val res2 = EmbeddingSim.ivfAppend(shifted, s"$dir/model", s"$dir/index", batchId = 2L)
+    assert(res2.needsRefit, s"shifted batch did not trip the drift gate (meanD2=${res2.meanD2})")
+  }
+
   test("ivfTopKPersisted fits+saves on first call, then serves from the artifact") {
     val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-persist").toString
