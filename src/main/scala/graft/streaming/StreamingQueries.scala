@@ -1,13 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.EventsOps
 
 /** Driver-checkable STREAMING queries: each runs a real Structured
-  * Streaming query (MemoryStream source → the StreamingOps transform
-  * → memory sink) over the round's parquet input, fed in several
+  * Streaming query over the round's parquet input, fed in several
   * micro-batches so the incremental/stateful path is genuinely
   * exercised, then returns the materialized result as a plain
   * DataFrame for the DuckDB oracle to replay with batch SQL.
@@ -17,23 +18,19 @@ import graft.operators.EventsOps
   * computation (complete-mode aggregation; append-mode emission of
   * pairs whose membership is arrival-order independent).
   *
-  * The driver-side `collect()` feeding a MemoryStream is harness
-  * scaffolding, not operator design — a production deployment reads
-  * from a real source (Kafka/files); the transforms under test are
-  * identical either way. Two queries (stream_exact_dedup,
-  * stream_pipeline) instead use a real FILE source via
-  * [[runDedupFeedFileQuery]] — executor-written parquet chunks
-  * replayed with readStream + maxFilesPerTrigger=1 — so that path
-  * has NO corpus-sized driver transfer at all.
+  * Every query feeds from a real FILE source: the feed frame is
+  * written EXECUTOR-SIDE as single-file parquet chunks covering
+  * disjoint ascending ranges of the feed's order column, then
+  * replayed with `readStream.parquet` + maxFilesPerTrigger=1 — one
+  * micro-batch per chunk, in pinned mtime order, state carried
+  * across batches. The corpus never passes through the driver (the
+  * only driver-side values are bounded scalars: min/max/count
+  * aggregates sizing the chunk ranges, and the file moves). This is
+  * the shape a production deployment uses — tail a landing
+  * directory; swap the directory for a Kafka topic and the
+  * transforms under test are identical.
   */
 object StreamingQueries {
-
-  private def feed[A](input: MemoryStream[A], rows: Seq[A], nChunks: Int,
-                      process: () => Unit): Unit =
-    rows.grouped(math.max(1, rows.length / nChunks)).foreach { chunk =>
-      input.addData(chunk)
-      process() // one micro-batch per chunk: state carries across batches
-    }
 
   /** Run a streaming harness query under a SMALL state partitioning:
     * stateful operators create one state store per shuffle partition
@@ -49,6 +46,109 @@ object StreamingQueries {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** nChunks half-open [lo, hi) ranges spanning `orderCol`'s min..max
+    * — two bounded scalar aggregates, the only data-dependent values
+    * the driver ever sees. */
+  private def rangesOf(feed: DataFrame, orderCol: String, nChunks: Int): Seq[(Long, Long)] = {
+    val mm = feed.agg(min(col(orderCol)), max(col(orderCol))).head()
+    if (mm.isNullAt(0)) return Seq((0L, 1L))
+    val lo = mm.getLong(0)
+    val hi = mm.getLong(1) + 1
+    val step = math.max(1L, (hi - lo) / nChunks + 1)
+    (0 until nChunks).map(j => (lo + j * step, lo + (j + 1) * step))
+  }
+
+  /** Write `feed` into `watch` as one single-file parquet chunk per
+    * range of `orderCol`, entirely executor-side; strictly ascending
+    * mtimes pin FileStreamSource's replay order. An empty range still
+    * writes its (empty) chunk so multi-source feeds stay batch-
+    * aligned. */
+  private def writeFeedChunks(feed: DataFrame, orderCol: String,
+                              ranges: Seq[(Long, Long)],
+                              root: Path, watch: Path, baseMs: Long): Unit =
+    ranges.zipWithIndex.foreach { case ((a, b), j) =>
+      val stage = root.resolve(s"stage_${watch.getFileName}_$j")
+      feed.filter(col(orderCol) >= a && col(orderCol) < b)
+        .repartition(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst.orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
+      val tgt = watch.resolve(f"chunk-$j%04d.parquet")
+      Files.move(part, tgt)
+      Files.setLastModifiedTime(tgt, FileTime.fromMillis(baseMs + j * 2000L))
+    }
+
+  /** Feed-directory cache, keyed by (feed identity, sfDir, chunking):
+    * the chunk files are a pure function of the input parquet, so one
+    * JVM writes each landing directory ONCE and every later run
+    * (bench reps, repeated Verify calls) streams from the existing
+    * files — exactly how a real landing directory behaves. Dirs live
+    * until JVM exit (a few MB of harness parquet under tmpdir). */
+  private val feedCache = scala.collection.concurrent.TrieMap.empty[String, Path]
+
+  private def cachedFeedRoot(key: String)(build: Path => Unit): Path =
+    feedCache.getOrElseUpdate(key, {
+      val root = Files.createTempDirectory("graft_feed_")
+      build(root)
+      root
+    })
+
+  /** A single-file chunk arrives as a single-split — i.e. ONE
+    * partition — micro-batch, which would run every pre-shuffle
+    * stage of the transform single-threaded (measured 2.5× on the
+    * banding-heavy near-dup query). A real landing directory
+    * delivers many files per batch; re-widening the stream restores
+    * that parallelism explicitly. */
+  private def widen(stream: DataFrame, n: Int): DataFrame = stream.repartition(n)
+
+  /** FILE-SOURCE harness runner: chunk `feed` by `orderCol` ranges,
+    * stream the chunks one-per-micro-batch through `transform` into a
+    * memory sink, return the materialized table. */
+  private def runFileFeedQuery(spark: SparkSession, feed: DataFrame, orderCol: String,
+                               ranges: Seq[(Long, Long)], name: String,
+                               feedKey: String,
+                               outputMode: String = "append", stateParts: Int = 8)
+                              (transform: DataFrame => DataFrame): DataFrame = {
+    val root = cachedFeedRoot(feedKey) { r =>
+      writeFeedChunks(feed, orderCol, ranges, r,
+        Files.createDirectory(r.resolve("in")), System.currentTimeMillis())
+    }
+    val stream = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.resolve("in").toString)
+    withStatePartitions(spark, stateParts) {
+      val q = transform(widen(stream, stateParts)).writeStream
+        .format("memory").queryName(name).outputMode(outputMode).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+  }
+
+  /** Two-source variant (stream-stream joins): both feeds are
+    * chunked over the SAME ranges into two watched directories, and
+    * with maxFilesPerTrigger=1 on each source every micro-batch
+    * consumes exactly one aligned chunk per side — the lockstep
+    * time-window feed the join's watermark reasoning needs. */
+  private def runTwoSourceFileQuery(spark: SparkSession,
+                                    feedA: DataFrame, feedB: DataFrame,
+                                    orderCol: String, ranges: Seq[(Long, Long)],
+                                    name: String, feedKey: String)
+                                   (transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val root = cachedFeedRoot(feedKey) { r =>
+      val baseMs = System.currentTimeMillis()
+      writeFeedChunks(feedA, orderCol, ranges, r, Files.createDirectory(r.resolve("a")), baseMs)
+      writeFeedChunks(feedB, orderCol, ranges, r, Files.createDirectory(r.resolve("b")), baseMs)
+    }
+    def src(sub: String, schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(root.resolve(sub).toString)
+    withStatePartitions(spark) {
+      val q = transform(widen(src("a", feedA.schema), 8), widen(src("b", feedB.schema), 8))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** Tumbling-window counts per event type, computed by the
     * STREAMING windowCounts (watermark + window aggregation) in
     * complete output mode — state is never evicted, so the final
@@ -57,63 +157,49 @@ object StreamingQueries {
     * hash portably across engines). */
   def streamWindowCounts(spark: SparkSession, sfDir: String,
                          nChunks: Int = 4): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
     val events = spark.read.parquet(s"$sfDir/events.parquet")
-    val rows = events
+    val feed = events
       .select(col("event_type"), EventsOps.microsCol(events).as("us"), col("value"))
-      .as[(String, Long, Double)].collect().toIndexedSeq
-    val input = MemoryStream[(String, Long, Double)]
-    val stream = input.toDF().toDF("event_type", "us", "value")
-      .withColumn("ts_ts", timestamp_micros(col("us")))
-    val name = "graft_stream_window_counts"
-    withStatePartitions(spark) {
-      val q = StreamingOps.windowCounts(stream).writeStream
-        .format("memory").queryName(name).outputMode("complete").start()
-      try feed(input, rows, nChunks, () => q.processAllAvailable())
-      finally q.stop()
-    }
-    spark.table(name).select(
+    runFileFeedQuery(spark, feed, "us", rangesOf(feed, "us", nChunks),
+      "graft_stream_window_counts", s"wc:$sfDir:$nChunks", outputMode = "complete") { stream =>
+      StreamingOps.windowCounts(stream.withColumn("ts_ts", timestamp_micros(col("us"))))
+    }.select(
       unix_micros(col("window_start")).as("window_start_us"),
       col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Far-future sentinel helper: session queries in append mode emit
+    * a session only once the watermark passes its end, so two
+    * sentinel rows (negative user ids, filtered from the output) in
+    * their own trailing chunks advance the watermark and flush every
+    * real session. Returns the sentinel-extended ranges: the
+    * sentinel batch raises the max event time, and the batch after
+    * it runs with the advanced watermark — hence TWO of them. */
+  private def sentinelRanges(ranges: Seq[(Long, Long)], s1: Long, s2: Long): Seq[(Long, Long)] =
+    ranges ++ Seq((s1, s1 + 1), (s2, s2 + 1))
+
   /** Native session windows computed by the STREAMING sessionWindows
     * (watermark + session_window aggregation) in append output mode.
-    * Append emits a session only once the watermark passes its end,
-    * so after the time-ordered feed two far-future sentinel events
-    * (filtered from the output) advance the watermark and flush every
-    * real session: the sentinel batch raises the max event time, and
-    * the batch after it runs with the advanced watermark. Empirically
-    * session_window merges events at EXACTLY gap distance (an event
-    * at last+gap extends the session), i.e. a new session starts iff
-    * the gap is strictly exceeded — the oracle replays that with
-    * lag()-over-user chaining. Output keys are integer epoch micros. */
+    * Empirically session_window merges events at EXACTLY gap
+    * distance (an event at last+gap extends the session), i.e. a new
+    * session starts iff the gap is strictly exceeded — the oracle
+    * replays that with lag()-over-user chaining. Output keys are
+    * integer epoch micros. */
   def streamSessionWindows(spark: SparkSession, sfDir: String,
                            nChunks: Int = 4): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
     val events = spark.read.parquet(s"$sfDir/events.parquet")
-    val rows = events
+    val real = events
       .select(col("user_id"), EventsOps.microsCol(events).as("us"), col("value"))
-      .as[(Long, Long, Double)].collect().sortBy(_._2).toIndexedSeq
-    val maxUs = rows.last._2
-    val input = MemoryStream[(Long, Long, Double)]
-    val stream = input.toDF().toDF("user_id", "us", "value")
-      .withColumn("ts_ts", timestamp_micros(col("us")))
-    val name = "graft_stream_session_windows"
-    withStatePartitions(spark) {
-      val q = StreamingOps.sessionWindows(stream).writeStream
-        .format("memory").queryName(name).outputMode("append").start()
-      try {
-        feed(input, rows, nChunks, () => q.processAllAvailable())
-        Seq(1, 2).foreach { i =>
-          input.addData((-i.toLong, maxUs + i * 4L * 3600 * 1000000L, 0.0))
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-    spark.table(name).filter(col("user_id") >= 0)
+    val ranges = rangesOf(real, "us", nChunks)
+    val maxUs = ranges.last._2 - 1
+    val (s1, s2) = (maxUs + 4L * 3600 * 1000000L, maxUs + 8L * 3600 * 1000000L)
+    val feed = real.unionAll(
+      Seq((-1L, s1, 0.0), (-2L, s2, 0.0)).toDF("user_id", "us", "value"))
+    runFileFeedQuery(spark, feed, "us", sentinelRanges(ranges, s1, s2),
+      "graft_stream_session_windows", s"sw:$sfDir:$nChunks") { stream =>
+      StreamingOps.sessionWindows(stream.withColumn("ts_ts", timestamp_micros(col("us"))))
+    }.filter(col("user_id") >= 0)
       .select(col("user_id"),
         unix_micros(col("session_start")).as("session_start_us"),
         unix_micros(col("session_end")).as("session_end_us"),
@@ -127,133 +213,65 @@ object StreamingQueries {
     * whatever the chunking. */
   def streamEnrich(spark: SparkSession, sfDir: String,
                    nChunks: Int = 4): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+    val feed = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      .as[(Long, Long, String, Double)].collect().sortBy(_._1).toIndexedSeq
     val dim = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"), col("c_nationkey"))
-    val input = MemoryStream[(Long, Long, String, Double)]
-    val stream = input.toDF().toDF("event_id", "user_id", "event_type", "value")
-    val name = "graft_stream_enrich"
-    withStatePartitions(spark) {
-      val q = StreamingOps.enrichStream(stream, dim).writeStream
-        .format("memory").queryName(name).outputMode("append").start()
-      try feed(input, rows, nChunks, () => q.processAllAvailable())
-      finally q.stop()
-    }
-    spark.table(name).select("event_id", "user_id", "event_type", "value",
+    runFileFeedQuery(spark, feed, "event_id", rangesOf(feed, "event_id", nChunks),
+      "graft_stream_enrich", s"enr:$sfDir:$nChunks") { stream =>
+      StreamingOps.enrichStream(stream, dim)
+    }.select("event_id", "user_id", "event_type", "value",
       "c_mktsegment", "c_nationkey")
   }
 
   /** Stream-STREAM interval join (rangeJoinStream): purchases joined
     * to the same user's clicks in the preceding 600 s. Both streams
-    * are fed in lockstep over ALIGNED TIME windows (not row counts):
-    * every click with m_ts <= a target's ts arrives in the same
-    * micro-batch as the target or earlier, so with the default
+    * are fed in lockstep over ALIGNED TIME windows (the shared chunk
+    * ranges): every click with m_ts <= a target's ts arrives in the
+    * same micro-batch as the target or earlier, so with the default
     * 30-minute watermark (>> the 600 s join window) no buffered row
     * is evicted before its partner arrives and the inner-join output
     * equals the batch interval join exactly. */
   def streamRangeJoin(spark: SparkSession, sfDir: String,
                       nChunks: Int = 4): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
     val events = spark.read.parquet(s"$sfDir/events.parquet")
-    val all = events
-      .select(col("user_id"), col("event_id"), EventsOps.microsCol(events).as("us"),
-        col("event_type"))
-      .as[(Long, Long, Long, String)].collect()
-    val targets = all.filter(_._4 == "purchase").sortBy(_._3)
-    val matches = all.filter(_._4 == "click").sortBy(_._3)
-    val lo = all.iterator.map(_._3).min
-    val step = math.max(1L, (all.iterator.map(_._3).max - lo) / nChunks + 1)
-    val tIn = MemoryStream[(Long, Long, Long)]
-    val mIn = MemoryStream[(Long, Long, Long)]
-    def asDf(in: MemoryStream[(Long, Long, Long)]): DataFrame =
-      in.toDF().toDF("user_id", "event_id", "us")
-        .withColumn("ts_ts", timestamp_micros(col("us"))).drop("us")
-    val name = "graft_stream_range_join"
-    withStatePartitions(spark) {
-      val q = StreamingOps.rangeJoinStream(asDf(tIn), asDf(mIn)).writeStream
-        .format("memory").queryName(name).outputMode("append").start()
-      try (0 until nChunks).foreach { j =>
-        val a = lo + j * step
-        val b = a + step
-        tIn.addData(targets.filter(r => r._3 >= a && r._3 < b).map(r => (r._1, r._2, r._3)).toSeq)
-        mIn.addData(matches.filter(r => r._3 >= a && r._3 < b).map(r => (r._1, r._2, r._3)).toSeq)
-        q.processAllAvailable()
-      } finally q.stop()
-    }
-    spark.table(name).select(col("user_id"), col("target_id"), col("match_id"),
+    val all = events.select(col("user_id"), col("event_id"),
+      EventsOps.microsCol(events).as("us"), col("event_type"))
+    val targets = all.filter(col("event_type") === "purchase").drop("event_type")
+    val matches = all.filter(col("event_type") === "click").drop("event_type")
+    val ranges = rangesOf(all, "us", nChunks)
+    def withTs(df: DataFrame): DataFrame =
+      df.withColumn("ts_ts", timestamp_micros(col("us"))).drop("us")
+    runTwoSourceFileQuery(spark, targets, matches, "us", ranges,
+      "graft_stream_range_join", s"rj:$sfDir:$nChunks") { (t, m) =>
+      StreamingOps.rangeJoinStream(withTs(t), withTs(m))
+    }.select(col("user_id"), col("target_id"), col("match_id"),
       unix_micros(col("ts_ts")).as("target_us"),
       unix_micros(col("m_ts")).as("match_us"))
   }
 
-  /** FILE-SOURCE dedup feed + query runner: builds the doc∪copy feed
-    * (the documents table, then an exact COPY of every text under a
-    * shifted doc_id — originals at (3600+id) s, copies offset
-    * (n+100) s past them, well inside the 1 h dedup watermark at the
-    * oracle sf) ENTIRELY executor-side, writes it as `nChunks`
-    * single-file parquet chunks covering disjoint ascending
-    * event-time ranges, and replays them through a real
-    * `readStream.parquet` source with maxFilesPerTrigger=1 — one
-    * micro-batch per chunk, in mtime order, state carried across
-    * batches. Unlike the MemoryStream harness used by the other
-    * stream queries, the corpus NEVER passes through the driver:
-    * this is the shape a production deployment uses (tail a landing
-    * directory). The only driver-side values are the doc count (one
-    * scalar agg, sizes the copy offset) and file moves.
+  /** The doc∪copy dedup feed: the documents table, then an exact COPY
+    * of every text under a shifted doc_id — originals at (3600+id) s,
+    * copies offset (n+100) s past them, well inside the 1 h dedup
+    * watermark at the oracle sf. The +3600 s base keeps every feed
+    * time strictly above the largest watermark the run can reach (an
+    * event at epoch 0 would sit exactly on the initial watermark and
+    * be discarded as late).
     *
-    * Determinism: a copy always lands >= 2 chunks after its original
-    * — the copy offset (n+100) s exceeds the chunk width
-    * ~(2n+100)/nChunks s for any nChunks >= 2 — so no original/copy
-    * pair ever shares a micro-batch, and chunk ranges ascend so no
-    * row is ever late for the watermark. */
-  private def runDedupFeedFileQuery(spark: SparkSession, sfDir: String,
-                                    nChunks: Int, name: String)
-                                   (transform: DataFrame => DataFrame): DataFrame = {
-    import java.nio.file.{Files, Path}
-    import java.nio.file.attribute.FileTime
+    * Determinism under range chunking: a copy always lands >= 2
+    * chunks after its original — the copy offset (n+100) s exceeds
+    * the chunk width ~(2n+100)/nChunks s for any nChunks >= 2 — so no
+    * original/copy pair ever shares a micro-batch, and chunk ranges
+    * ascend so no row is ever late for the watermark. */
+  private def dedupFeed(spark: SparkSession, sfDir: String): (DataFrame, Long) = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val n = docs.count()
-    val feedDf = docs.select(col("doc_id"), col("text"),
+    val feed = docs.select(col("doc_id"), col("text"),
         ((col("doc_id") + 3600L) * 1000000L).as("us"))
       .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
         ((col("doc_id") + 3700L + n) * 1000000L).as("us")))
-    val root = Files.createTempDirectory("graft_feed_")
-    val watch = Files.createDirectory(root.resolve("in"))
-    try {
-      val lo = 3600L * 1000000L
-      val hi = (3700L + 2 * n) * 1000000L
-      val step = (hi - lo) / nChunks + 1
-      val baseMs = System.currentTimeMillis()
-      (0 until nChunks).foreach { j =>
-        val stage = root.resolve(s"stage_$j")
-        feedDf.filter(col("us") >= lo + j * step && col("us") < lo + (j + 1) * step)
-          .repartition(1).write.mode("overwrite").parquet(stage.toString)
-        val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst.orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
-        val tgt = watch.resolve(f"chunk-$j%04d.parquet")
-        Files.move(part, tgt)
-        // strictly increasing mtimes pin FileStreamSource's pick order
-        Files.setLastModifiedTime(tgt, FileTime.fromMillis(baseMs + j * 2000L))
-      }
-      val stream = spark.readStream.schema(feedDf.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(watch.toString)
-        .withColumn("ts_ts", timestamp_micros(col("us")))
-      withStatePartitions(spark) {
-        val q = transform(stream).writeStream
-          .format("memory").queryName(name).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      spark.table(name)
-    } finally {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-    }
+    (feed, n)
   }
 
   /** Streaming exact dedup over the doc∪copy FILE feed: every shifted
@@ -261,10 +279,13 @@ object StreamingQueries {
     * across micro-batches; the kept set is exactly the original
     * documents (replayed by batch SQL over the documents table). */
   def streamExactDedup(spark: SparkSession, sfDir: String,
-                       nChunks: Int = 4): DataFrame =
-    runDedupFeedFileQuery(spark, sfDir, nChunks, "graft_stream_exact_dedup")(
-      StreamingOps.exactDedupStream(_))
-      .select(col("doc_id"), unix_micros(col("ts_ts")).as("us"), col("text_md5"))
+                       nChunks: Int = 4): DataFrame = {
+    val (feed, _) = dedupFeed(spark, sfDir)
+    runFileFeedQuery(spark, feed, "us", rangesOf(feed, "us", nChunks),
+      "graft_stream_exact_dedup", s"dedup:$sfDir:$nChunks") { stream =>
+      StreamingOps.exactDedupStream(stream.withColumn("ts_ts", timestamp_micros(col("us"))))
+    }.select(col("doc_id"), unix_micros(col("ts_ts")).as("us"), col("text_md5"))
+  }
 
   /** The full streaming training pipeline (exact dedup → quality gate
     * → deterministic hash sample) over the same doc∪copy FILE feed:
@@ -273,46 +294,39 @@ object StreamingQueries {
     * kept set is replayed by the batch gates over the documents
     * table. */
   def streamPipeline(spark: SparkSession, sfDir: String,
-                     nChunks: Int = 4): DataFrame =
-    runDedupFeedFileQuery(spark, sfDir, nChunks, "graft_stream_pipeline")(
-      StreamingOps.pipelineStream(_))
-      .select(col("doc_id"), unix_micros(col("ts_ts")).as("us"),
-        col("n_chars"), col("n_tokens"))
+                     nChunks: Int = 4): DataFrame = {
+    val (feed, _) = dedupFeed(spark, sfDir)
+    runFileFeedQuery(spark, feed, "us", rangesOf(feed, "us", nChunks),
+      "graft_stream_pipeline", s"dedup:$sfDir:$nChunks") { stream =>
+      StreamingOps.pipelineStream(stream.withColumn("ts_ts", timestamp_micros(col("us"))))
+    }.select(col("doc_id"), unix_micros(col("ts_ts")).as("us"),
+      col("n_chars"), col("n_tokens"))
+  }
 
   /** Custom-state sessionization (flatMapGroupsWithState with an
     * event-time timeout) over the real events stream: sessions close
     * either when a later same-user event exceeds the gap or when the
     * watermark times the state out. Two far-future sentinel events
     * (dropped from the output) advance the watermark so every open
-    * session flushes; the feed is globally time-ordered so no event
-    * is late. The gap comparison is in MICROseconds (`diff > gap`
-    * starts a new session), replayed by lag()-chaining in the oracle. */
+    * session flushes; chunk ranges ascend so no event is late. The
+    * gap comparison is in MICROseconds (`diff > gap` starts a new
+    * session), replayed by lag()-chaining in the oracle. */
   def streamSessionize(spark: SparkSession, sfDir: String,
                        nChunks: Int = 4): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
     val events = spark.read.parquet(s"$sfDir/events.parquet")
-    val rows = events
-      .select(col("user_id"), col("event_id"), EventsOps.microsCol(events).as("us"),
-        col("value"))
-      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._3, r._2))
-      .map(r => StreamingOps.SessionEvent(r._1, r._2, r._3, r._4)).toIndexedSeq
-    val maxUs = rows.iterator.map(_.us).max
-    val input = MemoryStream[StreamingOps.SessionEvent]
-    val name = "graft_stream_sessionize"
-    withStatePartitions(spark) {
-      val q = StreamingOps.sessionizeStateful(input.toDS()).writeStream
-        .format("memory").queryName(name).outputMode("append").start()
-      try {
-        feed(input, rows, nChunks, () => q.processAllAvailable())
-        Seq(1, 2).foreach { i =>
-          input.addData(StreamingOps.SessionEvent(-i.toLong, 0L,
-            maxUs + i * 4L * 3600 * 1000000L, 0.0))
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-    spark.table(name).filter(col("user_id") >= 0)
+    val real = events.select(col("user_id"), col("event_id"),
+      EventsOps.microsCol(events).as("us"), col("value"))
+    val ranges = rangesOf(real, "us", nChunks)
+    val maxUs = ranges.last._2 - 1
+    val (s1, s2) = (maxUs + 4L * 3600 * 1000000L, maxUs + 8L * 3600 * 1000000L)
+    val feed = real.unionAll(
+      Seq((-1L, 0L, s1, 0.0), (-2L, 0L, s2, 0.0)).toDF("user_id", "event_id", "us", "value"))
+    runFileFeedQuery(spark, feed, "us", sentinelRanges(ranges, s1, s2),
+      "graft_stream_sessionize", s"sess:$sfDir:$nChunks") { stream =>
+      StreamingOps.sessionizeStateful(
+        stream.as[StreamingOps.SessionEvent](Encoders.product)).toDF()
+    }.filter(col("user_id") >= 0)
       .select("user_id", "start_sec", "end_sec", "n_events", "sum_value")
   }
 
@@ -327,26 +341,20 @@ object StreamingQueries {
     * dedup (jaccard is a function of the pair, so rows agree). */
   def streamNearDup(spark: SparkSession, sfDir: String,
                     nChunks: Int = 4): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .collect().sortBy(_._1).toIndexedSeq
-    val input = MemoryStream[(Long, String)]
-    val name = "graft_stream_near_dup"
+    val feed = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
     // 16, not the harness-default 8: unlike the store-bound harness
     // queries, this one does real CPU work INSIDE the stateful op
     // (per-bucket exact-Jaccard verify) plus rowwise banding before
     // the shuffle, so partitions = cores-for-verify. Measured sf0.1
     // steady-state: 7.3 s @ 8, 5.7 s @ 16, 5.9 s @ 32 (the r4 5.8 →
     // 8.6 regression was exactly this knob dropping 32 → 8).
-    withStatePartitions(spark, 16) {
-      val q = StreamingOps.nearDupStream(input.toDS(), maxBucket = Int.MaxValue)
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
-      try feed(input, docs, nChunks, () => q.processAllAvailable())
-      finally q.stop()
-    }
-    spark.table(name).dropDuplicates("id_l", "id_r")
+    runFileFeedQuery(spark, feed, "doc_id", rangesOf(feed, "doc_id", nChunks),
+      "graft_stream_near_dup", s"nd:$sfDir:$nChunks", stateParts = 16) { stream =>
+      StreamingOps.nearDupStream(
+        stream.as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING)),
+        maxBucket = Int.MaxValue).toDF()
+    }.dropDuplicates("id_l", "id_r")
       .select("id_l", "id_r", "jaccard")
   }
 }
