@@ -100,6 +100,16 @@ object StreamingQueries {
     * that parallelism explicitly. */
   private def widen(stream: DataFrame, n: Int): DataFrame = stream.repartition(n)
 
+  /** Harness hygiene: state-store PROVIDERS (and their in-memory
+    * version maps) outlive the query that created them — in a
+    * session running many harness queries they accumulate and the
+    * shared maintenance thread ticks over all of them, taxing every
+    * later stateful query. A stopped harness query never resumes, so
+    * drop them all; a live production query simply reloads its
+    * providers on its next batch. */
+  private def unloadStateStores(): Unit =
+    org.apache.spark.sql.graft.Bridge.unloadStateStores()
+
   /** FILE-SOURCE harness runner: chunk `feed` by `orderCol` ranges,
     * stream the chunks one-per-micro-batch through `transform` into a
     * memory sink, return the materialized table. */
@@ -118,7 +128,7 @@ object StreamingQueries {
     withStatePartitions(spark, stateParts) {
       val q = transform(widen(stream, stateParts)).writeStream
         .format("memory").queryName(name).outputMode(outputMode).start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally { q.stop(); unloadStateStores() }
     }
     spark.table(name)
   }
@@ -144,7 +154,7 @@ object StreamingQueries {
     withStatePartitions(spark) {
       val q = transform(widen(src("a", feedA.schema), 8), widen(src("b", feedB.schema), 8))
         .writeStream.format("memory").queryName(name).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally { q.stop(); unloadStateStores() }
     }
     spark.table(name)
   }

@@ -76,6 +76,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Unload every loaded state-store provider (private[sql] —
+    * bridged for the streaming harness): providers and their
+    * in-memory version maps outlive the query that created them, and
+    * the shared maintenance thread keeps ticking over all of them. A
+    * stopped harness query never resumes, so dropping them is pure
+    * hygiene; a live query reloads its providers on its next batch. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   /** Register graft_polyhash on an EXISTING session (the
     * spark.sql.extensions route only applies at session creation). */
   def registerPolyHash(spark: org.apache.spark.sql.SparkSession): Unit =
