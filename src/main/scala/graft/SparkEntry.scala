@@ -126,6 +126,20 @@ object SparkEntry {
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("payload"))).toDF()),
     "quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(docs(s, d))),
+    // PII masking on deterministically PLANTED pii (the synthetic
+    // corpus has none): each doc gets an email, an IPv4, a phone and
+    // an account number derived from its doc_id, and the masking pass
+    // must remove all of them bit-exactly on both engines
+    "pii_mask" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val planted = docs(s, d).withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com from 10."),
+          pmod(col("doc_id"), lit(200L)), lit(".0."), pmod(col("doc_id"), lit(250L)),
+          lit(" call +1 555 "), col("doc_id") + 100000000L,
+          lit(" acct "), col("doc_id") + 9000000000L))
+      TextAnalysis.piiMask(planted)
+    }),
     "pipeline_kept" -> ((s, d) => TrainingPipeline.kept(docs(s, d))),
     "pipeline_budget" -> ((s, d) => TrainingPipeline.keptBudget(docs(s, d))),
     // --- deterministic sampling ---
@@ -138,6 +152,9 @@ object SparkEntry {
     "group_keep_best" -> ((s, d) => Dedup.nearDupGroupsKeepBest(s, docs(s, d))),
     "sequence_packing" -> ((s, d) => Sampling.sequencePacking(docs(s, d))),
     "doc_chunks" -> ((s, d) => TextAnalysis.docChunks(docs(s, d))),
+    // span-level cross-doc dedup: repeated chunks removed keep-first,
+    // docs re-assembled from their surviving spans
+    "span_dedup" -> ((s, d) => CorpusStats.spanDedup(docs(s, d))),
     // --- embeddings / similarity search ---
     "embedding_norms" -> ((s, d) => EmbeddingSim.norms(emb(s, d))),
     "array_funcs" -> ((s, d) => EmbeddingSim.arrayFuncs(emb(s, d))),
@@ -324,6 +341,8 @@ object SparkEntry {
     "media_decode" -> Sql.mediaDecode,
     "media_decode_formats" -> Sql.mediaDecodeFormats,
     "ann_recall" -> Sql.annRecall,
+    "pii_mask" -> Sql.piiMask,
+    "span_dedup" -> Sql.spanDedup,
     "media_resize" -> Sql.mediaResize,
     "array_funcs" -> Sql.arrayFuncs,
     "embedding_norms" -> Sql.embeddingNorms,

@@ -197,6 +197,39 @@ object CorpusStats {
     * combines map-side, so a boilerplate chunk repeated millions of
     * times never lands on a single reducer the way a window
     * partition would. */
+  /** SPAN-LEVEL cross-document dedup (keep-first): split every doc
+    * into NON-overlapping token chunks, find each distinct chunk
+    * text's earliest occurrence, DROP every later occurrence, and
+    * re-assemble each document from its surviving chunks in order —
+    * the "repeated substring removal" pass a web-scale corpus needs
+    * (boilerplate repeated across millions of pages survives only at
+    * its first occurrence; whole-doc dedup never sees it).
+    *
+    * Scale shape: ownership is a min-struct AGGREGATE over
+    * (hash, text) — map-side combinable, text in the key so fold-hash
+    * collisions cannot merge distinct chunks (the chunkDedup rule);
+    * reassembly is a per-doc collect bounded by document size, never
+    * corpus-wide. Output: doc_id, n_chunks, n_dropped, cleaned_text. */
+  def spanDedup(docs: DataFrame, chunkTokens: Int = 16): DataFrame = {
+    val chunks = TextAnalysis.docChunks(docs, chunkTokens, overlap = 0)
+      .withColumn("chunk_hash", PortableHash.charFoldHash(col("chunk_text")))
+      .graftCheckpoint() // two consumers: owner map + per-doc reassembly
+    val owners = chunks.groupBy("chunk_hash", "chunk_text")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("own"))
+      .select(col("chunk_hash"), col("chunk_text"),
+        col("own.doc_id").as("own_doc"), col("own.chunk_idx").as("own_idx"))
+    val flagged = chunks.join(owners, Seq("chunk_hash", "chunk_text"))
+      .withColumn("kept",
+        col("doc_id") === col("own_doc") && col("chunk_idx") === col("own_idx"))
+    flagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+      array_join(transform(
+        array_sort(collect_list(when(col("kept"),
+          struct(col("chunk_idx"), col("chunk_text"))))),
+        s => s.getField("chunk_text")), " ").as("cleaned_text"))
+  }
+
   def chunkDedup(docs: DataFrame, chunkTokens: Int = 16,
                  overlap: Int = 4): DataFrame = {
     val hashed = TextAnalysis.docChunks(docs, chunkTokens, overlap)

@@ -362,6 +362,46 @@ object TextAnalysis {
         col("n_types") * 10 >= col("n_tokens") * 3)
   }
 
+  /** PII MASKING — the redaction pass a training-data pipeline runs
+    * before anything else sees the text. Four pattern families are
+    * replaced with typed placeholder tokens, in a FIXED order (each
+    * family's replacement must not create or destroy matches for the
+    * later ones — emails first because their local part can contain
+    * digits, IPs before generic digit runs, phones before bare digit
+    * runs):
+    *   1. emails            → <EMAIL>
+    *   2. IPv4 addresses    → <IP>
+    *   3. phone-ish runs (+ optional country code, separators, >= 9
+    *      digits total)     → <PHONE>
+    *   4. long digit runs (>= 9 digits — account/id numbers) → <ID>
+    * Patterns stay inside the Java-regex ∩ RE2 common subset (no
+    * backreferences, no lookaround) so the DuckDB oracle replays
+    * them literally; counts come from regexp_extract_all on the SAME
+    * patterns, evaluated BEFORE masking. All codegen'd built-ins
+    * (regexp_replace / regexp_extract_all) — no UDFs, narrow per-row
+    * work, scale-free. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+[0-9][0-9 ()-]{7,}[0-9]"
+  val IdPattern = "\\b[0-9]{9,}\\b"
+
+  def piiMask(docs: DataFrame): DataFrame = {
+    val masked =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+            Ipv4Pattern, "<IP>"),
+          PhonePattern, "<PHONE>"),
+        IdPattern, "<ID>")
+    docs.select(
+      col("doc_id"),
+      masked.as("masked_text"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Pattern), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(PhonePattern), lit(0))).cast("long").as("n_phones"))
+  }
+
   /** Word-bigram Jaccard similarity for the LSH candidate pairs —
     * an n-gram-level second opinion on the char-shingle candidates.
     *

@@ -233,15 +233,19 @@ toktab AS (
   /** Shared chunk-generation SELECT body (stride 12 = 16 - overlap
     * 4) — one definition so docChunks and chunkDedup cannot
     * desynchronize from the Spark constants. */
-  private val chunkSelect: String =
-    """SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS chunk_idx,
-      CAST((t.i - 1) * 12 AS BIGINT) AS start_tok,
-      CAST(len(toks[(t.i - 1) * 12 + 1 : least((t.i - 1) * 12 + 16, len(toks))]) AS BIGINT) AS n_chunk_tokens,
-      array_to_string(toks[(t.i - 1) * 12 + 1 : least((t.i - 1) * 12 + 16, len(toks))], ' ') AS chunk_text
+  private def chunkSelectFor(chunkTokens: Int, overlap: Int): String = {
+    val stride = chunkTokens - overlap
+    s"""SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS chunk_idx,
+      CAST((t.i - 1) * $stride AS BIGINT) AS start_tok,
+      CAST(len(toks[(t.i - 1) * $stride + 1 : least((t.i - 1) * $stride + $chunkTokens, len(toks))]) AS BIGINT) AS n_chunk_tokens,
+      array_to_string(toks[(t.i - 1) * $stride + 1 : least((t.i - 1) * $stride + $chunkTokens, len(toks))], ' ') AS chunk_text
     FROM toktab,
       LATERAL (SELECT unnest(generate_series(1,
-        CAST(ceil(len(toks) / 12.0) AS BIGINT))) AS i) t
+        CAST(ceil(len(toks) / $stride.0) AS BIGINT))) AS i) t
     WHERE len(toks) > 0"""
+  }
+
+  private val chunkSelect: String = chunkSelectFor(16, 4)
 
   /** Overlapping token chunks: chunk i covers tokens
     * [i*12, i*12 + 16) (stride 12 = 16 - overlap 4). */
@@ -251,6 +255,23 @@ toktab AS (
     * hash each chunk text, keep the (doc_id, chunk_idx)-earliest row
     * per DISTINCT TEXT (the hash only spreads the shuffle — colliding
     * texts stay separate) with its copy count. */
+  /** Span-level keep-first dedup + per-doc reassembly — mirrors
+    * CorpusStats.spanDedup: non-overlapping 16-token chunks, keep the
+    * (doc_id, chunk_idx)-earliest row per distinct text, rebuild each
+    * doc from its kept chunks in order. Sums cast ::BIGINT (DuckDB
+    * widens to HUGEINT otherwise); all-dropped docs get ''. */
+  val spanDedup: String = docQ(
+    s""", chunks AS (${chunkSelectFor(16, 0)}),
+    fl AS (SELECT doc_id, chunk_idx, chunk_text,
+        row_number() OVER (PARTITION BY chunk_text
+          ORDER BY doc_id, chunk_idx) = 1 AS kept
+      FROM chunks)
+    SELECT doc_id, count(*)::BIGINT AS n_chunks,
+      CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      coalesce(string_agg(CASE WHEN kept THEN chunk_text END, ' '
+        ORDER BY chunk_idx), '') AS cleaned_text
+    FROM fl GROUP BY doc_id""")
+
   val chunkDedup: String = docQ(
     s""", chunks AS ($chunkSelect),
     chash AS (SELECT *, ${foldHash("chunk_text")} AS chunk_hash FROM chunks)
@@ -510,6 +531,36 @@ WHERE rn = 1""")
     s"""SELECT doc_id, 'image/png' AS kind, CAST(16 AS INTEGER) AS width,
       CAST($h AS INTEGER) AS height, $pixelFold AS checksum
     FROM documents"""
+  }
+
+  /** PII masking over the planted-pii corpus — mirrors
+    * TextAnalysis.piiMask exactly: same four patterns (Java-regex ∩
+    * RE2 common subset, so they read identically here), same
+    * replacement ORDER (email → ip → phone → id), counts from
+    * regexp_extract_all on the pre-mask text. DuckDB regexp_replace
+    * needs the 'g' flag to match Spark's replace-all. */
+  val piiMask: String = {
+    import graft.operators.TextAnalysis.{EmailPattern, Ipv4Pattern, PhonePattern, IdPattern}
+    def cnt(pat: String) = s"len(regexp_extract_all(text, '$pat'))::BIGINT"
+    s"""WITH planted AS (
+      SELECT doc_id,
+        text || ' contact user' || doc_id || '@mail.example.com from 10.'
+          || (doc_id % 200) || '.0.' || (doc_id % 250)
+          || ' call +1 555 ' || (doc_id + 100000000)
+          || ' acct ' || (doc_id + 9000000000) AS text
+      FROM documents)
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
+            '$Ipv4Pattern', '<IP>', 'g'),
+          '$PhonePattern', '<PHONE>', 'g'),
+        '$IdPattern', '<ID>', 'g') AS masked_text,
+      ${cnt(EmailPattern)} AS n_emails,
+      ${cnt(Ipv4Pattern)} AS n_ips,
+      ${cnt(PhonePattern)} AS n_phones
+    FROM planted"""
   }
 
   /** The ANN quality gate's EXPECTED state: one row per approximate

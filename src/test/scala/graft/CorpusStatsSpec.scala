@@ -58,6 +58,20 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!rows.map(_.getAs[Long]("doc_id")).contains(2L))
   }
 
+  test("span dedup: repeated spans vanish from later docs; unique spans survive in order") {
+    // doc 1 owns two 16-token spans A B; doc 2 = A + unique span C;
+    // doc 3 = B alone. Keep-first: doc 2 keeps only C, doc 3 keeps nothing.
+    val a = (1 to 16).map(i => s"a$i").mkString(" ")
+    val b = (1 to 16).map(i => s"b$i").mkString(" ")
+    val c = (1 to 16).map(i => s"c$i").mkString(" ")
+    val d = docsDf(1L -> s"$a $b", 2L -> s"$a $c", 3L -> b)
+    val rows = CorpusStats.spanDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rows(1L) == ((2L, 0L, s"$a $b")))
+    assert(rows(2L) == ((2L, 1L, c)))
+    assert(rows(3L) == ((1L, 1L, "")))
+  }
+
   test("containment pairs: a short doc embedded in a long one is caught at cont ~1") {
     val shortT = "the quick brown fox jumps over the lazy dog"
     val longT = shortT + " while the calm owl watches from a tall oak tree nearby tonight"

@@ -11,6 +11,26 @@ class TextAnalysisSpec extends SparkSpec {
     rows.toDF("doc_id", "text", "lang")
   }
 
+  test("pii masking redacts emails, ips, phones, and id runs in order") {
+    val d = docsDf(
+      1L -> "write to a.user+tag@sub.example.org or 192.168.1.17 now",
+      2L -> "call +1 (555) 123-4567 about acct 987654321 today",
+      3L -> "no pii here at all",
+      4L -> "two mails x@y.io and z@w.co plus 10.0.0.1 and 10.0.0.2")
+    val out = TextAnalysis.piiMask(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "write to <EMAIL> or <IP> now")
+    assert(out(1L).getLong(2) == 1 && out(1L).getLong(3) == 1)
+    // the phone is consumed by the phone pattern BEFORE the generic
+    // digit-run rule can split it; the bare account number becomes <ID>
+    assert(out(2L).getString(1) == "call <PHONE> about acct <ID> today")
+    assert(out(2L).getLong(4) == 1)
+    assert(out(3L).getString(1) == "no pii here at all")
+    assert(out(3L).getLong(2) == 0 && out(3L).getLong(3) == 0 && out(3L).getLong(4) == 0)
+    assert(out(4L).getString(1) == "two mails <EMAIL> and <EMAIL> plus <IP> and <IP>")
+    assert(out(4L).getLong(2) == 2 && out(4L).getLong(3) == 2)
+  }
+
   test("token stats on a crafted line") {
     val r = TextAnalysis.tokenStats(docsDf(1L -> "the fast  key ")).collect().head
     assert(r.getLong(1) == 3)          // n_tokens (double space + trailing ignored)
