@@ -252,6 +252,26 @@ object SparkEntry {
     "scalar_funcs" -> ((s, d) => Relational.scalarFuncs(s, d)),
     "distinct_counts" -> ((s, d) => Relational.distinctCounts(s, d)),
     "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)), // rows-only (HLL sketch)
+    // bit-checked HLL QUALITY gate (the ann_recall pattern): the
+    // sketch values aren't replayable, but "within the configured
+    // error bound of exact" is a bit per group the oracle CAN expect
+    "sketch_error_gate" -> ((s, d) => Relational.sketchErrorGate(s, d)),
+    // O2 CSV sink + explicit-schema source ROUND TRIP as an oracle
+    // query: write-then-read must reproduce the table bit-for-bit
+    // (quoting, header, type parse) — oracle replays the identity
+    "csv_roundtrip" -> ((s, d) => {
+      val df = docs(s, d).select("doc_id", "lang", "source", "text")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_csv_rt_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.Sinks.writeCsvWithHeader(df, dir)
+      graft.sources.Sources.readCsv(s, dir, df.schema)
+    }),
+    // same round trip through the JSONL sink/source pair
+    "jsonl_roundtrip" -> ((s, d) => {
+      val df = docs(s, d).select("doc_id", "lang", "source", "text")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_jsonl_rt_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      df.write.mode("overwrite").json(dir)
+      graft.sources.Sources.readJsonl(s, dir, df.schema)
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same arithmetic, same affine
@@ -343,6 +363,9 @@ object SparkEntry {
     "ann_recall" -> Sql.annRecall,
     "pii_mask" -> Sql.piiMask,
     "span_dedup" -> Sql.spanDedup,
+    "sketch_error_gate" -> Sql.sketchErrorGate,
+    "csv_roundtrip" -> Sql.docsIdentity,
+    "jsonl_roundtrip" -> Sql.docsIdentity,
     "media_resize" -> Sql.mediaResize,
     "array_funcs" -> Sql.arrayFuncs,
     "embedding_norms" -> Sql.embeddingNorms,

@@ -333,6 +333,30 @@ object Relational {
       .select("l_returnflag", "exact_parts", "approx_parts", "exact_supps", "approx_supps")
   }
 
+  /** HLL error-bound floor for [[sketchErrorGate]]: approx_count_
+    * distinct runs at rsd 0.02; 5% tolerates ~2.5 sigma, so a healthy
+    * sketch never trips the gate while a broken one (wrong register
+    * math, precision regression) flips a bit and fails the oracle
+    * hash. */
+  val SketchMaxErrPct: Int = 5
+
+  /** Bit-checked QUALITY gate for the HLL sketch (the ann_recall
+    * pattern): per group, 1 iff |approx - exact| <= SketchMaxErrPct%
+    * of exact, for both sketched columns. The sketch VALUES are
+    * engine-specific (rows-only q:approx_distinct); the error-bound
+    * claim is a bit the oracle replays. Integer comparison:
+    * |a-e|*100 <= e*pct — no float boundary. */
+  def sketchErrorGate(spark: SparkSession, dir: String): DataFrame = {
+    val a = approxDistinct(spark, dir)
+    def within(approx: String, exact: String) =
+      when(abs(col(approx) - col(exact)) * 100 <= col(exact) * SketchMaxErrPct, 1L)
+        .otherwise(0L)
+    a.select(col("l_returnflag"),
+      lit(SketchMaxErrPct.toLong).as("max_err_pct"),
+      within("approx_parts", "exact_parts").as("parts_within"),
+      within("approx_supps", "exact_supps").as("supps_within"))
+  }
+
   /** Skew-resilient join surfaced as a query: lineitem x orders via
     * the salted equi-join (hot orderkeys scatter across saltFactor
     * reducer partitions), aggregated to revenue per status. The

@@ -533,6 +533,21 @@ WHERE rn = 1""")
     FROM documents"""
   }
 
+  /** Expected state of the HLL error gate: every group within the
+    * bound (mirrors Relational.sketchErrorGate — a sketch-precision
+    * regression flips a bit in Spark's output and fails the hash). */
+  val sketchErrorGate: String = {
+    val pct = graft.operators.Relational.SketchMaxErrPct
+    s"""SELECT l_returnflag, CAST($pct AS BIGINT) AS max_err_pct,
+      CAST(1 AS BIGINT) AS parts_within, CAST(1 AS BIGINT) AS supps_within
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem)"""
+  }
+
+  /** Sink→source round trips must reproduce the table exactly — the
+    * oracle is the identity over the written columns. */
+  val docsIdentity: String =
+    "SELECT doc_id, lang, source, text FROM documents"
+
   /** PII masking over the planted-pii corpus — mirrors
     * TextAnalysis.piiMask exactly: same four patterns (Java-regex ∩
     * RE2 common subset, so they read identically here), same
