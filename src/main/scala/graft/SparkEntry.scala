@@ -272,6 +272,13 @@ object SparkEntry {
       df.write.mode("overwrite").json(dir)
       graft.sources.Sources.readJsonl(s, dir, df.schema)
     }),
+    // and through the ORC sink/source pair (schema rides the footers)
+    "orc_roundtrip" -> ((s, d) => {
+      val df = docs(s, d).select("doc_id", "lang", "source", "text")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_orc_rt_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.Sinks.writeOrc(df, dir)
+      graft.sources.Sources.readOrc(s, dir).select("doc_id", "lang", "source", "text")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same arithmetic, same affine
@@ -366,6 +373,7 @@ object SparkEntry {
     "sketch_error_gate" -> Sql.sketchErrorGate,
     "csv_roundtrip" -> Sql.docsIdentity,
     "jsonl_roundtrip" -> Sql.docsIdentity,
+    "orc_roundtrip" -> Sql.docsIdentity,
     "media_resize" -> Sql.mediaResize,
     "array_funcs" -> Sql.arrayFuncs,
     "embedding_norms" -> Sql.embeddingNorms,

@@ -124,11 +124,21 @@ object Multimodal {
     docs.select(col("doc_id").cast("long"), col("text"))
       .mapPartitions { rows =>
         import java.awt.image.{BufferedImage, IndexColorModel}
-        // per-partition setup (shared palette; writers are fetched per
-        // record because ImageIO writer instances are not thread-safe
-        // to cache across partitions)
+        // per-partition setup: palette AND writer — a partition is
+        // consumed by one thread, so one writer instance serves every
+        // record (the service-registry lookup per row was measurable)
         val grayLut = Array.tabulate(256)(_.toByte)
         val grayPalette = new IndexColorModel(8, 256, grayLut, grayLut, grayLut)
+        val writers = javax.imageio.ImageIO.getImageWritersByFormatName(format)
+        require(writers.hasNext, s"JRE has no ImageIO writer for '$format'")
+        val writer = writers.next()
+        val param = writer.getDefaultWriteParam
+        // interlace OFF: the JDK GIF writer's default progressive mode
+        // garbles rows for heights 2-4 (rows land interlace-shifted on
+        // decode — measured width*(height-1) wrong pixels);
+        // MODE_DISABLED round-trips bit-exactly at every size
+        if (param.canWriteProgressive)
+          param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
         rows.map { row =>
           val id = row.getLong(0)
           val text = row.getString(1)
@@ -153,25 +163,11 @@ object Multimodal {
             i += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          // explicit writer, interlace OFF: the JDK GIF writer's
-          // default progressive mode garbles rows for heights 2-4
-          // (rows land interlace-shifted on decode — measured
-          // width*(height-1) wrong pixels); MODE_DISABLED round-trips
-          // bit-exactly at every size
-          val writers = javax.imageio.ImageIO.getImageWritersByFormatName(format)
-          require(writers.hasNext, s"JRE has no ImageIO writer for '$format'")
-          val writer = writers.next()
-          val param = writer.getDefaultWriteParam
-          if (param.canWriteProgressive)
-            param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
           val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
           try {
             writer.setOutput(ios)
             writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-          } finally {
-            writer.dispose()
-            ios.close()
-          }
+          } finally ios.close()
           Encoded(id, bos.toByteArray)
         }
       }(enc).toDF()

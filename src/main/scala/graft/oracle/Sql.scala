@@ -1034,11 +1034,21 @@ WHERE rnk <= 3""")
      AND m.match_us >= t.target_us - 600 * 1000000
      AND m.match_us <= t.target_us"""
 
+  /** Keep-first-per-text restriction shared by the two dedup-stream
+    * oracles: the harness feeds only the min-doc_id representative of
+    * each distinct text (corpus duplicates would race intra-batch in
+    * dropDuplicatesWithinWatermark — see StreamingQueries.dedupFeed),
+    * so the oracle applies the same rule. Identity where texts are
+    * all distinct (sf0.01). */
+  private val firstPerText =
+    "doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)"
+
   /** Streaming exact dedup over the doc∪shifted-copy feed: every copy
     * is dropped (its original arrived in an earlier micro-batch), so
-    * the kept set is exactly the original documents. */
+    * the kept set is exactly the fed originals. */
   val streamExactDedup: String =
-    """SELECT doc_id, (3600 + doc_id) * 1000000 AS us, md5(text) AS text_md5 FROM documents"""
+    s"""SELECT doc_id, (3600 + doc_id) * 1000000 AS us, md5(text) AS text_md5
+    FROM documents WHERE $firstPerText"""
 
   /** Streaming pipeline = exact dedup (drops only the copies) ∘
     * quality gate ∘ 10% hash sample — the batch gate + sample
@@ -1052,7 +1062,8 @@ WHERE rnk <= 3""")
     WHERE len(toks) >= 5 AND length(text) >= 20 AND length(text) <= 10000
       AND $stop * 2 <= len(toks)
       AND len(list_distinct(toks)) * 10 >= len(toks) * 3
-      AND (($a * ${pmodP("doc_id")} + $b) % $P) % 100 < $SamplePct""")
+      AND (($a * ${pmodP("doc_id")} + $b) % $P) % 100 < $SamplePct
+      AND $firstPerText""")
   }
 
   /** Custom-state streaming sessionization: gap chaining in MICROS

@@ -70,8 +70,11 @@ object StreamingQueries {
       val stage = root.resolve(s"stage_${watch.getFileName}_$j")
       feed.filter(col(orderCol) >= a && col(orderCol) < b)
         .repartition(1).write.mode("overwrite").parquet(stage.toString)
-      val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst.orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
+      val listing = Files.list(stage)
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst.orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
+        finally listing.close() // Files.list holds an open directory handle
       val tgt = watch.resolve(f"chunk-$j%04d.parquet")
       Files.move(part, tgt)
       Files.setLastModifiedTime(tgt, FileTime.fromMillis(baseMs + j * 2000L))
@@ -262,26 +265,42 @@ object StreamingQueries {
 
   /** The doc∪copy dedup feed: the documents table, then an exact COPY
     * of every text under a shifted doc_id — originals at (3600+id) s,
-    * copies offset (n+100) s past them, well inside the 1 h dedup
+    * copies offset (maxId+100) s past them, well inside the 1 h dedup
     * watermark at the oracle sf. The +3600 s base keeps every feed
     * time strictly above the largest watermark the run can reach (an
     * event at epoch 0 would sit exactly on the initial watermark and
     * be discarded as late).
     *
     * Determinism under range chunking: a copy always lands >= 2
-    * chunks after its original — the copy offset (n+100) s exceeds
-    * the chunk width ~(2n+100)/nChunks s for any nChunks >= 2 — so no
+    * chunks after its original — the copy offset (maxId+100) s exceeds
+    * the chunk width ~(2·maxId+100)/nChunks s for any nChunks >= 2 — so no
     * original/copy pair ever shares a micro-batch, and chunk ranges
     * ascend so no row is ever late for the watermark. */
   private def dedupFeed(spark: SparkSession, sfDir: String): (DataFrame, Long) = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val allDocs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val n = docs.count()
+    // keep-first per text among the ORIGINALS: the corpus can contain
+    // duplicate texts (8 at sf0.1), and a same-batch duplicate pair
+    // races inside dropDuplicatesWithinWatermark (arbitrary survivor)
+    // — feeding only the min-id representative keeps the emitted set
+    // deterministic at any sf; the oracle replays the same keep-first
+    // rule. The COPIES still come from the full corpus (every one of
+    // them must be dropped against carried state either way).
+    val docs = allDocs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+    // the copy offset is sized by MAX id, not doc count: rangesOf
+    // chunks by VALUE, so with sparse ids a count-based offset could
+    // be smaller than the chunk width and let an original/copy pair
+    // share a micro-batch — max(doc_id)+100 always exceeds the
+    // ~(2·max+100)/nChunks chunk width for nChunks >= 2, id-dense or
+    // not. (Bounded scalar agg; the copies never reach the output, so
+    // the oracle doesn't see this constant.)
+    val maxId = allDocs.agg(max(col("doc_id"))).head().getLong(0)
     val feed = docs.select(col("doc_id"), col("text"),
         ((col("doc_id") + 3600L) * 1000000L).as("us"))
-      .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
-        ((col("doc_id") + 3700L + n) * 1000000L).as("us")))
-    (feed, n)
+      .unionAll(allDocs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        ((col("doc_id") + 3700L + maxId) * 1000000L).as("us")))
+    (feed, maxId)
   }
 
   /** Streaming exact dedup over the doc∪copy FILE feed: every shifted
