@@ -91,6 +91,28 @@ class StreamingQueriesSpec extends SparkSpec {
     assertSameAs(StreamingQueries.streamExactDedup(spark, Sf0001), batch)
   }
 
+  test("stream_exact_dedup is deterministic when the corpus itself holds duplicate texts") {
+    // duplicate texts WITHIN the corpus raced intra-batch in
+    // dropDuplicatesWithinWatermark before the feed kept only the
+    // min-id representative per text — plant duplicates (incl. a
+    // sparse-id pair) and require exactly the min-id survivors
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dup-corpus").toString
+    Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta"),   // dup of 0
+      (3L, "iota kappa lambda mu"),
+      (900000L, "epsilon zeta eta theta")) // sparse-id dup of 1
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = StreamingQueries.streamExactDedup(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 1L, 3L),
+      s"kept $kept — must be exactly the min-id representative per distinct text")
+  }
+
   test("stream_pipeline equals the batch quality gate + hash sample over originals") {
     val (a, b) = Config.coeffs(0)
     val toks = graft.operators.TextAnalysis.tokensCol(col("text"))
