@@ -146,6 +146,8 @@ object SparkEntry {
     "hash_sample" -> ((s, d) => Sampling.hashSample(docs(s, d))),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(docs(s, d))),
     "mixture_sample" -> ((s, d) => Sampling.mixtureSample(docs(s, d))),
+    // alpha=0.5 endpoint of the mixing family: sampled size ~ sqrt(count)
+    "temperature_sample" -> ((s, d) => Sampling.temperatureSample(docs(s, d))),
     "budget_select" -> ((s, d) => Sampling.budgetSelect(docs(s, d))),
     // cluster-level consolidation: one richest survivor per connected
     // near-dup component (edge-level keep-best can drop whole cycles)
@@ -294,6 +296,7 @@ object SparkEntry {
     "hash_sample" -> Sql.hashSample,
     "stratified_sample" -> Sql.stratifiedSample,
     "mixture_sample" -> Sql.mixtureSample,
+    "temperature_sample" -> Sql.temperatureSample,
     "budget_select" -> Sql.budgetSelect,
     "group_keep_best" -> Sql.nearDupGroupsKeepBest,
     "q6_forecast_revenue" -> Sql.q6ForecastRevenue,

@@ -87,6 +87,31 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_source"))
   }
 
+  /** TEMPERATURE mixing (α = 0.5): resample each `source` down to
+    * ~scale·sqrt(count) docs, so the sampled size grows as count^α —
+    * the standard rebalance for heavy-tailed source distributions
+    * (huge sources shrink relatively, small ones keep more; quota
+    * mixing [[mixtureSample]] is the α = 0 endpoint of the same
+    * family). Membership: hash(doc_id) mod count < scale·floor(
+    * sqrt(count)) — deterministic, and replayable because IEEE sqrt
+    * is correctly rounded in BOTH engines, so floor(sqrt(n)) is the
+    * same integer (no other float enters the decision). Affine
+    * member 3 keeps this sample independent of the other three.
+    * Same scale shape as mixtureSample: one broadcast of the bounded
+    * per-source counts, then a narrow filter. */
+  val DefaultTempScale: Int = 2
+
+  def temperatureSample(docs: DataFrame, scale: Int = DefaultTempScale): DataFrame = {
+    val (a, b) = Config.coeffs(3)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val h = (lit(a) * pmod(col("doc_id"), lit(Config.P)) + lit(b)) % lit(Config.P)
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(counts), Seq("source"))
+      .filter(h % col("n_source") <
+        lit(scale.toLong) * floor(sqrt(col("n_source").cast("double"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_source"))
+  }
+
   /** Token-BUDGET data selection: keep the highest-quality documents
     * whose token spans fit entirely inside a global token budget
     * (quality = distinct-token count, ties by doc_id) — "take the

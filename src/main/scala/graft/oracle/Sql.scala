@@ -707,6 +707,21 @@ WHERE rn = 1""")
     WHERE (($a * ${pmodP("d.doc_id")} + $b) % $P) % m.n_source < $MixQuota"""
   }
 
+  /** Temperature (α = 0.5) mixing — mirrors
+    * Sampling.temperatureSample: keep iff hash mod count <
+    * scale·floor(sqrt(count)); IEEE sqrt is correctly rounded in
+    * both engines so the threshold integer is identical. */
+  val temperatureSample: String = {
+    val (a, b) = Config.coeffs(3)
+    val scale = graft.operators.Sampling.DefaultTempScale
+    s"""WITH mcnt AS (SELECT source, count(*)::BIGINT AS n_source
+           FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source, m.n_source
+    FROM documents d JOIN mcnt m ON d.source = m.source
+    WHERE (($a * ${pmodP("d.doc_id")} + $b) % $P) % m.n_source
+      < $scale * CAST(floor(sqrt(m.n_source::DOUBLE)) AS BIGINT)"""
+  }
+
   /** Budget-selection CTE chain over a (doc_id, toks) source CTE —
     * ONE definition of the per-score bucket cumsum (budget 5000) for
     * budgetSelect and pipelineBudget. */

@@ -61,6 +61,26 @@ class SamplingSpec extends SparkSpec {
     assert(again.sameElements(out.map(_._2).sorted))
   }
 
+  test("temperature sample: kept counts grow as sqrt(source size)") {
+    val s = spark
+    import s.implicits._
+    // sources of 400 / 100 / 4 docs: sqrt scaling keeps ~2*20 / ~2*10
+    // / ~2*2 — the big source shrinks RELATIVELY (10% vs 20% vs 100%)
+    val d = ((1L to 400L).map(i => (i, s"t$i", "big")) ++
+      (1001L to 1100L).map(i => (i, s"t$i", "mid")) ++
+      (2001L to 2004L).map(i => (i, s"t$i", "tiny")))
+      .toDF("doc_id", "text", "source")
+    val bySrc = Sampling.temperatureSample(d).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // thresholds: 2*floor(sqrt(n)) of n -> expected 40/400, 20/100, 4/4
+    assert(bySrc("tiny") == 4, s"tiny source must keep everything: $bySrc")
+    assert(bySrc("mid") >= 10 && bySrc("mid") <= 30, s"got $bySrc")
+    assert(bySrc("big") >= 25 && bySrc("big") <= 55, s"got $bySrc")
+    // relative shrink is monotone in source size
+    assert(bySrc("big").toDouble / 400 < bySrc("mid").toDouble / 100)
+    assert(bySrc("mid").toDouble / 100 < 1.0)
+  }
+
   test("budget select: highest-score docs first, spans fit entirely in budget") {
     val s = spark
     import s.implicits._
