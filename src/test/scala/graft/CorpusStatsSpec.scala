@@ -72,6 +72,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows(3L) == ((1L, 1L, "")))
   }
 
+  test("span dedup invariants on the real corpus: global uniqueness and conservation") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val out = CorpusStats.spanDedup(docs).collect()
+    val chunks = graft.operators.TextAnalysis.docChunks(docs, 16, overlap = 0)
+    val totalChunks = chunks.count()
+    val distinctTexts = chunks.select("chunk_text").distinct().count()
+    // conservation: every chunk is either kept or dropped, and the
+    // kept count across the corpus equals the number of DISTINCT spans
+    val kept = out.map(r => r.getLong(1) - r.getLong(2)).sum
+    val dropped = out.map(_.getLong(2)).sum
+    assert(kept + dropped == totalChunks)
+    assert(kept == distinctTexts,
+      s"kept $kept != distinct spans $distinctTexts — keep-first must keep exactly one per span")
+    // global uniqueness: no span text appears twice among the cleaned docs
+    val keptSpans = out.flatMap(r => r.getString(3).split(" ").grouped(16).map(_.mkString(" ")))
+      .filter(_.nonEmpty)
+    assert(keptSpans.length == keptSpans.distinct.length,
+      "a span survived in two documents")
+  }
+
   test("containment pairs: a short doc embedded in a long one is caught at cont ~1") {
     val shortT = "the quick brown fox jumps over the lazy dog"
     val longT = shortT + " while the calm owl watches from a tall oak tree nearby tonight"

@@ -31,6 +31,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L).getLong(2) == 2 && out(4L).getLong(3) == 2)
   }
 
+  test("pii masking is idempotent: placeholders never re-match a pattern") {
+    val d = docsDf(
+      1L -> "a.user@x.io 10.0.0.1 +1 555 123 4567 acct 987654321",
+      2L -> "clean text with no identifiers")
+    val once = TextAnalysis.piiMask(d).select("doc_id", "masked_text")
+    val twice = TextAnalysis.piiMask(
+      once.withColumnRenamed("masked_text", "text")).select("doc_id", "masked_text")
+    val o = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val t = twice.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(o == t, "masking a masked text must change nothing")
+  }
+
   test("token stats on a crafted line") {
     val r = TextAnalysis.tokenStats(docsDf(1L -> "the fast  key ")).collect().head
     assert(r.getLong(1) == 3)          // n_tokens (double space + trailing ignored)
