@@ -382,7 +382,10 @@ object TextAnalysis {
     * work, scale-free. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val PhonePattern = "\\+[0-9][0-9 ()-]{7,}[0-9]"
+  // each group contributes exactly one digit, so {9,} IS the
+  // ">= 9 digits total" rule ("+1 ------- 2" no longer masks);
+  // separators only ever appear between digits, never trailing
+  val PhonePattern = "\\+(?:[ ()-]*[0-9]){9,}"
   val IdPattern = "\\b[0-9]{9,}\\b"
 
   def piiMask(docs: DataFrame): DataFrame = {

@@ -13,10 +13,24 @@ import graft.operators.{MinHashLsh, Shingling}
   */
 object Sinks {
 
+  /** CSV can't natively distinguish null from "" (the bare defaults
+    * write both as an empty field and read both back as null), so the
+    * sink writes null as an explicit unquoted sentinel and keeps ""
+    * as the QUOTED empty field: with read nullValue no longer the
+    * empty string, a quoted empty parses back to "" and the sentinel
+    * to null. The residual precondition is only "no cell is literally
+    * the sentinel string" — far weaker than the no-null / no-empty /
+    * no-newline assumptions the defaults require (embedded newlines
+    * are handled by writer quoting + multiLine read). */
+  val CsvNullSentinel = "\\N"
+  val CsvQuotedEmpty = "\"\""
+
   def writeCsvWithHeader(df: DataFrame, path: String, sep: String = ","): Unit =
     df.write.mode("overwrite")
       .option("header", "true")
       .option("sep", sep)
+      .option("nullValue", CsvNullSentinel)
+      .option("emptyValue", CsvQuotedEmpty)
       .csv(path)
 
   /** Hive-style partitioned parquet — the training-data layout (e.g.

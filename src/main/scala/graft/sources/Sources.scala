@@ -45,12 +45,24 @@ object Sources {
   /** CSV source with explicit schema + header handling (same
     * no-inference rationale as [[readJsonl]]; `inferSchema` would
     * also be a full extra pass). */
+  /** nullValue/emptyValue sentinels mirror [[Sinks.writeCsvWithHeader]]
+    * so null and "" survive a round trip (the CSV defaults collapse
+    * both to null on read). multiLine=true parses quoted embedded
+    * newlines correctly — the cost is that each file is parsed whole
+    * (non-splittable), so intra-file parallelism is gone; at scale the
+    * writer side compensates by emitting many files (one per task),
+    * which is what [[Sinks.writeCsvWithHeader]] does. */
   def readCsv(spark: SparkSession, path: String,
               schema: org.apache.spark.sql.types.StructType,
-              header: Boolean = true, sep: String = ","): DataFrame =
+              header: Boolean = true, sep: String = ",",
+              multiLine: Boolean = true): DataFrame =
     spark.read.schema(schema)
       .option("header", header.toString)
       .option("sep", sep)
+      .option("multiLine", multiLine.toString)
+      .option("nullValue", Sinks.CsvNullSentinel)
+      // read-side emptyValue is what a quoted-empty field BECOMES
+      .option("emptyValue", "")
       .csv(path)
 
   /** ORC source — columnar like parquet (self-describing schema,

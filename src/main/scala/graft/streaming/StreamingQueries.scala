@@ -265,8 +265,9 @@ object StreamingQueries {
 
   /** The doc∪copy dedup feed: the documents table, then an exact COPY
     * of every text under a shifted doc_id — originals at (3600+id) s,
-    * copies offset (maxId+100) s past them, well inside the 1 h dedup
-    * watermark at the oracle sf. The +3600 s base keeps every feed
+    * copies offset (maxId+100) s past them, always inside the
+    * maxId-scaled dedup watermark ([[dedupWatermark]]) at ANY sf. The
+    * +3600 s base keeps every feed
     * time strictly above the largest watermark the run can reach (an
     * event at epoch 0 would sit exactly on the initial watermark and
     * be discarded as late).
@@ -309,12 +310,21 @@ object StreamingQueries {
     * documents (replayed by batch SQL over the documents table). */
   def streamExactDedup(spark: SparkSession, sfDir: String,
                        nChunks: Int = 4): DataFrame = {
-    val (feed, _) = dedupFeed(spark, sfDir)
+    val (feed, maxId) = dedupFeed(spark, sfDir)
     runFileFeedQuery(spark, feed, "us", rangesOf(feed, "us", nChunks),
       "graft_stream_exact_dedup", s"dedup:$sfDir:$nChunks") { stream =>
-      StreamingOps.exactDedupStream(stream.withColumn("ts_ts", timestamp_micros(col("us"))))
+      StreamingOps.exactDedupStream(stream.withColumn("ts_ts", timestamp_micros(col("us"))),
+        watermark = dedupWatermark(maxId))
     }.select(col("doc_id"), unix_micros(col("ts_ts")).as("us"), col("text_md5"))
   }
+
+  /** The dedup-feed watermark must outlive the copy offset (maxId+100 s,
+    * see [[dedupFeed]]) or originals' dropDuplicatesWithinWatermark
+    * state expires before their copies arrive and copies leak into the
+    * output — a silent oracle mismatch. A fixed "1 hour" budget only
+    * held for maxId ≲ 3500, i.e. it was a scale bound; deriving the
+    * delay from maxId removes it at any sf. */
+  private def dedupWatermark(maxId: Long): String = s"${maxId + 200} seconds"
 
   /** The full streaming training pipeline (exact dedup → quality gate
     * → deterministic hash sample) over the same doc∪copy FILE feed:
@@ -324,10 +334,11 @@ object StreamingQueries {
     * table. */
   def streamPipeline(spark: SparkSession, sfDir: String,
                      nChunks: Int = 4): DataFrame = {
-    val (feed, _) = dedupFeed(spark, sfDir)
+    val (feed, maxId) = dedupFeed(spark, sfDir)
     runFileFeedQuery(spark, feed, "us", rangesOf(feed, "us", nChunks),
       "graft_stream_pipeline", s"dedup:$sfDir:$nChunks") { stream =>
-      StreamingOps.pipelineStream(stream.withColumn("ts_ts", timestamp_micros(col("us"))))
+      StreamingOps.pipelineStream(stream.withColumn("ts_ts", timestamp_micros(col("us"))),
+        watermark = dedupWatermark(maxId))
     }.select(col("doc_id"), unix_micros(col("ts_ts")).as("us"),
       col("n_chars"), col("n_tokens"))
   }

@@ -18,6 +18,27 @@ class SinksSpec extends SparkSpec {
     assert(lines.contains("1,hello") && lines.contains("2,world"))
   }
 
+  test("csv round trip preserves null, empty, newline, quote, and comma cells") {
+    val dir = Files.createTempDirectory("graft-rt").toString
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "plain"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),
+      (4L, "line one\nline two"),
+      (5L, "a \"quoted\" word, with comma"))
+      .toDF("doc_id", "text")
+    Sinks.writeCsvWithHeader(df, s"$dir/rt")
+    val back = Sources.readCsv(spark, s"$dir/rt", df.schema).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(back(1L) == "plain")
+    assert(back(2L) == null, "null must survive (not collapse to empty)")
+    assert(back(3L) == "", "empty string must survive (not collapse to null)")
+    assert(back(4L) == "line one\nline two", "embedded newline must survive")
+    assert(back(5L) == "a \"quoted\" word, with comma")
+  }
+
   test("reference-shaped artifacts land with reference headers") {
     val dir = Files.createTempDirectory("graft-ref").toString
     val docs = docsDf(

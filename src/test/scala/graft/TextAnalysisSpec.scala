@@ -16,7 +16,10 @@ class TextAnalysisSpec extends SparkSpec {
       1L -> "write to a.user+tag@sub.example.org or 192.168.1.17 now",
       2L -> "call +1 (555) 123-4567 about acct 987654321 today",
       3L -> "no pii here at all",
-      4L -> "two mails x@y.io and z@w.co plus 10.0.0.1 and 10.0.0.2")
+      4L -> "two mails x@y.io and z@w.co plus 10.0.0.1 and 10.0.0.2",
+      // separator padding must not satisfy the >= 9 DIGITS phone rule,
+      // and 8 digits is one short of it
+      5L -> "ping +1 ------- 2 or +12345678 later")
     val out = TextAnalysis.piiMask(d).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getString(1) == "write to <EMAIL> or <IP> now")
@@ -29,6 +32,8 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getLong(2) == 0 && out(3L).getLong(3) == 0 && out(3L).getLong(4) == 0)
     assert(out(4L).getString(1) == "two mails <EMAIL> and <EMAIL> plus <IP> and <IP>")
     assert(out(4L).getLong(2) == 2 && out(4L).getLong(3) == 2)
+    assert(out(5L).getString(1) == "ping +1 ------- 2 or +12345678 later")
+    assert(out(5L).getLong(4) == 0)
   }
 
   test("pii masking is idempotent: placeholders never re-match a pattern") {
