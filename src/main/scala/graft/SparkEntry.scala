@@ -86,9 +86,15 @@ object SparkEntry {
     "contamination_pairs" -> ((s, d) => TextAnalysis.contaminationPairs(docs(s, d))),
     "repetition_stats" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d))),
     "tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d))),
+    // token-level content blocklist (quality-pipeline term filter)
+    "blocklist_filter" -> ((s, d) => TextAnalysis.blocklistFilter(docs(s, d))),
     // --- corpus statistics ---
     "vocab_topk" -> ((s, d) => CorpusStats.vocabTopK(docs(s, d))),
     "unigram_score" -> ((s, d) => CorpusStats.unigramScore(docs(s, d))),
+    // BM25 retrieval (per-term top-k, rational idf — see bm25TopK)
+    "bm25_topk" -> ((s, d) => CorpusStats.bm25TopK(docs(s, d))),
+    // packing/curriculum diagnostic: token mass per length bucket
+    "length_histogram" -> ((s, d) => CorpusStats.lengthHistogram(docs(s, d))),
     "source_overlap" -> ((s, d) => CorpusStats.sourceOverlap(docs(s, d))),
     "chunk_dedup" -> ((s, d) => CorpusStats.chunkDedup(docs(s, d))),
     // asymmetric containment (short-doc-inside-long-doc) via a
@@ -149,6 +155,10 @@ object SparkEntry {
     // alpha=0.5 endpoint of the mixing family: sampled size ~ sqrt(count)
     "temperature_sample" -> ((s, d) => Sampling.temperatureSample(docs(s, d))),
     "budget_select" -> ((s, d) => Sampling.budgetSelect(docs(s, d))),
+    // deterministic train/val/test carve + its eval-contamination
+    // audit (near-dup pairs crossing a split boundary)
+    "split_assign" -> ((s, d) => Sampling.splitAssign(docs(s, d))),
+    "split_leakage" -> ((s, d) => Sampling.splitLeakage(docs(s, d))),
     // cluster-level consolidation: one richest survivor per connected
     // near-dup component (edge-level keep-best can drop whole cycles)
     "group_keep_best" -> ((s, d) => Dedup.nearDupGroupsKeepBest(s, docs(s, d))),
@@ -159,6 +169,8 @@ object SparkEntry {
     "span_dedup" -> ((s, d) => CorpusStats.spanDedup(docs(s, d))),
     // --- embeddings / similarity search ---
     "embedding_norms" -> ((s, d) => EmbeddingSim.norms(emb(s, d))),
+    // serving-side int8 compression of the embedding column
+    "embed_quantize" -> ((s, d) => EmbeddingSim.quantizeInt8(emb(s, d))),
     "array_funcs" -> ((s, d) => EmbeddingSim.arrayFuncs(emb(s, d))),
     "cosine_topk" -> ((s, d) => EmbeddingSim.cosineTopK(emb(s, d))),
     "ann_buckets" -> ((s, d) => EmbeddingSim.annBuckets(emb(s, d))),
@@ -298,6 +310,8 @@ object SparkEntry {
     "mixture_sample" -> Sql.mixtureSample,
     "temperature_sample" -> Sql.temperatureSample,
     "budget_select" -> Sql.budgetSelect,
+    "split_assign" -> Sql.splitAssign,
+    "split_leakage" -> Sql.splitLeakage,
     "group_keep_best" -> Sql.nearDupGroupsKeepBest,
     "q6_forecast_revenue" -> Sql.q6ForecastRevenue,
     "q10_returned_revenue" -> Sql.q10ReturnedRevenue,
@@ -360,6 +374,9 @@ object SparkEntry {
     "contamination_pairs" -> Sql.contaminationPairs,
     "repetition_stats" -> Sql.repetitionStats,
     "tfidf_top_terms" -> Sql.tfidfTopTerms,
+    "blocklist_filter" -> Sql.blocklistFilter,
+    "bm25_topk" -> Sql.bm25TopK,
+    "length_histogram" -> Sql.lengthHistogram,
     "vocab_topk" -> Sql.vocabTopK,
     "unigram_score" -> Sql.unigramScore,
     "source_overlap" -> Sql.sourceOverlap,
@@ -380,6 +397,7 @@ object SparkEntry {
     "media_resize" -> Sql.mediaResize,
     "array_funcs" -> Sql.arrayFuncs,
     "embedding_norms" -> Sql.embeddingNorms,
+    "embed_quantize" -> Sql.embedQuantize,
     "cosine_topk" -> Sql.cosineTopK,
     "ann_buckets" -> Sql.annBuckets,
     "ann_topk" -> Sql.annTopK,

@@ -48,6 +48,15 @@ object AnnRecall {
     * just the oracle-sf one. */
   val MlFloorPct: Int = 60
 
+  /** Recall floor for the MLlib AND-OR banded similarity JOIN
+    * (pairsBanded, the ml_minhash_pairs query) vs the exact verified
+    * pairs (similarPairs, J >= 0.8) on the same doc_id < 500 slice —
+    * the third rows-only family, gated by the same pattern. The
+    * MlMinHashSpec measures >= 80% both ways at sf0.001; this floor
+    * is verified green at sf0.01 AND on the sf0.1 slice (the slice
+    * bounds the gate cost at any sf). */
+  val MlPairsFloorPct: Int = 80
+
   private val K = 3
 
   /** One integer row per ANN family: (family, floor_pct,
@@ -85,13 +94,22 @@ object AnnRecall {
     val ml = graft.ml.MlMinHash.annTopK(d500).select("query_id", "neighbor_id")
     val tTot = exactT.count()
     val mlHits = exactT.join(ml, Seq("query_id", "neighbor_id"), "left_semi").count()
+    // --- pairs domain: MLlib AND-OR banded similarity join vs the
+    // exact verified pairs, same slice (both emit id_l < id_r) ---
+    val exactP = MinHashLsh.similarPairs(d500)
+      .select("id_l", "id_r").graftCheckpoint()
+    val mlP = graft.ml.MlMinHash.pairsBanded(d500).select("id_l", "id_r")
+    val pTot = exactP.count()
+    val pHits = exactP.join(mlP, Seq("id_l", "id_r"), "left_semi").count()
     def pct(hits: Long, total: Long): Long =
       if (total == 0) 100L else hits * 100L / total
     Seq(
       ("ivf", IvfFloorPct.toLong,
         if (pct(ivfHits, eTot) >= IvfFloorPct) 1L else 0L),
       ("ml_minhash", MlFloorPct.toLong,
-        if (pct(mlHits, tTot) >= MlFloorPct) 1L else 0L))
+        if (pct(mlHits, tTot) >= MlFloorPct) 1L else 0L),
+      ("ml_pairs", MlPairsFloorPct.toLong,
+        if (pct(pHits, pTot) >= MlPairsFloorPct) 1L else 0L))
       .toDF("family", "floor_pct", "meets_floor")
   }
 }

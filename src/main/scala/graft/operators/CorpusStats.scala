@@ -250,4 +250,83 @@ object CorpusStats {
         col("first.n_chunk_tokens").as("n_chunk_tokens"),
         col("chunk_text"), col("chunk_hash"), col("n_copies"))
   }
+
+  /** BM25 defaults, shared with the oracle. k1/b are carried as
+    * integer rationals (tenths / hundredths) — both engines derive
+    * the double by the SAME division, so the constants can't drift
+    * through decimal-literal typing (DuckDB parses 1.2 as DECIMAL). */
+  val Bm25QueryTerms: Seq[String] = Seq("dup", "spark", "window")
+  val Bm25K1Tenths: Int = 12
+  val Bm25BHundredths: Int = 75
+  val Bm25TopK: Int = 5
+
+  /** BM25 top-k retrieval for a fixed query-term set — the "find the
+    * documents most about X" surface a corpus engine needs (dedup
+    * picks what to keep; retrieval finds what to inspect). Scoring is
+    * per (term, doc) with NO cross-term float sum — each term ranks
+    * its own top-k, so the only FP is the mirrored expression tree
+    * (idf and the tf saturation ratio), bit-portable to the oracle:
+    *
+    *   idf   = (N - df + 0.5) / (df + 0.5)       [rational surrogate:
+    *           log is libm, not bit-portable — monotone in the same
+    *           direction, so ranks are BM25's ranks per term]
+    *   score = idf * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))
+    *
+    * Shapes at scale: tf is narrow per-row work; df is a |terms|-row
+    * aggregate broadcast back; avgdl is a 1-row scalar cross join
+    * (bounded by construction — whitelisted in PlanAuditSpec); the
+    * final top-k is a per-term window over |terms| partitions AFTER
+    * a distributed rank-by-score, each partition seeing only that
+    * term's postings. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String] = Bm25QueryTerms,
+               topK: Int = Bm25TopK): DataFrame = {
+    val k1 = lit(Bm25K1Tenths.toDouble) / lit(10.0)
+    val b = lit(Bm25BHundredths.toDouble) / lit(100.0)
+    val toks = TextAnalysis.tokensCol(col("text"))
+    val perDoc = docs.select(col("doc_id"),
+      size(toks).cast("long").as("dl"), toks.as("toks"))
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"),
+        explode(array(terms.map(lit): _*)).as("term"), col("toks"))
+      .select(col("doc_id"), col("dl"), col("term"),
+        size(filter(col("toks"), t => t === col("term"))).cast("long").as("tf"))
+      .filter(col("tf") > 0)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scalars = perDoc.agg(sum(col("dl")).as("sum_dl"),
+      count(lit(1)).as("n_docs"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val score = idf *
+      ((col("tf").cast("double") * (k1 + lit(1.0))) /
+        (col("tf").cast("double") +
+          k1 * (lit(1.0) - b + b * (col("dl").cast("double") / avgdl))))
+    val w = Window.partitionBy("term")
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(scalars))
+      .select(col("term"), col("doc_id"), col("tf"), col("df"),
+        score.as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Histogram bucket width (tokens) — shared with the oracle. */
+  val LengthBucketTokens: Int = 16
+
+  /** Sequence-length distribution: docs and token mass per
+    * fixed-width token-count bucket — the packing/curriculum
+    * diagnostic (how much of the corpus fits a context window, where
+    * the padding waste is). Pure integer arithmetic; one narrow agg
+    * over ~hundreds of buckets at any scale. */
+  def lengthHistogram(docs: DataFrame,
+                      width: Int = LengthBucketTokens): DataFrame = {
+    val n = size(TextAnalysis.tokensCol(col("text"))).cast("long")
+    // `div`, not `/`: Column./ is always DOUBLE division in Spark
+    docs.select(n.as("n_tokens"))
+      .select(expr(s"n_tokens div $width").as("bucket"), col("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
+  }
 }

@@ -405,4 +405,28 @@ object EmbeddingSim {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
+
+  /** Per-vector symmetric int8 quantization — the serving-side
+    * compression step before an ANN index ships (4x smaller than
+    * float32, int dot products downstream). scale = 127/max|v_i|;
+    * code_i = floor(v_i*scale + 0.5) (round-half-up, identical for
+    * negatives in both engines — neither `round`'s tie rule nor libm
+    * is involved). All narrow per-row array work, no shuffle; the
+    * codes are integers so the oracle check is bit-exact, and the
+    * scale is one exact double division. Zero vectors quantize to
+    * all-zero codes under scale 1. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = col("embedding")
+    val maxAbs = aggregate(v, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = when(maxAbs > lit(0.0), lit(127.0) / maxAbs).otherwise(lit(1.0))
+    // one row per (vector, component): scalar columns hash/compare
+    // cleanly in both engines (an int8[] column would not), and the
+    // exploded form is what an int-dot-product consumer joins on
+    emb.select(col("vec_id"), scale.as("q_scale"),
+        posexplode(transform(v, x =>
+          floor(x.cast("double") * scale + lit(0.5)).cast("long"))))
+      .select(col("vec_id"), col("q_scale"),
+        col("pos").cast("long").as("idx"), col("col").as("code"))
+  }
 }

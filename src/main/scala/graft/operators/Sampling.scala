@@ -163,4 +163,42 @@ object Sampling {
       .filter(col("rn") <= perStratum)
       .select("doc_id", "lang", "rn")
   }
+
+  /** Train percentage of the deterministic corpus split; val takes
+    * the next [[ValPct]] percent, test the remainder. */
+  val TrainPct: Int = 90
+  val ValPct: Int = 5
+
+  /** Deterministic train/val/test SPLIT assignment — the same
+    * affine-hash membership as [[hashSample]] (plan-independent,
+    * replayable, stable under re-layout), carved into three
+    * contiguous percent ranges so the split is a pure function of
+    * doc_id. Narrow per-row work, no shuffle at any scale. */
+  def splitAssign(docs: DataFrame): DataFrame = {
+    val (a, b) = Config.coeffs(4)
+    val h = pmod(col("doc_id"), lit(Config.P))
+    val bucket = ((lit(a) * h + lit(b)) % lit(Config.P)) % 100
+    docs.select(
+      col("doc_id"),
+      bucket.cast("long").as("bucket"),
+      when(bucket < TrainPct, "train")
+        .when(bucket < TrainPct + ValPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Cross-split LEAKAGE check: verified near-duplicate pairs
+    * ([[MinHashLsh.similarPairs]], exact Jaccard >= threshold) whose
+    * members landed in DIFFERENT splits — each row is an eval
+    * contamination: a val/test doc whose near-copy is trained on.
+    * The pair stream is the already-bucketed LSH pipeline; the split
+    * columns join in by doc_id (broadcast-sized per-id frame at the
+    * oracle sf, plain equi-join at scale) — no new join shapes. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val splits = splitAssign(docs).select(col("doc_id"), col("split"))
+    MinHashLsh.similarPairs(docs)
+      .join(splits.select(col("doc_id").as("id_l"), col("split").as("split_l")), "id_l")
+      .join(splits.select(col("doc_id").as("id_r"), col("split").as("split_r")), "id_r")
+      .filter(col("split_l") =!= col("split_r"))
+      .select("id_l", "id_r", "split_l", "split_r", "jaccard")
+  }
 }

@@ -430,4 +430,22 @@ object TextAnalysis {
       .select(col("id_l"), col("id_r"),
         when(uni > 0, inter.cast("double") / uni).otherwise(lit(0.0)).as("word_jaccard"))
   }
+
+  /** Blocked terms for [[blocklistFilter]] — shared with the oracle. */
+  val BlockedTerms: Seq[String] = Seq("dup", "slow")
+
+  /** Token-level blocklist gate: keep documents containing NONE of
+    * the blocked terms — the quality-pipeline content filter (slur/
+    * boilerplate/spam term lists). Exact token match, not substring,
+    * so "duplicate" doesn't trip a "dup" entry. Narrow per-row
+    * arrays_overlap against a literal array; no shuffle, no UDF, and
+    * the blocklist ships inside the plan (at a real deployment's
+    * 10k-term list this becomes a broadcast join on token — same
+    * semantics, swapped in without touching callers). */
+  def blocklistFilter(docs: DataFrame,
+                      blocked: Seq[String] = BlockedTerms): DataFrame =
+    docs
+      .filter(!arrays_overlap(tokensCol(col("text")),
+        array(blocked.map(lit): _*)))
+      .select(col("doc_id"), col("lang"), col("source"))
 }

@@ -585,11 +585,13 @@ WHERE rn = 1""")
     * emits 0 when it dips below the floor, which fails this hash
     * check. Floors interpolate the SAME constants the gate uses. */
   val annRecall: String = {
-    import graft.operators.AnnRecall.{IvfFloorPct, MlFloorPct}
+    import graft.operators.AnnRecall.{IvfFloorPct, MlFloorPct, MlPairsFloorPct}
     s"""SELECT 'ivf' AS family, CAST($IvfFloorPct AS BIGINT) AS floor_pct,
       CAST(1 AS BIGINT) AS meets_floor
     UNION ALL
-    SELECT 'ml_minhash', CAST($MlFloorPct AS BIGINT), CAST(1 AS BIGINT)"""
+    SELECT 'ml_minhash', CAST($MlFloorPct AS BIGINT), CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT 'ml_pairs', CAST($MlPairsFloorPct AS BIGINT), CAST(1 AS BIGINT)"""
   }
 
   /** GIF/BMP/WBMP round trips (encodeImage → ImageIO decode) on the
@@ -721,6 +723,34 @@ WHERE rn = 1""")
     WHERE (($a * ${pmodP("d.doc_id")} + $b) % $P) % m.n_source
       < $scale * CAST(floor(sqrt(m.n_source::DOUBLE)) AS BIGINT)"""
   }
+
+  /** Deterministic train/val/test split — affine member 4, percent
+    * ranges from Sampling.TrainPct/ValPct. */
+  private def splitCase(idExpr: String): String = {
+    import graft.operators.Sampling.{TrainPct, ValPct}
+    val (a, b) = Config.coeffs(4)
+    val bucket = s"(($a * ${pmodP(idExpr)} + $b) % $P) % 100"
+    s"""CASE WHEN $bucket < $TrainPct THEN 'train'
+         WHEN $bucket < ${TrainPct + ValPct} THEN 'val'
+         ELSE 'test' END"""
+  }
+
+  val splitAssign: String = {
+    val (a, b) = Config.coeffs(4)
+    val bucket = s"(($a * ${pmodP("doc_id")} + $b) % $P) % 100"
+    s"""SELECT doc_id, CAST($bucket AS BIGINT) AS bucket,
+      ${splitCase("doc_id")} AS split
+    FROM documents"""
+  }
+
+  /** Cross-split leakage: the verified near-dup pairs (simpairs)
+    * whose members land in different splits. */
+  val splitLeakage: String = docQ(
+    s"""SELECT id_l, id_r,
+      ${splitCase("id_l")} AS split_l,
+      ${splitCase("id_r")} AS split_r, jaccard
+    FROM simpairs
+    WHERE ${splitCase("id_l")} <> ${splitCase("id_r")}""")
 
   /** Budget-selection CTE chain over a (doc_id, toks) source CTE —
     * ONE definition of the per-score bucket cumsum (budget 5000) for
@@ -886,6 +916,60 @@ FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, toke
       FROM tscored)
 WHERE rnk <= 3""")
 
+  /** BM25 top-k per query term — mirrors CorpusStats.bm25TopK's
+    * expression tree exactly (rational idf, k1/b derived by the same
+    * integer divisions, no libm, no cross-term float sum). */
+  val bm25TopK: String = {
+    import graft.operators.CorpusStats.{Bm25QueryTerms, Bm25K1Tenths, Bm25BHundredths}
+    val topK = graft.operators.CorpusStats.Bm25TopK
+    val k1 = s"($Bm25K1Tenths::DOUBLE / 10::DOUBLE)"
+    val b = s"($Bm25BHundredths::DOUBLE / 100::DOUBLE)"
+    val termVals = Bm25QueryTerms.map(t => s"('$t')").mkString(", ")
+    docQ(s""", bterms(term) AS (SELECT * FROM (VALUES $termVals)),
+btf AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, term,
+    CAST(len(list_filter(toks, tk -> tk = term)) AS BIGINT) AS tf
+  FROM toktab CROSS JOIN bterms
+),
+btfpos AS (SELECT * FROM btf WHERE tf > 0),
+bdf AS (SELECT term, count(*)::BIGINT AS df FROM btfpos GROUP BY term),
+bstat AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS sum_dl,
+                 count(*)::BIGINT AS n_docs FROM toktab),
+bscored AS (
+  SELECT t.term, t.doc_id, t.tf, d.df,
+    (((s.n_docs - d.df)::DOUBLE + 0.5::DOUBLE) / (d.df::DOUBLE + 0.5::DOUBLE)) *
+    ((t.tf::DOUBLE * ($k1 + 1.0::DOUBLE)) /
+     (t.tf::DOUBLE + $k1 * ((1.0::DOUBLE - $b) +
+        $b * (t.dl::DOUBLE / (s.sum_dl::DOUBLE / s.n_docs::DOUBLE))))) AS score
+  FROM btfpos t JOIN bdf d USING (term) CROSS JOIN bstat s
+)
+SELECT term, doc_id, tf, df, score, CAST(rnk AS BIGINT) AS "rank"
+FROM (SELECT *, row_number() OVER (PARTITION BY term
+        ORDER BY score DESC, doc_id) AS rnk FROM bscored)
+WHERE rnk <= $topK""")
+  }
+
+  /** Token-blocklist gate: keep docs with no blocked token (toktab
+    * doesn't carry `source`, so tokenize inline from documents). */
+  val blocklistFilter: String = {
+    val listLit = graft.operators.TextAnalysis.BlockedTerms
+      .map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, lang, source FROM documents
+    WHERE len(list_intersect(
+      list_filter(string_split(text, ' '), tk -> tk <> ''), $listLit)) = 0"""
+  }
+
+  /** Sequence-length histogram: integer-division buckets. */
+  val lengthHistogram: String = {
+    val w = graft.operators.CorpusStats.LengthBucketTokens
+    docQ(s"""SELECT CAST(CAST(len(toks) AS BIGINT) // $w AS BIGINT) AS bucket,
+      count(*)::BIGINT AS n_docs,
+      CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+      CAST(min(len(toks)) AS BIGINT) AS min_tokens,
+      CAST(max(len(toks)) AS BIGINT) AS max_tokens
+    FROM toktab GROUP BY 1""")
+  }
+
   val mediaMeta: String =
     s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
       CAST(length(text) AS BIGINT) AS n_chars,
@@ -907,6 +991,22 @@ WHERE rnk <= 3""")
     s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
       ${norm2Sql("embedding")} AS norm2
     FROM embeddings"""
+
+  /** Symmetric int8 quantization — mirrors EmbeddingSim.quantizeInt8:
+    * ordered max-abs fold, one exact double division for the scale,
+    * floor(x*scale + 0.5) codes (no `round`, whose tie rule could
+    * differ between engines). */
+  val embedQuantize: String = {
+    val maxAbs = "list_reduce(list_prepend(0.0::DOUBLE, " +
+      "list_transform(embedding, x -> abs(x::DOUBLE))), (a, b) -> greatest(a, b))"
+    s"""WITH qm AS (SELECT vec_id, embedding, $maxAbs AS max_abs FROM embeddings),
+    qs AS (SELECT vec_id, embedding,
+      CASE WHEN max_abs > 0.0::DOUBLE THEN 127.0::DOUBLE / max_abs
+           ELSE 1.0::DOUBLE END AS q_scale FROM qm)
+    SELECT vec_id, q_scale, CAST(t.i - 1 AS BIGINT) AS idx,
+      CAST(floor(embedding[t.i]::DOUBLE * q_scale + 0.5::DOUBLE) AS BIGINT) AS code
+    FROM qs, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t"""
+  }
 
   val cosineTopK: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),

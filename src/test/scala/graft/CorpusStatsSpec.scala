@@ -155,4 +155,41 @@ class CorpusStatsSpec extends SparkSpec {
     assert(expected >= 3, s"weak fixture: only $expected qualifying pairs")
     assert(got.size == expected, s"got ${got.size} pairs, brute force says $expected")
   }
+
+  test("bm25: equal-length docs rank by tf, df counts containing docs, top-k bounds") {
+    val d = docsDf(
+      1L -> "dup dup dup filler words here",
+      2L -> "dup filler words here again now",
+      3L -> "no match tokens in this one",
+      4L -> "dup dup filler words here too")
+    val out = CorpusStats.bm25TopK(d, Seq("dup"), topK = 3).collect()
+    assert(out.length == 3, "doc 3 has tf 0 and must not appear")
+    assert(out.forall(_.getAs[Long]("df") == 3L))
+    // all matching docs have dl = 6, so score order IS tf order
+    val ranked = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(ranked == Seq(1L, 4L, 2L), s"got $ranked")
+    assert(out.forall(r => r.getAs[Double]("score") > 0.0))
+  }
+
+  test("bm25: rarer terms score higher at equal tf and length") {
+    val d = docsDf(
+      1L -> "rare common filler words here",
+      2L -> "common filler words here also",
+      3L -> "common filler words here again")
+    val out = CorpusStats.bm25TopK(d, Seq("rare", "common"), topK = 1).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Double]("score")).toMap
+    assert(out("rare") > out("common"),
+      s"idf must favor the rarer term: $out")
+  }
+
+  test("length histogram buckets integer token counts exactly") {
+    val d = docsDf(
+      1L -> "a b c",
+      2L -> Seq.fill(20)("w").mkString(" "),
+      3L -> "x y")
+    val out = CorpusStats.lengthHistogram(d, width = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out == Set((0L, 2L, 5L, 2L, 3L), (1L, 1L, 20L, 20L, 20L)), s"got $out")
+  }
 }

@@ -41,4 +41,19 @@ class EmbeddingSimSpec extends SparkSpec {
     val pairs = EmbeddingSim.annTopK(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L), (2L, 1L)))
   }
+
+  test("int8 quantization: max-abs component maps to ±127, zero vector to zeros, codes bounded") {
+    val d = embDf(1L -> Seq(0.5f, -1.0f, 0.25f), 2L -> Seq(0f, 0f))
+    val out = EmbeddingSim.quantizeInt8(d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getDouble(1), r.getLong(3))).toMap
+    // vec 1: max|v| = 1.0 → scale 127; floor(0.5*127+0.5)=64,
+    // floor(-127+0.5)=-127, floor(0.25*127+0.5)=32
+    assert(out((1L, 0L))._2 == 64L)
+    assert(out((1L, 1L))._2 == -127L)
+    assert(out((1L, 2L))._2 == 32L)
+    assert(out((1L, 0L))._1 == 127.0)
+    // zero vector: scale 1, all-zero codes
+    assert(out((2L, 0L)) == ((1.0, 0L)) && out((2L, 1L)) == ((1.0, 0L)))
+    assert(out.values.forall { case (_, c) => c >= -127L && c <= 127L })
+  }
 }

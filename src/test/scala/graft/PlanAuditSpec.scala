@@ -22,10 +22,12 @@ class PlanAuditSpec extends SparkSpec {
     * - q11_important_suppliers: the global revenue total (1 row)
     *   crossed into the per-supplier frame.
     * - unigram_score: the corpus total-token-count scalar (1 row)
-    *   crossed into the per-doc frame. */
+    *   crossed into the per-doc frame.
+    * - bm25_topk: the corpus (sum_dl, n_docs) scalar (1 row) crossed
+    *   into the per-term postings stream. */
   private val boundedByConstruction =
     Set("cosine_topk", "ann_ivf_topk", "ann_ivf_append", "tfidf_top_terms",
-      "q11_important_suppliers", "unigram_score")
+      "q11_important_suppliers", "unigram_score", "bm25_topk")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -163,4 +163,43 @@ class SamplingSpec extends SparkSpec {
     val kept = TextAnalysis.simHashKeep(d).collect().map(_.getLong(0)).toSet
     assert(kept.contains(1L) && kept.contains(3L) && !kept.contains(2L), s"got $kept")
   }
+
+  test("split assignment is an exhaustive deterministic partition with the documented arithmetic") {
+    val docs = realDocs
+    val rows = Sampling.splitAssign(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == docs.count())
+    // recompute each split independently from the shared constants
+    val (a, b) = Config.coeffs(4)
+    rows.foreach { case (id, bucket, split) =>
+      val h = ((a * java.lang.Math.floorMod(id, Config.P) + b) % Config.P) % 100
+      assert(bucket == h, s"doc $id bucket")
+      val expected =
+        if (h < Sampling.TrainPct) "train"
+        else if (h < Sampling.TrainPct + Sampling.ValPct) "val"
+        else "test"
+      assert(split == expected, s"doc $id split")
+    }
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"),
+      s"all three splits must be populated at 500 docs: $bySplit")
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
+  test("split leakage reports exactly the cross-split near-dup pairs") {
+    import graft.operators.MinHashLsh
+    val docs = realDocs
+    val splits = Sampling.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = MinHashLsh.similarPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val leak = Sampling.splitLeakage(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    leak.foreach { case (l, r, sl, sr) =>
+      assert(pairs((l, r)), s"($l,$r) not a verified near-dup pair")
+      assert(splits(l) == sl && splits(r) == sr && sl != sr)
+    }
+    val expected = pairs.filter { case (l, r) => splits(l) != splits(r) }
+    assert(leak.map(t => (t._1, t._2)).toSet == expected)
+  }
 }

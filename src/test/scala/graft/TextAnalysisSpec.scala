@@ -36,6 +36,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L).getLong(4) == 0)
   }
 
+  test("blocklist filter drops exact-token matches only, not substrings") {
+    val d = docsDf(
+      1L -> "clean words only here",
+      2L -> "contains dup token inside",
+      3L -> "duplicate is a different token",
+      4L -> "ends with slow")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("t"))
+    val kept = TextAnalysis.blocklistFilter(d).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"got $kept")
+  }
+
   test("pii masking is idempotent: placeholders never re-match a pattern") {
     val d = docsDf(
       1L -> "a.user@x.io 10.0.0.1 +1 555 123 4567 acct 987654321",
