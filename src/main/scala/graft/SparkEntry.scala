@@ -93,6 +93,10 @@ object SparkEntry {
     "unigram_score" -> ((s, d) => CorpusStats.unigramScore(docs(s, d))),
     // BM25 retrieval (per-term top-k, rational idf — see bm25TopK)
     "bm25_topk" -> ((s, d) => CorpusStats.bm25TopK(docs(s, d))),
+    // sparse retrieve → dense rerank (the RAG candidate pipeline)
+    "hybrid_rerank" -> ((s, d) => CorpusStats.hybridRerank(docs(s, d), emb(s, d))),
+    // per-source composition/quality dashboard
+    "source_quality" -> ((s, d) => CorpusStats.sourceQuality(docs(s, d))),
     // packing/curriculum diagnostic: token mass per length bucket
     "length_histogram" -> ((s, d) => CorpusStats.lengthHistogram(docs(s, d))),
     "source_overlap" -> ((s, d) => CorpusStats.sourceOverlap(docs(s, d))),
@@ -376,6 +380,8 @@ object SparkEntry {
     "tfidf_top_terms" -> Sql.tfidfTopTerms,
     "blocklist_filter" -> Sql.blocklistFilter,
     "bm25_topk" -> Sql.bm25TopK,
+    "hybrid_rerank" -> Sql.hybridRerank,
+    "source_quality" -> Sql.sourceQuality,
     "length_histogram" -> Sql.lengthHistogram,
     "vocab_topk" -> Sql.vocabTopK,
     "unigram_score" -> Sql.unigramScore,

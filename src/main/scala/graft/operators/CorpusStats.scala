@@ -311,6 +311,61 @@ object CorpusStats {
       .filter(col("rank") <= topK)
   }
 
+  /** Hybrid-retrieval defaults, shared with the oracle. */
+  val HybridRetrieveK: Int = 10
+  val HybridTopK: Int = 5
+
+  /** Hybrid retrieval — the sparse→dense RAG shape: BM25 retrieves
+    * retrieveK candidates per term (cheap, inverted-index-shaped),
+    * then the candidate set is RERANKED by embedding cosine to the
+    * term's top-1 BM25 doc vector (the anchor). Only |terms| ×
+    * retrieveK rows ever touch float vectors — at 100 TB the dense
+    * stage stays candidate-sized while the corpus-wide work remains
+    * the integer BM25 postings scan. Anchor vectors and the candidate
+    * frame are both tiny: broadcast equi-joins against the embeddings
+    * table, no new join shapes. */
+  def hybridRerank(docs: DataFrame, emb: DataFrame,
+                   retrieveK: Int = HybridRetrieveK,
+                   topK: Int = HybridTopK): DataFrame = {
+    val retrieved = bm25TopK(docs, topK = retrieveK)
+      .select(col("term"), col("doc_id"), col("rank").as("bm25_rank"))
+    val vecs = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+    val anchors = retrieved.filter(col("bm25_rank") === 1)
+      .join(vecs, "doc_id")
+      .select(col("term"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("term")
+      .orderBy(col("cosine").desc, col("doc_id"))
+    retrieved.join(vecs, "doc_id")
+      .join(broadcast(anchors), Seq("term"))
+      .select(col("term"), col("doc_id"), col("bm25_rank"),
+        EmbeddingSim.cosine(col("q_emb"), col("embedding")).as("cosine"))
+      .withColumn("rerank", row_number().over(w).cast("long"))
+      .filter(col("rerank") <= topK)
+  }
+
+  /** Per-source quality report: doc counts, quality-gate pass
+    * counts, and token mass per source — the corpus-composition
+    * dashboard a mixing/selection decision reads. One integer
+    * aggregate over |sources| groups; the only float is the final
+    * exact mean division. The gate flag comes from the SAME
+    * qualityFilter stage the pipeline uses (left-semi flag join on
+    * doc_id), so this report can't drift from the real gate. */
+  def sourceQuality(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"))
+    val quality = TextAnalysis.qualityFilter(docs)
+      .select(col("doc_id"), lit(1L).as("q"))
+    base.join(quality, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("q"), lit(0L))).as("n_quality"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("n_quality"),
+        col("total_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tokens"))
+  }
+
   /** Histogram bucket width (tokens) — shared with the oracle. */
   val LengthBucketTokens: Int = 16
 

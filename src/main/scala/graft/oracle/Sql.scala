@@ -83,7 +83,7 @@ simpairs AS (
   WHERE $jac >= $T
 ),
 toktab AS (
-  SELECT doc_id, text, lang, n_chars,
+  SELECT doc_id, text, lang, source, n_chars,
          list_filter(string_split(text, ' '), tk -> tk <> '') AS toks
   FROM documents
 )"""
@@ -916,16 +916,16 @@ FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, toke
       FROM tscored)
 WHERE rnk <= 3""")
 
-  /** BM25 top-k per query term — mirrors CorpusStats.bm25TopK's
-    * expression tree exactly (rational idf, k1/b derived by the same
-    * integer divisions, no libm, no cross-term float sum). */
-  val bm25TopK: String = {
+  /** The BM25 CTE chain (mirrors CorpusStats.bm25TopK's expression
+    * tree exactly: rational idf, k1/b derived by the same integer
+    * divisions, no libm, no cross-term float sum), ending in a
+    * `branked` CTE — shared by bm25TopK and hybridRerank. */
+  private val bm25Ctes: String = {
     import graft.operators.CorpusStats.{Bm25QueryTerms, Bm25K1Tenths, Bm25BHundredths}
-    val topK = graft.operators.CorpusStats.Bm25TopK
     val k1 = s"($Bm25K1Tenths::DOUBLE / 10::DOUBLE)"
     val b = s"($Bm25BHundredths::DOUBLE / 100::DOUBLE)"
     val termVals = Bm25QueryTerms.map(t => s"('$t')").mkString(", ")
-    docQ(s""", bterms(term) AS (SELECT * FROM (VALUES $termVals)),
+    s""", bterms(term) AS (SELECT * FROM (VALUES $termVals)),
 btf AS (
   SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, term,
     CAST(len(list_filter(toks, tk -> tk = term)) AS BIGINT) AS tf
@@ -942,12 +942,53 @@ bscored AS (
      (t.tf::DOUBLE + $k1 * ((1.0::DOUBLE - $b) +
         $b * (t.dl::DOUBLE / (s.sum_dl::DOUBLE / s.n_docs::DOUBLE))))) AS score
   FROM btfpos t JOIN bdf d USING (term) CROSS JOIN bstat s
-)
+),
+branked AS (
+  SELECT *, row_number() OVER (PARTITION BY term
+      ORDER BY score DESC, doc_id) AS rnk FROM bscored
+)"""
+  }
+
+  val bm25TopK: String = {
+    val topK = graft.operators.CorpusStats.Bm25TopK
+    docQ(s"""$bm25Ctes
 SELECT term, doc_id, tf, df, score, CAST(rnk AS BIGINT) AS "rank"
-FROM (SELECT *, row_number() OVER (PARTITION BY term
-        ORDER BY score DESC, doc_id) AS rnk FROM bscored)
+FROM branked
 WHERE rnk <= $topK""")
   }
+
+  /** Hybrid retrieval: BM25 retrieve-K per term, then rerank by
+    * embedding cosine to the term's rank-1 doc vector (the sparse →
+    * dense RAG shape). Cosine mirrors cosineTopK's formulation. */
+  val hybridRerank: String = {
+    import graft.operators.CorpusStats.{HybridRetrieveK, HybridTopK}
+    docQ(s"""$bm25Ctes,
+brk AS (SELECT term, doc_id, CAST(rnk AS BIGINT) AS bm25_rank
+        FROM branked WHERE rnk <= $HybridRetrieveK),
+bq AS (SELECT b.term, e.embedding AS q_emb
+       FROM brk b JOIN embeddings e ON b.doc_id = e.vec_id
+       WHERE b.bm25_rank = 1),
+bcos AS (
+  SELECT c.term, c.doc_id, c.bm25_rank,
+    ${dotSql("q.q_emb", "e.embedding")} /
+      (sqrt(${norm2Sql("q.q_emb")}) * sqrt(${norm2Sql("e.embedding")})) AS cosine
+  FROM brk c JOIN embeddings e ON c.doc_id = e.vec_id
+  JOIN bq q ON c.term = q.term
+)
+SELECT term, doc_id, bm25_rank, cosine, CAST(rr AS BIGINT) AS rerank
+FROM (SELECT *, row_number() OVER (PARTITION BY term
+        ORDER BY cosine DESC, doc_id) AS rr FROM bcos)
+WHERE rr <= $HybridTopK""")
+  }
+
+  /** Per-source corpus quality report — qualityPred replayed as a
+    * conditional count, one exact double division for the mean. */
+  val sourceQuality: String = docQ(
+    s"""SELECT source, count(*)::BIGINT AS n_docs,
+      CAST(sum(CASE WHEN $qualityPred THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+      (CAST(sum(len(toks)) AS BIGINT)::DOUBLE / count(*)::BIGINT::DOUBLE) AS mean_tokens
+    FROM toktab GROUP BY source""")
 
   /** Token-blocklist gate: keep docs with no blocked token (toktab
     * doesn't carry `source`, so tokenize inline from documents). */

@@ -182,6 +182,44 @@ class CorpusStatsSpec extends SparkSpec {
       s"idf must favor the rarer term: $out")
   }
 
+  test("hybrid rerank: anchor tops its own list, candidates come from bm25 retrieval") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val retrieved = CorpusStats.bm25TopK(docs, topK = CorpusStats.HybridRetrieveK)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"))).toSet
+    val out = CorpusStats.hybridRerank(docs, emb).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val term = r.getAs[String]("term")
+      assert(retrieved((term, r.getAs[Long]("doc_id"))),
+        "reranked docs must be bm25-retrieved candidates")
+      assert(r.getAs[Long]("rerank") <= CorpusStats.HybridTopK)
+    }
+    // the bm25 rank-1 doc is the cosine anchor: cos(anchor, anchor)=1
+    out.filter(_.getAs[Long]("bm25_rank") == 1L).foreach { r =>
+      assert(r.getAs[Long]("rerank") == 1L,
+        s"anchor must rerank first for term ${r.getAs[String]("term")}")
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12)
+    }
+  }
+
+  test("source quality report: counts conserve and quality matches the gate") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val out = CorpusStats.sourceQuality(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_quality"),
+          r.getAs[Long]("total_tokens"), r.getAs[Double]("mean_tokens"))).toMap
+    assert(out.values.map(_._1).sum == docs.count())
+    val gate = TextAnalysis.qualityFilter(docs).select("doc_id")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    out.foreach { case (src, (n, q, tot, mean)) =>
+      assert(q == gate.getOrElse(src, 0L), s"$src quality count")
+      assert(q <= n && mean == tot.toDouble / n.toDouble)
+    }
+  }
+
   test("length histogram buckets integer token counts exactly") {
     val d = docsDf(
       1L -> "a b c",

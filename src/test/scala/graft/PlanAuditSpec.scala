@@ -24,10 +24,12 @@ class PlanAuditSpec extends SparkSpec {
     * - unigram_score: the corpus total-token-count scalar (1 row)
     *   crossed into the per-doc frame.
     * - bm25_topk: the corpus (sum_dl, n_docs) scalar (1 row) crossed
-    *   into the per-term postings stream. */
+    *   into the per-term postings stream.
+    * - hybrid_rerank: contains bm25's scalar cross join; its own
+    *   anchor-vector join is a |terms|-row broadcast. */
   private val boundedByConstruction =
     Set("cosine_topk", "ann_ivf_topk", "ann_ivf_append", "tfidf_top_terms",
-      "q11_important_suppliers", "unigram_score", "bm25_topk")
+      "q11_important_suppliers", "unigram_score", "bm25_topk", "hybrid_rerank")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
