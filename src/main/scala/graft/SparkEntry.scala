@@ -97,6 +97,8 @@ object SparkEntry {
     "hybrid_rerank" -> ((s, d) => CorpusStats.hybridRerank(docs(s, d), emb(s, d))),
     // per-source composition/quality dashboard
     "source_quality" -> ((s, d) => CorpusStats.sourceQuality(docs(s, d))),
+    // one-row dataset-card manifest
+    "corpus_manifest" -> ((s, d) => CorpusStats.corpusManifest(docs(s, d))),
     // packing/curriculum diagnostic: token mass per length bucket
     "length_histogram" -> ((s, d) => CorpusStats.lengthHistogram(docs(s, d))),
     "source_overlap" -> ((s, d) => CorpusStats.sourceOverlap(docs(s, d))),
@@ -163,6 +165,8 @@ object SparkEntry {
     // audit (near-dup pairs crossing a split boundary)
     "split_assign" -> ((s, d) => Sampling.splitAssign(docs(s, d))),
     "split_leakage" -> ((s, d) => Sampling.splitLeakage(docs(s, d))),
+    // quality-first global training order via bounded two-phase rank
+    "curriculum_order" -> ((s, d) => Sampling.curriculumOrder(docs(s, d))),
     // cluster-level consolidation: one richest survivor per connected
     // near-dup component (edge-level keep-best can drop whole cycles)
     "group_keep_best" -> ((s, d) => Dedup.nearDupGroupsKeepBest(s, docs(s, d))),
@@ -316,6 +320,8 @@ object SparkEntry {
     "budget_select" -> Sql.budgetSelect,
     "split_assign" -> Sql.splitAssign,
     "split_leakage" -> Sql.splitLeakage,
+    "curriculum_order" -> Sql.curriculumOrder,
+    "corpus_manifest" -> Sql.corpusManifest,
     "group_keep_best" -> Sql.nearDupGroupsKeepBest,
     "q6_forecast_revenue" -> Sql.q6ForecastRevenue,
     "q10_returned_revenue" -> Sql.q10ReturnedRevenue,

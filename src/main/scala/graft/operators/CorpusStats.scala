@@ -366,6 +366,22 @@ object CorpusStats {
           .as("mean_tokens"))
   }
 
+  /** One-row corpus MANIFEST: the dataset-card numbers (doc/source/
+    * language counts, token and char mass, length extremes) a corpus
+    * release ships with. Single global aggregate with map-side
+    * partial combine — a constant-size result at any scale. */
+  def corpusManifest(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"), col("n_chars"),
+        size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+
   /** Histogram bucket width (tokens) — shared with the oracle. */
   val LengthBucketTokens: Int = 16
 

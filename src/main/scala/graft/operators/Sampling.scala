@@ -146,6 +146,30 @@ object Sampling {
       .select(col("doc_id"), col("score"), col("n_tokens"), col("tokens_before"))
   }
 
+  /** CURRICULUM ordering: a deterministic global training order —
+    * highest-quality documents first (score = distinct-token count,
+    * the budgetSelect metric), ties broken by doc_id. The naive form
+    * is one corpus-wide row_number window (single partition — the
+    * scale-killer); instead the same two-phase trick as
+    * [[budgetSelect]]: per-score-bucket COUNTS cumulate over the
+    * bounded bucket table, then each doc ranks only within its score
+    * bucket, so the global rank is bucket_offset + in-bucket rank and
+    * no window ever sees the corpus. */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col("text"))
+    val scored = docs.select(col("doc_id"),
+      size(array_distinct(toks)).cast("long").as("score"))
+    val buckets = scored.groupBy("score").agg(count(lit(1)).as("bucket_docs"))
+    val wB = Window.orderBy(col("score").desc)
+    val bcum = buckets.withColumn("docs_before",
+      coalesce(sum(col("bucket_docs"))
+        .over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wD = Window.partitionBy("score").orderBy("doc_id")
+    scored.join(broadcast(bcum.select("score", "docs_before")), Seq("score"))
+      .select(col("doc_id"), col("score"),
+        (col("docs_before") + row_number().over(wD)).as("train_order"))
+  }
+
   /** Deterministic stratified sample: the n docs per stratum (lang)
     * with the smallest affine hash of doc_id — an order-free,
     * replayable "random n per class" (class-balancing downsample).

@@ -981,6 +981,27 @@ FROM (SELECT *, row_number() OVER (PARTITION BY term
 WHERE rr <= $HybridTopK""")
   }
 
+  /** Global curriculum order — the oracle may use the naive
+    * corpus-wide window (DuckDB is single-node); the engine's
+    * two-phase bucket rank must equal it exactly. */
+  val curriculumOrder: String = docQ(
+    s""", cur AS (SELECT doc_id,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS score FROM toktab)
+    SELECT doc_id, score,
+      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS train_order
+    FROM cur""")
+
+  /** One-row corpus manifest (dataset-card numbers). */
+  val corpusManifest: String = docQ(
+    s"""SELECT count(*)::BIGINT AS n_docs,
+      count(DISTINCT source)::BIGINT AS n_sources,
+      count(DISTINCT lang)::BIGINT AS n_langs,
+      CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      CAST(min(len(toks)) AS BIGINT) AS min_tokens,
+      CAST(max(len(toks)) AS BIGINT) AS max_tokens
+    FROM toktab""")
+
   /** Per-source corpus quality report — qualityPred replayed as a
     * conditional count, one exact double division for the mean. */
   val sourceQuality: String = docQ(

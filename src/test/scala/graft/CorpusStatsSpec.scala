@@ -220,6 +220,19 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("corpus manifest aggregates the dataset-card numbers exactly") {
+    val d = docsDf(1L -> "a b c", 2L -> "d e")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s1"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = CorpusStats.corpusManifest(d).collect().head
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("n_sources") == 1L && r.getAs[Long]("n_langs") == 1L)
+    assert(r.getAs[Long]("total_tokens") == 5L)
+    assert(r.getAs[Long]("total_chars") == 8L)
+    assert(r.getAs[Long]("min_tokens") == 2L && r.getAs[Long]("max_tokens") == 3L)
+  }
+
   test("length histogram buckets integer token counts exactly") {
     val d = docsDf(
       1L -> "a b c",

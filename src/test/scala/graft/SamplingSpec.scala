@@ -186,6 +186,21 @@ class SamplingSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("curriculum order equals the naive global ranking, bijectively") {
+    val docs = realDocs
+    val out = Sampling.curriculumOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == docs.count())
+    // ranks are a permutation of 1..n
+    assert(out.map(_._3).sorted.toSeq == (1L to out.length).toSeq)
+    // the two-phase rank must equal the naive (score desc, id) sort
+    val naive = out.sortBy { case (id, score, _) => (-score, id) }
+      .zipWithIndex.map { case ((id, _, _), i) => id -> (i + 1L) }.toMap
+    out.foreach { case (id, _, rank) =>
+      assert(rank == naive(id), s"doc $id rank $rank != naive ${naive(id)}")
+    }
+  }
+
   test("split leakage reports exactly the cross-split near-dup pairs") {
     import graft.operators.MinHashLsh
     val docs = realDocs
