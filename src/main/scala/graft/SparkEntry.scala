@@ -154,6 +154,8 @@ object SparkEntry {
     }),
     "pipeline_kept" -> ((s, d) => TrainingPipeline.kept(docs(s, d))),
     "pipeline_budget" -> ((s, d) => TrainingPipeline.keptBudget(docs(s, d))),
+    // the corpus-release manifest: blocklist ∧ quality ∧ dedup + split
+    "release_pipeline" -> ((s, d) => TrainingPipeline.release(docs(s, d))),
     // --- deterministic sampling ---
     "hash_sample" -> ((s, d) => Sampling.hashSample(docs(s, d))),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(docs(s, d))),
@@ -313,6 +315,7 @@ object SparkEntry {
     "quality_filter" -> Sql.qualityFilter,
     "pipeline_kept" -> Sql.pipelineKept,
     "pipeline_budget" -> Sql.pipelineBudget,
+    "release_pipeline" -> Sql.releasePipeline,
     "hash_sample" -> Sql.hashSample,
     "stratified_sample" -> Sql.stratifiedSample,
     "mixture_sample" -> Sql.mixtureSample,

@@ -42,4 +42,25 @@ object TrainingPipeline {
       .join(keptIds, Seq("doc_id"), "left_semi")
     Sampling.budgetSelect(pool, budgetTokens)
   }
+
+  /** The corpus-RELEASE manifest: content blocklist ∧ quality gate ∧
+    * near-dup removal, then the deterministic train/val/test split
+    * stamped on every survivor — the per-document manifest a dataset
+    * release ships (write it with Sinks.writePartitionedParquet by
+    * split). Same stage-order rule as [[kept]]: dedup sees the FULL
+    * corpus (splitting or filtering first would leak near-dups
+    * across the release boundary); blocklist/quality/split are
+    * row-local and fuse into one scan of the survivors. */
+  def release(docs: DataFrame): DataFrame = {
+    val keptIds = Dedup.nearDupKeep(docs).select(col("kept_id").as("doc_id"))
+    val blocked = TextAnalysis.blocklistFilter(docs).select("doc_id")
+    val quality = TextAnalysis.qualityFilter(docs).select("doc_id", "n_tokens")
+    val splits = Sampling.splitAssign(docs).select("doc_id", "split")
+    docs.select("doc_id", "lang", "source")
+      .join(quality, Seq("doc_id"))
+      .join(blocked, Seq("doc_id"), "left_semi")
+      .join(keptIds, Seq("doc_id"), "left_semi")
+      .join(splits, Seq("doc_id"))
+      .select("doc_id", "lang", "source", "split", "n_tokens")
+  }
 }

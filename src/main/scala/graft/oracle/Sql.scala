@@ -819,6 +819,21 @@ WHERE rn = 1""")
       AND q.doc_id NOT IN (SELECT id_r FROM simpairs)""")
   }
 
+  /** The corpus-release manifest: blocklist ∧ quality ∧ near-dup
+    * keep, with the split stamped on every survivor — each predicate
+    * replayed from its stage's oracle form. */
+  val releasePipeline: String = {
+    val listLit = graft.operators.TextAnalysis.BlockedTerms
+      .map(t => s"'$t'").mkString("[", ", ", "]")
+    docQ(s"""SELECT t.doc_id, d.lang, d.source,
+      ${splitCase("t.doc_id")} AS split, t.n_tokens
+    FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+          FROM toktab WHERE $qualityPred) t
+    JOIN documents d ON t.doc_id = d.doc_id
+    WHERE len(list_intersect(t.toks, $listLit)) = 0
+      AND t.doc_id NOT IN (SELECT id_r FROM simpairs)""")
+  }
+
   /** Pipeline variant with token-BUDGET selection as the final
     * stage: dedup-survivors ∧ quality gate feed the same per-score
     * bucket cumsum as budgetSelect. */

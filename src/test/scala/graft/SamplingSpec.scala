@@ -186,6 +186,20 @@ class SamplingSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("release pipeline is the stage intersection with the split stamped on") {
+    import graft.operators.TrainingPipeline
+    val docs = realDocs
+    val out = TrainingPipeline.release(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val blocked = TextAnalysis.blocklistFilter(docs).collect().map(_.getLong(0)).toSet
+    val quality = TextAnalysis.qualityFilter(docs).collect().map(_.getLong(0)).toSet
+    val kept = Dedup.nearDupKeep(docs).collect().map(_.getLong(0)).toSet
+    assert(out.nonEmpty && out.keySet == (blocked & quality & kept))
+    val splits = Sampling.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.foreach { case (id, s) => assert(s == splits(id)) }
+  }
+
   test("curriculum order equals the naive global ranking, bijectively") {
     val docs = realDocs
     val out = Sampling.curriculumOrder(docs).collect()
