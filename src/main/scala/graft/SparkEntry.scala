@@ -177,10 +177,14 @@ object SparkEntry {
     // span-level cross-doc dedup: repeated chunks removed keep-first,
     // docs re-assembled from their surviving spans
     "span_dedup" -> ((s, d) => CorpusStats.spanDedup(docs(s, d))),
+    "boilerplate_strip" -> ((s, d) => CorpusStats.boilerplateStrip(docs(s, d))),
+    "intra_dedup" -> ((s, d) => CorpusStats.intraDedup(docs(s, d))),
+    "corpus_diff" -> ((s, d) => CorpusStats.corpusDiff(docs(s, d))),
     // --- embeddings / similarity search ---
     "embedding_norms" -> ((s, d) => EmbeddingSim.norms(emb(s, d))),
     // serving-side int8 compression of the embedding column
     "embed_quantize" -> ((s, d) => EmbeddingSim.quantizeInt8(emb(s, d))),
+    "centroid_sim" -> ((s, d) => EmbeddingSim.centroidSim(emb(s, d))),
     "array_funcs" -> ((s, d) => EmbeddingSim.arrayFuncs(emb(s, d))),
     "cosine_topk" -> ((s, d) => EmbeddingSim.cosineTopK(emb(s, d))),
     "ann_buckets" -> ((s, d) => EmbeddingSim.annBuckets(emb(s, d))),
@@ -405,6 +409,9 @@ object SparkEntry {
     "ann_recall" -> Sql.annRecall,
     "pii_mask" -> Sql.piiMask,
     "span_dedup" -> Sql.spanDedup,
+    "boilerplate_strip" -> Sql.boilerplateStrip,
+    "intra_dedup" -> Sql.intraDedup,
+    "corpus_diff" -> Sql.corpusDiff,
     "sketch_error_gate" -> Sql.sketchErrorGate,
     "csv_roundtrip" -> Sql.docsIdentity,
     "jsonl_roundtrip" -> Sql.docsIdentity,
@@ -413,6 +420,7 @@ object SparkEntry {
     "array_funcs" -> Sql.arrayFuncs,
     "embedding_norms" -> Sql.embeddingNorms,
     "embed_quantize" -> Sql.embedQuantize,
+    "centroid_sim" -> Sql.centroidSim,
     "cosine_topk" -> Sql.cosineTopK,
     "ann_buckets" -> Sql.annBuckets,
     "ann_topk" -> Sql.annTopK,

@@ -400,4 +400,92 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
         min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
   }
+
+  /** Boilerplate threshold — a chunk appearing in >= this many
+    * DISTINCT documents is boilerplate (shared with the oracle). */
+  val BoilerplateMinDocs: Int = 3
+
+  /** CCNet-style boilerplate removal: a chunk whose text appears in
+    * >= minDocs distinct documents (nav bars, license headers, cookie
+    * banners at web scale) is stripped from EVERY document — unlike
+    * spanDedup's keep-first, no copy survives. Frequency is computed
+    * once by a chunk-text groupBy (16-byte-ish keys + text, never
+    * full docs), rejoined by equi-join, and docs are reassembled from
+    * surviving chunks. The group key carries the text alongside the
+    * 31-bit fold hash so colliding chunk texts cannot pool their
+    * document counts. */
+  def boilerplateStrip(docs: DataFrame,
+                       minDocs: Int = BoilerplateMinDocs): DataFrame = {
+    val chunks = TextAnalysis.docChunks(docs, chunkTokens = 16, overlap = 0)
+      .withColumn("chunk_hash", PortableHash.charFoldHash(col("chunk_text")))
+      .graftCheckpoint() // two consumers: frequency table + reassembly
+    val freq = chunks.groupBy("chunk_hash", "chunk_text")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(freq, Seq("chunk_hash", "chunk_text"))
+      .withColumn("kept", col("nd") < lit(minDocs))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_boilerplate"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("cleaned_text"))
+  }
+
+  /** WITHIN-document repeated-chunk removal: keep the first
+    * occurrence of each distinct chunk inside a doc, drop later
+    * repeats (model-generated loops, copy-pasted sections). Entirely
+    * row-local — chunking, first-occurrence detection
+    * (array_position = index of FIRST match), and reassembly are
+    * array HOFs over one row, so the operator is a narrow map with
+    * ZERO shuffle at any scale. The O(chunks²) first-occurrence scan
+    * is bounded by a doc's own chunk count, not the corpus. */
+  def intraDedup(docs: DataFrame, chunkTokens: Int = 16): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+    val n = size(col("toks"))
+    // exact for any realistic doc: double division of ints < 2^53
+    val nChunks = floor((n + lit(chunkTokens - 1)).cast("double") / chunkTokens)
+      .cast("int")
+    val withChunks = base.select(col("doc_id"),
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(col("toks"), i * chunkTokens + 1,
+          lit(chunkTokens)))).as("chunks"))
+    val keptIdx = filter(
+      sequence(lit(0), size(col("chunks")) - 1),
+      i => array_position(col("chunks"), element_at(col("chunks"), i + 1))
+        === (i + 1).cast("long"))
+    withChunks.select(col("doc_id"),
+      size(col("chunks")).cast("long").as("n_chunks"),
+      (size(col("chunks")) - size(keptIdx)).cast("long").as("n_dropped"),
+      array_join(transform(keptIdx, i => element_at(col("chunks"), i + 1)),
+        " ").as("cleaned_text"))
+  }
+
+  /** Corpus snapshot DIFF — the dataset-versioning audit between two
+    * releases: which docs were added, removed, changed (by content
+    * digest, not id), or untouched. Snapshots here are derived
+    * deterministically from the one documents table so the oracle
+    * can replay them: "old" drops doc_id%10==3, "new" drops
+    * doc_id%10==7 and edits (uppercases) doc_id%7==2. The diff is a
+    * digest-only full-outer equi-join on doc_id — 16-byte md5 keys
+    * shuffle, never payloads — feeding a 4-group aggregate. */
+  def corpusDiff(docs: DataFrame): DataFrame = {
+    val prev = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val next = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(7)) === 2, upper(col("text")))
+          .otherwise(col("text"))).as("new_md5"))
+    prev.join(next, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") =!= col("new_md5"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
 }

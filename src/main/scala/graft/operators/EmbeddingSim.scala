@@ -429,4 +429,49 @@ object EmbeddingSim {
       .select(col("vec_id"), col("q_scale"),
         col("pos").cast("long").as("idx"), col("col").as("code"))
   }
+
+  /** Per-label (cluster/source) centroid similarity matrix — the
+    * corpus-composition diagnostic ("which groups of embeddings look
+    * alike") behind mixing and pruning decisions. Vectors are int8-
+    * quantized (the quantizeInt8 formulation), then the centroid of a
+    * label is the INTEGER component-wise sum of codes — exact and
+    * order-independent, so a float-sum nondeterminism can never leak
+    * into the result. Dot products and squared norms between
+    * centroids stay in BIGINT (|csum| <= 127·n_vecs, so the products
+    * fit 2^63 up to ~10^8 vectors per label); the only float is the
+    * final mirrored cosine expression. Scale: the per-(label,idx) agg
+    * is map-side combinable over the corpus; everything after runs on
+    * the |labels|×dim centroid table, which is broadcast-sized by
+    * construction (labels = sources/clusters, not docs). */
+  def centroidSim(emb: DataFrame): DataFrame = {
+    val v = col("embedding")
+    val maxAbs = aggregate(v, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = when(maxAbs > lit(0.0), lit(127.0) / maxAbs).otherwise(lit(1.0))
+    val codes = emb.select(col("label").cast("long").as("label"),
+        posexplode(transform(v, x =>
+          floor(x.cast("double") * scale + lit(0.5)).cast("long"))))
+      .select(col("label"), col("pos").cast("long").as("idx"),
+        col("col").as("code"))
+    val cent = codes.groupBy("label", "idx")
+      .agg(sum(col("code")).as("csum"))
+      .graftCheckpoint() // three consumers: norms + both join sides
+    val norms = cent.groupBy("label")
+      .agg(sum(col("csum") * col("csum")).as("n2"))
+    val dots = cent.as("a")
+      .join(cent.as("b"),
+        col("a.idx") === col("b.idx") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_l"), col("b.label").as("label_r"))
+      .agg(sum(col("a.csum") * col("b.csum")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("label").as("label_l"),
+        col("n2").as("n2_l"))), Seq("label_l"))
+      .join(broadcast(norms.select(col("label").as("label_r"),
+        col("n2").as("n2_r"))), Seq("label_r"))
+      .select(col("label_l"), col("label_r"), col("dot"),
+        col("n2_l"), col("n2_r"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2_l").cast("double")) * sqrt(col("n2_r").cast("double"))))
+          .as("cosine"))
+  }
 }

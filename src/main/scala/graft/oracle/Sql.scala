@@ -1785,4 +1785,82 @@ WHERE rr <= $HybridTopK""")
       count(DISTINCT year(o_orderdate))::BIGINT AS n_years,
       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
     FROM orders GROUP BY o_orderstatus"""
+
+  /** CCNet-style boilerplate strip — mirrors
+    * CorpusStats.boilerplateStrip: non-overlapping 16-token chunks,
+    * a chunk text in >= BoilerplateMinDocs DISTINCT docs is dropped
+    * from every doc, docs reassembled in chunk order. */
+  val boilerplateStrip: String = {
+    val minDocs = graft.operators.CorpusStats.BoilerplateMinDocs
+    docQ(
+      s""", chunks AS (${chunkSelectFor(16, 0)}),
+      fr AS (SELECT chunk_text, count(DISTINCT doc_id) AS nd
+             FROM chunks GROUP BY chunk_text),
+      fl AS (SELECT c.doc_id, c.chunk_idx, c.chunk_text, fr.nd < $minDocs AS kept
+             FROM chunks c JOIN fr USING (chunk_text))
+      SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_boilerplate,
+        coalesce(string_agg(CASE WHEN kept THEN chunk_text END, ' '
+          ORDER BY chunk_idx), '') AS cleaned_text
+      FROM fl GROUP BY doc_id""")
+  }
+
+  /** Within-doc repeated-chunk removal — mirrors
+    * CorpusStats.intraDedup (first occurrence of each distinct chunk
+    * per doc survives; the engine's array_position formulation is
+    * equivalent to this keep-rank-1 window). */
+  val intraDedup: String = docQ(
+    s""", chunks AS (${chunkSelectFor(16, 0)}),
+    fl AS (SELECT doc_id, chunk_idx, chunk_text,
+        row_number() OVER (PARTITION BY doc_id, chunk_text
+          ORDER BY chunk_idx) = 1 AS kept
+      FROM chunks)
+    SELECT doc_id, count(*)::BIGINT AS n_chunks,
+      CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      coalesce(string_agg(CASE WHEN kept THEN chunk_text END, ' '
+        ORDER BY chunk_idx), '') AS cleaned_text
+    FROM fl GROUP BY doc_id""")
+
+  /** Snapshot diff — mirrors CorpusStats.corpusDiff's derived
+    * old/new snapshots and digest-based status classification. */
+  val corpusDiff: String =
+    """WITH oldv AS (SELECT doc_id, md5(text) AS old_md5
+           FROM documents WHERE doc_id % 10 <> 3),
+    newv AS (SELECT doc_id,
+           md5(CASE WHEN doc_id % 7 = 2 THEN upper(text) ELSE text END) AS new_md5
+           FROM documents WHERE doc_id % 10 <> 7),
+    j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_md5, n.new_md5
+          FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+    SELECT CASE WHEN old_md5 IS NULL THEN 'added'
+                WHEN new_md5 IS NULL THEN 'removed'
+                WHEN old_md5 <> new_md5 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+      count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM j GROUP BY 1"""
+
+  /** Per-label int8-centroid cosine matrix — mirrors
+    * EmbeddingSim.centroidSim (embedQuantize's quantization, integer
+    * centroid sums/dots/norms, one mirrored double cosine). */
+  val centroidSim: String = {
+    val maxAbs = "list_reduce(list_prepend(0.0::DOUBLE, " +
+      "list_transform(embedding, x -> abs(x::DOUBLE))), (a, b) -> greatest(a, b))"
+    s"""WITH qm AS (SELECT label::BIGINT AS label, embedding, $maxAbs AS max_abs
+        FROM embeddings),
+    qs AS (SELECT label, embedding,
+      CASE WHEN max_abs > 0.0::DOUBLE THEN 127.0::DOUBLE / max_abs
+           ELSE 1.0::DOUBLE END AS q_scale FROM qm),
+    codes AS (SELECT label, CAST(t.i - 1 AS BIGINT) AS idx,
+        CAST(floor(embedding[t.i]::DOUBLE * q_scale + 0.5::DOUBLE) AS BIGINT) AS code
+      FROM qs, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
+    cent AS (SELECT label, idx, sum(code)::BIGINT AS csum
+             FROM codes GROUP BY label, idx),
+    norms AS (SELECT label, sum(csum * csum)::BIGINT AS n2 FROM cent GROUP BY label),
+    dots AS (SELECT a.label AS label_l, b.label AS label_r,
+               sum(a.csum * b.csum)::BIGINT AS dot
+             FROM cent a JOIN cent b ON a.idx = b.idx AND a.label < b.label
+             GROUP BY a.label, b.label)
+    SELECT label_l, label_r, dot, x.n2 AS n2_l, y.n2 AS n2_r,
+      dot::DOUBLE / (sqrt(x.n2::DOUBLE) * sqrt(y.n2::DOUBLE)) AS cosine
+    FROM dots JOIN norms x ON label_l = x.label JOIN norms y ON label_r = y.label"""
+  }
 }

@@ -243,4 +243,46 @@ class CorpusStatsSpec extends SparkSpec {
       .toSet
     assert(out == Set((0L, 2L, 5L, 2L, 3L), (1L, 1L, 20L, 20L, 20L)), s"got $out")
   }
+
+  test("boilerplate strip: chunks in >= 3 docs vanish everywhere, rare chunks survive") {
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    val unique = (1 to 16).map(i => s"u$i").mkString(" ")
+    val d = docsDf(
+      1L -> s"$boiler $unique",
+      2L -> boiler,
+      3L -> boiler,
+      4L -> "short unique text")
+    val rows = CorpusStats.boilerplateStrip(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows(1L) == ((2L, 1L, unique)))     // boiler chunk stripped, unique kept
+    assert(rows(2L) == ((1L, 1L, "")))          // no copy survives anywhere
+    assert(rows(3L) == ((1L, 1L, "")))
+    assert(rows(4L) == ((1L, 0L, "short unique text")))
+  }
+
+  test("intra dedup: later in-doc repeats drop; the plan is shuffle-free") {
+    val c1 = (1 to 16).map(i => s"a$i").mkString(" ")
+    val c2 = (1 to 16).map(i => s"z$i").mkString(" ")
+    val d = docsDf(
+      1L -> Seq(c1, c2, c1).mkString(" "), // 3rd chunk repeats the 1st
+      2L -> c2)                            // same chunk in ANOTHER doc is untouched
+    val res = CorpusStats.intraDedup(d)
+    val rows = res.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows(1L) == ((3L, 1L, s"$c1 $c2")))
+    assert(rows(2L) == ((1L, 0L, c2)))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected a narrow shuffle-free plan:\n$plan")
+  }
+
+  test("corpus diff: statuses partition the union of both snapshots") {
+    val d = docsDf((0L until 70L).map(i => i -> s"text number $i"): _*)
+    val rows = CorpusStats.corpusDiff(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val changed = (0L until 70L).count(i => i % 7 == 2 && i % 10 != 3 && i % 10 != 7)
+    assert(rows("added") == 7L)    // %10==3: absent from old
+    assert(rows("removed") == 7L)  // %10==7: absent from new
+    assert(rows("changed") == changed.toLong)
+    assert(rows.values.sum == 70L) // every id is in at least one snapshot
+  }
 }

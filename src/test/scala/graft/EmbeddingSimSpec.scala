@@ -56,4 +56,22 @@ class EmbeddingSimSpec extends SparkSpec {
     assert(out((2L, 0L)) == ((1.0, 0L)) && out((2L, 1L)) == ((1.0, 0L)))
     assert(out.values.forall { case (_, c) => c >= -127L && c <= 127L })
   }
+
+  test("centroid sim: parallel labels get cosine exactly 1, orthogonal exactly 0") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), // label 0: centroid (254, 0)
+      (2L, Seq(2.0f, 0.0f), 0), //   (both quantize to code 127)
+      (3L, Seq(0.0f, 1.0f), 1), // label 1: centroid (0, 127)
+      (4L, Seq(3.0f, 0.0f), 2)  // label 2: centroid (127, 0)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = EmbeddingSim.centroidSim(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows((0L, 1L))._4 == 0.0) // orthogonal: integer dot is exactly 0
+    assert(rows((1L, 2L))._4 == 0.0)
+    // parallel: 254·127 / (sqrt(254²)·sqrt(127²)) — perfect squares, exact 1
+    assert(rows((0L, 2L)) == ((32258L, 64516L, 16129L, 1.0)))
+  }
 }
