@@ -54,7 +54,13 @@ object Bench {
     // optional comma-joined query-name filter (iteration aid, same as Verify)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
+    // SORTED run order: queries is a hash Map, so adding a query used
+    // to reshuffle the whole run order — and which neighbor pays a
+    // JVM/cache warm-up effect — making per-query times incomparable
+    // round over round (r6 measured tfidf_top_terms 0.9 s clean vs
+    // 5.6 s after an order shuffle). Alphabetical is arbitrary but
+    // STABLE under insertion.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       try {
@@ -94,7 +100,7 @@ object Bench {
     val repsJson = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")

@@ -185,6 +185,8 @@ object SparkEntry {
     // serving-side int8 compression of the embedding column
     "embed_quantize" -> ((s, d) => EmbeddingSim.quantizeInt8(emb(s, d))),
     "centroid_sim" -> ((s, d) => EmbeddingSim.centroidSim(emb(s, d))),
+    "embed_outliers" -> ((s, d) => EmbeddingSim.embedOutliers(emb(s, d))),
+    "langid_confusion" -> ((s, d) => TextAnalysis.langIdConfusion(docs(s, d))),
     "array_funcs" -> ((s, d) => EmbeddingSim.arrayFuncs(emb(s, d))),
     "cosine_topk" -> ((s, d) => EmbeddingSim.cosineTopK(emb(s, d))),
     "ann_buckets" -> ((s, d) => EmbeddingSim.annBuckets(emb(s, d))),
@@ -421,6 +423,8 @@ object SparkEntry {
     "embedding_norms" -> Sql.embeddingNorms,
     "embed_quantize" -> Sql.embedQuantize,
     "centroid_sim" -> Sql.centroidSim,
+    "embed_outliers" -> Sql.embedOutliers,
+    "langid_confusion" -> Sql.langIdConfusion,
     "cosine_topk" -> Sql.cosineTopK,
     "ann_buckets" -> Sql.annBuckets,
     "ann_topk" -> Sql.annTopK,

@@ -443,6 +443,48 @@ object EmbeddingSim {
     * is map-side combinable over the corpus; everything after runs on
     * the |labels|×dim centroid table, which is broadcast-sized by
     * construction (labels = sources/clusters, not docs). */
+  /** Outliers per label — shared with the oracle. */
+  val OutlierTopK: Int = 3
+
+  /** Per-label embedding OUTLIERS: the topK vectors farthest from
+    * their label's centroid — the mislabeled/noisy-data triage view.
+    * All arithmetic is EXACT integers: with n vectors in a label and
+    * centroid-sum csum, n²·||x − μ||² = Σ_idx (n·code − csum)², so no
+    * mean division and no float sum ever happens. dev2 is that scaled
+    * square — comparable within a label (fixed n), which is all a
+    * per-label rank reads. Overflow bound: |n·code − csum| <= 254n,
+    * so dev2 <= dim·(254n)² — fits int64 to ~10^6 vectors per label
+    * (beyond that, swap the codes to a wider decimal; the shape is
+    * unchanged). Scale: codes groupBy is map-side combinable; the
+    * deviation join broadcasts only the |labels|×dim centroid table
+    * and the |labels| counts; the final top-k window is per-label and
+    * group-limit-pushed. */
+  def embedOutliers(emb: DataFrame, topK: Int = OutlierTopK): DataFrame = {
+    val v = col("embedding")
+    val maxAbs = aggregate(v, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = when(maxAbs > lit(0.0), lit(127.0) / maxAbs).otherwise(lit(1.0))
+    val codes = emb.select(col("label").cast("long").as("label"),
+        col("vec_id"),
+        posexplode(transform(v, x =>
+          floor(x.cast("double") * scale + lit(0.5)).cast("long"))))
+      .select(col("label"), col("vec_id"), col("pos").cast("long").as("idx"),
+        col("col").as("code"))
+      .graftCheckpoint() // three consumers: centroids, counts, deviations
+    val cent = codes.groupBy("label", "idx").agg(sum(col("code")).as("csum"))
+    val counts = codes.filter(col("idx") === 0)
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    val dev = codes
+      .join(broadcast(cent), Seq("label", "idx"))
+      .join(broadcast(counts), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        (col("n") * col("code") - col("csum")).as("d"))
+      .groupBy("label", "vec_id").agg(sum(col("d") * col("d")).as("dev2"))
+    val w = Window.partitionBy("label").orderBy(col("dev2").desc, col("vec_id"))
+    dev.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   def centroidSim(emb: DataFrame): DataFrame = {
     val v = col("embedding")
     val maxAbs = aggregate(v, lit(0.0),

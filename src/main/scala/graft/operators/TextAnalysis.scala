@@ -77,6 +77,16 @@ object TextAnalysis {
           .otherwise("zh"))
   }
 
+  /** Lang-id CONFUSION MATRIX: the labeled `lang` column scored
+    * against langId's prediction — the classifier-quality diagnostic
+    * a corpus pipeline reads before trusting a language filter. One
+    * integer aggregate over <= |langs|² groups (map-side combinable;
+    * constant-size result at any scale); example_doc pins a concrete
+    * misclassified row for triage. */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    langId(docs).groupBy("lang_actual", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
+
   /** Whole-document rolling-hash fingerprint (base-31 polynomial
     * mod p — same portable hash family as minhash). */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -1838,6 +1838,52 @@ WHERE rr <= $HybridTopK""")
       count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
     FROM j GROUP BY 1"""
 
+  /** Lang-id confusion matrix — mirrors TextAnalysis.langIdConfusion
+    * (the langId scoring grouped by actual × predicted). */
+  val langIdConfusion: String = {
+    import graft.operators.TextAnalysis._
+    val en = listIn("toks", EnMarkers)
+    val es = listIn("toks", EsMarkers)
+    val zh = listIn("toks", ZhMarkers)
+    docQ(s""", pred AS (SELECT doc_id, lang AS lang_actual,
+      CASE WHEN $en >= $es AND $en >= $zh THEN 'en'
+           WHEN $es >= $zh THEN 'es' ELSE 'zh' END AS lang_pred
+    FROM toktab)
+    SELECT lang_actual, lang_pred, count(*)::BIGINT AS n_docs,
+      min(doc_id) AS example_doc
+    FROM pred GROUP BY lang_actual, lang_pred""")
+  }
+
+  /** Per-label embedding outliers — mirrors EmbeddingSim.embedOutliers
+    * (integer n²·distance² to the label centroid, top-k per label). */
+  val embedOutliers: String = {
+    val topK = graft.operators.EmbeddingSim.OutlierTopK
+    val maxAbs = "list_reduce(list_prepend(0.0::DOUBLE, " +
+      "list_transform(embedding, x -> abs(x::DOUBLE))), (a, b) -> greatest(a, b))"
+    s"""WITH qm AS (SELECT label::BIGINT AS label, vec_id, embedding,
+        $maxAbs AS max_abs FROM embeddings),
+    qs AS (SELECT label, vec_id, embedding,
+      CASE WHEN max_abs > 0.0::DOUBLE THEN 127.0::DOUBLE / max_abs
+           ELSE 1.0::DOUBLE END AS q_scale FROM qm),
+    codes AS (SELECT label, vec_id, CAST(t.i - 1 AS BIGINT) AS idx,
+        CAST(floor(embedding[t.i]::DOUBLE * q_scale + 0.5::DOUBLE) AS BIGINT) AS code
+      FROM qs, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
+    cent AS (SELECT label, idx, sum(code)::BIGINT AS csum
+             FROM codes GROUP BY label, idx),
+    cnt AS (SELECT label, count(*)::BIGINT AS n FROM qm GROUP BY label),
+    dev AS (SELECT c.label, c.vec_id,
+        sum((t.n * c.code - ct.csum) * (t.n * c.code - ct.csum))::BIGINT AS dev2
+      FROM codes c
+      JOIN cent ct ON c.label = ct.label AND c.idx = ct.idx
+      JOIN cnt t ON c.label = t.label
+      GROUP BY c.label, c.vec_id),
+    rk AS (SELECT label, vec_id, dev2,
+        CAST(row_number() OVER (PARTITION BY label
+          ORDER BY dev2 DESC, vec_id) AS BIGINT) AS "rank"
+      FROM dev)
+    SELECT label, vec_id, dev2, "rank" FROM rk WHERE "rank" <= $topK"""
+  }
+
   /** Per-label int8-centroid cosine matrix — mirrors
     * EmbeddingSim.centroidSim (embedQuantize's quantization, integer
     * centroid sums/dots/norms, one mirrored double cosine). */

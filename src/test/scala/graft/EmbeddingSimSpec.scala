@@ -74,4 +74,26 @@ class EmbeddingSimSpec extends SparkSpec {
     // parallel: 254·127 / (sqrt(254²)·sqrt(127²)) — perfect squares, exact 1
     assert(rows((0L, 2L)) == ((32258L, 64516L, 16129L, 1.0)))
   }
+
+  test("embed outliers: the planted far vector ranks first in its label") {
+    val s = spark
+    import s.implicits._
+    // label 0: three near-identical vectors + one opposite-direction
+    // outlier; all quantize exactly (components are ±1/0 scaled)
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(1.0f, 0.0f), 0),
+      (4L, Seq(-1.0f, 0.0f), 0),
+      (5L, Seq(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = EmbeddingSim.embedOutliers(d).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // label 0: codes ±127, n=4, csum=(254,0):
+    //   members: (4·127-254)² = 254²; outlier: (4·(-127)-254)² = 762²
+    assert(rows((0L, 1L)) == ((4L, 762L * 762L)))
+    assert(rows((0L, 2L))._1 == 1L && rows((0L, 2L))._2 == 254L * 254L)
+    // singleton label: deviation is exactly zero
+    assert(rows((1L, 1L)) == ((5L, 0L)))
+  }
 }

@@ -203,4 +203,22 @@ class TextAnalysisSpec extends SparkSpec {
       s"simhash caught ${(mh intersect sh).size} of ${mh.size}")
     assert(sh.size <= mh.size + 15, s"too many extras: ${sh.size} vs ${mh.size}")
   }
+
+  test("langid confusion: counts land in the actual × predicted cell") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "the a of order key", "en"),   // en markers -> pred en
+      (2L, "data column table row", "es"), // es markers -> pred es
+      (3L, "data column table row", "en"), // es-looking text labeled en
+      (4L, "vector stream window batch", "zh")
+    ).toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.langIdConfusion(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(("en", "en")) == ((1L, 1L)))
+    assert(rows(("es", "es")) == ((1L, 2L)))
+    assert(rows(("en", "es")) == ((1L, 3L))) // the planted misclassification
+    assert(rows(("zh", "zh")) == ((1L, 4L)))
+    assert(rows.values.map(_._1).sum == 4L)
+  }
 }
