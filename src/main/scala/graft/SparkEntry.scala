@@ -156,6 +156,10 @@ object SparkEntry {
     "pipeline_budget" -> ((s, d) => TrainingPipeline.keptBudget(docs(s, d))),
     // the corpus-release manifest: blocklist ∧ quality ∧ dedup + split
     "release_pipeline" -> ((s, d) => TrainingPipeline.release(docs(s, d))),
+    // stage-by-stage survivor counts of the release composition
+    "pipeline_funnel" -> ((s, d) => TrainingPipeline.funnel(docs(s, d))),
+    // gate pass-rate per type-token-ratio bucket (threshold audit)
+    "quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(docs(s, d))),
     // --- deterministic sampling ---
     "hash_sample" -> ((s, d) => Sampling.hashSample(docs(s, d))),
     "stratified_sample" -> ((s, d) => Sampling.stratifiedSample(docs(s, d))),
@@ -322,6 +326,8 @@ object SparkEntry {
     "pipeline_kept" -> Sql.pipelineKept,
     "pipeline_budget" -> Sql.pipelineBudget,
     "release_pipeline" -> Sql.releasePipeline,
+    "pipeline_funnel" -> Sql.pipelineFunnel,
+    "quality_calibration" -> Sql.qualityCalibration,
     "hash_sample" -> Sql.hashSample,
     "stratified_sample" -> Sql.stratifiedSample,
     "mixture_sample" -> Sql.mixtureSample,

@@ -77,6 +77,31 @@ object TextAnalysis {
           .otherwise("zh"))
   }
 
+  /** Quality-gate CALIBRATION: fixed-width type-token-ratio buckets
+    * (permille, 100-wide → at most 11 groups) against the REAL
+    * [[qualityFilter]] gate decision — the table read to pick or
+    * audit a filter threshold ("how sharply does the gate separate
+    * along this signal"). All integer arithmetic (`div`, no float
+    * ratio at a bucket boundary); the pass flag comes from the
+    * actual gate stage via semi-join so this view can never drift
+    * from what the pipeline does. Scale: one map-side-combinable
+    * aggregate into a constant-size (≤ 11 row) result. */
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    val pass = qualityFilter(docs).select(col("doc_id"), lit(1L).as("pass"))
+    quality(docs)
+      .join(pass, Seq("doc_id"), "left")
+      .withColumn("ttr_pm",
+        when(col("n_tokens") > 0, expr("n_types * 1000 div n_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("bucket", expr("ttr_pm div 100"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("pass"), lit(0L))).as("n_pass"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("ttr_pm")).as("min_ttr_pm"),
+        max(col("ttr_pm")).as("max_ttr_pm"))
+  }
+
   /** Lang-id CONFUSION MATRIX: the labeled `lang` column scored
     * against langId's prediction — the classifier-quality diagnostic
     * a corpus pipeline reads before trusting a language filter. One

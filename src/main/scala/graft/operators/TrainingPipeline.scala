@@ -51,6 +51,44 @@ object TrainingPipeline {
     * corpus (splitting or filtering first would leak near-dups
     * across the release boundary); blocklist/quality/split are
     * row-local and fuse into one scan of the survivors. */
+  /** Stage names of [[funnel]] — ordinal prefix pins the reading
+    * order without relying on result ordering. */
+  val FunnelStages: Seq[String] =
+    Seq("0_corpus", "1_blocklist", "2_quality", "3_near_dup")
+
+  /** Pipeline FUNNEL: cumulative survivor counts through the
+    * [[release]] stages (corpus → blocklist → ∧ quality → ∧ near-dup
+    * keep) with integer basis-point retention — the monitoring view
+    * a corpus release publishes next to its manifest. Each flag
+    * comes from the REAL stage function (semi-join on ids), so the
+    * funnel can never drift from what release() ships. Scale: three
+    * id-only joins, then a single map-side-combinable aggregate to
+    * ONE row, unpivoted driver-free into 4 rows. */
+  def funnel(docs: DataFrame): DataFrame = {
+    val blocked = TextAnalysis.blocklistFilter(docs)
+      .select(col("doc_id"), lit(1L).as("b"))
+    val quality = TextAnalysis.qualityFilter(docs)
+      .select(col("doc_id"), lit(1L).as("q"))
+    val keptIds = Dedup.nearDupKeep(docs)
+      .select(col("kept_id").as("doc_id"), lit(1L).as("k"))
+    val counts = docs.select("doc_id")
+      .join(blocked, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"), "left")
+      .join(keptIds, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("c0"),
+        sum(coalesce(col("b"), lit(0L))).as("c1"),
+        sum(when(col("b") === 1 && col("q") === 1, 1L).otherwise(0L)).as("c2"),
+        sum(when(col("b") === 1 && col("q") === 1 && col("k") === 1, 1L)
+          .otherwise(0L)).as("c3"))
+    val stages = FunnelStages.zip(Seq("c0", "c1", "c2", "c3")).map {
+      case (name, c) => struct(lit(name).as("stage"), col(c).as("n_docs"))
+    }
+    counts.select(explode(array(stages: _*)).as("s"), col("c0"))
+      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"),
+        when(col("c0") > 0, expr("s.n_docs * 10000 div c0")).as("pct_bp"))
+  }
+
   def release(docs: DataFrame): DataFrame = {
     val keptIds = Dedup.nearDupKeep(docs).select(col("kept_id").as("doc_id"))
     val blocked = TextAnalysis.blocklistFilter(docs).select("doc_id")

@@ -834,6 +834,49 @@ WHERE rn = 1""")
       AND t.doc_id NOT IN (SELECT id_r FROM simpairs)""")
   }
 
+  /** Pipeline funnel — mirrors TrainingPipeline.funnel (cumulative
+    * survivor counts through the release stages, integer basis-point
+    * retention). Sums are CAST to BIGINT (DuckDB widens aggregate
+    * sums to HUGEINT, which fails the physical-type hash). */
+  val pipelineFunnel: String = {
+    val listLit = graft.operators.TextAnalysis.BlockedTerms
+      .map(t => s"'$t'").mkString("[", ", ", "]")
+    val stages = graft.operators.TrainingPipeline.FunnelStages
+    docQ(s""", flg AS (
+      SELECT doc_id,
+        CASE WHEN len(list_intersect(toks, $listLit)) = 0 THEN 1 ELSE 0 END AS b,
+        CASE WHEN $qualityPred THEN 1 ELSE 0 END AS q,
+        CASE WHEN doc_id NOT IN (SELECT id_r FROM simpairs) THEN 1 ELSE 0 END AS k
+      FROM toktab),
+    agg AS (
+      SELECT count(*)::BIGINT AS c0, sum(b)::BIGINT AS c1,
+        sum(b * q)::BIGINT AS c2, sum(b * q * k)::BIGINT AS c3
+      FROM flg)
+    SELECT stage, n_docs,
+      CASE WHEN c0 > 0 THEN n_docs * 10000 // c0 ELSE NULL END AS pct_bp
+    FROM (
+      SELECT '${stages(0)}' AS stage, c0 AS n_docs, c0 FROM agg
+      UNION ALL SELECT '${stages(1)}', c1, c0 FROM agg
+      UNION ALL SELECT '${stages(2)}', c2, c0 FROM agg
+      UNION ALL SELECT '${stages(3)}', c3, c0 FROM agg)""")
+  }
+
+  /** Quality-gate calibration — mirrors TextAnalysis
+    * .qualityCalibration (fixed 100-permille type-token-ratio
+    * buckets vs the real gate decision, all integer `//` division). */
+  val qualityCalibration: String = docQ(
+    s""", cal AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CASE WHEN len(toks) > 0
+          THEN (CAST(len(list_distinct(toks)) AS BIGINT) * 1000) // CAST(len(toks) AS BIGINT)
+          ELSE 0 END AS ttr_pm,
+        CASE WHEN $qualityPred THEN 1 ELSE 0 END AS pass
+      FROM toktab)
+    SELECT ttr_pm // 100 AS bucket, count(*)::BIGINT AS n_docs,
+      sum(pass)::BIGINT AS n_pass, sum(n_tokens)::BIGINT AS sum_tokens,
+      min(ttr_pm) AS min_ttr_pm, max(ttr_pm) AS max_ttr_pm
+    FROM cal GROUP BY 1""")
+
   /** Pipeline variant with token-BUDGET selection as the final
     * stage: dedup-survivors ∧ quality gate feed the same per-score
     * bucket cumsum as budgetSelect. */

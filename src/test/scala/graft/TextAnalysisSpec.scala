@@ -204,6 +204,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sh.size <= mh.size + 15, s"too many extras: ${sh.size} vs ${mh.size}")
   }
 
+  test("quality calibration: ttr buckets, counts, and the real gate flag") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a a a a a a"),                   // ttr 166 -> bucket 1; fails gate
+      (2L, "alpha beta gamma delta epsilon"), // ttr 1000 -> bucket 10; passes
+      (3L, "x y z w v q r s t u")             // ttr 1000 -> bucket 10; 19 chars, fails
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.qualityCalibration(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows(1L) == ((1L, 0L, 6L, 166L, 166L)))
+    assert(rows(10L) == ((2L, 1L, 15L, 1000L, 1000L)))
+    assert(rows.size == 2)
+  }
+
   test("langid confusion: counts land in the actual × predicted cell") {
     val s = spark
     import s.implicits._
