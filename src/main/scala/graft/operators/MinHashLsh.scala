@@ -133,7 +133,11 @@ object MinHashLsh {
     * operator. Batch callers prefer [[signatures]] (codegen'd hash
     * agg); this trades that for zero stateful ops. */
   def rowwiseBands(docs: DataFrame, k: Int = Config.K): DataFrame = {
-    val harr = array_distinct(Shingling.shingleHashArray(col("text"), k))
+    // SORTED set: the streaming consumer stores hset in per-bucket
+    // state and verifies arrivals with a primitive merge-walk
+    // intersect — sorting once here (per doc) beats sorting per
+    // (doc, band) member downstream. Set semantics are unchanged.
+    val harr = array_sort(array_distinct(Shingling.shingleHashArray(col("text"), k)))
     val sigArr = sketchCol(col("text"), k)
     val r = Config.RowsPerBand
     val bandStructs = (0 until Config.Bands).map { j =>
