@@ -158,13 +158,17 @@ object TextAnalysis {
     * division (exact for exact operands), no log — so ranking is
     * bit-replayable by the oracle; ties broken by token.
     *
-    * Scale shape: two hash aggs over the exploded token stream + a
-    * broadcast of the single-row corpus count; per-doc ranking
-    * windows are tiny (≤ vocabulary of one doc). */
+    * Scale shape: ONE hash agg over the exploded token stream; df is
+    * re-aggregated from tf's (doc_id, token) rows — already distinct,
+    * so count(*) == countDistinct(doc_id) — which keeps the two
+    * branches' exchanges identical for ReuseExchange (the corpus is
+    * exploded and shuffled once, not twice) and the second shuffle
+    * sees post-agg rows, not raw tokens. Per-doc ranking windows are
+    * tiny (≤ vocabulary of one doc). */
   def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "token").crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
