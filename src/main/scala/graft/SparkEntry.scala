@@ -306,6 +306,19 @@ object SparkEntry {
       df.write.mode("overwrite").json(dir)
       graft.sources.Sources.readJsonl(s, dir, df.schema)
     }),
+    // bucketed STORAGE LAYOUT: both fact tables pre-hashed on the
+    // join key, so the join AND the per-key agg run with ZERO
+    // Exchange (BucketedSpec asserts it) — the write-once/never-
+    // shuffle-again layout for repeated fact-fact work at 100 TB
+    "bucketed_join" -> ((s, d) => graft.sources.Bucketed.bucketedOrderRevenue(s, d)),
+    // hive-partitioned layout read back with a language filter: the
+    // predicate plans as PartitionFilters, non-matching directories
+    // are never opened (the per-language corpus consumer shape)
+    "partition_pruned" -> ((s, d) => graft.sources.Bucketed.partitionPrunedStats(s, d)),
+    // DYNAMIC partition pruning: the pruning set arrives at runtime
+    // from the script-family dim filter — the fact scan carries a
+    // dynamicpruningexpression instead of a static partition list
+    "dpp_join" -> ((s, d) => graft.sources.Bucketed.dppFamilyStats(s, d)),
     // and through the ORC sink/source pair (schema rides the footers)
     "orc_roundtrip" -> ((s, d) => {
       val df = docs(s, d).select("doc_id", "lang", "source", "text")
@@ -421,6 +434,9 @@ object SparkEntry {
     "intra_dedup" -> Sql.intraDedup,
     "corpus_diff" -> Sql.corpusDiff,
     "sketch_error_gate" -> Sql.sketchErrorGate,
+    "bucketed_join" -> Sql.bucketedOrderRevenue,
+    "partition_pruned" -> Sql.partitionPrunedStats,
+    "dpp_join" -> Sql.dppFamilyStats,
     "csv_roundtrip" -> Sql.docsIdentity,
     "jsonl_roundtrip" -> Sql.docsIdentity,
     "orc_roundtrip" -> Sql.docsIdentity,

@@ -1952,4 +1952,35 @@ WHERE rr <= $HybridTopK""")
       dot::DOUBLE / (sqrt(x.n2::DOUBLE) * sqrt(y.n2::DOUBLE)) AS cosine
     FROM dots JOIN norms x ON label_l = x.label JOIN norms y ON label_r = y.label"""
   }
+
+  /** Bucketed-layout join (graft.sources.Bucketed): the layout changes
+    * WHERE bytes live, never the result — the oracle replays the same
+    * fact-fact join + integer cents×bp aggregation from the flat
+    * tables. Window/plain sums over BIGINT widen to HUGEINT in DuckDB,
+    * so the output sum is cast back (the sequence_packing lesson). */
+  val bucketedOrderRevenue: String =
+    s"""SELECT o_orderkey, o_orderpriority,
+      CAST(sum($revC4) AS BIGINT) AS revenue_c4
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderpriority"""
+
+  /** Partition-pruned per-language stats: pruning is a scan property,
+    * so the oracle is the plain filtered aggregate. */
+  val partitionPrunedStats: String =
+    """SELECT lang, source, count(*)::BIGINT AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang IN ('en', 'de')
+    GROUP BY lang, source"""
+
+  /** Dynamic partition pruning replay: the same dim join, statically —
+    * pruning is an execution strategy, the result is this join. */
+  val dppFamilyStats: String =
+    """SELECT dim.lang AS lang, family, count(*)::BIGINT AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    JOIN (VALUES ('de','latin'), ('en','latin'), ('es','latin'),
+                 ('fr','latin'), ('zh','cjk')) AS dim(lang, family)
+      ON documents.lang = dim.lang
+    WHERE family = 'cjk'
+    GROUP BY dim.lang, family"""
 }
