@@ -240,6 +240,9 @@ object SparkEntry {
     "stream_exact_dedup" -> ((s, d) => graft.streaming.StreamingQueries.streamExactDedup(s, d)),
     "stream_pipeline" -> ((s, d) => graft.streaming.StreamingQueries.streamPipeline(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.StreamingQueries.streamSessionize(s, d)),
+    // checkpointed PARQUET SINK (exactly-once commit log); result is
+    // the sink dir read back, oracle replays the batch formulation
+    "stream_to_parquet" -> ((s, d) => graft.streaming.StreamingQueries.streamToParquet(s, d)),
     // --- relational coverage ---
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
@@ -459,6 +462,8 @@ object SparkEntry {
     "stream_exact_dedup" -> Sql.streamExactDedup,
     "stream_pipeline" -> Sql.streamPipeline,
     "stream_sessionize" -> Sql.streamSessionize,
+    // sink read-back equals the batch per-doc projection
+    "stream_to_parquet" -> Sql.tokenStats,
     "events_sessionize" -> Sql.eventsSessionize,
     "events_props_agg" -> Sql.eventsPropsAgg,
     "events_json_deciles" -> Sql.eventsJsonDeciles,

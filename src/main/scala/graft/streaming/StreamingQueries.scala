@@ -397,4 +397,39 @@ object StreamingQueries {
     }.dropDuplicates("id_l", "id_r")
       .select("id_l", "id_r", "jaccard")
   }
+
+  /** CHECKPOINTED PARQUET SINK — the production landing path the
+    * memory-sink harness queries don't exercise: the file-source feed
+    * streamed through a stateless per-doc transform and WRITTEN by
+    * writeStream to a parquet directory with a checkpoint. The sink's
+    * `_spark_metadata` commit log is what makes it exactly-once —
+    * readers see only files recorded by a committed batch, so task
+    * retries and query restarts can neither duplicate nor lose rows
+    * (StreamingSinkSpec proves the interrupted-restart case). The
+    * registered result is the READ-BACK of the sink directory; the
+    * oracle replays the batch token-stats formulation. Out/checkpoint
+    * dirs ride the per-JVM feed root, so a bench rep resumes from the
+    * checkpoint, finds nothing new, and re-reads the same committed
+    * output — determinism here IS the exactly-once guarantee. */
+  def streamToParquet(spark: SparkSession, sfDir: String,
+                      nChunks: Int = 4): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val root = cachedFeedRoot(s"sink:$sfDir:$nChunks") { r =>
+      writeFeedChunks(docs, "doc_id", rangesOf(docs, "doc_id", nChunks), r,
+        Files.createDirectory(r.resolve("in")), System.currentTimeMillis())
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.resolve("in").toString)
+    val q = graft.operators.TextAnalysis.tokenStats(widen(stream, 8))
+      .writeStream.format("parquet")
+      .option("path", root.resolve("out").toString)
+      .option("checkpointLocation", root.resolve("cp").toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(root.resolve("out").toString)
+      .select("doc_id", "n_tokens", "n_distinct_tokens", "chars_no_space",
+        "avg_token_len")
+  }
 }
