@@ -48,6 +48,9 @@ object SparkEntry {
       IncrementalIngest.filterBatch(all.filter(c >= 400),
         MinHashLsh.bands(all.filter(c < 400)), all.filter(c < 400))
     }),
+    // landing batches from two schema eras read as ONE table via
+    // mergeSchema (pre-evolution rows null-fill the added column)
+    "ingest_evolve" -> ((s, d) => IncrementalIngest.evolvedIngestStats(s, d)),
     "incremental_pairs" -> ((s, d) => {
       val c = org.apache.spark.sql.functions.col("doc_id")
       val all = docs(s, d)
@@ -395,6 +398,7 @@ object SparkEntry {
     "collision_counts" -> Sql.collisionCounts,
     "incremental_pairs" -> Sql.incrementalPairs,
     "ingest_filter" -> Sql.ingestFilter,
+    "ingest_evolve" -> Sql.evolvedIngestStats,
     "similar_pairs" -> Sql.similarPairs,
     "pairs_symmetric" -> Sql.pairsSymmetric,
     "minhash_estimate" -> Sql.minhashEstimate,

@@ -129,4 +129,35 @@ object IncrementalIngest {
     writePartition(kept, corpusDir)
     writePartition(MinHashLsh.bands(kept, k), indexDir)
   }
+
+  /** SCHEMA EVOLUTION across landing batches — the ingest reality
+    * the fixed-schema loop above sidesteps: a long-lived corpus has
+    * early batches written before a later-added column existed.
+    * Parquet handles this WITHOUT rewriting history: each batch's
+    * files keep their own footer schema, `mergeSchema` unifies them
+    * at read time, and pre-evolution rows surface the new column as
+    * null. Here batch 0 lands documents before `lang` was tracked,
+    * batch 1 lands with it; the merged read aggregates across both
+    * eras, null-filling the old one. At 100 TB this is the only
+    * viable posture — a backfill rewrite of the corpus per schema
+    * change is off the table. (mergeSchema costs a footer read per
+    * file at planning; production pins the merged schema in a
+    * catalog — the read-time merge is the migration path.) */
+  def evolvedIngestStats(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_evolve_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // batch 0: landed before the pipeline tracked language
+    docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$root/ingest_batch=0")
+    // batch 1: the evolved schema
+    docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "source", "n_chars", "lang")
+      .write.mode("overwrite").parquet(s"$root/ingest_batch=1")
+    spark.read.option("mergeSchema", "true").parquet(root)
+      .groupBy(coalesce(col("lang"), lit("pre_evolution")).as("lang_merged"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
 }

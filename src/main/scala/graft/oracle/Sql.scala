@@ -1972,6 +1972,14 @@ WHERE rr <= $HybridTopK""")
     FROM documents WHERE lang IN ('en', 'de')
     GROUP BY lang, source"""
 
+  /** Schema-evolution replay: which era a row landed in (and so
+    * whether its lang is null-filled) is exactly the batch split. */
+  val evolvedIngestStats: String =
+    """SELECT CASE WHEN doc_id % 2 = 0 THEN 'pre_evolution' ELSE lang END
+        AS lang_merged,
+      count(*)::BIGINT AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1"""
+
   /** Dynamic partition pruning replay: the same dim join, statically —
     * pruning is an execution strategy, the result is this join. */
   val dppFamilyStats: String =

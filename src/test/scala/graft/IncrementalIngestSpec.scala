@@ -130,4 +130,16 @@ class IncrementalIngestSpec extends SparkSpec {
     val index = s.read.parquet(s"$dir/index")
     assert(index.count() == 2L * Config.Bands)
   }
+
+  test("mergeSchema unifies landing batches across a schema evolution") {
+    import org.apache.spark.sql.functions._
+    val merged = IncrementalIngest.evolvedIngestStats(spark, Sf0001)
+    // pre-evolution rows surface as the null-filled bucket; both eras
+    // are present and nothing is dropped by the schema difference
+    val total = merged.agg(sum("n_docs")).head().getLong(0)
+    assert(total == spark.read.parquet(s"$Sf0001/documents.parquet").count())
+    assert(merged.filter(col("lang_merged") === "pre_evolution").count() == 1)
+    assert(merged.filter(col("lang_merged") =!= "pre_evolution").count() >= 2,
+      "post-evolution rows must keep their real lang values")
+  }
 }
