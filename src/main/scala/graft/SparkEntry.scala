@@ -325,6 +325,19 @@ object SparkEntry {
     // from the script-family dim filter — the fact scan carries a
     // dynamicpruningexpression instead of a static partition list
     "dpp_join" -> ((s, d) => graft.sources.Bucketed.dppFamilyStats(s, d)),
+    // the reference's NATIVE line format through the DataSource V2
+    // connector: id\t escaped-text lines, newline-aligned byte splits
+    // (64 KB here so even sf0.001 scans in parallel), doc_id filter
+    // pushed into the reader, text column prunable — O1 re-expressed
+    // through the modern connector API
+    "dsv2_text_scan" -> ((s, d) => {
+      val df = docs(s, d).select("doc_id", "text")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_dsv2_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.Sinks.writeDocLines(df, dir)
+      s.read.format("graft.sources.v2.DocsTextSource")
+        .option("splitBytes", (64 * 1024).toString).load(dir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") >= 100L)
+    }),
     // and through the ORC sink/source pair (schema rides the footers)
     "orc_roundtrip" -> ((s, d) => {
       val df = docs(s, d).select("doc_id", "lang", "source", "text")
@@ -441,6 +454,7 @@ object SparkEntry {
     "intra_dedup" -> Sql.intraDedup,
     "corpus_diff" -> Sql.corpusDiff,
     "sketch_error_gate" -> Sql.sketchErrorGate,
+    "dsv2_text_scan" -> Sql.dsv2TextScan,
     "bucketed_join" -> Sql.bucketedOrderRevenue,
     "partition_pruned" -> Sql.partitionPrunedStats,
     "dpp_join" -> Sql.dppFamilyStats,

@@ -1972,6 +1972,11 @@ WHERE rr <= $HybridTopK""")
     FROM documents WHERE lang IN ('en', 'de')
     GROUP BY lang, source"""
 
+  /** The DSv2 line-format connector must reproduce the table exactly
+    * (escape/unescape round trip) with its pushed bound applied. */
+  val dsv2TextScan: String =
+    "SELECT doc_id, text FROM documents WHERE doc_id >= 100"
+
   /** Schema-evolution replay: which era a row landed in (and so
     * whether its lang is null-filled) is exactly the batch split. */
   val evolvedIngestStats: String =

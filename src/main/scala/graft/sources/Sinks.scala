@@ -52,6 +52,19 @@ object Sinks {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Reference-native line format `<doc_id>\t<escaped text>` — the
+    * input shape the reference's jobs consume (one doc per line).
+    * Backslash, TAB, and LF are escaped so ANY text survives the
+    * line format; [[graft.sources.v2.DocsTextSource]] reverses it. */
+  def writeDocLines(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val esc = replace(replace(replace(
+      coalesce(df("text"), lit("")),
+      lit("\\"), lit("\\\\")), lit("\t"), lit("\\t")), lit("\n"), lit("\\n"))
+    df.select(concat(df("doc_id").cast("string"), lit("\t"), esc).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
   /** Materialize the three reference-shaped artifacts for a document
     * set: the shingle inverted index (Job 1 output), the verified
     * pair list in both directions (Job 3 output), and the similar

@@ -1,0 +1,204 @@
+package graft.sources.v2
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the reference's native input format —
+  * one document per line, `<doc_id>\t<escaped text>` (the text scan
+  * + record-id operator O1, `Shingling.java:30-36` semantics,
+  * re-expressed through Spark's connector API instead of a
+  * line-RDD):
+  *
+  *  - **Byte-range splits, newline-aligned**: each file is cut into
+  *    `splitBytes` ranges; a reader seeks to its start, skips to the
+  *    first line BEGINNING at-or-after it, and reads through the
+  *    first line ending past its end — every line is read exactly
+  *    once whatever the split size (the classic text-split contract;
+  *    SplitSpec proves result ≡ unsplit). At 100 TB this is what
+  *    makes a 10 GB landing file parallel instead of one task.
+  *  - **Column pruning**: `pruneColumns` reaches the reader — a
+  *    doc_id-only projection never materializes text bytes as rows
+  *    (the dominant cost for document corpora).
+  *  - **Filter pushdown**: doc_id comparisons evaluate inside the
+  *    reader BEFORE row construction; pushed filters surface in the
+  *    scan description for plan audits.
+  *
+  * Escaping: `\` → `\\`, TAB → `\t`, LF → `\n` (writer:
+  * [[graft.sources.Sinks.writeDocLines]]) so any text round-trips a
+  * line format. Line parsing splits on the FIRST unescaped tab.
+  */
+class DocsTextSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DocsTextSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new DocsTextTable(properties.get("path"),
+      Option(properties.get("splitBytes")).map(_.toLong)
+        .getOrElse(DocsTextSource.DefaultSplitBytes))
+}
+
+object DocsTextSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  private[v2] def unescape(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case other => b.append(c); b.append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+}
+
+class DocsTextTable(path: String, splitBytes: Long) extends Table with SupportsRead {
+  override def name(): String = s"graft_docs_text($path)"
+  override def schema(): StructType = DocsTextSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DocsTextScanBuilder(path, splitBytes)
+}
+
+class DocsTextScanBuilder(path: String, splitBytes: Long)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = DocsTextSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** doc_id bound comparisons are applied EXACTLY in the reader, so
+    * they are consumed here (no residual re-evaluation); anything
+    * else stays with Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition {
+      case EqualTo("doc_id", _: java.lang.Long) => true
+      case GreaterThan("doc_id", _: java.lang.Long) => true
+      case GreaterThanOrEqual("doc_id", _: java.lang.Long) => true
+      case LessThan("doc_id", _: java.lang.Long) => true
+      case LessThanOrEqual("doc_id", _: java.lang.Long) => true
+      case _ => false
+    }
+    pushed = supported
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new DocsTextScan(path, splitBytes, required, pushed)
+}
+
+class DocsTextScan(path: String, splitBytes: Long, required: StructType,
+                   pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"DocsTextScan path=$path, ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = FileSystem.get(new HPath(path).toUri, new Configuration())
+    val files = fs.listStatus(new HPath(path)).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+        && !f.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.toString)
+    files.flatMap { f =>
+      val len = f.getLen
+      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+      (0L until n).map(i => DocsTextPartition(f.getPath.toString,
+        i * splitBytes, math.min((i + 1) * splitBytes, len), len))
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocsTextReaderFactory(required, pushed)
+}
+
+case class DocsTextPartition(file: String, start: Long, end: Long,
+                             fileLen: Long) extends InputPartition
+
+class DocsTextReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DocsTextPartition]
+    new DocsTextReader(p, required, pushed)
+  }
+}
+
+/** Reads lines whose FIRST byte lies in [start, end): seek to start,
+  * discard the (possibly partial) line in progress unless start is 0,
+  * then read full lines while their starting offset is < end. A line
+  * spanning the end boundary belongs to THIS split (its first byte is
+  * in-range) and is read past `end`; the next split discards it as
+  * its partial head — exactly-once without coordination. */
+class DocsTextReader(p: DocsTextPartition, required: StructType,
+                     pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+  private val fs = FileSystem.get(new HPath(p.file).toUri, new Configuration())
+  private val in = fs.open(new HPath(p.file))
+  private val reader = {
+    in.seek(p.start)
+    new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+  }
+  // byte offset of the next line start (tracked in UTF-8 bytes)
+  private var pos: Long = p.start
+  if (p.start > 0) {
+    val partial = reader.readLine() // tail of the previous split's line
+    if (partial != null) pos += partial.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1
+  }
+  private var row: InternalRow = _
+
+  private def keep(id: Long): Boolean = pushed.forall {
+    case EqualTo("doc_id", v: java.lang.Long) => id == v
+    case GreaterThan("doc_id", v: java.lang.Long) => id > v
+    case GreaterThanOrEqual("doc_id", v: java.lang.Long) => id >= v
+    case LessThan("doc_id", v: java.lang.Long) => id < v
+    case LessThanOrEqual("doc_id", v: java.lang.Long) => id <= v
+    case _ => true
+  }
+
+  override def next(): Boolean = {
+    while (pos < p.end) {
+      val line = reader.readLine()
+      if (line == null) return false
+      pos += line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1
+      val tab = line.indexOf('\t') // escaped tabs are "\\t", never raw
+      if (tab > 0) {
+        val id = java.lang.Long.parseLong(line.substring(0, tab))
+        if (keep(id)) {
+          val vals = required.fieldNames.map {
+            case "doc_id" => java.lang.Long.valueOf(id)
+            case "text" =>
+              UTF8String.fromString(DocsTextSource.unescape(line.substring(tab + 1)))
+          }
+          row = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+          return true
+        }
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}

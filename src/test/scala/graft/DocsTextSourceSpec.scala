@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Sinks
+
+class DocsTextSourceSpec extends SparkSpec {
+
+  private def roundTrip(rows: Seq[(Long, String)], splitBytes: Long = 64 * 1024) = {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-dsv2").toString
+    Sinks.writeDocLines(rows.toDF("doc_id", "text"), dir)
+    spark.read.format("graft.sources.v2.DocsTextSource")
+      .option("splitBytes", splitBytes.toString).load(dir)
+  }
+
+  test("escape round trip survives tabs, newlines, and backslashes") {
+    val rows = Seq(
+      1L -> "plain text",
+      2L -> "tab\there and\there",
+      3L -> "line one\nline two\n",
+      4L -> "back\\slash and \\t literal",
+      5L -> "")
+    val back = roundTrip(rows).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, t) =>
+      assert(back(id) == t, s"doc $id mangled: got ${back(id)}")
+    }
+  }
+
+  test("byte-range splits read every line exactly once") {
+    val rows = (0L until 500L).map(i => i -> s"document number $i with some padding text")
+    // tiny splits: hundreds of ranges, most starting mid-line
+    val split = roundTrip(rows, splitBytes = 256)
+    assert(split.rdd.getNumPartitions > 10, "tiny splitBytes must produce many partitions")
+    val got = split.collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(got.length == 500, s"expected 500 rows, got ${got.length}")
+    assert(got.toSeq == rows.sortBy(_._1), "split reads must equal the unsplit content")
+  }
+
+  test("doc_id filter is pushed into the reader and column pruning reaches the scan") {
+    val df = roundTrip((0L until 100L).map(i => i -> s"text $i"))
+      .filter(col("doc_id") >= 50L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [GreaterThanOrEqual(doc_id,50)"),
+      s"bound must appear in the scan description, plan was:\n$plan")
+    assert(df.count() == 50)
+    val pruned = roundTrip((0L until 10L).map(i => i -> s"t $i")).select("doc_id")
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"text must be pruned from the read schema, plan was:\n$prunedPlan")
+  }
+
+  test("connector equals the documents table on real corpus data") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-dsv2-corpus").toString
+    Sinks.writeDocLines(docs, dir)
+    val back = spark.read.format("graft.sources.v2.DocsTextSource")
+      .option("splitBytes", "4096").load(dir)
+    assert(back.except(docs).isEmpty && docs.except(back).isEmpty)
+  }
+}
