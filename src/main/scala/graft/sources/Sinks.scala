@@ -54,13 +54,16 @@ object Sinks {
 
   /** Reference-native line format `<doc_id>\t<escaped text>` — the
     * input shape the reference's jobs consume (one doc per line).
-    * Backslash, TAB, and LF are escaped so ANY text survives the
-    * line format; [[graft.sources.v2.DocsTextSource]] reverses it. */
+    * Backslash, TAB, LF, and CR are escaped so ANY text survives the
+    * line format (CR matters: the reader frames with readLine, which
+    * treats a raw CR as a terminator too);
+    * [[graft.sources.v2.DocsTextSource]] reverses it. */
   def writeDocLines(df: DataFrame, path: String): Unit = {
     import org.apache.spark.sql.functions._
-    val esc = replace(replace(replace(
+    val esc = replace(replace(replace(replace(
       coalesce(df("text"), lit("")),
-      lit("\\"), lit("\\\\")), lit("\t"), lit("\\t")), lit("\n"), lit("\\n"))
+      lit("\\"), lit("\\\\")), lit("\t"), lit("\\t")),
+      lit("\n"), lit("\\n")), lit("\r"), lit("\\r"))
     df.select(concat(df("doc_id").cast("string"), lit("\t"), esc).as("value"))
       .write.mode("overwrite").text(path)
   }

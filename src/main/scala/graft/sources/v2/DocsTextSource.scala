@@ -55,7 +55,14 @@ object DocsTextSource {
     StructField("text", StringType, nullable = true)))
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
 
-  private[v2] def unescape(s: String): String = {
+  /** Scala mirror of the writer's SQL replace chain
+    * ([[graft.sources.Sinks.writeDocLines]]) — property-tested as an
+    * exact inverse of [[unescape]] for arbitrary text. */
+  private[graft] def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t")
+      .replace("\n", "\\n").replace("\r", "\\r")
+
+  private[graft] def unescape(s: String): String = {
     if (s.indexOf('\\') < 0) return s
     val b = new java.lang.StringBuilder(s.length)
     var i = 0
@@ -65,6 +72,7 @@ object DocsTextSource {
         s.charAt(i + 1) match {
           case 'n' => b.append('\n'); i += 2
           case 't' => b.append('\t'); i += 2
+          case 'r' => b.append('\r'); i += 2
           case '\\' => b.append('\\'); i += 2
           case other => b.append(c); b.append(other); i += 2
         }

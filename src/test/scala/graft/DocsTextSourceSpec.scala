@@ -15,13 +15,31 @@ class DocsTextSourceSpec extends SparkSpec {
       .option("splitBytes", splitBytes.toString).load(dir)
   }
 
-  test("escape round trip survives tabs, newlines, and backslashes") {
+  test("escape/unescape are exact inverses for arbitrary text (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.sources.v2.DocsTextSource.{escape, unescape}
+    val textGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 1 -> Gen.const('\\'), 1 -> Gen.const('\t'),
+      1 -> Gen.const('\n'), 1 -> Gen.const('\r'),
+      1 -> Gen.oneOf('é', '中', '≤', ' '))).map(_.mkString)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500),
+      Prop.forAll(textGen) { s =>
+        val e = escape(s)
+        unescape(e) == s &&
+          !e.contains('\n') && !e.contains('\r') && !e.contains('\t')
+      })
+    assert(res.passed, s"escape property: ${res.status}")
+  }
+
+  test("escape round trip survives tabs, newlines, CRs, and backslashes") {
     val rows = Seq(
       1L -> "plain text",
       2L -> "tab\there and\there",
       3L -> "line one\nline two\n",
       4L -> "back\\slash and \\t literal",
-      5L -> "")
+      5L -> "",
+      6L -> "carriage\rreturn and \r\n pair")
     val back = roundTrip(rows).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     rows.foreach { case (id, t) =>
