@@ -92,9 +92,16 @@ class DocsTextTable(path: String, splitBytes: Long) extends Table with SupportsR
 }
 
 class DocsTextScanBuilder(path: String, splitBytes: Long)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private var required: StructType = DocsTextSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** Partition-LOCAL limit (the pushdown contract — Spark applies
+    * the global limit above the scan): each reader stops after n
+    * surviving rows instead of scanning its whole byte range. */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
 
   /** doc_id bound comparisons are applied EXACTLY in the reader, so
     * they are consumed here (no residual re-evaluation); anything
@@ -115,16 +122,17 @@ class DocsTextScanBuilder(path: String, splitBytes: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new DocsTextScan(path, splitBytes, required, pushed)
+    new DocsTextScan(path, splitBytes, required, pushed, limit)
 }
 
 class DocsTextScan(path: String, splitBytes: Long, required: StructType,
-                   pushed: Array[Filter]) extends Scan with Batch {
+                   pushed: Array[Filter], limit: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"DocsTextScan path=$path, ReadSchema: ${required.simpleString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = FileSystem.get(new HPath(path).toUri, new Configuration())
@@ -140,17 +148,17 @@ class DocsTextScan(path: String, splitBytes: Long, required: StructType,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocsTextReaderFactory(required, pushed)
+    new DocsTextReaderFactory(required, pushed, limit)
 }
 
 case class DocsTextPartition(file: String, start: Long, end: Long,
                              fileLen: Long) extends InputPartition
 
-class DocsTextReaderFactory(required: StructType, pushed: Array[Filter])
-    extends PartitionReaderFactory {
+class DocsTextReaderFactory(required: StructType, pushed: Array[Filter],
+                            limit: Int) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DocsTextPartition]
-    new DocsTextReader(p, required, pushed)
+    new DocsTextReader(p, required, pushed, limit)
   }
 }
 
@@ -161,7 +169,8 @@ class DocsTextReaderFactory(required: StructType, pushed: Array[Filter])
   * in-range) and is read past `end`; the next split discards it as
   * its partial head — exactly-once without coordination. */
 class DocsTextReader(p: DocsTextPartition, required: StructType,
-                     pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+                     pushed: Array[Filter], limit: Int)
+    extends PartitionReader[InternalRow] {
   private val fs = FileSystem.get(new HPath(p.file).toUri, new Configuration())
   private val in = fs.open(new HPath(p.file))
   private val reader = {
@@ -186,7 +195,10 @@ class DocsTextReader(p: DocsTextPartition, required: StructType,
     case _ => true
   }
 
+  private var emitted = 0
+
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (pos < p.end) {
       val line = reader.readLine()
       if (line == null) return false
@@ -201,6 +213,7 @@ class DocsTextReader(p: DocsTextPartition, required: StructType,
               UTF8String.fromString(DocsTextSource.unescape(line.substring(tab + 1)))
           }
           row = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+          emitted += 1
           return true
         }
       }

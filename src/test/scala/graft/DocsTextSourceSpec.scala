@@ -70,6 +70,20 @@ class DocsTextSourceSpec extends SparkSpec {
       s"text must be pruned from the read schema, plan was:\n$prunedPlan")
   }
 
+  test("limit pushdown stops readers early and keeps limit semantics") {
+    val df = roundTrip((0L until 1000L).map(i => i -> s"text $i")).limit(7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 7"),
+      s"limit must reach the scan description, plan was:\n$plan")
+    assert(df.count() == 7)
+    // pushed limit must compose with pushed filters (partition-local
+    // limit applies to SURVIVING rows, so the global result is intact)
+    val filtered = roundTrip((0L until 1000L).map(i => i -> s"text $i"))
+      .filter(col("doc_id") >= 990L).limit(5)
+    assert(filtered.count() == 5)
+    assert(filtered.collect().forall(_.getLong(0) >= 990L))
+  }
+
   test("connector equals the documents table on real corpus data") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
       .select("doc_id", "text")
