@@ -333,7 +333,9 @@ object SparkEntry {
     "dsv2_text_scan" -> ((s, d) => {
       val df = docs(s, d).select("doc_id", "text")
       val dir = s"${sys.props("java.io.tmpdir")}/graft_dsv2_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-      graft.sources.Sinks.writeDocLines(df, dir)
+      // the V2 WRITE path (two-phase task commit), then the V2 read
+      df.write.format("graft.sources.v2.DocsTextSource")
+        .mode("overwrite").save(dir)
       s.read.format("graft.sources.v2.DocsTextSource")
         .option("splitBytes", (64 * 1024).toString).load(dir)
         .filter(org.apache.spark.sql.functions.col("doc_id") >= 100L)

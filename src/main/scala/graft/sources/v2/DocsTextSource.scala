@@ -82,13 +82,20 @@ object DocsTextSource {
   }
 }
 
-class DocsTextTable(path: String, splitBytes: Long) extends Table with SupportsRead {
+class DocsTextTable(path: String, splitBytes: Long)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_docs_text($path)"
   override def schema(): StructType = DocsTextSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocsTextScanBuilder(path, splitBytes)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new DocsTextWriteBuilder(path, info)
 }
 
 class DocsTextScanBuilder(path: String, splitBytes: Long)
