@@ -296,6 +296,9 @@ object SparkEntry {
     // sketch values aren't replayable, but "within the configured
     // error bound of exact" is a bit per group the oracle CAN expect
     "sketch_error_gate" -> ((s, d) => Relational.sketchErrorGate(s, d)),
+    // same pattern for the quantile sketch: approx_percentile's
+    // rank-error contract recomputed exactly, one bit per quantile
+    "quantile_error_gate" -> ((s, d) => Relational.quantileErrorGate(s, d)),
     // O2 CSV sink + explicit-schema source ROUND TRIP as an oracle
     // query: write-then-read must reproduce the table bit-for-bit
     // (quoting, header, type parse) — oracle replays the identity
@@ -414,6 +417,7 @@ object SparkEntry {
     "incremental_pairs" -> Sql.incrementalPairs,
     "ingest_filter" -> Sql.ingestFilter,
     "ingest_evolve" -> Sql.evolvedIngestStats,
+    "quantile_error_gate" -> Sql.quantileErrorGate,
     "similar_pairs" -> Sql.similarPairs,
     "pairs_symmetric" -> Sql.pairsSymmetric,
     "minhash_estimate" -> Sql.minhashEstimate,

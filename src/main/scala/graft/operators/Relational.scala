@@ -357,6 +357,45 @@ object Relational {
       within("approx_supps", "exact_supps").as("supps_within"))
   }
 
+  /** Quantile-sketch QUALITY gate — the sketch_error_gate pattern for
+    * the other workhorse sketch: approx_percentile's contract is that
+    * the returned value's exact-rank interval intersects
+    * [q·n − n/acc, q·n + n/acc]. The sketch VALUE is partition-order
+    * sensitive (mergeable summaries), but the CONTRACT is
+    * deterministic, so the gate recomputes each approx value's true
+    * rank interval and emits one oracle-replayable bit per quantile.
+    * At 100 TB the sketch is the only viable percentile (exact needs
+    * a global sort); this gate is what lets a pipeline trust it.
+    * Integer arithmetic throughout (ranks ×10000 vs q in basis
+    * points). The two driver-side head() calls fetch one bounded
+    * aggregate row each (the AnnRecall precedent), never data. */
+  def quantileErrorGate(spark: SparkSession, dir: String,
+                        accuracy: Int = 1000): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(cents(col("l_extendedprice")).as("price_c"))
+    val qbps = Seq(5000L, 9000L, 9900L)
+    val first = li.agg(
+      expr(s"approx_percentile(price_c, array(0.5, 0.9, 0.99), $accuracy)")
+        .as("vs"),
+      count(lit(1)).as("n")).head()
+    val vs = first.getSeq[Long](0)
+    val n = first.getLong(1)
+    val rankCols = qbps.indices.flatMap { i =>
+      Seq(sum(when(col("price_c") <= vs(i), 1L).otherwise(0L)).as(s"le_$i"),
+        sum(when(col("price_c") < vs(i), 1L).otherwise(0L)).as(s"lt_$i"))
+    }
+    val counts = li.agg(rankCols.head, rankCols.tail: _*).head()
+    val slack = n * 10000L / accuracy
+    import spark.implicits._
+    qbps.zipWithIndex.map { case (qbp, i) =>
+      val le = counts.getLong(2 * i)
+      val lt = counts.getLong(2 * i + 1)
+      val ok = le * 10000L >= qbp * n - slack &&
+        (lt + 1) * 10000L <= qbp * n + slack
+      (qbp, if (ok) 1L else 0L)
+    }.toDF("quantile_bp", "within")
+  }
+
   /** Skew-resilient join surfaced as a query: lineitem x orders via
     * the salted equi-join (hot orderkeys scatter across saltFactor
     * reducer partitions), aggregated to revenue per status. The

@@ -543,6 +543,12 @@ WHERE rn = 1""")
     FROM (SELECT DISTINCT l_returnflag FROM lineitem)"""
   }
 
+  /** Quantile gate replay: the sketch value isn't replayable, its
+    * rank-error contract holding is (sketch_error_gate pattern). */
+  val quantileErrorGate: String =
+    """SELECT * FROM (VALUES (CAST(5000 AS BIGINT), CAST(1 AS BIGINT)),
+      (9000, 1), (9900, 1)) t(quantile_bp, "within")"""
+
   /** Sink→source round trips must reproduce the table exactly — the
     * oracle is the identity over the written columns. */
   val docsIdentity: String =

@@ -158,4 +158,16 @@ class RelationalSpec extends SparkSpec {
     assert(rows.length <= 20)
     assert(rows.sameElements(rows.sortBy(t => (-t._1, t._2))))
   }
+
+  test("quantile gate: approx_percentile meets its rank-error contract") {
+    val bits = Relational.quantileErrorGate(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bits == Map(5000L -> 1L, 9000L -> 1L, 9900L -> 1L),
+      s"every quantile must be within n/accuracy rank error, got $bits")
+    // a deliberately coarse sketch must still satisfy ITS OWN looser
+    // contract (the gate scales with the configured accuracy)
+    val coarse = Relational.quantileErrorGate(spark, Sf0001, accuracy = 50)
+      .collect().map(r => r.getLong(1))
+    assert(coarse.forall(_ == 1L))
+  }
 }
