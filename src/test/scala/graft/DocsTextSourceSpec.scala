@@ -84,6 +84,21 @@ class DocsTextSourceSpec extends SparkSpec {
     assert(filtered.collect().forall(_.getLong(0) >= 990L))
   }
 
+  test("externally-produced files: no trailing newline, empty dir, empty file") {
+    val dir = Files.createTempDirectory("graft-dsv2-ext")
+    // a producer that doesn't end the last line — both rows must read
+    Files.write(dir.resolve("a.txt"),
+      "1\thello\n2\tworld".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(dir.resolve("b.txt"), Array.emptyByteArray)
+    val got = spark.read.format("graft.sources.v2.DocsTextSource")
+      .load(dir.toString).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "hello", 2L -> "world"))
+    val empty = Files.createTempDirectory("graft-dsv2-empty")
+    assert(spark.read.format("graft.sources.v2.DocsTextSource")
+      .load(empty.toString).count() == 0)
+  }
+
   test("connector equals the documents table on real corpus data") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
       .select("doc_id", "text")
