@@ -49,6 +49,14 @@ class BucketedSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("a filter matching no partition prunes to an empty scan, not an error") {
+    val none = Bucketed.partitionPrunedStats(spark, Sf0001, langs = Seq("xx"))
+    assert(none.count() == 0)
+    val some = Bucketed.partitionPrunedStats(spark, Sf0001, langs = Seq("xx", "en"))
+    assert(some.count() > 0)
+    assert(some.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+  }
+
   test("dim-filtered join plans DYNAMIC partition pruning on the fact scan") {
     val df = Bucketed.dppFamilyStats(spark, Sf0001)
     val formatted = df.queryExecution.explainString(
