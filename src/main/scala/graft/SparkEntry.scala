@@ -320,6 +320,9 @@ object SparkEntry {
     // Exchange (BucketedSpec asserts it) — the write-once/never-
     // shuffle-again layout for repeated fact-fact work at 100 TB
     "bucketed_join" -> ((s, d) => graft.sources.Bucketed.bucketedOrderRevenue(s, d)),
+    // the flat twin (same semantics + strategy, no layout): the bench
+    // pair quantifies the exchanges the bucketed layout removes
+    "unbucketed_join" -> ((s, d) => graft.sources.Bucketed.flatOrderRevenue(s, d)),
     // hive-partitioned layout read back with a language filter: the
     // predicate plans as PartitionFilters, non-matching directories
     // are never opened (the per-language corpus consumer shape)
@@ -462,6 +465,7 @@ object SparkEntry {
     "sketch_error_gate" -> Sql.sketchErrorGate,
     "dsv2_text_scan" -> Sql.dsv2TextScan,
     "bucketed_join" -> Sql.bucketedOrderRevenue,
+    "unbucketed_join" -> Sql.bucketedOrderRevenue,
     "partition_pruned" -> Sql.partitionPrunedStats,
     "dpp_join" -> Sql.dppFamilyStats,
     "csv_roundtrip" -> Sql.docsIdentity,

@@ -84,6 +84,23 @@ object Bucketed {
       .agg(sum(col("rev_c4")).as("revenue_c4"))
   }
 
+  /** The FLAT twin of [[bucketedOrderRevenue]] — identical semantics
+    * and strategy (merge hint) from the unbucketed parquet tables, so
+    * the bench pair quantifies exactly what the layout removes: the
+    * two pre-join Exchanges and the pre-agg one (the skew_join_*
+    * pair pattern). Same oracle as bucketed_join. */
+  def flatOrderRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("rev_c4"))
+    o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(sum(col("rev_c4")).as("revenue_c4"))
+  }
+
   /** Hive-partitioned documents (lang=.../ directories) read back
     * with a language filter: the scan plans the predicate as
     * PartitionFilters (asserted in BucketedSpec) — non-matching
