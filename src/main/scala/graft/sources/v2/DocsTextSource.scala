@@ -211,6 +211,14 @@ class DocsTextReader(p: DocsTextPartition, required: StructType,
       if (line == null) return false
       pos += line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1
       val tab = line.indexOf('\t') // escaped tabs are "\\t", never raw
+      // a non-empty line without an id field is store corruption —
+      // surface it loudly (the ingest-loop posture), never drop data
+      // silently; fully blank lines (trailing-edit artifacts) are
+      // tolerated as no-ops
+      if (tab <= 0 && line.nonEmpty)
+        throw new IllegalArgumentException(
+          s"malformed doc line (no id\\tfield) in ${p.file} near byte $pos: " +
+            line.take(80))
       if (tab > 0) {
         val id = java.lang.Long.parseLong(line.substring(0, tab))
         if (keep(id)) {

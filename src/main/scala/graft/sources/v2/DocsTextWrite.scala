@@ -54,7 +54,13 @@ class DocsTextBatchWrite(path: String, fields: Seq[String], truncate: Boolean)
       if (f.isFile && !f.getPath.getName.startsWith("_")) fs.delete(f.getPath, false)
     }
     messages.foreach { case DocsTextCommitMessage(tmp, partition) =>
-      fs.rename(new HPath(tmp), new HPath(dest, f"part-$partition%05d.txt"))
+      val target = new HPath(dest, f"part-$partition%05d.txt")
+      // visibility IS the rename — a silent rename failure would drop
+      // a committed partition, so it must fail the job commit
+      if (fs.exists(target)) fs.delete(target, false)
+      if (!fs.rename(new HPath(tmp), target))
+        throw new java.io.IOException(
+          s"commit rename failed: $tmp -> $target")
     }
     fs.delete(new HPath(jobTemp), true)
   }

@@ -99,6 +99,19 @@ class DocsTextSourceSpec extends SparkSpec {
       .load(empty.toString).count() == 0)
   }
 
+  test("a malformed line surfaces loudly instead of dropping data") {
+    val dir = Files.createTempDirectory("graft-dsv2-bad")
+    Files.write(dir.resolve("a.txt"),
+      "1\tok\nno tab here\n2\talso ok\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft.sources.v2.DocsTextSource")
+        .load(dir.toString).count()
+    }
+    assert(e.getMessage.contains("malformed doc line") ||
+      Option(e.getCause).exists(_.getMessage.contains("malformed doc line")))
+  }
+
   test("connector equals the documents table on real corpus data") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
       .select("doc_id", "text")
