@@ -1984,10 +1984,14 @@ WHERE rr <= $HybridTopK""")
     "SELECT doc_id, text FROM documents WHERE doc_id >= 100"
 
   /** Schema-evolution replay: which era a row landed in (and so
-    * whether its lang is null-filled) is exactly the batch split. */
+    * whether its lang is null-filled) is exactly the batch split.
+    * The ELSE coalesces too: the Spark side buckets by lang NULLNESS
+    * after the merge, so an evolved-era row that genuinely has NULL
+    * lang lands in 'pre_evolution' there — mirror that here or a
+    * NULL-lang row in the table becomes a data-dependent mismatch. */
   val evolvedIngestStats: String =
-    """SELECT CASE WHEN doc_id % 2 = 0 THEN 'pre_evolution' ELSE lang END
-        AS lang_merged,
+    """SELECT CASE WHEN doc_id % 2 = 0 THEN 'pre_evolution'
+        ELSE coalesce(lang, 'pre_evolution') END AS lang_merged,
       count(*)::BIGINT AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY 1"""
 

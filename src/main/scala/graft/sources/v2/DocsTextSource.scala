@@ -22,12 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * line-RDD):
   *
   *  - **Byte-range splits, newline-aligned**: each file is cut into
-  *    `splitBytes` ranges; a reader seeks to its start, skips to the
-  *    first line BEGINNING at-or-after it, and reads through the
-  *    first line ending past its end — every line is read exactly
-  *    once whatever the split size (the classic text-split contract;
-  *    SplitSpec proves result ≡ unsplit). At 100 TB this is what
-  *    makes a 10 GB landing file parallel instead of one task.
+  *    `splitBytes` ranges; a reader seeks to its start, always skips
+  *    its first line when start > 0, and reads lines whose starting
+  *    offset is <= its end (the Hadoop LineRecordReader contract) —
+  *    every line, including one starting exactly on a boundary, is
+  *    read exactly once whatever the split size (specs prove result
+  *    ≡ unsplit, including boundary-aligned and CRLF lines). At
+  *    100 TB this is what makes a 10 GB landing file parallel
+  *    instead of one task.
   *  - **Column pruning**: `pruneColumns` reaches the reader — a
   *    doc_id-only projection never materializes text bytes as rows
   *    (the dominant cost for document corpora).
@@ -169,28 +171,54 @@ class DocsTextReaderFactory(required: StructType, pushed: Array[Filter],
   }
 }
 
-/** Reads lines whose FIRST byte lies in [start, end): seek to start,
-  * discard the (possibly partial) line in progress unless start is 0,
-  * then read full lines while their starting offset is < end. A line
-  * spanning the end boundary belongs to THIS split (its first byte is
-  * in-range) and is read past `end`; the next split discards it as
-  * its partial head — exactly-once without coordination. */
+/** Reads lines by the Hadoop LineRecordReader contract: seek to
+  * start, ALWAYS discard the first line when start > 0 (it belongs to
+  * the split on the left, whether it started before the boundary or
+  * exactly on it), then read full lines while their starting offset
+  * is <= end. The line starting exactly at `end` is read by THIS
+  * split and discarded as the head of the next — so boundary-aligned
+  * lines are read exactly once, with no coordination. (Stopping at
+  * a strict `< end` instead would read a boundary-aligned line in
+  * NEITHER split: the left stops short and the right skips it.)
+  *
+  * Lines are framed on the RAW byte stream — terminators LF, CRLF,
+  * or lone CR, counting the actual terminator bytes — because the
+  * split arithmetic above is byte-offset arithmetic: a char-level
+  * readLine that silently eats 1 or 2 terminator bytes drifts `pos`
+  * on externally-produced CRLF files and corrupts boundary handling. */
 class DocsTextReader(p: DocsTextPartition, required: StructType,
                      pushed: Array[Filter], limit: Int)
     extends PartitionReader[InternalRow] {
   private val fs = FileSystem.get(new HPath(p.file).toUri, new Configuration())
   private val in = fs.open(new HPath(p.file))
-  private val reader = {
+  private val bin = {
     in.seek(p.start)
-    new java.io.BufferedReader(
-      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    new java.io.BufferedInputStream(in, 64 * 1024)
   }
-  // byte offset of the next line start (tracked in UTF-8 bytes)
+  // byte offset of the next line start (exact — includes terminator bytes)
   private var pos: Long = p.start
-  if (p.start > 0) {
-    val partial = reader.readLine() // tail of the previous split's line
-    if (partial != null) pos += partial.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1
+
+  /** One line off the raw stream; advances `pos` by the exact bytes
+    * consumed (content + terminator). Null at EOF, nothing consumed. */
+  private def readLineExact(): String = {
+    var b = bin.read()
+    if (b == -1) return null
+    val buf = new java.io.ByteArrayOutputStream(128)
+    while (b != -1 && b != '\n' && b != '\r') {
+      buf.write(b); pos += 1
+      b = bin.read()
+    }
+    if (b == '\n') pos += 1
+    else if (b == '\r') {
+      pos += 1
+      bin.mark(1)
+      val nb = bin.read()
+      if (nb == '\n') pos += 1 else if (nb != -1) bin.reset()
+    } // b == -1: final line ends at EOF with no terminator bytes
+    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
+
+  if (p.start > 0) readLineExact() // left split's line (partial or boundary-aligned)
   private var row: InternalRow = _
 
   private def keep(id: Long): Boolean = pushed.forall {
@@ -206,10 +234,9 @@ class DocsTextReader(p: DocsTextPartition, required: StructType,
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
-    while (pos < p.end) {
-      val line = reader.readLine()
+    while (pos <= p.end) {
+      val line = readLineExact()
       if (line == null) return false
-      pos += line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1
       val tab = line.indexOf('\t') // escaped tabs are "\\t", never raw
       // a non-empty line without an id field is store corruption —
       // surface it loudly (the ingest-loop posture), never drop data
@@ -236,5 +263,5 @@ class DocsTextReader(p: DocsTextPartition, required: StructType,
     false
   }
   override def get(): InternalRow = row
-  override def close(): Unit = reader.close()
+  override def close(): Unit = bin.close()
 }

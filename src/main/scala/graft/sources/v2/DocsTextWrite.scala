@@ -41,7 +41,12 @@ case class DocsTextCommitMessage(tempFile: String, partition: Int)
 
 class DocsTextBatchWrite(path: String, fields: Seq[String], truncate: Boolean)
     extends BatchWrite {
-  private val jobTemp = s"$path/_temporary_${UUID.randomUUID().toString.take(8)}"
+  // one token names BOTH the temp dir and the final files: append-mode
+  // jobs into a populated directory ACCUMULATE (a prior job's
+  // part-00000-<otherJob>.txt can never collide with this job's), the
+  // same contract as Spark's file committers
+  private val jobToken = UUID.randomUUID().toString.take(8)
+  private val jobTemp = s"$path/_temporary_$jobToken"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new DocsTextWriterFactory(jobTemp, fields)
@@ -54,10 +59,10 @@ class DocsTextBatchWrite(path: String, fields: Seq[String], truncate: Boolean)
       if (f.isFile && !f.getPath.getName.startsWith("_")) fs.delete(f.getPath, false)
     }
     messages.foreach { case DocsTextCommitMessage(tmp, partition) =>
-      val target = new HPath(dest, f"part-$partition%05d.txt")
+      val target = new HPath(dest, f"part-$partition%05d-$jobToken.txt")
       // visibility IS the rename — a silent rename failure would drop
-      // a committed partition, so it must fail the job commit
-      if (fs.exists(target)) fs.delete(target, false)
+      // a committed partition, so it must fail the job commit (and
+      // job-unique names mean an existing target is never deleted)
       if (!fs.rename(new HPath(tmp), target))
         throw new java.io.IOException(
           s"commit rename failed: $tmp -> $target")

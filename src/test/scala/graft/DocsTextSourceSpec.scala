@@ -99,6 +99,58 @@ class DocsTextSourceSpec extends SparkSpec {
       .load(empty.toString).count() == 0)
   }
 
+  test("a line starting exactly on a split boundary is read exactly once") {
+    // every line exactly 32 bytes, splitBytes = 32: EVERY line starts
+    // exactly on a split boundary — the worst case for the Hadoop
+    // line contract (left split must read the boundary line, right
+    // split must skip it; a strict `< end` loop loses them all)
+    val dir = Files.createTempDirectory("graft-dsv2-bound")
+    val lines = (0 until 100).map { i =>
+      val head = s"$i\t"
+      head + ("x" * (31 - head.length)) + "\n"
+    }
+    lines.foreach(l => assert(l.length == 32))
+    Files.write(dir.resolve("a.txt"),
+      lines.mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val got = spark.read.format("graft.sources.v2.DocsTextSource")
+      .option("splitBytes", "32").load(dir.toString)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 100L),
+      s"boundary-aligned lines lost or duplicated: ${got.length} of 100")
+    // and at a coprime split size (boundaries land mid-line AND on
+    // line starts at irregular places) the content is identical too
+    val coprime = spark.read.format("graft.sources.v2.DocsTextSource")
+      .option("splitBytes", "97").load(dir.toString)
+      .collect().map(_.getLong(0)).sorted
+    assert(coprime.toSeq == (0L until 100L))
+  }
+
+  test("externally-produced CRLF and lone-CR files keep byte accounting exact") {
+    // BufferedReader-style framing would count 1 byte per terminator
+    // and drift 1 byte per CRLF line, silently corrupting split
+    // boundaries; raw-byte framing counts what was actually consumed
+    val dir = Files.createTempDirectory("graft-dsv2-crlf")
+    val crlf = (0 until 200).map(i => s"$i\tcrlf line $i").mkString("\r\n") + "\r\n"
+    Files.write(dir.resolve("crlf.txt"),
+      crlf.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val gotCrlf = spark.read.format("graft.sources.v2.DocsTextSource")
+      .option("splitBytes", "64").load(dir.toString)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(gotCrlf.length == 200,
+      s"CRLF drift lost/duplicated rows: got ${gotCrlf.length} of 200")
+    assert(gotCrlf.toSeq == (0 until 200).map(i => i.toLong -> s"crlf line $i"))
+
+    val dir2 = Files.createTempDirectory("graft-dsv2-cr")
+    val cr = (0 until 50).map(i => s"$i\tcr line $i").mkString("\r") + "\r"
+    Files.write(dir2.resolve("cr.txt"),
+      cr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val gotCr = spark.read.format("graft.sources.v2.DocsTextSource")
+      .option("splitBytes", "48").load(dir2.toString)
+      .collect().map(_.getLong(0)).sorted
+    assert(gotCr.toSeq == (0L until 50L),
+      s"lone-CR framing lost rows: got ${gotCr.length} of 50")
+  }
+
   test("a malformed line surfaces loudly instead of dropping data") {
     val dir = Files.createTempDirectory("graft-dsv2-bad")
     Files.write(dir.resolve("a.txt"),

@@ -31,6 +31,22 @@ class DocsTextWriteSpec extends SparkSpec {
     assert(ids == Seq(2L), s"overwrite must replace, saw $ids")
   }
 
+  test("append into a populated directory accumulates — never clobbers") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-v2a").toString
+    // both jobs use partition 0..1: without job-unique final names the
+    // second append would rename over the first job's part files
+    Seq(1L -> "job one a", 2L -> "job one b").toDF("doc_id", "text")
+      .repartition(2).write.format(Fmt).mode("append").save(dir)
+    Seq(3L -> "job two a", 4L -> "job two b").toDF("doc_id", "text")
+      .repartition(2).write.format(Fmt).mode("append").save(dir)
+    val ids = spark.read.format(Fmt).load(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L),
+      s"second append clobbered the first job's files, saw $ids")
+  }
+
   test("a failed job leaves the destination untouched (two-phase commit)") {
     val s = spark
     import s.implicits._
