@@ -58,6 +58,22 @@ object Config {
   /** Seed for the affine hash family. */
   val Seed: Long = 42L
 
+  /** The prefilter bound GENERALIZED to any verify threshold t: the
+    * estimate for a true pair at J=t is Binomial(S, t)/S, so admit
+    * anything within 4 sigma below the mean — agree count >=
+    * ceil(S*t - 4*sqrt(S*t*(1-t))). At the default t=0.8 this IS
+    * EstPrefilterMinCount (36); at lower operating points (e.g. the
+    * reference-corpus parity fixture at t=0.3) a fixed 36 would
+    * false-drop every true pair, which is why the bound must scale
+    * with the threshold a caller actually asked for. */
+  def estPrefilterMinCount(threshold: Double): Int = {
+    val s = NumHashes.toDouble
+    math.max(0, math.ceil(
+      s * threshold - 4.0 * math.sqrt(s * threshold * (1.0 - threshold))).toInt)
+  }
+  require(estPrefilterMinCount(Threshold) == EstPrefilterMinCount,
+    "threshold-derived prefilter must reproduce the calibrated default")
+
   /** Seeded affine coefficients (a_i in [1,P-1], b_i in [0,P-1]).
     * Embedded as literals into both the Spark plan and the generated
     * oracle SQL, so both engines use the same family. */

@@ -256,9 +256,13 @@ object MinHashLsh {
     * directly from the join output and never join back against a
     * signature table (which at 100 TB would be a second corpus-wide
     * shuffle). maxBucket optionally drops degenerate buckets. */
-  private def bandsCarryingSig(base: DataFrame, maxBucket: Option[Int]): DataFrame = {
-    val r0 = Config.RowsPerBand
-    val bandStructs = (0 until Config.Bands).map { j =>
+  private def bandsCarryingSig(base: DataFrame, maxBucket: Option[Int],
+                               bands: Int = Config.Bands,
+                               rowsPerBand: Int = Config.RowsPerBand): DataFrame = {
+    require(bands * rowsPerBand <= Config.NumHashes,
+      s"operating point $bands x $rowsPerBand exceeds ${Config.NumHashes} hashes")
+    val r0 = rowsPerBand
+    val bandStructs = (0 until bands).map { j =>
       val cols = (j * r0 until (j + 1) * r0).map(i => col(Config.sigCol(i)).cast("string"))
       struct(lit(j).as("band"), concat_ws(",", cols: _*).as("band_key"))
     }
@@ -277,14 +281,21 @@ object MinHashLsh {
 
   /** Candidates verified with EXACT shingle-hash-set Jaccard >=
     * threshold, after a cheap sketch pre-filter: pairs must agree on
-    * >= Config.EstPrefilterMinCount of the S signature components
-    * before the set-intersection join runs. At sf0.1 this cuts the
-    * verify join from ~1M candidate pairs to a few thousand.
+    * >= Config.estPrefilterMinCount(threshold) of the S signature
+    * components before the set-intersection join runs (36 at the
+    * default t=0.8). At sf0.1 this cuts the verify join from ~1M
+    * candidate pairs to a few thousand. (bands, rowsPerBand) pick the
+    * LSH operating point over the same S hashes — the default
+    * (10, 6) targets t=0.8; lower thresholds want more, shorter
+    * bands (e.g. (30, 2) for t≈0.3-0.5) or band recall collapses.
     * Output: id_l, id_r, jaccard. */
   def similarPairs(docs: DataFrame, k: Int = Config.K,
                    threshold: Double = Config.Threshold,
-                   maxBucket: Option[Int] = None): DataFrame = {
-    val (prefiltered, sets) = prefilteredWithSets(docs, k, maxBucket)
+                   maxBucket: Option[Int] = None,
+                   bands: Int = Config.Bands,
+                   rowsPerBand: Int = Config.RowsPerBand): DataFrame = {
+    val (prefiltered, sets) =
+      prefilteredWithSets(docs, k, maxBucket, threshold, bands, rowsPerBand)
     // |A∩B| by merge scan over the sorted sets; |A∪B| = |A|+|B|-|A∩B|
     // — same integers as array_intersect/array_union, no hash sets or
     // output arrays built per pair
@@ -306,7 +317,11 @@ object MinHashLsh {
     * high-containment/low-Jaccard pairs; see
     * CorpusStats.containmentPairs' prefix filter.) */
   private def prefilteredWithSets(docs: DataFrame, k: Int,
-                                  maxBucket: Option[Int]): (DataFrame, DataFrame) = {
+                                  maxBucket: Option[Int],
+                                  threshold: Double = Config.Threshold,
+                                  bands: Int = Config.Bands,
+                                  rowsPerBand: Int = Config.RowsPerBand)
+      : (DataFrame, DataFrame) = {
     // Signatures only (60 longs/doc ≈ 0.5 KB) are materialized for
     // the whole corpus — the band explode and the prefilter read this
     // slim frame. The O(text)-sized shingle-hash SETS are NOT: they
@@ -324,7 +339,7 @@ object MinHashLsh {
     // agreement prefilter is a join-residual condition — no joins
     // against the multi-million-pair stream at all, and no DISTINCT
     // until the prefiltered survivors
-    val bandsWithSig = bandsCarryingSig(base, maxBucket)
+    val bandsWithSig = bandsCarryingSig(base, maxBucket, bands, rowsPerBand)
     val bl = bandsWithSig.select(col("band"), col("band_key"),
       col("doc_id").as("id_l"), col("sig").as("sig_l"))
     val br = bandsWithSig.select(col("band"), col("band_key"),
@@ -334,7 +349,8 @@ object MinHashLsh {
     val prefiltered = bl.join(br,
         bl("band") === br("band") && bl("band_key") === br("band_key") &&
           col("id_l") < col("id_r") &&
-          PortableHash.agreeCount(col("sig_l"), col("sig_r")) >= Config.EstPrefilterMinCount)
+          PortableHash.agreeCount(col("sig_l"), col("sig_r")) >=
+            Config.estPrefilterMinCount(threshold))
       .select("id_l", "id_r")
       .distinct()
       .graftCheckpoint()
@@ -354,10 +370,13 @@ object MinHashLsh {
     * shape of the reference's final output (CollectCandidates.java:
     * 48,57-59 emits (Text1,Text2) in both directions). */
   def pairsSymmetric(docs: DataFrame, k: Int = Config.K,
-                     threshold: Double = Config.Threshold): DataFrame = {
+                     threshold: Double = Config.Threshold,
+                     bands: Int = Config.Bands,
+                     rowsPerBand: Int = Config.RowsPerBand): DataFrame = {
     // the union below reads p twice — materialize the (tiny) verified
     // pair list or the whole LSH chain executes once per branch
-    val p = similarPairs(docs, k, threshold).graftCheckpoint()
+    val p = similarPairs(docs, k, threshold,
+      maxBucket = None, bands = bands, rowsPerBand = rowsPerBand).graftCheckpoint()
     val both = p.select(col("id_l").as("id_a"), col("id_r").as("id_b"))
       .union(p.select(col("id_r").as("id_a"), col("id_l").as("id_b")))
     val texts = docs.select(col("doc_id"), col("text"))

@@ -138,6 +138,57 @@ class MinHashLshSpec extends SparkSpec {
     assert(row == agg)
   }
 
+  test("reference-corpus parity: the two golden clusters, both directions, nothing else") {
+    // The reference's ONLY committed semantic expectation: its 5-doc
+    // corpus (src/main/resources/documents.txt:1-5) must yield the
+    // two near-dup clusters in results/pairs/part-r-00000:2-5 —
+    // (apple, orange) and (nothing-in-common, lot-in-common) — and
+    // must NOT pair "I went to the Apple." with anything. Exact
+    // char-3-gram Jaccard: golden pairs 0.409 / 0.451, loudest
+    // non-pair 0.167, so any threshold in (0.167, 0.409] separates
+    // them; we run t=0.3 for margin both ways. (The reference's own
+    // jaccardThreshold=0.8 at Main.java:57 only "passed" its golden
+    // because MinHashLSH.java:177 compares a member with ITSELF —
+    // SURVEY Q1; under correct verification 0.8 yields no pairs on
+    // this corpus, asserted below.) The operating point (30 bands x
+    // 2 rows) gives band recall ~1 at J>=0.4 — the reference's own
+    // 2x2-band mod-5-bucket scheme (Main.java:55-56) collides near
+    // everything and leans on the broken verify to keep it.
+    val refDocs = docsDf(
+      1L -> "I ate an apple.",
+      2L -> "I went to the Apple.",
+      3L -> "I ate an orange.",
+      4L -> "This has nothing in common with the other sentences.",
+      5L -> "This sentence has a lot in common with the previous sentence.")
+    val got = MinHashLsh.pairsSymmetric(refDocs, threshold = 0.3,
+        bands = 30, rowsPerBand = 2)
+      .select("text_a", "text_b").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    val golden = Set( // results/pairs/part-r-00000 lines 2-5, verbatim
+      "I ate an apple." -> "I ate an orange.",
+      "I ate an orange." -> "I ate an apple.",
+      "This has nothing in common with the other sentences." ->
+        "This sentence has a lot in common with the previous sentence.",
+      "This sentence has a lot in common with the previous sentence." ->
+        "This has nothing in common with the other sentences.")
+    assert(got == golden,
+      s"engine must reproduce exactly the reference's committed pairs, got $got")
+    // and at the reference's COMMITTED threshold, correct verification
+    // finds nothing — the golden only existed through the Q1 bug
+    assert(MinHashLsh.pairsSymmetric(refDocs, threshold = 0.8,
+      bands = 30, rowsPerBand = 2).isEmpty)
+  }
+
+  test("threshold-derived prefilter reproduces the calibrated default and scales down") {
+    assert(Config.estPrefilterMinCount(Config.Threshold) == Config.EstPrefilterMinCount)
+    assert(Config.estPrefilterMinCount(0.3) < Config.EstPrefilterMinCount)
+    assert(Config.estPrefilterMinCount(0.0) == 0)
+    // monotone in t: a higher bar never loosens the prefilter
+    val pts = Seq(0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+      .map(Config.estPrefilterMinCount)
+    assert(pts == pts.sorted)
+  }
+
   test("flagship on sf0.001 finds the planted near-dup pairs") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val n = MinHashLsh.similarPairs(docs).count()
