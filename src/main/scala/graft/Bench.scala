@@ -23,6 +23,20 @@ object Bench {
     }
   }
 
+  /** The stdout-budgeted summary line. `reps_in` must name the ACTUAL
+    * per-rep record file (SPARK_GRAFT_BENCH_OUT when set) — a reader
+    * following the pointer from a captured tail has to land on the
+    * file this run wrote, not a hardcoded default (r5 advice). */
+  private[graft] def compactLine(total: Double, kept: Seq[(String, Double)],
+                                 totalQueries: Int, sfDir: String,
+                                 outFile: String): String = {
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qsKept = kept.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsKept,"queries_total":$totalQueries,"queries_omitted":${totalQueries - kept.size},"sf":"$sfDir","reps_in":"$outFile"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -115,16 +129,11 @@ object Bench {
     // (incl. per-rep times) is always in `outFile`.
     val stdoutBudget = 1800
     val bySlowest = results.toSeq.map { case (k, v) => (k, v.min) }.sortBy(-_._2)
-    def compactLine(kept: Seq[(String, Double)]): String = {
-      val qsKept = kept.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsKept,"queries_total":${results.size},"queries_omitted":${results.size - kept.size},"sf":"$sfDir","reps_in":"$outFile"}"""
-    }
     var kept = bySlowest
-    var jsonCompact = compactLine(kept)
+    var jsonCompact = compactLine(total, kept, results.size, sfDir, outFile)
     while (jsonCompact.length > stdoutBudget && kept.nonEmpty) {
       kept = kept.dropRight(1)
-      jsonCompact = compactLine(kept)
+      jsonCompact = compactLine(total, kept, results.size, sfDir, outFile)
     }
     println(jsonCompact)
     spark.stop()

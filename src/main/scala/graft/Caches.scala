@@ -55,4 +55,22 @@ object Caches {
   implicit class CheckpointSyntax[T](private val ds: Dataset[T]) extends AnyVal {
     def graftCheckpoint(): Dataset[T] = Caches.checkpoint(ds)
   }
+
+  /** Cache key that CHANGES WITH THE DATA, not just the plan: the
+    * canonicalized plan plus every input file's (path, length,
+    * mod-time). Rewriting parquet at the same path therefore misses
+    * a model cache and refits instead of silently serving stale
+    * state; a non-file input (in-memory frame) degrades to the plan
+    * string alone. Shared by the session-scoped fit-once/serve-many
+    * model caches (EmbeddingSim's IVF quantizer, MlMinHash's
+    * vectorizer vocabulary). */
+  private[graft] def dataSignature(df: Dataset[_]): String = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val files = df.inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }
+    df.queryExecution.analyzed.canonicalized.toString + files.mkString("|", ";", "")
+  }
 }

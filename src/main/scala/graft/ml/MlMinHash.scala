@@ -27,6 +27,43 @@ import graft.operators.Shingling
   */
 object MlMinHash {
 
+  /** Vocabulary-fit cache, the [[graft.operators.EmbeddingSim]] IVF
+    * fitCache pattern: CountVectorizer.fit collects the corpus
+    * vocabulary to the driver, and within one session the SAME
+    * (input, k) is vectorized by pairsBanded, annTopK, AND the
+    * AnnRecall gate — fit once, serve many (the production vocabulary
+    * artifact lifecycle). LRU-bounded; values are O(vocab) driver
+    * arrays. The key changes with the data (Caches.dataSignature),
+    * so a rewritten input refits instead of serving stale vocab. */
+  private val MaxCvCacheEntries = 8
+  private val cvCache =
+    new java.util.LinkedHashMap[(String, Int),
+        org.apache.spark.ml.feature.CountVectorizerModel](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int),
+            org.apache.spark.ml.feature.CountVectorizerModel]): Boolean =
+        size() > MaxCvCacheEntries
+    }
+
+  /** `keyFrame` must be the PRE-checkpoint sets plan: graftCheckpoint
+    * truncates lineage to a session-unique LogicalRDD, which would
+    * give every call a fresh signature and defeat the cache. */
+  private def cvFitCached(sets: DataFrame, keyFrame: DataFrame, k: Int)
+      : org.apache.spark.ml.feature.CountVectorizerModel = {
+    val key = (graft.Caches.dataSignature(keyFrame), k)
+    val hit = cvCache.synchronized(Option(cvCache.get(key)))
+    hit.getOrElse {
+      val m = new CountVectorizer()
+        .setInputCol("shingle_set").setOutputCol("features").setBinary(true)
+        // default vocabSize (2^18) silently truncates richer corpora,
+        // which would corrupt the exact-Jaccard verification
+        .setVocabSize(1 << 21)
+        .fit(sets)
+      cvCache.synchronized(cvCache.put(key, m))
+      m
+    }
+  }
+
   def pairs(docs: DataFrame, k: Int = Config.K,
             threshold: Double = Config.Threshold,
             numHashTables: Int = 5): DataFrame = {
@@ -34,15 +71,11 @@ object MlMinHash {
     // explode, join); on a bounded input at session-default shuffle
     // parallelism the wall-clock is task-scheduling overhead, not
     // work — consolidate the tiny frame into a few partitions first
-    val sets = Shingling.shingleSets(docs, k).coalesce(4).graftCheckpoint()
-    val cv = new CountVectorizer()
-      .setInputCol("shingle_set").setOutputCol("features").setBinary(true)
-      // default vocabSize (2^18) silently truncates richer corpora,
-      // which would corrupt the exact-Jaccard verification
-      .setVocabSize(1 << 21)
+    val rawSets = Shingling.shingleSets(docs, k)
+    val sets = rawSets.coalesce(4).graftCheckpoint()
     // fit + both sides of the self-join re-read this frame: without a
     // checkpoint the shingle agg + vectorization runs three times
-    val vecs = cv.fit(sets).transform(sets).graftCheckpoint()
+    val vecs = cvFitCached(sets, rawSets, k).transform(sets).graftCheckpoint()
     val mh = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables)
@@ -83,11 +116,9 @@ object MlMinHash {
                   rowsPerBand: Int = Config.RowsPerBand): DataFrame = {
     import org.apache.spark.ml.functions.vector_to_array
     import org.apache.spark.ml.linalg.{DenseVector, SparseVector, Vector}
-    val sets = Shingling.shingleSets(docs, k).graftCheckpoint()
-    val cv = new CountVectorizer()
-      .setInputCol("shingle_set").setOutputCol("features").setBinary(true)
-      .setVocabSize(1 << 21)
-    val vecs = cv.fit(sets).transform(sets)
+    val rawSets = Shingling.shingleSets(docs, k)
+    val sets = rawSets.graftCheckpoint()
+    val vecs = cvFitCached(sets, rawSets, k).transform(sets)
       .select(col("doc_id"), col("features")).graftCheckpoint()
     val model = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
@@ -154,11 +185,9 @@ object MlMinHash {
     * SQL-replayable. */
   def annTopK(docs: DataFrame, k: Int = Config.K, numNeighbors: Int = 3,
               numHashTables: Int = 5, queryEvery: Long = 100): DataFrame = {
-    val sets = Shingling.shingleSets(docs, k).coalesce(4).graftCheckpoint()
-    val cv = new CountVectorizer()
-      .setInputCol("shingle_set").setOutputCol("features").setBinary(true)
-      .setVocabSize(1 << 21)
-    val vecs = cv.fit(sets).transform(sets)
+    val rawSets = Shingling.shingleSets(docs, k)
+    val sets = rawSets.coalesce(4).graftCheckpoint()
+    val vecs = cvFitCached(sets, rawSets, k).transform(sets)
       .select(col("doc_id"), col("features")).graftCheckpoint()
     val model = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")

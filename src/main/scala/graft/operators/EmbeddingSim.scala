@@ -166,15 +166,8 @@ object EmbeddingSim {
     * the cache and refits instead of silently serving stale
     * centroids; a non-file input (in-memory frame) degrades to the
     * plan string alone. */
-  private def dataSignature(emb: DataFrame): String = {
-    val conf = emb.sparkSession.sessionState.newHadoopConf()
-    val files = emb.inputFiles.sorted.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      s"$f:${st.getLen}:${st.getModificationTime}"
-    }
-    emb.queryExecution.analyzed.canonicalized.toString + files.mkString("|", ";", "")
-  }
+  private def dataSignature(emb: DataFrame): String =
+    graft.Caches.dataSignature(emb)
 
   /** Fit cache: repeated ivfTopK calls over the same input (bench
     * reps, a session's query stream) reuse the centroids instead of
