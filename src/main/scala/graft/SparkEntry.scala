@@ -291,7 +291,9 @@ object SparkEntry {
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     "scalar_funcs" -> ((s, d) => Relational.scalarFuncs(s, d)),
     "distinct_counts" -> ((s, d) => Relational.distinctCounts(s, d)),
-    "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)), // rows-only (HLL sketch)
+    // [oracle] since r7: exact distincts + sketch-health bits (the
+    // raw HLL estimates stay engine-internal; see sketch_error_gate)
+    "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     // bit-checked HLL QUALITY gate (the ann_recall pattern): the
     // sketch values aren't replayable, but "within the configured
     // error bound of exact" is a bit per group the oracle CAN expect
@@ -462,6 +464,7 @@ object SparkEntry {
     "boilerplate_strip" -> Sql.boilerplateStrip,
     "intra_dedup" -> Sql.intraDedup,
     "corpus_diff" -> Sql.corpusDiff,
+    "approx_distinct" -> Sql.approxDistinct,
     "sketch_error_gate" -> Sql.sketchErrorGate,
     "dsv2_text_scan" -> Sql.dsv2TextScan,
     "bucketed_join" -> Sql.bucketedOrderRevenue,

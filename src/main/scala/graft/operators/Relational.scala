@@ -319,7 +319,12 @@ object Relational {
     * distinct-then-count per column plus a single-pass HLL agg, joined
     * on the 3-row key, scans thrice but never expands — measured ~2x
     * faster, and the gap widens with input size. */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact + raw-HLL distinct counts per group — internal currency
+    * for [[approxDistinct]] (the oracle-checked public shape) and
+    * [[sketchErrorGate]]. The raw approx_* values are engine-specific
+    * (DuckDB cannot replay Spark's HLL registers), which is why the
+    * public query derives bits from them instead of emitting them. */
+  private def approxDistinctFull(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
       .select("l_returnflag", "l_partkey", "l_suppkey")
     val exactParts = li.select("l_returnflag", "l_partkey").distinct()
@@ -331,6 +336,23 @@ object Relational {
         approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
     exactParts.join(exactSupps, Seq("l_returnflag")).join(approx, Seq("l_returnflag"))
       .select("l_returnflag", "exact_parts", "approx_parts", "exact_supps", "approx_supps")
+  }
+
+  /** HLL distinct-count query, fully hash-checkable (r6 verdict item
+    * 7): the exact distinct counts ride next to one within-bound bit
+    * per sketched column — the estimate itself stays engine-internal,
+    * the exactness AND the sketch-health claim are both replayed by
+    * the oracle. A sketch regression (wrong register math, precision
+    * change) flips a bit and fails the hash, same contract the
+    * standalone sketch_error_gate pins at the gate altitude. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    def within(approx: String, exact: String) =
+      when(abs(col(approx) - col(exact)) * 100 <= col(exact) * SketchMaxErrPct, 1L)
+        .otherwise(0L)
+    approxDistinctFull(spark, dir)
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        within("approx_parts", "exact_parts").as("parts_within"),
+        within("approx_supps", "exact_supps").as("supps_within"))
   }
 
   /** HLL error-bound floor for [[sketchErrorGate]]: approx_count_
@@ -347,7 +369,7 @@ object Relational {
     * claim is a bit the oracle replays. Integer comparison:
     * |a-e|*100 <= e*pct — no float boundary. */
   def sketchErrorGate(spark: SparkSession, dir: String): DataFrame = {
-    val a = approxDistinct(spark, dir)
+    val a = approxDistinctFull(spark, dir)
     def within(approx: String, exact: String) =
       when(abs(col(approx) - col(exact)) * 100 <= col(exact) * SketchMaxErrPct, 1L)
         .otherwise(0L)

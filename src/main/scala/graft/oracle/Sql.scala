@@ -533,6 +533,18 @@ WHERE rn = 1""")
     FROM documents"""
   }
 
+  /** approx_distinct replay (r6 verdict item 7 — [oracle] now): the
+    * exact distinct counts are plain SQL; the sketch-health bits are
+    * expected 1 (a precision regression flips them in Spark's output
+    * and fails the hash, the sketch_error_gate contract). */
+  val approxDistinct: String =
+    """SELECT p.l_returnflag, exact_parts, exact_supps,
+      CAST(1 AS BIGINT) AS parts_within, CAST(1 AS BIGINT) AS supps_within
+    FROM (SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS exact_parts
+          FROM lineitem GROUP BY 1) p
+    JOIN (SELECT l_returnflag, count(DISTINCT l_suppkey)::BIGINT AS exact_supps
+          FROM lineitem GROUP BY 1) s ON p.l_returnflag = s.l_returnflag"""
+
   /** Expected state of the HLL error gate: every group within the
     * bound (mirrors Relational.sketchErrorGate — a sketch-precision
     * regression flips a bit in Spark's output and fails the hash). */
