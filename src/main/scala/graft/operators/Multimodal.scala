@@ -10,10 +10,12 @@ import graft.functions.PortableHash
   * The decode step is REAL for every format the JRE ships a reader
   * for — PNG, JPEG, GIF, BMP, WBMP: the JDK's `ImageIO`
   * (java.desktop — no external dependency) decodes recognized image
-  * payloads to true width/height/pixel-checksum features; payloads
-  * no reader recognizes fall back to the clearly-marked
-  * deterministic `StubDecoder` (the stand-in for codecs the JRE
-  * doesn't ship, i.e. audio/video). Either way the Spark-side
+  * payloads to true width/height/pixel-checksum features — and for
+  * every AUDIO format `javax.sound.sampled` reads (WAV/AU/AIFF):
+  * [[WavDecoder]] extracts true sample-rate/frame-count/PCM-checksum
+  * features. Payloads no reader recognizes fall back to the
+  * clearly-marked deterministic `StubDecoder` (the stand-in for the
+  * one modality with no stock-JRE codec at all: video). Either way the Spark-side
   * plumbing is identical: binary columns, schema, partition-
   * preserving mapPartitions with batched per-partition decoder
   * setup (the same shape a real codec-backed extractor needs: open
@@ -194,6 +196,96 @@ object Multimodal {
           val payload = row.getAs[Array[Byte]](1)
           ImageIoDecoder.decode(id, payload)
             .getOrElse(StubDecoder.decode(id, payload))
+        }
+      }(enc)
+  }
+
+  /** Feature record produced by the AUDIO decode stage: true decoded
+    * format parameters + a fold over the decoded PCM bytes. */
+  case class AudioFeatures(doc_id: Long, n_bytes: Long, kind: String,
+                           sample_rate: Int, n_frames: Long, checksum: Long)
+
+  /** REAL audio decoder on the stock JRE: `javax.sound.sampled` reads
+    * WAV (and AU/AIFF) without any external codec. Features are the
+    * TRUE decoded sample rate and frame count plus a deterministic
+    * fold over the raw PCM bytes — the audio analog of
+    * [[ImageIoDecoder]], closing the last stubbed modality the JRE
+    * has a reader for (video stays with the labeled stub: no stock
+    * JRE codec exists). */
+  object WavDecoder {
+    val P = graft.Config.P
+    def decode(docId: Long, payload: Array[Byte]): Option[AudioFeatures] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = ais.getFormat
+          val frames = ais.getFrameLength
+          var acc = 0L
+          val buf = new Array[Byte](8192)
+          var n = ais.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i < n) { acc = (acc * 31 + (buf(i) & 0xffL)) % P; i += 1 }
+            n = ais.read(buf)
+          }
+          Some(AudioFeatures(docId, payload.length.toLong,
+            s"audio/${f.getEncoding.toString.toLowerCase}",
+            f.getSampleRate.toInt, frames, acc))
+        } finally ais.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** documents -> REAL WAV payloads: each text rendered as 16-bit
+    * signed little-endian mono PCM at `sampleRate`, sample i = char i
+    * mod 256 (low byte = the char, high byte = 0) — lossless by
+    * construction, so the decoded PCM re-derives from the text alone
+    * and the round trip is oracle-replayable (the [[encodeImage]]
+    * fixture discipline, audio edition). Empty text encodes as a
+    * header-only zero-frame WAV. */
+  def encodeWav(docs: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    implicit val enc = Encoders.product[Encoded]
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .mapPartitions { rows =>
+        import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+        // one format object per partition; the writer is stateless
+        val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+        rows.map { row =>
+          val id = row.getLong(0)
+          val text = row.getString(1)
+          val pcm = new Array[Byte](2 * text.length)
+          var i = 0
+          while (i < text.length) {
+            pcm(2 * i) = (text.charAt(i) % 256).toByte // little-endian low byte
+            i += 1
+          }
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, text.length.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          finally ais.close()
+          Encoded(id, bos.toByteArray)
+        }
+      }(enc).toDF()
+  }
+
+  /** Audio decode + feature-extract, the [[extractFeatures]] shape:
+    * per-partition decoder setup, payloads stay on the executors.
+    * Payloads no audio reader recognizes fall back to a clearly-
+    * marked deterministic stub row (kind 'audio/stub'), keeping the
+    * stage total. */
+  def extractAudioFeatures(binTable: DataFrame): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    binTable.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val id = row.getLong(0)
+          val payload = row.getAs[Array[Byte]](1)
+          WavDecoder.decode(id, payload).getOrElse {
+            val s = StubDecoder.decode(id, payload)
+            AudioFeatures(id, payload.length.toLong, "audio/stub", 0,
+              payload.length.toLong, s.checksum)
+          }
         }
       }(enc)
   }

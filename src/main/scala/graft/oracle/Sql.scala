@@ -533,6 +533,23 @@ WHERE rn = 1""")
     FROM documents"""
   }
 
+  /** media_audio replay: the WAV fixture is lossless by construction
+    * (sample i = char i mod 256 in the LOW byte of a 16-bit LE
+    * frame), so the decoded-PCM checksum re-derives from the text —
+    * fold over the byte stream [c1, 0, c2, 0, ...]: odd positions
+    * carry the char, even positions the zero high byte. The decoder
+    * reports PCM_SIGNED and the encode-time rate/frame count. */
+  val mediaAudio: String = {
+    val pcmFold =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 2 * length(text)), " +
+        s"i -> CASE WHEN i % 2 = 1 THEN ascii(substr(text, (i + 1) // 2, 1))::BIGINT % 256 " +
+        s"ELSE 0::BIGINT END)), (acc, x) -> (acc * 31 + x) % $P)"
+    s"""SELECT doc_id, 'audio/pcm_signed' AS kind,
+      CAST(8000 AS INTEGER) AS sample_rate,
+      length(text)::BIGINT AS n_frames, $pcmFold AS checksum
+    FROM documents"""
+  }
+
   /** approx_distinct replay (r6 verdict item 7 — [oracle] now): the
     * exact distinct counts are plain SQL; the sketch-health bits are
     * expected 1 (a precision regression flips them in Spark's output

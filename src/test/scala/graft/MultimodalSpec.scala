@@ -54,6 +54,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV round trip: encodeWav payloads decode via javax.sound to true PCM features") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val d = docsDf(7L -> text, 8L -> "") // empty text = header-only WAV
+    val feats = Multimodal.extractAudioFeatures(Multimodal.encodeWav(d))
+      .collect().map(f => f.doc_id -> f).toMap
+    val f = feats(7L)
+    assert(f.kind == "audio/pcm_signed",
+      s"javax.sound did not recognize the payload: ${f.kind}")
+    assert(f.sample_rate == 8000)
+    assert(f.n_frames == text.length.toLong)
+    // decoded PCM = [c_i low byte, 0 high byte] per char: replay the fold
+    val pcm = text.flatMap(c => Seq(c.toInt % 256, 0))
+    val model = pcm.foldLeft(0L)((a, b) => (a * 31 + b) % Config.P)
+    assert(f.checksum == model, "decoded-PCM checksum must re-derive from the text")
+    assert(f.n_bytes > 40, "payload must be a real WAV container (44-byte header)")
+    val empty = feats(8L)
+    assert(empty.kind == "audio/pcm_signed" && empty.n_frames == 0L
+      && empty.checksum == 0L)
+  }
+
+  test("non-audio payloads fall back to the labeled audio stub row") {
+    val d = docsDf(1L -> "plain text, certainly not a RIFF container")
+    val f = Multimodal.extractAudioFeatures(Multimodal.asBinaryTable(d))
+      .collect().head
+    assert(f.kind == "audio/stub" && f.sample_rate == 0)
+  }
+
   test("unrecognizable payloads still fall back to the stub decoder") {
     val d = docsDf(1L -> "plain text, no image magic bytes")
     val f = Multimodal.extractFeatures(Multimodal.asBinaryTable(d)).collect().head
