@@ -129,6 +129,14 @@ object SparkEntry {
     "media_audio" -> ((s, d) =>
       Multimodal.extractAudioFeatures(Multimodal.encodeWav(docs(s, d))).toDF()
         .select("doc_id", "kind", "sample_rate", "n_frames", "checksum")),
+    // REAL MP4 container parse (r7): text → spec-valid ISO-BMFF file
+    // (Mp4Writer; odd doc_ids take the 64-bit mvhd-v1/largesize
+    // framing) → generic box-walking parse → brand/timescale/duration/
+    // track dims/codec/sample count/mdat checksum, all re-derivable
+    // from the text alone. Sample DECODE stays the labeled stub; the
+    // container structure no longer does.
+    "media_video_meta" -> ((s, d) =>
+      Multimodal.extractVideoMeta(Multimodal.encodeMp4(docs(s, d))).toDF()),
     // the OTHER stock-JRE codecs round-tripped for real — GIF (indexed
     // palette), BMP (24-bit RGB), WBMP (1-bit) — on a deterministic
     // fifth of the corpus (per-row ImageIO setup dominates; format
@@ -466,6 +474,7 @@ object SparkEntry {
     "media_frames" -> Sql.mediaFrames,
     "media_decode" -> Sql.mediaDecode,
     "media_audio" -> Sql.mediaAudio,
+    "media_video_meta" -> Sql.mediaVideoMeta,
     "media_decode_formats" -> Sql.mediaDecodeFormats,
     "ann_recall" -> Sql.annRecall,
     "pii_mask" -> Sql.piiMask,

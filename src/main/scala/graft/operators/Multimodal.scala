@@ -13,9 +13,12 @@ import graft.functions.PortableHash
   * payloads to true width/height/pixel-checksum features — and for
   * every AUDIO format `javax.sound.sampled` reads (WAV/AU/AIFF):
   * [[WavDecoder]] extracts true sample-rate/frame-count/PCM-checksum
-  * features. Payloads no reader recognizes fall back to the
-  * clearly-marked deterministic `StubDecoder` (the stand-in for the
-  * one modality with no stock-JRE codec at all: video). Either way the Spark-side
+  * features. VIDEO splits into two stages: container metadata is a
+  * REAL ISO-BMFF/MP4 structural parse ([[Mp4Parser]] — box walking,
+  * mvhd/tkhd/stsd/stsz/mdat, both 32- and 64-bit framings); only
+  * SAMPLE decode (the one step with no stock-JRE codec) stays a
+  * labeled stub. Payloads no reader recognizes fall back to the
+  * clearly-marked deterministic `StubDecoder`. Either way the Spark-side
   * plumbing is identical: binary columns, schema, partition-
   * preserving mapPartitions with batched per-partition decoder
   * setup (the same shape a real codec-backed extractor needs: open
@@ -347,4 +350,273 @@ object Multimodal {
       octet_length(col("text")).cast("long").as("n_bytes"),
       length(col("text")).cast("long").as("n_chars"),
       PortableHash.charFoldHash(substring(col("text"), 1, 16)).as("header_hash"))
+
+  /** Container-level metadata parsed from an MP4 (ISO-BMFF) payload.
+    * Every field is a real read of the container's bytes: the brand
+    * from `ftyp`, movie timescale/duration from `mvhd` (both version
+    * 0 and version 1 layouts), track count and display dimensions
+    * from `tkhd`, the codec fourcc from the first `stsd` sample
+    * entry, the sample count from `stsz`, and the media-data byte
+    * count + fold checksum from `mdat` (32-bit size and 64-bit
+    * largesize framings both handled). */
+  case class VideoMeta(doc_id: Long, brand: String, mvhd_version: Int,
+                       timescale: Long, duration: Long, n_tracks: Int,
+                       width: Int, height: Int, codec: String,
+                       n_samples: Long, mdat_bytes: Long, checksum: Long)
+
+  /** Deterministic MP4 fixture writer: each text becomes a spec-valid
+    * minimal ISO-BMFF file — `ftyp` (isom), a `free` padding box (so
+    * the parser's unknown-box skip path is always exercised), `mdat`
+    * carrying the text bytes as n one-byte video samples, then `moov`
+    * with the full required box chain (mvhd, trak/tkhd,
+    * mdia/mdhd/hdlr(vide)/minf/vmhd/dinf/dref/stbl/stsd(mp4v)/stts/
+    * stsc/stsz/stco). All metadata derives from the text alone —
+    * duration = 40 ticks/sample at timescale 1000 (25 fps), display
+    * raster 16 × ceil(n/16) (the [[encodeImage]] raster metaphor) —
+    * so the parse output is oracle-replayable from `documents.text`.
+    * Odd doc_ids write the 64-bit variants (version-1 mvhd, largesize
+    * mdat) so both framings are covered on every corpus. */
+  object Mp4Writer {
+    val Timescale = 1000L
+    val SampleDelta = 40L
+    val Width = 16
+
+    private def u16(o: java.io.DataOutputStream, v: Int): Unit = o.writeShort(v)
+    private def u32(o: java.io.DataOutputStream, v: Long): Unit = o.writeInt(v.toInt)
+    private def u64(o: java.io.DataOutputStream, v: Long): Unit = o.writeLong(v)
+
+    private def box(fourcc: String)(body: java.io.DataOutputStream => Unit): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      body(o); o.flush()
+      val payload = bos.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      val oo = new java.io.DataOutputStream(out)
+      u32(oo, 8L + payload.length); oo.writeBytes(fourcc); oo.write(payload); oo.flush()
+      out.toByteArray
+    }
+
+    private def fullBox(fourcc: String, version: Int, flags: Int)(
+        body: java.io.DataOutputStream => Unit): Array[Byte] =
+      box(fourcc) { o => o.writeByte(version); o.writeByte(flags >> 16)
+        o.writeByte(flags >> 8); o.writeByte(flags); body(o) }
+
+    private val UnityMatrix: java.io.DataOutputStream => Unit = { o =>
+      Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L).foreach(u32(o, _))
+    }
+
+    def encode(docId: Long, text: String): Array[Byte] = {
+      val n = text.length
+      val h = math.max(1, (n + Width - 1) / Width)
+      val duration = SampleDelta * n
+      val v1 = docId % 2 != 0 // 64-bit layout variant
+
+      val ftyp = box("ftyp") { o =>
+        o.writeBytes("isom"); u32(o, 0L); o.writeBytes("isom"); o.writeBytes("mp41") }
+      val free = box("free")(o => u32(o, 0L))
+
+      // mdat BEFORE moov (the common non-faststart layout): the stco
+      // chunk offset is then known before moov is sized
+      val mdatHeader = if (v1) 16 else 8
+      val mdat = {
+        val out = new java.io.ByteArrayOutputStream()
+        val o = new java.io.DataOutputStream(out)
+        if (v1) { u32(o, 1L); o.writeBytes("mdat"); u64(o, mdatHeader.toLong + n) }
+        else { u32(o, mdatHeader.toLong + n); o.writeBytes("mdat") }
+        var i = 0
+        while (i < n) { o.writeByte(text.charAt(i) % 256); i += 1 }
+        o.flush(); out.toByteArray
+      }
+      val chunkOffset = ftyp.length.toLong + free.length + mdatHeader
+
+      val mvhd = fullBox("mvhd", if (v1) 1 else 0, 0) { o =>
+        if (v1) { u64(o, 0L); u64(o, 0L); u32(o, Timescale); u64(o, duration) }
+        else { u32(o, 0L); u32(o, 0L); u32(o, Timescale); u32(o, duration) }
+        u32(o, 0x00010000L); u16(o, 0x0100); u16(o, 0); u64(o, 0L)
+        UnityMatrix(o); (0 until 6).foreach(_ => u32(o, 0L)); u32(o, 2L)
+      }
+      val tkhd = fullBox("tkhd", 0, 7) { o =>
+        u32(o, 0L); u32(o, 0L); u32(o, 1L); u32(o, 0L); u32(o, duration)
+        u64(o, 0L); u16(o, 0); u16(o, 0); u16(o, 0); u16(o, 0)
+        UnityMatrix(o); u32(o, Width.toLong << 16); u32(o, h.toLong << 16)
+      }
+      val mdhd = fullBox("mdhd", 0, 0) { o =>
+        u32(o, 0L); u32(o, 0L); u32(o, Timescale); u32(o, duration)
+        u16(o, 0x55c4); u16(o, 0) // language 'und'
+      }
+      val hdlr = fullBox("hdlr", 0, 0) { o =>
+        u32(o, 0L); o.writeBytes("vide"); (0 until 3).foreach(_ => u32(o, 0L))
+        o.writeBytes("graft video"); o.writeByte(0)
+      }
+      val vmhd = fullBox("vmhd", 0, 1) { o => u16(o, 0); u16(o, 0); u16(o, 0); u16(o, 0) }
+      val dref = fullBox("dref", 0, 0) { o =>
+        u32(o, 1L)
+        o.write(fullBox("url ", 0, 1)(_ => ())) // self-contained
+      }
+      val dinf = box("dinf")(o => o.write(dref))
+      val stsd = fullBox("stsd", 0, 0) { o =>
+        u32(o, 1L)
+        o.write(box("mp4v") { e =>
+          (0 until 6).foreach(_ => e.writeByte(0)); u16(e, 1) // data_ref_index
+          u16(e, 0); u16(e, 0); (0 until 3).foreach(_ => u32(e, 0L))
+          u16(e, Width); u16(e, h)
+          u32(e, 0x00480000L); u32(e, 0x00480000L); u32(e, 0L); u16(e, 1)
+          val name = "graft"
+          e.writeByte(name.length); e.writeBytes(name)
+          (0 until 31 - name.length).foreach(_ => e.writeByte(0))
+          u16(e, 24); u16(e, 0xffff)
+        })
+      }
+      val stts = fullBox("stts", 0, 0) { o =>
+        if (n == 0) u32(o, 0L) else { u32(o, 1L); u32(o, n.toLong); u32(o, SampleDelta) } }
+      val stsc = fullBox("stsc", 0, 0) { o =>
+        if (n == 0) u32(o, 0L) else { u32(o, 1L); u32(o, 1L); u32(o, n.toLong); u32(o, 1L) } }
+      val stsz = fullBox("stsz", 0, 0) { o => u32(o, 1L); u32(o, n.toLong) }
+      val stco = fullBox("stco", 0, 0) { o =>
+        if (n == 0) u32(o, 0L) else { u32(o, 1L); u32(o, chunkOffset) } }
+      val stbl = box("stbl") { o =>
+        o.write(stsd); o.write(stts); o.write(stsc); o.write(stsz); o.write(stco) }
+      val minf = box("minf") { o => o.write(vmhd); o.write(dinf); o.write(stbl) }
+      val mdia = box("mdia") { o => o.write(mdhd); o.write(hdlr); o.write(minf) }
+      val trak = box("trak") { o => o.write(tkhd); o.write(mdia) }
+      val moov = box("moov") { o => o.write(mvhd); o.write(trak) }
+
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(ftyp); out.write(free); out.write(mdat); out.write(moov)
+      out.toByteArray
+    }
+  }
+
+  /** REAL ISO-BMFF structural parser on the stock JRE (pure byte
+    * walking, no codec): generic length-prefixed box iteration with
+    * recursion into container boxes (`moov`/`trak`/`mdia`/`minf`/
+    * `stbl`/`dinf`/`edts`/`udta`), unknown boxes skipped by size,
+    * 32-bit and largesize (size==1 → 64-bit) framings, size==0 →
+    * to-end-of-enclosure. Extracts [[VideoMeta]]; any structural
+    * violation (truncated box, size under the header length, missing
+    * required boxes) → None and the caller falls back to a marked
+    * stub row. This is the one video stage a stock JRE can make real
+    * — SAMPLE decode stays a labeled stub (no JRE video codec). */
+  object Mp4Parser {
+    val P = graft.Config.P
+    private val Containers =
+      Set("moov", "trak", "mdia", "minf", "stbl", "dinf", "edts", "udta")
+
+    private final class State {
+      var brand: String = null
+      var mvhdVersion: Int = -1
+      var timescale: Long = -1
+      var duration: Long = -1
+      var nTracks: Int = 0
+      var width: Int = -1
+      var height: Int = -1
+      var codec: String = null
+      var nSamples: Long = -1
+      var mdatBytes: Long = -1
+      var checksum: Long = 0
+      var malformed: Boolean = false
+    }
+
+    private def u16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def u32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def u64(b: Array[Byte], i: Int): Long =
+      (u32(b, i) << 32) | u32(b, i + 4)
+    private def fourcc(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private def walk(b: Array[Byte], from: Long, to: Long, st: State): Unit = {
+      var pos = from
+      while (pos < to && !st.malformed) {
+        if (pos + 8 > to) { st.malformed = true; return }
+        val size32 = u32(b, pos.toInt)
+        val name = fourcc(b, pos.toInt + 4)
+        var header = 8L
+        val size: Long =
+          if (size32 == 1L) {
+            if (pos + 16 > to) { st.malformed = true; return }
+            header = 16L; u64(b, pos.toInt + 8)
+          } else if (size32 == 0L) to - pos
+          else size32
+        if (size < header || pos + size > to) { st.malformed = true; return }
+        val body = pos + header
+        val bodyLen = (size - header).toInt
+        name match {
+          case "ftyp" =>
+            if (bodyLen < 4) { st.malformed = true; return }
+            st.brand = fourcc(b, body.toInt)
+          case "mvhd" =>
+            val v = b(body.toInt) & 0xff
+            st.mvhdVersion = v
+            if (v == 1) { st.timescale = u32(b, body.toInt + 20); st.duration = u64(b, body.toInt + 24) }
+            else { st.timescale = u32(b, body.toInt + 12); st.duration = u32(b, body.toInt + 16) }
+          case "tkhd" if st.width < 0 =>
+            val v = b(body.toInt) & 0xff
+            val dimOff = if (v == 1) 88 else 76
+            st.width = (u32(b, body.toInt + dimOff) >> 16).toInt
+            st.height = (u32(b, body.toInt + dimOff + 4) >> 16).toInt
+          case "stsd" if st.codec == null =>
+            if (u32(b, body.toInt + 4) >= 1 && bodyLen >= 16)
+              st.codec = fourcc(b, body.toInt + 12)
+          case "stsz" if st.nSamples < 0 =>
+            st.nSamples = u32(b, body.toInt + 8)
+          case "mdat" =>
+            st.mdatBytes = size - header
+            var acc = 0L
+            var i = body.toInt
+            val end = (pos + size).toInt
+            while (i < end) { acc = (acc * 31 + (b(i) & 0xffL)) % P; i += 1 }
+            st.checksum = acc
+          case "trak" =>
+            st.nTracks += 1; walk(b, body, pos + size, st)
+          case c if Containers(c) =>
+            walk(b, body, pos + size, st)
+          case _ => // unknown box: skip by size
+        }
+        pos += size
+      }
+    }
+
+    def parse(docId: Long, payload: Array[Byte]): Option[VideoMeta] = {
+      val st = new State
+      try walk(payload, 0L, payload.length.toLong, st)
+      catch { case _: Exception => return None }
+      if (st.malformed || st.brand == null || st.mvhdVersion < 0 ||
+          st.nTracks == 0 || st.codec == null || st.mdatBytes < 0) None
+      else Some(VideoMeta(docId, st.brand, st.mvhdVersion, st.timescale,
+        st.duration, st.nTracks, st.width, st.height, st.codec,
+        st.nSamples, st.mdatBytes, st.checksum))
+    }
+  }
+
+  /** documents -> REAL MP4 payloads (see [[Mp4Writer]]). */
+  def encodeMp4(docs: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[Encoded]
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .mapPartitions { rows =>
+        rows.map(row => Encoded(row.getLong(0), Mp4Writer.encode(row.getLong(0), row.getString(1))))
+      }(enc).toDF()
+  }
+
+  /** MP4 container parse + metadata-extract, the [[extractFeatures]]
+    * shape: narrow mapPartitions, payloads stay on the executors.
+    * Unparseable payloads become a marked `raw`/`none` stub row with
+    * the [[StubDecoder]] checksum, keeping the stage total. */
+  def extractVideoMeta(binTable: DataFrame): Dataset[VideoMeta] = {
+    implicit val enc = Encoders.product[VideoMeta]
+    binTable.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val id = row.getLong(0)
+          val payload = row.getAs[Array[Byte]](1)
+          Mp4Parser.parse(id, payload).getOrElse {
+            val s = StubDecoder.decode(id, payload)
+            VideoMeta(id, "raw", -1, 0, 0, 0, 0, 0, "none", 0,
+              payload.length.toLong, s.checksum)
+          }
+        }
+      }(enc)
+  }
 }

@@ -550,6 +550,24 @@ WHERE rn = 1""")
     FROM documents"""
   }
 
+  /** media_video_meta replay: the MP4 fixture derives every container
+    * field from the text (Mp4Writer — timescale 1000, 40 ticks per
+    * one-byte sample, 16-wide display raster, 'mp4v' entry, mdat =
+    * the text bytes; odd doc_ids take the mvhd-v1/largesize framing,
+    * which changes the BYTES but not the parsed VALUES), so the
+    * structural parse round-trips to plain arithmetic over
+    * documents.text — proving Mp4Parser read the real boxes. */
+  val mediaVideoMeta: String =
+    s"""SELECT doc_id, 'isom' AS brand,
+      CAST(doc_id % 2 AS INTEGER) AS mvhd_version,
+      CAST(1000 AS BIGINT) AS timescale,
+      CAST(40 * length(text) AS BIGINT) AS duration,
+      CAST(1 AS INTEGER) AS n_tracks, CAST(16 AS INTEGER) AS width,
+      CAST(greatest(1, (length(text) + 15) // 16) AS INTEGER) AS height,
+      'mp4v' AS codec, length(text)::BIGINT AS n_samples,
+      length(text)::BIGINT AS mdat_bytes, ${foldHash("text")} AS checksum
+    FROM documents"""
+
   /** approx_distinct replay (r6 verdict item 7 — [oracle] now): the
     * exact distinct counts are plain SQL; the sketch-health bits are
     * expected 1 (a precision regression flips them in Spark's output

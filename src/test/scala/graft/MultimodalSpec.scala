@@ -120,4 +120,43 @@ class MultimodalSpec extends SparkSpec {
     val r = Multimodal.mediaMeta(d).collect().head
     assert(r.getLong(1) == 3 && r.getLong(2) == 3)
   }
+
+  test("real MP4 round trip: container parse re-derives every field from the text") {
+    val text = "the quick brown fox jumps over the lazy dog" // 43 chars -> 16x3
+    // even id -> mvhd v0 / 32-bit mdat; odd id -> mvhd v1 / largesize mdat;
+    // empty text -> zero-sample container
+    val d = docsDf(6L -> text, 7L -> text, 8L -> "")
+    val metas = Multimodal.extractVideoMeta(Multimodal.encodeMp4(d))
+      .collect().map(m => m.doc_id -> m).toMap
+    val model = text.foldLeft(0L)((a, c) => (a * 31 + c.toInt % 256) % Config.P)
+    for (id <- Seq(6L, 7L)) {
+      val m = metas(id)
+      assert(m.brand == "isom" && m.codec == "mp4v", s"parse fell back to stub: $m")
+      assert(m.mvhd_version == (id % 2).toInt)
+      assert(m.timescale == 1000L && m.duration == 40L * text.length)
+      assert(m.n_tracks == 1 && m.width == 16 && m.height == 3)
+      assert(m.n_samples == text.length.toLong && m.mdat_bytes == text.length.toLong)
+      assert(m.checksum == model, "mdat checksum must re-derive from the text")
+    }
+    val empty = metas(8L)
+    assert(empty.brand == "isom" && empty.n_samples == 0L
+      && empty.mdat_bytes == 0L && empty.checksum == 0L && empty.height == 1)
+  }
+
+  test("MP4 parser skips unknown boxes and rejects structural violations") {
+    val good = Multimodal.Mp4Writer.encode(2L, "hello")
+    // the writer always embeds a 'free' box, so a successful parse
+    // proves the unknown-box skip path; now break the structure:
+    assert(Multimodal.Mp4Parser.parse(2L, good).isDefined)
+    // truncated mid-box
+    assert(Multimodal.Mp4Parser.parse(2L, good.take(good.length - 5)).isEmpty)
+    // box size under the header length
+    val undersized = good.clone()
+    undersized(0) = 0; undersized(1) = 0; undersized(2) = 0; undersized(3) = 4
+    assert(Multimodal.Mp4Parser.parse(2L, undersized).isEmpty)
+    // not a container at all -> stub fallback row in the stage
+    val d = docsDf(1L -> "plain text, no ftyp box")
+    val f = Multimodal.extractVideoMeta(Multimodal.asBinaryTable(d)).collect().head
+    assert(f.brand == "raw" && f.codec == "none" && f.mvhd_version == -1)
+  }
 }
