@@ -93,6 +93,9 @@ object SparkEntry {
     "blocklist_filter" -> ((s, d) => TextAnalysis.blocklistFilter(docs(s, d))),
     // --- corpus statistics ---
     "vocab_topk" -> ((s, d) => CorpusStats.vocabTopK(docs(s, d))),
+    // Count-Min sketch heavy hitters (r7): fixed d*w integer grid,
+    // mergeable by addition; estimates are bit-checked by the oracle
+    "heavy_hitters" -> ((s, d) => CorpusStats.heavyHitters(docs(s, d))),
     "unigram_score" -> ((s, d) => CorpusStats.unigramScore(docs(s, d))),
     // BM25 retrieval (per-term top-k, rational idf — see bm25TopK)
     "bm25_topk" -> ((s, d) => CorpusStats.bm25TopK(docs(s, d))),
@@ -465,6 +468,7 @@ object SparkEntry {
     "source_quality" -> Sql.sourceQuality,
     "length_histogram" -> Sql.lengthHistogram,
     "vocab_topk" -> Sql.vocabTopK,
+    "heavy_hitters" -> Sql.heavyHitters,
     "unigram_score" -> Sql.unigramScore,
     "source_overlap" -> Sql.sourceOverlap,
     "chunk_dedup" -> Sql.chunkDedup,

@@ -46,6 +46,67 @@ object CorpusStats {
         .cast("long"))
   }
 
+  /** Count-Min sketch depth (hash rows) — shared with the oracle. */
+  val CmsDepth: Int = 5
+  /** Count-Min sketch width (counters per row) — shared with the
+    * oracle. eps = e/width ≈ 0.27% of total mass at 1024. */
+  val CmsWidth: Int = 1024
+  /** Heavy-hitter report size. */
+  val HeavyHittersK: Int = 20
+
+  /** The d (row, bucket) probe coordinates of a token-hash column —
+    * row r's bucket is affine_r(h) mod width, the seeded family from
+    * [[Config.coeffs]]. Pure integer arithmetic, oracle-replayable. */
+  private def cmsProbes(h: org.apache.spark.sql.Column, depth: Int, width: Int) =
+    array((0 until depth).map(r =>
+      struct(lit(r).as("r"),
+        (PortableHash.affine(r, h) % width).as("bucket"))): _*)
+
+  /** Heavy hitters via a Count-Min sketch — the frequency-estimation
+    * primitive a 100 TB corpus needs where exact per-token counts
+    * are kept only for the head: the sketch is a FIXED d×w integer
+    * grid (5×1024 longs here), built with one map-side-combinable
+    * aggregation and mergeable across partitions, days, or streams
+    * by plain element-wise addition. Estimates carry the classic
+    * one-sided guarantee (est ≥ true; est ≤ true + eps·N w.h.p.).
+    *
+    * Build cost trick: the sketch aggregates the TERM-FREQUENCY
+    * table (|vocab| rows), not the occurrence stream — counter(r,b)
+    * = Σ exact_cnt over tokens hashing to b, identical by linearity
+    * but |vocab| ≪ n_occurrences. Per top-k token the estimate is
+    * min over its d probed counters. Everything — the fold hash, the
+    * affine family, the min — is integer arithmetic, so the DuckDB
+    * oracle replays the ESTIMATES bit-exactly (not just an
+    * error-bound bit): output is token, exact count, CMS estimate,
+    * and the non-negative overcount. */
+  def heavyHitters(docs: DataFrame, k: Int = HeavyHittersK,
+                   depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    val counts = docs
+      .select(explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+    val probes = cmsProbes(PortableHash.charFoldHash(col("token")), depth, width)
+    // the sketch: groupBy over a bounded (r, bucket) domain — the
+    // partial hash agg does the merging map-side, the exchange moves
+    // at most d*width rows
+    val sketch = counts
+      .select(explode(probes).as("rb"), col("exact_cnt"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(sum("exact_cnt").as("counter"))
+    // distributed top-k of the exact counts (TakeOrderedAndProject),
+    // then probe the sketch: k*d rows joined to <= d*width — both
+    // sides broadcast-sized at ANY corpus scale
+    val top = counts.orderBy(col("exact_cnt").desc, col("token").asc).limit(k)
+    val probed = top
+      .select(col("token"), col("exact_cnt"), explode(probes).as("rb"))
+      .select(col("token"), col("exact_cnt"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    broadcast(probed).join(sketch, Seq("r", "bucket"))
+      .groupBy("token", "exact_cnt")
+      .agg(min("counter").as("cms_est"))
+      .select(col("token"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+  }
+
   /** Unigram-LM document quality score: the mean corpus probability
     * of the document's tokens — the cheap stand-in for "LM
     * perplexity" filtering. All shuffle-side arithmetic is INTEGER

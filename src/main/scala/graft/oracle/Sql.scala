@@ -295,6 +295,37 @@ toktab AS (
            FROM vc)
     SELECT token, n_occurrences, n_docs, "rank" FROM rk WHERE "rank" <= $VocabTopK""")
 
+  /** Count-Min heavy hitters replay: the ENTIRE sketch — fold hash,
+    * seeded affine rows mod width, counter sums, per-token min — is
+    * integer arithmetic, so the oracle rebuilds the d×w grid and
+    * reproduces the ESTIMATES bit-exactly (CorpusStats.heavyHitters;
+    * DuckDB sum widens to HUGEINT, hence the BIGINT casts). */
+  val heavyHitters: String = {
+    val d = graft.operators.CorpusStats.CmsDepth
+    val w = graft.operators.CorpusStats.CmsWidth
+    val k = graft.operators.CorpusStats.HeavyHittersK
+    val coefValues = (0 until d).map { r =>
+      val (a, b) = Config.coeffs(r); s"($r, ${a}::BIGINT, ${b}::BIGINT)"
+    }.mkString(", ")
+    docQ(s""", tok AS (SELECT unnest(toks) AS token FROM toktab),
+    vc AS (SELECT token, count(*)::BIGINT AS exact_cnt FROM tok GROUP BY token),
+    hh_hash AS (SELECT token, exact_cnt, ${foldHash("token")} AS h FROM vc),
+    coef(r, a, b) AS (VALUES $coefValues),
+    hh_rb AS (SELECT token, exact_cnt, r, ((a * h + b) % $P) % $w AS bucket
+           FROM hh_hash CROSS JOIN coef),
+    sketch AS (SELECT r, bucket, CAST(sum(exact_cnt) AS BIGINT) AS counter
+               FROM hh_rb GROUP BY r, bucket),
+    top AS (SELECT token, exact_cnt FROM vc
+            ORDER BY exact_cnt DESC, token LIMIT $k)
+    SELECT t.token, t.exact_cnt,
+      CAST(min(s.counter) AS BIGINT) AS cms_est,
+      CAST(min(s.counter) - t.exact_cnt AS BIGINT) AS overcount
+    FROM top t
+    JOIN hh_rb ON hh_rb.token = t.token
+    JOIN sketch s ON s.r = hh_rb.r AND s.bucket = hh_rb.bucket
+    GROUP BY t.token, t.exact_cnt""")
+  }
+
   /** Unigram-LM score: integer per-doc sum of corpus term
     * frequencies, two exact double divisions at the end (no log). */
   val unigramScore: String = docQ(

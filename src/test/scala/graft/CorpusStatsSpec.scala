@@ -16,6 +16,39 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("a", 5L, 3L, 1L), ("b", 3L, 2L, 2L), ("c", 3L, 2L, 3L)))
   }
 
+  test("heavy hitters: estimates carry the one-sided CMS guarantee and recompute") {
+    val d = docsDf(
+      1L -> "a a a a a b b b c c",
+      2L -> "a a b c d e",
+      3L -> "a d d f g")
+    val rows = CorpusStats.heavyHitters(d, k = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (-t._2, t._1))
+    // exact: a=8 b=4 d=3 c=3; top-4 with ties broken by token asc
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq(("a", 8L), ("b", 4L), ("c", 3L), ("d", 3L)))
+    // one-sided guarantee: est >= exact, overcount = est - exact >= 0
+    rows.foreach { case (tok, exact, est, over) =>
+      assert(est >= exact && over == est - exact && over >= 0,
+        s"CMS guarantee violated for '$tok': exact=$exact est=$est")
+    }
+    // model the sketch directly: est == min over rows of the summed
+    // counters of colliding tokens (linearity of the build)
+    val exact = Map("a" -> 8L, "b" -> 4L, "c" -> 3L, "d" -> 3L,
+      "e" -> 1L, "f" -> 1L, "g" -> 1L)
+    def h(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % Config.P)
+    def bucket(r: Int, tok: String) = {
+      val (a, b) = Config.coeffs(r)
+      ((a * h(tok) + b) % Config.P) % CorpusStats.CmsWidth
+    }
+    rows.foreach { case (tok, _, est, _) =>
+      val model = (0 until CorpusStats.CmsDepth).map { r =>
+        exact.collect { case (t, c) if bucket(r, t) == bucket(r, tok) => c }.sum
+      }.min
+      assert(est == model, s"'$tok': est=$est model=$model")
+    }
+  }
+
   test("unigram score: common-token docs outscore rare-token docs; score recomputes") {
     val d = docsDf(
       1L -> "a a a a", // all most-common token
