@@ -352,6 +352,12 @@ object SparkEntry {
     // from the script-family dim filter — the fact scan carries a
     // dynamicpruningexpression instead of a static partition list
     "dpp_join" -> ((s, d) => graft.sources.Bucketed.dppFamilyStats(s, d)),
+    // z-order clustering (r7): Morton-interleaved write layout -> a
+    // 2-d box predicate prunes row groups on BOTH dims; linear twin
+    // quantifies the interleave (same oracle - layout never changes
+    // results)
+    "zorder_scan" -> ((s, d) => graft.sources.ZOrder.zorderBoxStats(s, d)),
+    "linear_scan" -> ((s, d) => graft.sources.ZOrder.linearBoxStats(s, d)),
     // the reference's NATIVE line format through the DataSource V2
     // connector: id\t escaped-text lines, newline-aligned byte splits
     // (64 KB here so even sf0.001 scans in parallel), doc_id filter
@@ -493,6 +499,8 @@ object SparkEntry {
     "unbucketed_join" -> Sql.bucketedOrderRevenue,
     "partition_pruned" -> Sql.partitionPrunedStats,
     "dpp_join" -> Sql.dppFamilyStats,
+    "zorder_scan" -> Sql.zorderBoxStats,
+    "linear_scan" -> Sql.zorderBoxStats,
     "csv_roundtrip" -> Sql.docsIdentity,
     "jsonl_roundtrip" -> Sql.docsIdentity,
     "orc_roundtrip" -> Sql.docsIdentity,

@@ -2075,6 +2075,19 @@ WHERE rr <= $HybridTopK""")
 
   /** Dynamic partition pruning replay: the same dim join, statically —
     * pruning is an execution strategy, the result is this join. */
+  /** Z-order / linear layout twins replay: clustering changes WHERE
+    * bytes live, never WHAT the box query returns — same raw-table
+    * SQL for both (ZOrder.boxFilter's integer bound arithmetic,
+    * DuckDB `//` = integer division). */
+  val zorderBoxStats: String =
+    s"""WITH mx AS (SELECT max(user_id) AS mu, max(event_id) AS me FROM events)
+    SELECT event_type, count(*)::BIGINT AS n_events,
+      CAST(sum(${cents("value")}) AS BIGINT) AS sum_value_cents
+    FROM events, mx
+    WHERE user_id >= (mu + 1) * 20 // 100 AND user_id < (mu + 1) * 30 // 100
+      AND event_id >= (me + 1) * 50 // 100 AND event_id < (me + 1) * 60 // 100
+    GROUP BY event_type"""
+
   val dppFamilyStats: String =
     """SELECT dim.lang AS lang, family, count(*)::BIGINT AS n_docs,
       CAST(sum(n_chars) AS BIGINT) AS sum_chars
