@@ -265,6 +265,10 @@ object SparkEntry {
     // checkpointed PARQUET SINK (exactly-once commit log); result is
     // the sink dir read back, oracle replays the batch formulation
     "stream_to_parquet" -> ((s, d) => graft.streaming.StreamingQueries.streamToParquet(s, d)),
+    // CMS grid as the ONLY streaming state (bounded d*w forever);
+    // final grid == batch grid, so the batch heavy_hitters oracle
+    // hash-checks the streamed estimates
+    "stream_heavy_hitters" -> ((s, d) => graft.streaming.StreamingQueries.streamHeavyHitters(s, d)),
     // --- relational coverage ---
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
@@ -475,6 +479,7 @@ object SparkEntry {
     "length_histogram" -> Sql.lengthHistogram,
     "vocab_topk" -> Sql.vocabTopK,
     "heavy_hitters" -> Sql.heavyHitters,
+    "stream_heavy_hitters" -> Sql.heavyHitters,
     "unigram_score" -> Sql.unigramScore,
     "source_overlap" -> Sql.sourceOverlap,
     "chunk_dedup" -> Sql.chunkDedup,

@@ -57,10 +57,52 @@ object CorpusStats {
   /** The d (row, bucket) probe coordinates of a token-hash column —
     * row r's bucket is affine_r(h) mod width, the seeded family from
     * [[Config.coeffs]]. Pure integer arithmetic, oracle-replayable. */
-  private def cmsProbes(h: org.apache.spark.sql.Column, depth: Int, width: Int) =
+  private[graft] def cmsProbes(h: org.apache.spark.sql.Column, depth: Int, width: Int) =
     array((0 until depth).map(r =>
       struct(lit(r).as("r"),
         (PortableHash.affine(r, h) % width).as("bucket"))): _*)
+
+  /** The CMS grid built from an OCCURRENCE stream (one row per token
+    * occurrence): each occurrence increments its d probed counters.
+    * One stateful aggregation over the bounded (r, bucket) domain —
+    * the streaming-legal form ([[graft.streaming.StreamingQueries]]
+    * maintains exactly this grid as its query state). */
+  private[graft] def cmsGridFromOccurrences(occurrences: DataFrame,
+                                            depth: Int = CmsDepth,
+                                            width: Int = CmsWidth): DataFrame =
+    occurrences
+      .select(explode(cmsProbes(
+        PortableHash.charFoldHash(col("token")), depth, width)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("counter"))
+
+  /** Probe a (r, bucket, counter) grid for `top` (token, exact_cnt)
+    * rows: estimate = min over the token's d counters. Both join
+    * sides are broadcast-sized at any corpus scale (k*d probes vs
+    * <= d*width grid rows). */
+  private[graft] def probeSketch(sketch: DataFrame, top: DataFrame,
+                                 depth: Int = CmsDepth,
+                                 width: Int = CmsWidth): DataFrame = {
+    val probed = top
+      .select(col("token"), col("exact_cnt"),
+        explode(cmsProbes(
+          PortableHash.charFoldHash(col("token")), depth, width)).as("rb"))
+      .select(col("token"), col("exact_cnt"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    broadcast(probed).join(sketch, Seq("r", "bucket"))
+      .groupBy("token", "exact_cnt")
+      .agg(min("counter").as("cms_est"))
+      .select(col("token"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+  }
+
+  /** Exact term-frequency top-k (distributed TakeOrderedAndProject,
+    * ties broken by token text) — the head the sketch is probed
+    * for. */
+  private[graft] def tokenTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token").asc).limit(k)
 
   /** Heavy hitters via a Count-Min sketch — the frequency-estimation
     * primitive a 100 TB corpus needs where exact per-token counts
@@ -84,27 +126,21 @@ object CorpusStats {
     val counts = docs
       .select(explode(TextAnalysis.tokensCol(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
-    val probes = cmsProbes(PortableHash.charFoldHash(col("token")), depth, width)
     // the sketch: groupBy over a bounded (r, bucket) domain — the
     // partial hash agg does the merging map-side, the exchange moves
-    // at most d*width rows
+    // at most d*width rows (built from the TYPE table: by linearity
+    // identical to the occurrence-stream grid at |vocab| cost)
     val sketch = counts
-      .select(explode(probes).as("rb"), col("exact_cnt"))
+      .select(explode(cmsProbes(
+        PortableHash.charFoldHash(col("token")), depth, width)).as("rb"),
+        col("exact_cnt"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(sum("exact_cnt").as("counter"))
     // distributed top-k of the exact counts (TakeOrderedAndProject),
-    // then probe the sketch: k*d rows joined to <= d*width — both
-    // sides broadcast-sized at ANY corpus scale
+    // then probe: k*d rows vs <= d*width — both broadcast-sized at
+    // ANY corpus scale
     val top = counts.orderBy(col("exact_cnt").desc, col("token").asc).limit(k)
-    val probed = top
-      .select(col("token"), col("exact_cnt"), explode(probes).as("rb"))
-      .select(col("token"), col("exact_cnt"),
-        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-    broadcast(probed).join(sketch, Seq("r", "bucket"))
-      .groupBy("token", "exact_cnt")
-      .agg(min("counter").as("cms_est"))
-      .select(col("token"), col("exact_cnt"), col("cms_est"),
-        (col("cms_est") - col("exact_cnt")).as("overcount"))
+    probeSketch(sketch, top, depth, width)
   }
 
   /** Unigram-LM document quality score: the mean corpus probability

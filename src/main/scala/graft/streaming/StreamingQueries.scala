@@ -398,6 +398,33 @@ object StreamingQueries {
       .select("id_l", "id_r", "jaccard")
   }
 
+  /** STREAMING Count-Min sketch: the documents file feed maintains
+    * the d×w CMS grid as its ONLY query state — one stateful
+    * aggregation over the bounded (r, bucket) domain in complete
+    * mode, the reason frequency sketches exist in streaming: state
+    * is O(d·w) forever, however many tokens flow past. The final
+    * grid equals the batch grid whatever the arrival order (counter
+    * addition commutes), so probing it with the batch top-k yields
+    * BIT-identical estimates to the batch heavy_hitters query — one
+    * oracle serves both. At 100 TB/day the grid is also mergeable
+    * across independent streams by plain addition. */
+  def streamHeavyHitters(spark: SparkSession, sfDir: String,
+                         nChunks: Int = 4): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val grid = runFileFeedQuery(spark, docs, "doc_id",
+      rangesOf(docs, "doc_id", nChunks),
+      "graft_stream_heavy_hitters", s"sink:$sfDir:$nChunks",
+      outputMode = "complete") { stream =>
+      graft.operators.CorpusStats.cmsGridFromOccurrences(
+        stream.select(explode(
+          graft.operators.TextAnalysis.tokensCol(col("text"))).as("token")))
+    }
+    graft.operators.CorpusStats.probeSketch(grid,
+      graft.operators.CorpusStats.tokenTopK(docs,
+        graft.operators.CorpusStats.HeavyHittersK))
+  }
+
   /** CHECKPOINTED PARQUET SINK — the production landing path the
     * memory-sink harness queries don't exercise: the file-source feed
     * streamed through a stateless per-doc transform and WRITTEN by

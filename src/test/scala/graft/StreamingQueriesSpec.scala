@@ -130,4 +130,10 @@ class StreamingQueriesSpec extends SparkSpec {
         col("n_chars"), col("n_tokens"))
     assertSameAs(StreamingQueries.streamPipeline(spark, Sf0001), batch)
   }
+
+  test("stream_heavy_hitters: the micro-batch-merged CMS grid probes bit-identically to batch") {
+    val batch = graft.operators.CorpusStats.heavyHitters(
+      spark.read.parquet(s"$Sf0001/documents.parquet"))
+    assertSameAs(StreamingQueries.streamHeavyHitters(spark, Sf0001), batch)
+  }
 }
