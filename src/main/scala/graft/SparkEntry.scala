@@ -297,6 +297,9 @@ object SparkEntry {
     "window_running_total" -> ((s, d) => Relational.windowRunningTotal(s, d)),
     "window_lag_lead" -> ((s, d) => Relational.windowLagLead(s, d)),
     "string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
+    // explicit runtime-bloom semi-join pushdown: fact rows die at the
+    // scan before the exchange; the join keeps the result exact
+    "bloom_join" -> ((s, d) => Relational.bloomPrunedJoin(s, d)),
     "salted_join_sales" -> ((s, d) => Relational.saltedJoinSales(s, d)),
     // planted-skew pair: same result, guard off vs on — benched so the
     // artifact quantifies the salting win on a genuinely hot key
@@ -504,6 +507,7 @@ object SparkEntry {
     "unbucketed_join" -> Sql.bucketedOrderRevenue,
     "partition_pruned" -> Sql.partitionPrunedStats,
     "dpp_join" -> Sql.dppFamilyStats,
+    "bloom_join" -> Sql.bloomPrunedJoin,
     "zorder_scan" -> Sql.zorderBoxStats,
     "linear_scan" -> Sql.zorderBoxStats,
     "csv_roundtrip" -> Sql.docsIdentity,

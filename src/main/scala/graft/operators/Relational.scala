@@ -345,6 +345,47 @@ object Relational {
     * the oracle. A sketch regression (wrong register math, precision
     * change) flips a bit and fails the hash, same contract the
     * standalone sketch_error_gate pins at the gate altitude. */
+  /** EXPLICIT runtime-bloom semi-join pushdown — the row-level analog
+    * of dynamic partition pruning for non-partition join keys, made
+    * deterministic: Catalyst's InjectRuntimeFilter does exactly this
+    * shape behind size thresholds; building it explicitly keeps every
+    * other query's plan untouched and pins the demonstration.
+    *
+    * A selective dim filter (part rows of one size, ~2% of the dim) would still
+    * force the fact side to shuffle ALL lineitem rows into the join.
+    * Instead: (1) fold the filtered dim keys into a ~1 MB bloom
+    * filter (one-row aggregate, the only driver-side datum); (2)
+    * prefilter the fact scan with bloom_might_contain BEFORE the
+    * exchange, so ~99% of fact rows never shuffle; (3) run the real
+    * join for exactness — a bloom filter has no false NEGATIVES, so
+    * the prefilter can only pass extra rows the join then drops, and
+    * the result is bit-identical to the plain join (the oracle
+    * replays plain SQL). At 100 TB the 1 MB filter rides the task
+    * broadcast; the savings is the fact-side exchange. */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graft.Bridge
+    val dim = table(spark, dir, "part")
+      .filter(col("p_size") === 1)
+      .select(col("p_partkey"), col("p_brand"))
+    val bloomAgg = Bridge.column(
+      new BloomFilterAggregate(new XxHash64(
+        Seq(Bridge.expression(col("p_partkey"))))).toAggregateExpression())
+    val filterBytes = dim.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val might = Bridge.column(BloomFilterMightContain(
+      Literal.create(filterBytes, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(Bridge.expression(col("l_partkey"))))))
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("rev_c4"))
+      .filter(might) // fact rows die at the scan, before any exchange
+    li.hint("merge").join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_c4")).as("revenue_c4"))
+  }
+
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     def within(approx: String, exact: String) =
       when(abs(col(approx) - col(exact)) * 100 <= col(exact) * SketchMaxErrPct, 1L)

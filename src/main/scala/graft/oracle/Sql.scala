@@ -2048,6 +2048,16 @@ WHERE rr <= $HybridTopK""")
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderkey, o_orderpriority"""
 
+  /** Bloom-pruned join replay: the bloom prefilter has no false
+    * negatives and the join drops its false positives, so the result
+    * IS the plain dim-filtered join (Relational.bloomPrunedJoin). */
+  val bloomPrunedJoin: String =
+    s"""SELECT p_brand, count(*)::BIGINT AS n_items,
+      CAST(sum($revC4) AS BIGINT) AS revenue_c4
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size = 1
+    GROUP BY p_brand"""
+
   /** Partition-pruned per-language stats: pruning is a scan property,
     * so the oracle is the plain filtered aggregate. */
   val partitionPrunedStats: String =

@@ -170,4 +170,25 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => r.getLong(1))
     assert(coarse.forall(_ == 1L))
   }
+
+  test("bloom-pruned join: bit-identical to the plain join, prefilter in the plan") {
+    val df = Relational.bloomPrunedJoin(spark, Sf0001)
+    // the bloom prefilter must sit in the plan (fact rows die at the
+    // scan, before the exchange) ...
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected a bloom might_contain prefilter in:\n$plan")
+    // ... and must not change the result: no false negatives, the
+    // join drops the false positives
+    val part = spark.read.parquet(s"$Sf0001/part.parquet")
+      .filter(col("p_size") === 1)
+    val li = spark.read.parquet(s"$Sf0001/lineitem.parquet")
+    val plain = li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sum(Relational.cents(col("l_extendedprice")) *
+          (lit(100L) - Relational.cents(col("l_discount")))).as("revenue_c4"))
+    assert(df.count() > 0)
+    assert(df.except(plain).isEmpty && plain.except(df).isEmpty)
+  }
 }
