@@ -140,6 +140,14 @@ object SparkEntry {
     // container structure no longer does.
     "media_video_meta" -> ((s, d) =>
       Multimodal.extractVideoMeta(Multimodal.encodeMp4(docs(s, d))).toDF()),
+    // REAL video FRAME decode (r7): text → RIFF/AVI with uncompressed
+    // 24-bit DIB frames (AviWriter) → RIFF walk + raw BI_RGB sample
+    // decode (bottom-up BGR rows re-ordered, stride dropped, pixels
+    // averaged to gray) → one row per decoded frame. Lossless by
+    // construction, so per-frame pixel checksums re-derive from the
+    // text alone — video samples now decode for real on a stock JRE
+    "media_video_frames" -> ((s, d) =>
+      Multimodal.extractVideoFrames(Multimodal.encodeAvi(docs(s, d))).toDF()),
     // the OTHER stock-JRE codecs round-tripped for real — GIF (indexed
     // palette), BMP (24-bit RGB), WBMP (1-bit) — on a deterministic
     // fifth of the corpus (per-row ImageIO setup dominates; format
@@ -245,6 +253,14 @@ object SparkEntry {
     // --- events ---
     "events_window_agg" -> ((s, d) => EventsOps.windowAgg(events(s, d))),
     "events_sessionize" -> ((s, d) => EventsOps.sessionize(events(s, d))),
+    // CDC latest-wins MERGE: snapshot + versioned upsert/delete feed
+    // reduced with max_by (map-side partial combine, no per-key sort
+    // window) — the MERGE INTO / compaction-read plan shape
+    "cdc_merge" -> ((s, d) => ChangeData.cdcMerge(docs(s, d))),
+    // SCD type-2 interval build: consecutive duplicate states
+    // collapse, each survivor carries [valid_from, valid_to) with the
+    // open current row flagged; windows partition by the entity key
+    "scd2_history" -> ((s, d) => ChangeData.scd2History(events(s, d))),
     "events_props_agg" -> ((s, d) => EventsOps.propsAgg(events(s, d))),
     "events_json_deciles" -> ((s, d) => EventsOps.jsonDeciles(events(s, d))),
     "events_asof_join" -> ((s, d) => EventsOps.asOfJoin(events(s, d))),
@@ -493,6 +509,7 @@ object SparkEntry {
     "media_decode" -> Sql.mediaDecode,
     "media_audio" -> Sql.mediaAudio,
     "media_video_meta" -> Sql.mediaVideoMeta,
+    "media_video_frames" -> Sql.mediaVideoFrames,
     "media_decode_formats" -> Sql.mediaDecodeFormats,
     "ann_recall" -> Sql.annRecall,
     "pii_mask" -> Sql.piiMask,
@@ -535,6 +552,8 @@ object SparkEntry {
     // sink read-back equals the batch per-doc projection
     "stream_to_parquet" -> Sql.tokenStats,
     "events_sessionize" -> Sql.eventsSessionize,
+    "cdc_merge" -> Sql.cdcMerge,
+    "scd2_history" -> Sql.scd2History,
     "events_props_agg" -> Sql.eventsPropsAgg,
     "events_json_deciles" -> Sql.eventsJsonDeciles,
     "events_asof_join" -> Sql.eventsAsOfJoin,

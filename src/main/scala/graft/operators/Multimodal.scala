@@ -13,11 +13,14 @@ import graft.functions.PortableHash
   * payloads to true width/height/pixel-checksum features — and for
   * every AUDIO format `javax.sound.sampled` reads (WAV/AU/AIFF):
   * [[WavDecoder]] extracts true sample-rate/frame-count/PCM-checksum
-  * features. VIDEO splits into two stages: container metadata is a
-  * REAL ISO-BMFF/MP4 structural parse ([[Mp4Parser]] — box walking,
-  * mvhd/tkhd/stsd/stsz/mdat, both 32- and 64-bit framings); only
-  * SAMPLE decode (the one step with no stock-JRE codec) stays a
-  * labeled stub. Payloads no reader recognizes fall back to the
+  * features. VIDEO decodes for real in BOTH stages: container
+  * metadata via a REAL ISO-BMFF/MP4 structural parse ([[Mp4Parser]]
+  * — box walking, mvhd/tkhd/stsd/stsz/mdat, both 32- and 64-bit
+  * framings), and SAMPLE decode via uncompressed-DIB AVI
+  * ([[AviParser]] — RIFF walk + raw BI_RGB frame decode, the one
+  * video sample format that needs no codec); only COMPRESSED video
+  * samples (H.264 etc.) remain outside a stock JRE's reach.
+  * Payloads no reader recognizes fall back to the
   * clearly-marked deterministic `StubDecoder`. Either way the Spark-side
   * plumbing is identical: binary columns, schema, partition-
   * preserving mapPartitions with batched per-partition decoder
@@ -212,9 +215,7 @@ object Multimodal {
     * WAV (and AU/AIFF) without any external codec. Features are the
     * TRUE decoded sample rate and frame count plus a deterministic
     * fold over the raw PCM bytes — the audio analog of
-    * [[ImageIoDecoder]], closing the last stubbed modality the JRE
-    * has a reader for (video stays with the labeled stub: no stock
-    * JRE codec exists). */
+    * [[ImageIoDecoder]] (video's real path is [[AviParser]]). */
   object WavDecoder {
     val P = graft.Config.P
     def decode(docId: Long, payload: Array[Byte]): Option[AudioFeatures] =
@@ -495,8 +496,9 @@ object Multimodal {
     * to-end-of-enclosure. Extracts [[VideoMeta]]; any structural
     * violation (truncated box, size under the header length, missing
     * required boxes) → None and the caller falls back to a marked
-    * stub row. This is the one video stage a stock JRE can make real
-    * — SAMPLE decode stays a labeled stub (no JRE video codec). */
+    * stub row. Sample decode for the ISO-BMFF path would need a real
+    * codec; the uncompressed-AVI path ([[AviParser]]) decodes
+    * samples for real. */
   object Mp4Parser {
     val P = graft.Config.P
     private val Containers =
@@ -615,6 +617,267 @@ object Multimodal {
             val s = StubDecoder.decode(id, payload)
             VideoMeta(id, "raw", -1, 0, 0, 0, 0, 0, "none", 0,
               payload.length.toLong, s.checksum)
+          }
+        }
+      }(enc)
+  }
+
+  /** One decoded video FRAME: true stream dimensions plus a fold
+    * over the decoded pixel values in top-down row-major order —
+    * every field a real read/decode of the container's bytes. */
+  case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int,
+                        height: Int, checksum: Long)
+
+  /** Deterministic AVI fixture writer: each text becomes a spec-valid
+    * RIFF/AVI file carrying UNCOMPRESSED 24-bit DIB video frames —
+    * the one video sample format a stock JRE can decode for real
+    * (no codec: BI_RGB frames are raw bottom-up BGR rasters with
+    * 4-byte-aligned row strides, per the Windows DIB spec the AVI
+    * container inherits). Frame f covers text chars
+    * [f·frameChars, (f+1)·frameChars), rendered as a width-wide gray
+    * raster (pixel = char mod 256, zero-padded), so the DECODED
+    * pixels re-derive from the text alone — the [[encodeImage]] /
+    * [[encodeWav]] lossless-fixture discipline, now for video
+    * samples. Structure: RIFF('AVI ') → LIST(hdrl){avih,
+    * LIST(strl){strh 'vids'/'DIB ', strf BITMAPINFOHEADER}} →
+    * LIST(movi){'00db'×n} → idx1. All fields little-endian (RIFF),
+    * the endianness twin of the big-endian ISO-BMFF path above.
+    * RIFF's word-alignment rule (odd-size chunks take a pad byte) is
+    * exercised whenever width·3 is odd×height — covered in specs via
+    * non-default widths. */
+  object AviWriter {
+    val Width = 16
+    val FrameChars = 64 // 16 × 4 raster per frame
+    val UsecPerFrame = 40000L // 25 fps
+
+    private def u16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    }
+    private def u32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    private def chunk(fourcc: String)(body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream(); body(b)
+      val payload = b.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(fourcc.getBytes("US-ASCII")); u32(out, payload.length.toLong)
+      out.write(payload)
+      if (payload.length % 2 == 1) out.write(0) // RIFF word alignment
+      out.toByteArray
+    }
+    private def list(listType: String)(parts: Array[Byte]*): Array[Byte] =
+      chunk("LIST") { o => o.write(listType.getBytes("US-ASCII")); parts.foreach(o.write) }
+
+    private[operators] def stride(width: Int): Int = ((width * 3 + 3) / 4) * 4
+
+    /** One DIB frame: bottom-up rows, BGR, stride-padded. */
+    private def dibFrame(text: String, from: Int, width: Int, height: Int): Array[Byte] = {
+      val rowBytes = stride(width)
+      val buf = new Array[Byte](rowBytes * height)
+      var y = 0
+      while (y < height) {
+        val rowBase = (height - 1 - y) * rowBytes // bottom-up storage
+        var x = 0
+        while (x < width) {
+          val i = from + y * width + x
+          val c: Byte = if (i < text.length) (text.charAt(i) % 256).toByte else 0
+          buf(rowBase + 3 * x) = c     // B
+          buf(rowBase + 3 * x + 1) = c // G
+          buf(rowBase + 3 * x + 2) = c // R
+          x += 1
+        }
+        y += 1
+      }
+      buf
+    }
+
+    def encode(docId: Long, text: String, width: Int = Width,
+               frameChars: Int = FrameChars): Array[Byte] = {
+      require(frameChars % width == 0, "frameChars must fill whole rows")
+      val height = frameChars / width
+      val nFrames = math.max(1, (text.length + frameChars - 1) / frameChars)
+      val frameBytes = stride(width) * height
+
+      val avih = chunk("avih") { o =>
+        u32(o, UsecPerFrame); u32(o, frameBytes * 25L) // maxBytesPerSec
+        u32(o, 0L); u32(o, 0x10L) // padding, flags (AVIF_HASINDEX)
+        u32(o, nFrames.toLong); u32(o, 0L); u32(o, 1L) // totalFrames, initial, streams
+        u32(o, frameBytes.toLong); u32(o, width.toLong); u32(o, height.toLong)
+        (0 until 4).foreach(_ => u32(o, 0L)) // reserved
+      }
+      val strh = chunk("strh") { o =>
+        o.write("vids".getBytes("US-ASCII")); o.write("DIB ".getBytes("US-ASCII"))
+        u32(o, 0L); u16(o, 0); u16(o, 0); u32(o, 0L) // flags, prio, lang, initial
+        u32(o, 1L); u32(o, 25L) // scale, rate → 25 fps
+        u32(o, 0L); u32(o, nFrames.toLong) // start, length (in frames)
+        u32(o, frameBytes.toLong); u32(o, 0xffffffffL); u32(o, 0L) // bufSize, quality, sampleSize
+        u16(o, 0); u16(o, 0); u16(o, width); u16(o, height) // rcFrame
+      }
+      val strf = chunk("strf") { o => // BITMAPINFOHEADER
+        u32(o, 40L); u32(o, width.toLong); u32(o, height.toLong)
+        u16(o, 1); u16(o, 24) // planes, bitCount
+        u32(o, 0L) // biCompression = BI_RGB (uncompressed)
+        u32(o, frameBytes.toLong); u32(o, 0L); u32(o, 0L); u32(o, 0L); u32(o, 0L)
+      }
+      val hdrl = list("hdrl")(avih, list("strl")(strh, strf))
+      val frames = (0 until nFrames).map(f =>
+        chunk("00db")(_.write(dibFrame(text, f * frameChars, width, height))))
+      val movi = list("movi")(frames: _*)
+      // idx1: offsets are relative to the start of the movi list's
+      // type field (the convention every AVI muxer uses)
+      val idx1 = chunk("idx1") { o =>
+        var off = 4L
+        (0 until nFrames).foreach { _ =>
+          o.write("00db".getBytes("US-ASCII")); u32(o, 0x10L) // AVIIF_KEYFRAME
+          u32(o, off); u32(o, frameBytes.toLong)
+          off += 8L + frameBytes + (frameBytes % 2)
+        }
+      }
+      val riffBody = {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write("AVI ".getBytes("US-ASCII")); o.write(hdrl); o.write(movi); o.write(idx1)
+        o.toByteArray
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII")); u32(out, riffBody.length.toLong)
+      out.write(riffBody)
+      out.toByteArray
+    }
+  }
+
+  /** REAL video frame decoder on the stock JRE: walks the RIFF tree
+    * (little-endian sizes, word-aligned chunks — the endianness and
+    * alignment twin of [[Mp4Parser]]), validates the video stream
+    * headers (avih, strh 'vids' with an uncompressed-DIB handler,
+    * strf BITMAPINFOHEADER at 24-bit BI_RGB), then DECODES each
+    * '00db'/'00dc' movi chunk as a raw DIB: bottom-up rows
+    * re-ordered top-down, stride padding dropped, BGR samples
+    * averaged to gray — a true sample decode, no codec required
+    * because BI_RGB is the uncompressed video format. Cross-checks
+    * the idx1 entry count against the frames actually decoded. Any
+    * structural violation → None, caller falls back to a marked stub
+    * row. Closes the last stubbed modality: image, audio, video
+    * container AND video samples now all decode for real. */
+  object AviParser {
+    val P = graft.Config.P
+
+    private def u16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def fourcc(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private final class Stream {
+      var width: Int = -1; var height: Int = -1
+      var nFrames: Long = -1; var idxEntries: Long = -1
+      var vids: Boolean = false; var bgr24: Boolean = false
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var malformed: Boolean = false
+    }
+
+    /** Decode one 24-bit BI_RGB DIB: bottom-up BGR rows with 4-byte
+      * stride; fold gray = (r+g+b)/3 in top-down row-major order. */
+    private def decodeDib(b: Array[Byte], from: Int, len: Int,
+                          width: Int, height: Int): Option[Long] = {
+      val rowBytes = AviWriter.stride(width)
+      if (len < rowBytes * height) return None
+      var acc = 0L
+      var y = 0
+      while (y < height) {
+        val rowBase = from + (height - 1 - y) * rowBytes
+        var x = 0
+        while (x < width) {
+          val blue = b(rowBase + 3 * x) & 0xffL
+          val green = b(rowBase + 3 * x + 1) & 0xffL
+          val red = b(rowBase + 3 * x + 2) & 0xffL
+          acc = (acc * 31 + (red + green + blue) / 3) % P
+          x += 1
+        }
+        y += 1
+      }
+      Some(acc)
+    }
+
+    private def walk(b: Array[Byte], from: Long, to: Long, st: Stream): Unit = {
+      var pos = from
+      while (pos < to && !st.malformed) {
+        if (pos + 8 > to) { st.malformed = true; return }
+        val name = fourcc(b, pos.toInt)
+        val size = u32(b, pos.toInt + 4)
+        val body = pos + 8
+        if (body + size > to) { st.malformed = true; return }
+        name match {
+          case "LIST" =>
+            if (size < 4) { st.malformed = true; return }
+            walk(b, body + 4, body + size, st) // skip the list-type fourcc
+          case "avih" =>
+            if (size < 40) { st.malformed = true; return }
+            st.nFrames = u32(b, body.toInt + 16)
+          case "strh" =>
+            if (size < 48) { st.malformed = true; return }
+            val fccType = fourcc(b, body.toInt)
+            val handler = fourcc(b, body.toInt + 4)
+            if (fccType == "vids")
+              st.vids = handler == "DIB " || handler == "    "
+          case "strf" if st.vids =>
+            if (size < 40) { st.malformed = true; return }
+            st.width = u32(b, body.toInt + 4).toInt
+            st.height = u32(b, body.toInt + 8).toInt
+            st.bgr24 = u16(b, body.toInt + 14) == 24 && u32(b, body.toInt + 16) == 0L
+          case f if (f.endsWith("db") || f.endsWith("dc")) && st.bgr24 =>
+            decodeDib(b, body.toInt, size.toInt, st.width, st.height) match {
+              case Some(sum) => st.frames += sum
+              case None => st.malformed = true
+            }
+          case "idx1" =>
+            st.idxEntries = size / 16
+          case _ => // unknown chunk: skip by size
+        }
+        pos = body + size + (size % 2) // RIFF word alignment
+      }
+    }
+
+    def decodeFrames(docId: Long, payload: Array[Byte]): Option[Seq[VideoFrame]] = {
+      if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
+          fourcc(payload, 8) != "AVI ") return None
+      val st = new Stream
+      try walk(payload, 12L, math.min(payload.length.toLong, 8L + u32(payload, 4)), st)
+      catch { case _: Exception => return None }
+      if (st.malformed || !st.vids || !st.bgr24 || st.frames.isEmpty ||
+          st.frames.size != st.nFrames || st.idxEntries != st.nFrames) None
+      else Some(st.frames.toSeq.zipWithIndex.map { case (sum, i) =>
+        VideoFrame(docId, i, st.width, st.height, sum)
+      })
+    }
+  }
+
+  /** documents -> REAL AVI payloads (see [[AviWriter]]). */
+  def encodeAvi(docs: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[Encoded]
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .mapPartitions { rows =>
+        rows.map(row => Encoded(row.getLong(0), AviWriter.encode(row.getLong(0), row.getString(1))))
+      }(enc).toDF()
+  }
+
+  /** AVI parse + per-frame sample DECODE, the one-to-many
+    * [[frameSample]] shape over a real container: narrow
+    * mapPartitions flatMap, payloads stay on the executors.
+    * Unparseable payloads become one marked stub frame row (idx -1),
+    * keeping the stage total. */
+  def extractVideoFrames(binTable: DataFrame): Dataset[VideoFrame] = {
+    implicit val enc = Encoders.product[VideoFrame]
+    binTable.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { row =>
+          val id = row.getLong(0)
+          val payload = row.getAs[Array[Byte]](1)
+          AviParser.decodeFrames(id, payload).getOrElse {
+            val s = StubDecoder.decode(id, payload)
+            Seq(VideoFrame(id, -1, 0, 0, s.checksum))
           }
         }
       }(enc)

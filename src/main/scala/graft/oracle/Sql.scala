@@ -599,6 +599,26 @@ WHERE rn = 1""")
       length(text)::BIGINT AS mdat_bytes, ${foldHash("text")} AS checksum
     FROM documents"""
 
+  /** media_video_frames replay: the AVI fixture stores each 64-char
+    * text slice as an uncompressed 16×4 gray DIB frame (pixel = char
+    * mod 256, zero-padded; min one frame), losslessly — so the
+    * decoded per-frame pixel checksums re-derive from the text:
+    * frame f folds chars [64f+1, 64f+64] in raster order. */
+  val mediaVideoFrames: String = {
+    val nFrames = "greatest(1, (length(text) + 63) // 64)"
+    val pixelFold =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 64), " +
+        s"i -> CASE WHEN (f - 1) * 64 + i <= length(text) " +
+        s"THEN ascii(substr(text, (f - 1) * 64 + i, 1))::BIGINT % 256 " +
+        s"ELSE 0::BIGINT END)), (acc, x) -> (acc * 31 + x) % $P)"
+    s"""SELECT doc_id, CAST(f - 1 AS INTEGER) AS frame_idx,
+      CAST(16 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+      $pixelFold AS checksum
+    FROM (SELECT doc_id, text,
+            unnest(generate_series(1, $nFrames)) AS f
+          FROM documents)"""
+  }
+
   /** approx_distinct replay (r6 verdict item 7 — [oracle] now): the
     * exact distinct counts are plain SQL; the sketch-health bits are
     * expected 1 (a precision regression flips them in Spark's output
@@ -1424,6 +1444,54 @@ WHERE rr <= $HybridTopK""")
       max(sec) - min(sec) AS duration_sec,
       ${money("sum(c)")} AS sum_value
     FROM sessions GROUP BY user_id, session_idx"""
+
+  /** cdc_merge replay (ChangeData.cdcMerge): same synthesized feed —
+    * v1 upsert at %7, v2 upsert at %11, v3 delete at %13 over a
+    * version-0 snapshot — merged latest-wins with a row_number
+    * window (the declarative twin of Spark's max_by aggregate;
+    * versions are distinct per key so both pick the same row). */
+  val cdcMerge: String =
+    """WITH feed AS (
+      SELECT doc_id, lang, source, n_chars, text, 0::BIGINT AS version, 'I' AS op
+      FROM documents
+      UNION ALL
+      SELECT doc_id, lang, source, n_chars + 7, text || ' [rev1]', 1, 'U'
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id, lang, source, n_chars + 7, text || ' [rev2]', 2, 'U'
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id, lang, source, n_chars, text, 3, 'D'
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn,
+        max(version) OVER (PARTITION BY doc_id) AS latest_version,
+        count(*) OVER (PARTITION BY doc_id) AS n_revs
+      FROM feed
+    )
+    SELECT doc_id, latest_version, n_revs::BIGINT AS n_revs,
+      lang, source, n_chars, text
+    FROM ranked WHERE rn = 1 AND op <> 'D'"""
+
+  /** scd2_history replay (ChangeData.scd2History): identical window
+    * arithmetic — per user ordered by (us, event_id), consecutive
+    * duplicate states collapsed, lead() closing each interval. */
+  val scd2History: String =
+    """WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+    ),
+    changes AS (
+      SELECT user_id, us, event_id, event_type
+      FROM (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS prev_state FROM e)
+      WHERE prev_state IS NULL OR prev_state <> event_type
+    )
+    SELECT user_id, event_type AS state, us AS valid_from_us,
+      event_id AS from_event,
+      lead(us) OVER w AS valid_to_us,
+      CASE WHEN lead(us) OVER w IS NULL THEN 1::BIGINT ELSE 0::BIGINT END AS is_current
+    FROM changes WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)"""
 
   val eventsAsOfJoin: String =
     """SELECT event_id, user_id, us AS target_us, prev_match_id, prev_match_us,

@@ -143,6 +143,70 @@ class MultimodalSpec extends SparkSpec {
       && empty.mdat_bytes == 0L && empty.checksum == 0L && empty.height == 1)
   }
 
+  test("real AVI round trip: DIB frame decode re-derives every pixel from the text") {
+    val text = "the quick brown fox jumps over the lazy dog, and then more " +
+      "text so the fixture spans a whole frame plus a zero-padded second"
+    assert(text.length > 64 && text.length < 128) // 2 frames, second padded
+    val d = docsDf(6L -> text, 8L -> "") // empty text -> one zero frame
+    val frames = Multimodal.extractVideoFrames(Multimodal.encodeAvi(d))
+      .collect().groupBy(_.doc_id)
+    val f6 = frames(6L).sortBy(_.frame_idx)
+    assert(f6.length == 2, s"${text.length} chars at 64/frame must decode to 2 frames: ${f6.length}")
+    for ((f, idx) <- f6.zipWithIndex) {
+      assert(f.frame_idx == idx && f.width == 16 && f.height == 4)
+      val slice = text.drop(idx * 64).take(64).map(_.toInt % 256).padTo(64, 0)
+      val model = slice.foldLeft(0L)((a, g) => (a * 31 + g) % Config.P)
+      assert(f.checksum == model, s"frame $idx decoded-pixel checksum must re-derive from the text")
+    }
+    val f8 = frames(8L)
+    assert(f8.length == 1 && f8.head.frame_idx == 0 && f8.head.checksum == 0L)
+  }
+
+  test("AVI DIB decode handles stride padding and RIFF word alignment") {
+    // width 10 -> 30-byte pixel rows padded to a 32-byte stride; the
+    // decoder must drop the 2 pad bytes per row. frameChars 10x1=10
+    // keeps frames small so multi-frame alignment is exercised too.
+    val text = "abcdefghijKLMNOPQRSTuv" // 22 chars -> 3 frames of 10
+    val payload = Multimodal.AviWriter.encode(3L, text, width = 10, frameChars = 10)
+    val frames = Multimodal.AviParser.decodeFrames(3L, payload)
+    assert(frames.isDefined, "parser rejected a spec-valid stride-padded AVI")
+    val fs = frames.get
+    assert(fs.length == 3 && fs.forall(f => f.width == 10 && f.height == 1))
+    for ((f, idx) <- fs.zipWithIndex) {
+      val slice = text.drop(idx * 10).take(10).map(_.toInt % 256).padTo(10, 0)
+      val model = slice.foldLeft(0L)((a, g) => (a * 31 + g) % Config.P)
+      assert(f.checksum == model, s"stride-padded frame $idx must decode exactly")
+    }
+  }
+
+  test("AVI parser rejects structural violations and falls back to a marked stub row") {
+    val good = Multimodal.AviWriter.encode(2L, "hello avi world")
+    assert(Multimodal.AviParser.decodeFrames(2L, good).isDefined)
+    // truncated mid-chunk
+    assert(Multimodal.AviParser.decodeFrames(2L, good.take(good.length - 5)).isEmpty)
+    // idx1 count disagreeing with decoded frames: flip the index size
+    // down by one 16-byte entry
+    val text = "x" * 130 // 3 frames so idx1 has >1 entry
+    val multi = Multimodal.AviWriter.encode(2L, text)
+    val idxAt = {
+      var i = multi.length - 4
+      while (i > 0 && !(multi(i) == 'i' && multi(i + 1) == 'd' &&
+        multi(i + 2) == 'x' && multi(i + 3) == '1')) i -= 1
+      i
+    }
+    assert(idxAt > 0, "fixture must contain an idx1 chunk")
+    val broken = multi.clone()
+    val oldSize = (broken(idxAt + 4) & 0xff) | ((broken(idxAt + 5) & 0xff) << 8)
+    broken(idxAt + 4) = ((oldSize - 16) & 0xff).toByte
+    // (chunk now under-reads its body; the walk's size bound keeps it in range)
+    assert(Multimodal.AviParser.decodeFrames(2L, broken).isEmpty,
+      "an idx1/frame-count mismatch must be rejected, not silently decoded")
+    // not a container at all -> one marked stub frame row in the stage
+    val d = docsDf(1L -> "plain text, no RIFF header")
+    val f = Multimodal.extractVideoFrames(Multimodal.asBinaryTable(d)).collect()
+    assert(f.length == 1 && f.head.frame_idx == -1 && f.head.width == 0)
+  }
+
   test("MP4 parser skips unknown boxes and rejects structural violations") {
     val good = Multimodal.Mp4Writer.encode(2L, "hello")
     // the writer always embeds a 'free' box, so a successful parse
