@@ -97,6 +97,9 @@ object SparkEntry {
     // mergeable by addition; estimates are bit-checked by the oracle
     "heavy_hitters" -> ((s, d) => CorpusStats.heavyHitters(docs(s, d))),
     "unigram_score" -> ((s, d) => CorpusStats.unigramScore(docs(s, d))),
+    // the word-ORDER fluency signal unigrams can't see: mean corpus
+    // P(b|a) of adjacent token pairs, integer floor-ppm end-to-end
+    "bigram_fluency" -> ((s, d) => CorpusStats.bigramFluency(docs(s, d))),
     // BM25 retrieval (per-term top-k, rational idf — see bm25TopK)
     "bm25_topk" -> ((s, d) => CorpusStats.bm25TopK(docs(s, d))),
     // sparse retrieve → dense rerank (the RAG candidate pipeline)
@@ -500,6 +503,7 @@ object SparkEntry {
     "heavy_hitters" -> Sql.heavyHitters,
     "stream_heavy_hitters" -> Sql.heavyHitters,
     "unigram_score" -> Sql.unigramScore,
+    "bigram_fluency" -> Sql.bigramFluency,
     "source_overlap" -> Sql.sourceOverlap,
     "chunk_dedup" -> Sql.chunkDedup,
     "containment_pairs" -> Sql.containmentPairs,

@@ -172,6 +172,47 @@ object CorpusStats {
           / col("total_tf").cast("double")).as("unigram_score"))
   }
 
+  /** Bigram-LM fluency score — the word-ORDER quality signal
+    * [[unigramScore]] can't see (a scrambled document keeps its
+    * unigram score but loses its bigrams): per document, the mean
+    * corpus conditional probability of its adjacent token pairs,
+    *   P(b|a) ≈ c(a,b) / c(a,·)
+    * scaled to integer parts-per-million with floor division, so
+    * every shuffle-side value is a LONG and the score hash-matches
+    * the oracle with no log/libm. This is the cheap stand-in for
+    * CCNet's LM-perplexity filter: low mean_ppm = improbable word
+    * sequences. Shapes: the bigram count tables are corpus-bounded
+    * aggregates with map-side combine; the conditional table joins
+    * back to the pair stream on its (a, b) key — all equi-joins on
+    * token keys, no windows, no driver reads. Documents with fewer
+    * than two tokens surface with zero counts (stage-total). */
+  def bigramFluency(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col("text"))
+    // ordered, NON-distinct adjacent pairs (frequency matters here,
+    // unlike wordNgramJaccard's distinct feature sets)
+    val pairs = docs.select(col("doc_id"),
+        when(size(toks) >= 2, transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>")).as("bg"))
+      .select(col("doc_id"), explode(col("bg")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val ca = pairs.groupBy("a").agg(count(lit(1)).as("ca"))
+    // conditional table keyed (a, b): floor-ppm of P(b|a); c(a,·) is
+    // the count of bigrams STARTING with a, so rows sum to <= 1e6 per a
+    val cond = cab.join(ca, "a")
+      .select(col("a"), col("b"), expr("(1000000 * cab) div ca").as("ppm"))
+    val scored = pairs.join(cond, Seq("a", "b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("sum_ppm"))
+      .withColumn("mean_ppm", expr("sum_ppm div n_bigrams"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_ppm"), lit(0L)).as("sum_ppm"),
+        coalesce(col("mean_ppm"), lit(0L)).as("mean_ppm"))
+  }
+
   /** Cross-source overlap report: exact shingle-set Jaccard between
     * every pair of `source` values that share at least one shingle.
     * Intersections come from an EQUI-JOIN on the shingle hash over

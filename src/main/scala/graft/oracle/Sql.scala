@@ -339,6 +339,25 @@ toktab AS (
       (sum_tf::DOUBLE / n_tokens::DOUBLE) / total_tf::DOUBLE AS unigram_score
     FROM perdoc CROSS JOIN tot""")
 
+  /** Bigram-LM fluency replay (CorpusStats.bigramFluency): same
+    * floor-ppm conditional arithmetic over the NON-distinct adjacent
+    * pair stream; sum(BIGINT) widens to HUGEINT here, so cast before
+    * the type-sensitive hash. Docs with < 2 tokens null-fill to 0. */
+  val bigramFluency: String = docQ(
+    """, bgidx AS (SELECT doc_id, toks,
+        unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i FROM toktab),
+    bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM bgidx),
+    cab AS (SELECT a, b, count(*)::BIGINT AS cab FROM bg GROUP BY a, b),
+    ca AS (SELECT a, count(*)::BIGINT AS ca FROM bg GROUP BY a),
+    cond AS (SELECT a, b, (1000000 * cab) // ca AS ppm FROM cab JOIN ca USING (a)),
+    perdoc AS (SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+                 CAST(sum(ppm) AS BIGINT) AS sum_ppm
+               FROM bg JOIN cond USING (a, b) GROUP BY bg.doc_id)
+    SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+      coalesce(sum_ppm, 0)::BIGINT AS sum_ppm,
+      coalesce(sum_ppm // n_bigrams, 0)::BIGINT AS mean_ppm
+    FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id""")
+
   /** Cross-source shingle-set Jaccard (pairs sharing >= 1 shingle):
     * intersections via equi-join on the hash over distinct
     * (source, h) pairs — mirrors the Spark shape. */

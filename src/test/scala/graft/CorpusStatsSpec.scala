@@ -65,6 +65,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows(1L)._3 > rows(2L)._3)
   }
 
+  test("bigram fluency: word order matters, ppm recomputes, short docs zero-fill") {
+    val d = docsDf(
+      1L -> "the cat sat", // the canonical order, repeated by doc 2
+      2L -> "the cat sat",
+      3L -> "sat cat the", // same unigrams, scrambled order
+      4L -> "x")           // < 2 tokens
+    val rows = CorpusStats.bigramFluency(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // bigram stream: (the,cat)x2 (cat,sat)x2 (sat,cat) (cat,the)
+    // c(the,.)=2 c(cat,.)=3 c(sat,.)=1
+    // P(cat|the)=2/2 P(sat|cat)=2/3 P(cat|sat)=1/1 P(the|cat)=1/3
+    val pCatSat = 1000000L * 2 / 3
+    val pTheCat = 1000000L / 3
+    assert(rows(1L) == ((2L, 1000000L + pCatSat, (1000000L + pCatSat) / 2)))
+    assert(rows(1L) == rows(2L))
+    assert(rows(3L)._2 == 1000000L + pTheCat)
+    assert(rows(1L)._3 > rows(3L)._3,
+      "a scrambled doc must score below the canonical order it shares unigrams with")
+    assert(rows(4L) == ((0L, 0L, 0L)), "sub-bigram docs surface with zero counts")
+  }
+
   test("source overlap: identical sources have jaccard 1, disjoint pairs absent") {
     val s = spark
     import s.implicits._
