@@ -187,19 +187,28 @@ object CorpusStats {
     * token keys, no windows, no driver reads. Documents with fewer
     * than two tokens surface with zero counts (stage-total). */
   def bigramFluency(docs: DataFrame): DataFrame = {
-    val toks = TextAnalysis.tokensCol(col("text"))
     // ordered, NON-distinct adjacent pairs (frequency matters here,
-    // unlike wordNgramJaccard's distinct feature sets)
-    val pairs = docs.select(col("doc_id"),
-        when(size(toks) >= 2, transform(sequence(lit(1), size(toks) - 1),
-          i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
-          .otherwise(array().cast("array<struct<a:string,b:string>>")).as("bg"))
-      .select(col("doc_id"), explode(col("bg")).as("p"))
+    // unlike wordNgramJaccard's distinct feature sets). zip_with over
+    // two slices walks the token array LINEARLY — an element_at-in-
+    // transform formulation re-evaluates the split() chain per index
+    // (measured quadratic per doc: 8.8 s -> 1.0 s at sf0.1).
+    // Checkpointed: three consumers (both count tables via cab + the
+    // scoring join) read the materialized stream, not the lineage.
+    val nPairs = greatest(size(col("toks")) - 1, lit(0))
+    val pairs = docs
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(zip_with(slice(col("toks"), lit(1), nPairs),
+          slice(col("toks"), lit(2), nPairs),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .graftCheckpoint()
     val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
-    val ca = pairs.groupBy("a").agg(count(lit(1)).as("ca"))
-    // conditional table keyed (a, b): floor-ppm of P(b|a); c(a,·) is
-    // the count of bigrams STARTING with a, so rows sum to <= 1e6 per a
+    // c(a,·) = count of bigrams STARTING with a — derived from cab
+    // (vocab²-bounded) instead of re-aggregating the pair stream
+    val ca = cab.groupBy("a").agg(sum(col("cab")).as("ca"))
+    // conditional table keyed (a, b): floor-ppm of P(b|a); rows sum
+    // to <= 1e6 per a
     val cond = cab.join(ca, "a")
       .select(col("a"), col("b"), expr("(1000000 * cab) div ca").as("ppm"))
     val scored = pairs.join(cond, Seq("a", "b"))
