@@ -193,10 +193,16 @@ object TextAnalysis {
     * empty array when the text has fewer than n tokens. */
   private[operators] def wordNgramsCol(text: Column, n: Int): Column = {
     val toks = tokensCol(text)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - lit(n)), i =>
-        concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    // linear: n-gram j = toks[j] ⧺ … ⧺ toks[j+n-1] built by zipping n
+    // shifted slices — a slice-inside-transform formulation would
+    // re-evaluate the tokenization chain per index (quadratic per
+    // doc, the bigramFluency lesson; here each slice is a plain
+    // argument, so toks evaluates a constant number of times)
+    val len = greatest(size(toks) - lit(n) + lit(1), lit(0))
+    val joined = (1 until n).foldLeft(slice(toks, lit(1), len)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), len), (a, t) => concat(a, lit(" "), t))
+    }
+    array_distinct(joined)
   }
 
   /** Benchmark DECONTAMINATION: every corpus doc sharing at least
