@@ -260,6 +260,11 @@ object SparkEntry {
     // reduced with max_by (map-side partial combine, no per-key sort
     // window) — the MERGE INTO / compaction-read plan shape
     "cdc_merge" -> ((s, d) => ChangeData.cdcMerge(docs(s, d))),
+    // the same MERGE maintained continuously: version-ordered
+    // micro-batches through one complete-mode aggregation; final
+    // state bit-identical to batch, so ONE oracle serves both
+    "stream_cdc_merge" -> ((s, d) =>
+      graft.streaming.StreamingQueries.streamCdcMerge(s, d)),
     // SCD type-2 interval build: consecutive duplicate states
     // collapse, each survivor carries [valid_from, valid_to) with the
     // open current row flagged; windows partition by the entity key
@@ -557,6 +562,7 @@ object SparkEntry {
     "stream_to_parquet" -> Sql.tokenStats,
     "events_sessionize" -> Sql.eventsSessionize,
     "cdc_merge" -> Sql.cdcMerge,
+    "stream_cdc_merge" -> Sql.cdcMerge,
     "scd2_history" -> Sql.scd2History,
     "events_props_agg" -> Sql.eventsPropsAgg,
     "events_json_deciles" -> Sql.eventsJsonDeciles,

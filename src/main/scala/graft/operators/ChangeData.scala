@@ -58,11 +58,23 @@ object ChangeData {
     * feed fan-in. One hash aggregate on the key — `max_by(struct,
     * version)` has a map-side partial combine, the scale-safe twin
     * of the row_number-window merge. */
-  def cdcMerge(docs: DataFrame): DataFrame = {
+  def cdcMerge(docs: DataFrame): DataFrame =
+    mergeLatest(versionedFeed(docs))
+
+  /** The full versioned record stream: snapshot rows at version 0,
+    * the change feed at 1..3 — one frame so the SAME stream can be
+    * replayed in micro-batches by the streaming twin. */
+  private[graft] def versionedFeed(docs: DataFrame): DataFrame = {
     val snapshot = docs.select(col("doc_id"), col("lang"), col("source"),
         col("n_chars"), col("text"))
       .withColumn("version", lit(0L)).withColumn("op", lit("I"))
-    val all = snapshot.unionByName(changeFeed(docs))
+    snapshot.unionByName(changeFeed(docs))
+  }
+
+  /** The latest-wins reduction itself — order-free (max_by by
+    * version commutes), so it serves the batch table AND a
+    * complete-mode streaming aggregation unchanged. */
+  private[graft] def mergeLatest(all: DataFrame): DataFrame =
     all.groupBy(col("doc_id"))
       .agg(
         max_by(struct(col("op"), col("lang"), col("source"), col("n_chars"),
@@ -73,7 +85,6 @@ object ChangeData {
       .select(col("doc_id"), col("latest_version"), col("n_revs"),
         col("w.lang").as("lang"), col("w.source").as("source"),
         col("w.n_chars").as("n_chars"), col("w.text").as("text"))
-  }
 
   /** SCD-type-2 interval build over the events stream, tracking each
     * user's `event_type` as the slowly-changing attribute: rows are

@@ -425,6 +425,29 @@ object StreamingQueries {
         graft.operators.CorpusStats.HeavyHittersK))
   }
 
+  /** CONTINUOUS MERGE — cdc_merge as a live materialization: the
+    * versioned record stream (snapshot at version 0, then the
+    * upsert/delete feed) arrives in VERSION-ordered micro-batches —
+    * the landing cadence of a real CDC tap — and one complete-mode
+    * aggregation maintains the latest-wins table across batches.
+    * The reduction (max_by over version) commutes, so the final
+    * state is bit-identical to the batch merge and the batch
+    * cdc_merge oracle hash-checks the streamed table. State is one
+    * struct per live key — the MERGE-materialization floor; a
+    * production deployment swaps the memory sink for foreachBatch
+    * MERGE INTO a table format, keeping this exact aggregation. */
+  def streamCdcMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val feed = graft.operators.ChangeData.versionedFeed(docs)
+    // one micro-batch per version era: snapshot, v1, v2, deletes
+    runFileFeedQuery(spark, feed, "version",
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)),
+      "graft_stream_cdc_merge", s"cdc:$sfDir",
+      outputMode = "complete") { stream =>
+      graft.operators.ChangeData.mergeLatest(stream)
+    }
+  }
+
   /** CHECKPOINTED PARQUET SINK — the production landing path the
     * memory-sink harness queries don't exercise: the file-source feed
     * streamed through a stateless per-doc transform and WRITTEN by

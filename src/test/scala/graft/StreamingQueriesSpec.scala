@@ -136,4 +136,10 @@ class StreamingQueriesSpec extends SparkSpec {
       spark.read.parquet(s"$Sf0001/documents.parquet"))
     assertSameAs(StreamingQueries.streamHeavyHitters(spark, Sf0001), batch)
   }
+
+  test("stream_cdc_merge: the continuously-maintained table equals the batch latest-wins merge") {
+    val batch = graft.operators.ChangeData.cdcMerge(
+      spark.read.parquet(s"$Sf0001/documents.parquet"))
+    assertSameAs(StreamingQueries.streamCdcMerge(spark, Sf0001), batch)
+  }
 }
