@@ -179,6 +179,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AVI encode -> decode round-trips arbitrary char-valued frames (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // chars beyond 0xFF exercise the mod-256 pixel clamp; lengths
+    // around multiples of 64 exercise exact-fit vs padded last frames
+    val textGen = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.choose(32.toChar, 126.toChar),
+        1 -> Gen.oneOf('é', '中', 'ÿ', 'Ā'))).map(_.mkString))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300),
+      Prop.forAll(textGen) { s =>
+        val frames = Multimodal.AviParser.decodeFrames(
+          1L, Multimodal.AviWriter.encode(1L, s)).getOrElse(Seq.empty)
+        val expectFrames = math.max(1, (s.length + 63) / 64)
+        frames.length == expectFrames && frames.zipWithIndex.forall { case (f, i) =>
+          val slice = s.drop(i * 64).take(64).map(_.toInt % 256).padTo(64, 0)
+          f.frame_idx == i && f.width == 16 && f.height == 4 &&
+            f.checksum == slice.foldLeft(0L)((a, g) => (a * 31 + g) % Config.P)
+        }
+      })
+    assert(res.passed, s"AVI round-trip property: ${res.status}")
+  }
+
   test("AVI parser rejects structural violations and falls back to a marked stub row") {
     val good = Multimodal.AviWriter.encode(2L, "hello avi world")
     assert(Multimodal.AviParser.decodeFrames(2L, good).isDefined)
