@@ -39,6 +39,15 @@ import graft.functions.PortableHash
   */
 object Multimodal {
 
+  /** Container-nesting bound shared by the MP4 box walk and the AVI
+    * RIFF walk. Real files nest well under 10 levels; a crafted
+    * payload that is nothing but nested container headers would
+    * otherwise drive the recursive walks payload/8 frames deep —
+    * StackOverflowError, an Error the parsers' Exception handlers do
+    * NOT catch, killing the task instead of yielding the marked stub
+    * row. Past this depth the input is flagged malformed. */
+  val MaxBoxDepth: Int = 64
+
   /** Feature record produced by the decode stage. */
   case class MediaFeatures(doc_id: Long, n_bytes: Long, kind: String,
                            width: Int, height: Int, checksum: Long)
@@ -529,7 +538,14 @@ object Multimodal {
     private def fourcc(b: Array[Byte], i: Int): String =
       new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-    private def walk(b: Array[Byte], from: Long, to: Long, st: State): Unit = {
+    private def walk(b: Array[Byte], from: Long, to: Long, st: State,
+                     depth: Int): Unit = {
+      // Recursion bound: real files nest a handful of levels; a
+      // crafted payload of nothing but nested container headers would
+      // otherwise recurse payload/8 deep and StackOverflowError PAST
+      // the Exception handler in parse (it's an Error). Malformed,
+      // deterministically, instead.
+      if (depth > MaxBoxDepth) { st.malformed = true; return }
       var pos = from
       while (pos < to && !st.malformed) {
         if (pos + 8 > to) { st.malformed = true; return }
@@ -550,19 +566,26 @@ object Multimodal {
             if (bodyLen < 4) { st.malformed = true; return }
             st.brand = fourcc(b, body.toInt)
           case "mvhd" =>
+            // v1 reads through body+31, v0 through body+19 — a shorter
+            // box must flag malformed, not read the neighbor's bytes
+            if (bodyLen < 20) { st.malformed = true; return }
             val v = b(body.toInt) & 0xff
+            if (v == 1 && bodyLen < 32) { st.malformed = true; return }
             st.mvhdVersion = v
             if (v == 1) { st.timescale = u32(b, body.toInt + 20); st.duration = u64(b, body.toInt + 24) }
             else { st.timescale = u32(b, body.toInt + 12); st.duration = u32(b, body.toInt + 16) }
           case "tkhd" if st.width < 0 =>
+            if (bodyLen < 84) { st.malformed = true; return }
             val v = b(body.toInt) & 0xff
             val dimOff = if (v == 1) 88 else 76
+            if (bodyLen < dimOff + 8) { st.malformed = true; return }
             st.width = (u32(b, body.toInt + dimOff) >> 16).toInt
             st.height = (u32(b, body.toInt + dimOff + 4) >> 16).toInt
           case "stsd" if st.codec == null =>
-            if (u32(b, body.toInt + 4) >= 1 && bodyLen >= 16)
+            if (bodyLen >= 16 && u32(b, body.toInt + 4) >= 1)
               st.codec = fourcc(b, body.toInt + 12)
           case "stsz" if st.nSamples < 0 =>
+            if (bodyLen < 12) { st.malformed = true; return }
             st.nSamples = u32(b, body.toInt + 8)
           case "mdat" =>
             st.mdatBytes = size - header
@@ -572,9 +595,9 @@ object Multimodal {
             while (i < end) { acc = (acc * 31 + (b(i) & 0xffL)) % P; i += 1 }
             st.checksum = acc
           case "trak" =>
-            st.nTracks += 1; walk(b, body, pos + size, st)
+            st.nTracks += 1; walk(b, body, pos + size, st, depth + 1)
           case c if Containers(c) =>
-            walk(b, body, pos + size, st)
+            walk(b, body, pos + size, st, depth + 1)
           case _ => // unknown box: skip by size
         }
         pos += size
@@ -583,7 +606,7 @@ object Multimodal {
 
     def parse(docId: Long, payload: Array[Byte]): Option[VideoMeta] = {
       val st = new State
-      try walk(payload, 0L, payload.length.toLong, st)
+      try walk(payload, 0L, payload.length.toLong, st, 0)
       catch { case _: Exception => return None }
       if (st.malformed || st.brand == null || st.mvhdVersion < 0 ||
           st.nTracks == 0 || st.codec == null || st.mdatBytes < 0) None
@@ -801,7 +824,12 @@ object Multimodal {
       Some(acc)
     }
 
-    private def walk(b: Array[Byte], from: Long, to: Long, st: Stream): Unit = {
+    private def walk(b: Array[Byte], from: Long, to: Long, st: Stream,
+                     depth: Int): Unit = {
+      // same nesting bound as the MP4 walk: nested LISTs recurse, and
+      // a crafted all-LIST payload must flag malformed, not
+      // StackOverflowError past the Exception handler
+      if (depth > MaxBoxDepth) { st.malformed = true; return }
       var pos = from
       while (pos < to && !st.malformed) {
         if (pos + 8 > to) { st.malformed = true; return }
@@ -812,7 +840,7 @@ object Multimodal {
         name match {
           case "LIST" =>
             if (size < 4) { st.malformed = true; return }
-            walk(b, body + 4, body + size, st) // skip the list-type fourcc
+            walk(b, body + 4, body + size, st, depth + 1) // skip the list-type fourcc
           case "avih" =>
             if (size < 40) { st.malformed = true; return }
             st.nFrames = u32(b, body.toInt + 16)
@@ -844,7 +872,7 @@ object Multimodal {
       if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
           fourcc(payload, 8) != "AVI ") return None
       val st = new Stream
-      try walk(payload, 12L, math.min(payload.length.toLong, 8L + u32(payload, 4)), st)
+      try walk(payload, 12L, math.min(payload.length.toLong, 8L + u32(payload, 4)), st, 0)
       catch { case _: Exception => return None }
       if (st.malformed || !st.vids || !st.bgr24 || st.frames.isEmpty ||
           st.frames.size != st.nFrames || st.idxEntries != st.nFrames) None

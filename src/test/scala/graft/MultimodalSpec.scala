@@ -246,4 +246,64 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.extractVideoMeta(Multimodal.asBinaryTable(d)).collect().head
     assert(f.brand == "raw" && f.codec == "none" && f.mvhd_version == -1)
   }
+
+  test("pathological container nesting is rejected as malformed, not a stack overflow") {
+    // MP4: nothing but nested 'moov' headers — each 8-byte header
+    // opens one more recursion level. Enough levels to blow a default
+    // JVM stack if the walk were unbounded (StackOverflowError is an
+    // Error, which the parse handler deliberately does not catch).
+    val levels = 200000
+    val mp4 = new Array[Byte](8 * levels)
+    var i = 0
+    while (i < levels) {
+      val size = 8L * (levels - i) // each box spans the whole remainder
+      mp4(8 * i) = ((size >> 24) & 0xff).toByte
+      mp4(8 * i + 1) = ((size >> 16) & 0xff).toByte
+      mp4(8 * i + 2) = ((size >> 8) & 0xff).toByte
+      mp4(8 * i + 3) = (size & 0xff).toByte
+      mp4(8 * i + 4) = 'm'.toByte; mp4(8 * i + 5) = 'o'.toByte; mp4(8 * i + 6) = 'o'.toByte; mp4(8 * i + 7) = 'v'.toByte
+      i += 1
+    }
+    assert(Multimodal.Mp4Parser.parse(1L, mp4).isEmpty)
+
+    // AVI: RIFF header then nothing but nested LIST chunks (12 bytes
+    // per level: fourcc + size + list type)
+    val aviLevels = 200000
+    val avi = new Array[Byte](12 + 12 * aviLevels)
+    def le32(at: Int, v: Long): Unit = {
+      avi(at) = (v & 0xff).toByte; avi(at + 1) = ((v >> 8) & 0xff).toByte
+      avi(at + 2) = ((v >> 16) & 0xff).toByte; avi(at + 3) = ((v >> 24) & 0xff).toByte
+    }
+    avi(0) = 'R'.toByte; avi(1) = 'I'.toByte; avi(2) = 'F'.toByte; avi(3) = 'F'.toByte
+    le32(4, (avi.length - 8).toLong)
+    avi(8) = 'A'.toByte; avi(9) = 'V'.toByte; avi(10) = 'I'.toByte; avi(11) = ' '.toByte
+    var j = 0
+    while (j < aviLevels) {
+      val at = 12 + 12 * j
+      avi(at) = 'L'.toByte; avi(at + 1) = 'I'.toByte; avi(at + 2) = 'S'.toByte; avi(at + 3) = 'T'.toByte
+      le32(at + 4, (avi.length - at - 8).toLong)
+      avi(at + 8) = 'h'.toByte; avi(at + 9) = 'd'.toByte; avi(at + 10) = 'r'.toByte; avi(at + 11) = 'l'.toByte
+      j += 1
+    }
+    assert(Multimodal.AviParser.decodeFrames(1L, avi).isEmpty)
+  }
+
+  test("undersized mvhd/tkhd/stsz boxes are flagged malformed, not read past their end") {
+    // a valid file, then shrink the mvhd box so its v0 reads would
+    // reach into the next box's bytes: the parser must reject it
+    val good = Multimodal.Mp4Writer.encode(2L, "hello")
+    def findBox(b: Array[Byte], name: String): Int = {
+      var i = 0
+      while (i + 4 <= b.length - 4 &&
+        !(b(i + 4) == name(0) && b(i + 5) == name(1) && b(i + 6) == name(2) && b(i + 7) == name(3))) i += 1
+      i
+    }
+    val at = findBox(good, "mvhd")
+    assert(at + 8 < good.length, "fixture must contain mvhd")
+    val shrunk = good.clone()
+    // box size := 8 + 12 (bodyLen 12 < the v0 minimum of 20)
+    shrunk(at) = 0; shrunk(at + 1) = 0; shrunk(at + 2) = 0; shrunk(at + 3) = 20
+    assert(Multimodal.Mp4Parser.parse(2L, shrunk).isEmpty,
+      "an mvhd too short for its version's reads must be malformed")
+  }
 }
