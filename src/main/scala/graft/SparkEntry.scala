@@ -206,6 +206,10 @@ object SparkEntry {
     "split_leakage" -> ((s, d) => Sampling.splitLeakage(docs(s, d))),
     // quality-first global training order via bounded two-phase rank
     "curriculum_order" -> ((s, d) => Sampling.curriculumOrder(docs(s, d))),
+    // equal-token training shards: the shard cut of the deterministic
+    // hash-shuffled order, same two-phase bucket cumsum (no global
+    // window) — balanced output files for the dataloader
+    "shard_assign" -> ((s, d) => Sampling.shardAssign(docs(s, d))),
     // cluster-level consolidation: one richest survivor per connected
     // near-dup component (edge-level keep-best can drop whole cycles)
     "group_keep_best" -> ((s, d) => Dedup.nearDupGroupsKeepBest(s, docs(s, d))),
@@ -389,6 +393,14 @@ object SparkEntry {
     // results)
     "zorder_scan" -> ((s, d) => graft.sources.ZOrder.zorderBoxStats(s, d)),
     "linear_scan" -> ((s, d) => graft.sources.ZOrder.linearBoxStats(s, d)),
+    // small-file COMPACTION twins (r7): the fragmented ingest layout
+    // vs its bin-packed rewrite — same oracle, the layout never
+    // changes the aggregate; the bench pair prices per-file overhead
+    "small_files_scan" -> ((s, d) => graft.sources.Compaction.smallFilesScan(s, d)),
+    "compacted_scan" -> ((s, d) => graft.sources.Compaction.compactedScan(s, d)),
+    // file-level min/max DATA SKIPPING: a catalog-sized index prunes
+    // whole files before the scan plans; residual filter in-engine
+    "skipping_scan" -> ((s, d) => graft.sources.Compaction.skippingScan(s, d)),
     // the reference's NATIVE line format through the DataSource V2
     // connector: id\t escaped-text lines, newline-aligned byte splits
     // (64 KB here so even sf0.001 scans in parallel), doc_id filter
@@ -434,6 +446,7 @@ object SparkEntry {
     "split_assign" -> Sql.splitAssign,
     "split_leakage" -> Sql.splitLeakage,
     "curriculum_order" -> Sql.curriculumOrder,
+    "shard_assign" -> Sql.shardAssign,
     "corpus_manifest" -> Sql.corpusManifest,
     "group_keep_best" -> Sql.nearDupGroupsKeepBest,
     "q6_forecast_revenue" -> Sql.q6ForecastRevenue,
@@ -536,6 +549,9 @@ object SparkEntry {
     "bloom_join" -> Sql.bloomPrunedJoin,
     "zorder_scan" -> Sql.zorderBoxStats,
     "linear_scan" -> Sql.zorderBoxStats,
+    "small_files_scan" -> Sql.compactionScan,
+    "compacted_scan" -> Sql.compactionScan,
+    "skipping_scan" -> Sql.skippingScan,
     "csv_roundtrip" -> Sql.docsIdentity,
     "jsonl_roundtrip" -> Sql.docsIdentity,
     "orc_roundtrip" -> Sql.docsIdentity,

@@ -29,6 +29,8 @@ object Sampling {
   val DefaultQuota: Int = 10
   val DefaultBudgetTokens: Long = 5000L
   val DefaultPerStratum: Int = 50
+  val DefaultShardTokens: Long = 2000L
+  val ShardOrderBuckets: Int = 64
 
   /** Keep ~pct% of docs: (a·doc_id + b) mod P mod 100 < pct, with
     * (a, b) = the seeded affine family's member 0 — replayed exactly
@@ -168,6 +170,45 @@ object Sampling {
     scored.join(broadcast(bcum.select("score", "docs_before")), Seq("score"))
       .select(col("doc_id"), col("score"),
         (col("docs_before") + row_number().over(wD)).as("train_order"))
+  }
+
+  /** Equal-token training SHARD assignment: write-side partitioning
+    * of a training corpus into shards of ~[[DefaultShardTokens]]
+    * tokens each, in the deterministic hash-shuffled training order
+    * (the global shuffle a dataloader expects, as a pure function of
+    * doc_id — affine member 5, independent of the other samples).
+    * shard = floor(tokens-before-in-order / budget), so shards are
+    * contiguous spans of the shuffled order and every shard except
+    * the last carries ≥ budget - max_doc_tokens tokens — balanced
+    * output files without a global sort.
+    *
+    * Scale shape: the running token sum is NOT a corpus-wide window.
+    * The hash space splits into [[ShardOrderBuckets]] CONTIGUOUS
+    * ranges (bucket = h div ceil(P/buckets), monotone in h, so
+    * bucket order ∘ in-bucket order = global hash order); per-bucket
+    * token totals cumulate over that bounded table, then each doc
+    * ranks only within its bucket — the budgetSelect/curriculumOrder
+    * two-phase trick applied to the shard cut. */
+  def shardAssign(docs: DataFrame,
+                  shardTokens: Long = DefaultShardTokens): DataFrame = {
+    val (a, b) = Config.coeffs(5)
+    val h = (lit(a) * pmod(col("doc_id"), lit(Config.P)) + lit(b)) % lit(Config.P)
+    val bucketW = (Config.P + ShardOrderBuckets - 1) / ShardOrderBuckets
+    val scored = docs.select(col("doc_id"),
+      size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"),
+      h.as("shuffle_h"))
+      .withColumn("hb", expr(s"shuffle_h div $bucketW"))
+    val buckets = scored.groupBy("hb").agg(sum("n_tokens").as("bucket_tokens"))
+    val wB = Window.orderBy("hb")
+    val bcum = buckets.withColumn("bucket_before",
+      coalesce(sum(col("bucket_tokens"))
+        .over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wD = Window.partitionBy("hb").orderBy(col("shuffle_h"), col("doc_id"))
+    scored.join(broadcast(bcum.select("hb", "bucket_before")), Seq("hb"))
+      .withColumn("tokens_before",
+        col("bucket_before") + sum(col("n_tokens")).over(wD) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
+        expr(s"tokens_before div $shardTokens").as("shard"))
   }
 
   /** Deterministic stratified sample: the n docs per stratum (lang)

@@ -901,6 +901,25 @@ WHERE rn = 1""")
     * span fits inside the budget. */
   val budgetSelect: String = docQ(budgetCumsum("toktab"))
 
+  /** Equal-token shard assignment replay: the engine's two-phase
+    * bucket cumsum equals ONE global running sum in hash order
+    * (bucket = h div w is monotone in h), which is what DuckDB runs
+    * here. Affine member 5, shard budget interpolated from the
+    * shared constant. */
+  val shardAssign: String = {
+    val (a, b) = Config.coeffs(5)
+    docQ(s""", shord AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        (($a * ${pmodP("doc_id")} + $b) % $P) AS h FROM toktab),
+    shcum AS (SELECT doc_id, n_tokens,
+        coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          AS tokens_before
+      FROM shord)
+    SELECT doc_id, n_tokens, tokens_before,
+      (tokens_before // ${graft.operators.Sampling.DefaultShardTokens})::BIGINT AS shard
+    FROM shcum""")
+  }
+
   /** DuckDB regexp_replace needs the 'g' flag to match Spark's
     * replace-all semantics. */
   val dedupNormalized: String =
@@ -2194,4 +2213,25 @@ WHERE rr <= $HybridTopK""")
       ON documents.lang = dim.lang
     WHERE family = 'cjk'
     GROUP BY dim.lang, family"""
+
+  /** Compaction layout twins replay: bin-packing the small-files
+    * table changes file counts, never the per-language aggregate —
+    * one raw-table SQL for both small_files_scan and compacted_scan
+    * (the zorder/linear twin discipline). */
+  val compactionScan: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      CAST(sum(length(text)) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang"""
+
+  /** Skipping-index scan replay: the file-level min/max pruning is an
+    * access-path optimization over the compacted layout; the result
+    * is the plain [20%, 40%) doc_id slice of the raw table
+    * (Compaction.sliceBounds' integer arithmetic). */
+  val skippingScan: String =
+    """WITH mx AS (SELECT max(doc_id) AS mi FROM documents)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+      CAST(sum(length(text)) AS BIGINT) AS sum_chars
+    FROM documents, mx
+    WHERE doc_id >= (mi + 1) * 20 // 100 AND doc_id < (mi + 1) * 40 // 100
+    GROUP BY lang"""
 }

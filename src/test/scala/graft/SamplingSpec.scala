@@ -215,6 +215,35 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("shard assignment equals the naive global cumsum and balances shards") {
+    import graft.Config
+    val docs = realDocs
+    val budget = 500L
+    val out = Sampling.shardAssign(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == docs.count())
+    // the two-phase bucket cumsum must equal ONE running sum in the
+    // global hash order (the order a naive single-window form uses)
+    val (a, b) = Config.coeffs(5)
+    def h(id: Long): Long = (a * java.lang.Math.floorMod(id, Config.P) + b) % Config.P
+    var run = 0L
+    out.sortBy { case (id, _, _, _) => (h(id), id) }.foreach {
+      case (id, n, before, shard) =>
+        assert(before == run, s"doc $id tokens_before $before != naive $run")
+        assert(shard == before / budget)
+        run += n
+    }
+    // every shard except the last is filled to within one doc of the
+    // budget (streaming cut: a shard closes when its offset crosses)
+    val maxDoc = out.map(_._2).max
+    val byShard = out.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
+    val last = byShard.keys.max
+    byShard.foreach { case (s, toks) =>
+      if (s != last)
+        assert(toks + maxDoc >= budget, s"shard $s underfilled: $toks")
+    }
+  }
+
   test("split leakage reports exactly the cross-split near-dup pairs") {
     import graft.operators.MinHashLsh
     val docs = realDocs
