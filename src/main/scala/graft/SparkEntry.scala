@@ -287,6 +287,10 @@ object SparkEntry {
     "stream_session_windows" -> ((s, d) => graft.streaming.StreamingQueries.streamSessionWindows(s, d)),
     "stream_enrich" -> ((s, d) => graft.streaming.StreamingQueries.streamEnrich(s, d)),
     "stream_range_join" -> ((s, d) => graft.streaming.StreamingQueries.streamRangeJoin(s, d)),
+    // continuous as-of enrichment: O(1)-per-user state instead of the
+    // built-in join's watermark-wide buffer; same oracle as the batch
+    // window and native-plan as-of formulations
+    "stream_asof_join" -> ((s, d) => graft.streaming.StreamingQueries.streamAsOfJoin(s, d)),
     "stream_exact_dedup" -> ((s, d) => graft.streaming.StreamingQueries.streamExactDedup(s, d)),
     "stream_pipeline" -> ((s, d) => graft.streaming.StreamingQueries.streamPipeline(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.StreamingQueries.streamSessionize(s, d)),
@@ -571,6 +575,7 @@ object SparkEntry {
     "stream_session_windows" -> Sql.streamSessionWindows,
     "stream_enrich" -> Sql.streamEnrich,
     "stream_range_join" -> Sql.streamRangeJoin,
+    "stream_asof_join" -> Sql.eventsAsOfJoin,
     "stream_exact_dedup" -> Sql.streamExactDedup,
     "stream_pipeline" -> Sql.streamPipeline,
     "stream_sessionize" -> Sql.streamSessionize,

@@ -224,6 +224,53 @@ object StreamingOps {
     n
   }
 
+  case class AsOfEvent(user_id: Long, event_id: Long, us: Long, kind: Int)
+  case class AsOfState(match_id: Long, match_us: Long)
+  case class AsOfOut(event_id: Long, user_id: Long, target_us: Long,
+                     prev_match_id: Option[Long], prev_match_us: Option[Long],
+                     gap_us: Option[Long])
+
+  /** Continuous AS-OF enrichment: each target event (kind=1) joined
+    * to the same user's LATEST match event (kind=0) at-or-before its
+    * time — the streaming form of [[graft.operators.EventsOps
+    * .asOfJoin]]. Spark's built-in stream-stream join can only
+    * express this as an interval join that BUFFERS every match row
+    * inside the watermark on both sides; this operator instead keeps
+    * exactly ONE (id, time) pair per user — O(keys) state regardless
+    * of stream length or join window, the state shape a 100 TB
+    * clickstream needs. Correctness requires what the lockstep
+    * harness provides and a production time-partitioned feed also
+    * provides: micro-batches arrive in event-time order ACROSS
+    * batches (within a batch the group sorts by (us, event_id), the
+    * exact tie order of the batch window formulation — a click at a
+    * target's own timestamp counts iff its event_id sorts first). */
+  def asOfJoinStream(targets: DataFrame, matches: DataFrame): Dataset[AsOfOut] = {
+    implicit val evEnc = Encoders.product[AsOfEvent]
+    implicit val stEnc = Encoders.product[AsOfState]
+    implicit val outEnc = Encoders.product[AsOfOut]
+    implicit val keyEnc = Encoders.scalaLong
+    val tagged = targets
+      .select(col("user_id"), col("event_id"), col("us"), lit(1).as("kind"))
+      .unionAll(matches
+        .select(col("user_id"), col("event_id"), col("us"), lit(0).as("kind")))
+      .as[AsOfEvent]
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfState]) =>
+          var st = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[AsOfOut]
+          rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            if (e.kind == 0) st = Some(AsOfState(e.event_id, e.us))
+            else out += AsOfOut(e.event_id, uid, e.us,
+              st.map(_.match_id), st.map(_.match_us), st.map(e.us - _.match_us))
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, us: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, cents: Long)
   case class SessionOut(user_id: Long, start_sec: Long, end_sec: Long,

@@ -263,6 +263,30 @@ object StreamingQueries {
       unix_micros(col("m_ts")).as("match_us"))
   }
 
+  /** Continuous AS-OF enrichment (asOfJoinStream): every purchase
+    * paired with the same user's latest click at-or-before it, over
+    * the SAME lockstep two-source feed as the interval join — aligned
+    * time chunks mean any click ordered before a target arrives in
+    * the same micro-batch or earlier, so the O(1)-per-user state
+    * always holds the true latest click when the target processes.
+    * Final table = the batch as-of join exactly (one oracle for the
+    * window, native-plan, and streaming formulations — three
+    * execution strategies, one semantics). */
+  def streamAsOfJoin(spark: SparkSession, sfDir: String,
+                     nChunks: Int = 4): DataFrame = {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val all = events.select(col("user_id"), col("event_id"),
+      EventsOps.microsCol(events).as("us"), col("event_type"))
+    val targets = all.filter(col("event_type") === "purchase").drop("event_type")
+    val matches = all.filter(col("event_type") === "click").drop("event_type")
+    val ranges = rangesOf(all, "us", nChunks)
+    runTwoSourceFileQuery(spark, targets, matches, "us", ranges,
+      "graft_stream_asof_join", s"aj:$sfDir:$nChunks") { (t, m) =>
+      StreamingOps.asOfJoinStream(t, m).toDF()
+    }.select("event_id", "user_id", "target_us",
+      "prev_match_id", "prev_match_us", "gap_us")
+  }
+
   /** The doc∪copy dedup feed: the documents table, then an exact COPY
     * of every text under a shifted doc_id — originals at (3600+id) s,
     * copies offset (maxId+100) s past them, always inside the

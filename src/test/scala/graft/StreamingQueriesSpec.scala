@@ -84,6 +84,15 @@ class StreamingQueriesSpec extends SparkSpec {
     assertSameAs(StreamingQueries.streamRangeJoin(spark, Sf0001), batch)
   }
 
+  test("stream_asof_join equals the batch as-of join (nulls included)") {
+    val batch = EventsOps.asOfJoin(spark.read.parquet(s"$Sf0001/events.parquet"))
+    val streamed = StreamingQueries.streamAsOfJoin(spark, Sf0001)
+    // targets with no preceding click must still appear, with nulls
+    assert(batch.filter(col("prev_match_id").isNull).count() ==
+      streamed.filter(col("prev_match_id").isNull).count())
+    assertSameAs(streamed, batch)
+  }
+
   test("stream_exact_dedup keeps exactly the original documents (copies dropped)") {
     val batch = spark.read.parquet(s"$Sf0001/documents.parquet")
       .select(col("doc_id"), ((col("doc_id") + 3600) * 1000000L).as("us"),
