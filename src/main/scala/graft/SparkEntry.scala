@@ -210,6 +210,10 @@ object SparkEntry {
     // hash-shuffled order, same two-phase bucket cumsum (no global
     // window) — balanced output files for the dataloader
     "shard_assign" -> ((s, d) => Sampling.shardAssign(docs(s, d))),
+    // the assignment made physical: one Hive directory per shard,
+    // read back through the layout — sink→source identity, same
+    // oracle (a layout must never change the rows)
+    "shard_write" -> ((s, d) => graft.sources.Shards.shardedRoundTrip(s, d)),
     // cluster-level consolidation: one richest survivor per connected
     // near-dup component (edge-level keep-best can drop whole cycles)
     "group_keep_best" -> ((s, d) => Dedup.nearDupGroupsKeepBest(s, docs(s, d))),
@@ -451,6 +455,7 @@ object SparkEntry {
     "split_leakage" -> Sql.splitLeakage,
     "curriculum_order" -> Sql.curriculumOrder,
     "shard_assign" -> Sql.shardAssign,
+    "shard_write" -> Sql.shardAssign,
     "corpus_manifest" -> Sql.corpusManifest,
     "group_keep_best" -> Sql.nearDupGroupsKeepBest,
     "q6_forecast_revenue" -> Sql.q6ForecastRevenue,

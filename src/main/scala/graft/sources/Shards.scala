@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Balanced training-shard WRITER — [[graft.operators.Sampling
+  * .shardAssign]] made physical. The assignment alone is a column;
+  * a dataloader consumes files, so this writes the corpus as one
+  * directory per shard (`shard=N/`, the Hive layout every reader
+  * understands), each holding ~equal token mass by construction.
+  * The write clusters by shard first (repartition on the partition
+  * column), so each shard directory is one file, not one fragment
+  * per upstream task — at 100 TB this is what keeps the shard count
+  * equal to the file count instead of multiplying by the task count
+  * (the small-files problem [[Compaction]] exists to undo).
+  *
+  * The registered query reads the sharded table BACK and re-emits
+  * the assignment columns — sink→source identity through the layout
+  * (the csv_roundtrip discipline), so the same oracle as
+  * shard_assign replays it: a layout must never change the rows.
+  */
+object Shards {
+
+  private def tag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Write the shard-partitioned corpus once per JVM per sf dir; the
+    * write is part of the measured operator. Returns the table
+    * root. */
+  def ensureShardedTable(spark: SparkSession, dir: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_shards_${tag(dir)}"
+    val path = s"$root/docs_by_shard"
+    val done = new java.io.File(s"$root/_done")
+    if (!done.exists()) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Sampling.shardAssign(docs)
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      done.getParentFile.mkdirs(); done.createNewFile()
+    }
+    path
+  }
+
+  /** The assignment read back through the sharded layout. Column
+    * order restored (partitionBy moves `shard` last; the driver's
+    * compare sorts columns by name, but the spec also asserts the
+    * exact schema). `shard` comes back as the partition column —
+    * cast to long to keep the pre-layout schema. */
+  def shardedRoundTrip(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(ensureShardedTable(spark, dir))
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
+        col("shard").cast("long").as("shard"))
+}

@@ -244,6 +244,24 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("sharded write: one file per shard directory, identity through the layout") {
+    import graft.sources.Shards
+    val root = Shards.ensureShardedTable(spark, Sf0001)
+    val shardDirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(f => f.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${d.getName}: ${files.length} files — the pre-write cluster should make one")
+    }
+    val back = Shards.shardedRoundTrip(spark, Sf0001)
+    assert(back.columns.toSeq == Seq("doc_id", "n_tokens", "tokens_before", "shard"))
+    val direct = Sampling.shardAssign(spark.read.parquet(s"$Sf0001/documents.parquet"))
+    assert(back.exceptAll(direct).isEmpty && direct.exceptAll(back).isEmpty,
+      "the layout must not change the assignment rows")
+  }
+
   test("split leakage reports exactly the cross-split near-dup pairs") {
     import graft.operators.MinHashLsh
     val docs = realDocs
