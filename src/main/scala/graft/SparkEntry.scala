@@ -57,6 +57,12 @@ object SparkEntry {
       MinHashLsh.incrementalCandidates(
         MinHashLsh.bands(all.filter(c < 400)), all.filter(c >= 400))
     }),
+    // the same probe off a PERSISTED index bucketed on the band key:
+    // only the arriving batch shuffles; the corpus index is never
+    // exchanged again after its one write (same oracle as the flat
+    // twin — layout never changes the candidates)
+    "incremental_pairs_bucketed" -> ((s, d) =>
+      graft.sources.BandIndex.incrementalPairsBucketed(s, d)),
     "similar_pairs" -> ((s, d) => MinHashLsh.similarPairs(docs(s, d))),
     "pairs_symmetric" -> ((s, d) => MinHashLsh.pairsSymmetric(docs(s, d))),
     "minhash_estimate" -> ((s, d) => MinHashLsh.estimatedPairs(docs(s, d))),
@@ -498,6 +504,7 @@ object SparkEntry {
     "candidate_pairs_capped" -> Sql.candidatePairsCapped(20),
     "collision_counts" -> Sql.collisionCounts,
     "incremental_pairs" -> Sql.incrementalPairs,
+    "incremental_pairs_bucketed" -> Sql.incrementalPairs,
     "ingest_filter" -> Sql.ingestFilter,
     "ingest_evolve" -> Sql.evolvedIngestStats,
     "quantile_error_gate" -> Sql.quantileErrorGate,

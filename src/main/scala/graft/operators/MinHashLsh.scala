@@ -223,10 +223,17 @@ object MinHashLsh {
     * equal filtering the full-corpus candidatePairs to pairs
     * touching the batch (the oracle replays it that way). */
   def incrementalCandidates(corpusBands: DataFrame, newDocs: DataFrame,
-                            k: Int = Config.K): DataFrame = {
+                            k: Int = Config.K,
+                            mergeHint: Boolean = false): DataFrame = {
     val nb = bands(newDocs, k).graftCheckpoint() // consumed by both joins below
-    val cross = corpusBands
-      .select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+    // mergeHint pins sort-merge for a BUCKETED corpusBands (sources
+    // .BandIndex): without it Catalyst broadcasts the small side at
+    // test scale and the layout's zero-exchange property is invisible
+    val corpusSide = {
+      val c = corpusBands.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+      if (mergeHint) c.hint("merge") else c
+    }
+    val cross = corpusSide
       .join(nb.select(col("band"), col("band_key"), col("doc_id").as("id_b")),
         Seq("band", "band_key"))
       .filter(col("id_a") =!= col("id_b"))

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.MinHashLsh
+
+/** BUCKETED persisted LSH band index — the storage layout that makes
+  * continuous dedup cheap at 100 TB. The incremental pipeline
+  * ([[graft.operators.IncrementalIngest]], q:`incremental_pairs`)
+  * probes every arriving batch against the corpus band index; with
+  * the index as a flat table that probe re-shuffles BOTH sides on
+  * (band, band_key) every batch — i.e. the multi-TB index pays a
+  * full exchange per micro-batch forever. Written bucketed on the
+  * join key instead, the index scan reports its hash partitioning
+  * to the planner, so the per-batch join plans with an Exchange on
+  * the BATCH side only (batch-sized, by definition small) and the
+  * index is never shuffled again after the one write.
+  *
+  * Same discipline as [[Bucketed]]: the layout changes where bytes
+  * live, never what the probe returns — q:`incremental_pairs_bucketed`
+  * shares q:`incremental_pairs`'s oracle verbatim, and BandIndexSpec
+  * asserts the zero-exchange-on-index plan shape.
+  */
+object BandIndex {
+
+  val NumBuckets = 8
+
+  /** The corpus/batch doc_id frontier — shared with the flat
+    * incremental_pairs registration (SparkEntry) so the two
+    * formulations answer the identical question. */
+  val FrontierId = 400L
+
+  private def tag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Write the corpus band index ONCE, bucketed + sorted on the probe
+    * key. Idempotent per JVM (catalog check); the write is part of
+    * the measured operator, the [[Bucketed.ensureOrderTables]]
+    * discipline. */
+  def ensureBandIndexTable(spark: SparkSession, dir: String): String = {
+    val t = s"graft_band_idx_${tag(dir)}"
+    if (!spark.catalog.tableExists(t)) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_band_idx_${tag(dir)}"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < FrontierId)
+      MinHashLsh.bands(corpus)
+        .repartition(NumBuckets, col("band"), col("band_key"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$root/bands")
+        .bucketBy(NumBuckets, "band", "band_key").sortBy("band", "band_key")
+        .saveAsTable(t)
+    }
+    t
+  }
+
+  /** The incremental probe off the bucketed index: same semantics
+    * (and oracle) as the flat q:`incremental_pairs`, but the index
+    * side of the band join carries NO Exchange — only the arriving
+    * batch is shuffled to the index's bucketing. */
+  def incrementalPairsBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val idx = spark.table(ensureBandIndexTable(spark, dir))
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") >= FrontierId)
+    MinHashLsh.incrementalCandidates(idx, batch, mergeHint = true)
+  }
+}
