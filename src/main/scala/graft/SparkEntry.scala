@@ -307,6 +307,10 @@ object SparkEntry {
     // checkpointed PARQUET SINK (exactly-once commit log); result is
     // the sink dir read back, oracle replays the batch formulation
     "stream_to_parquet" -> ((s, d) => graft.streaming.StreamingQueries.streamToParquet(s, d)),
+    // OPTIMIZE after streaming ingest: the sink's per-micro-batch
+    // files bin-packed and read back — same oracle, closing the
+    // small-files loop the compaction twins price
+    "stream_compacted" -> ((s, d) => graft.streaming.StreamingQueries.streamCompacted(s, d)),
     // CMS grid as the ONLY streaming state (bounded d*w forever);
     // final grid == batch grid, so the batch heavy_hitters oracle
     // hash-checks the streamed estimates
@@ -593,6 +597,7 @@ object SparkEntry {
     "stream_sessionize" -> Sql.streamSessionize,
     // sink read-back equals the batch per-doc projection
     "stream_to_parquet" -> Sql.tokenStats,
+    "stream_compacted" -> Sql.tokenStats,
     "events_sessionize" -> Sql.eventsSessionize,
     "cdc_merge" -> Sql.cdcMerge,
     "stream_cdc_merge" -> Sql.cdcMerge,

@@ -63,25 +63,32 @@ object Compaction {
     path
   }
 
-  /** COMPACTION: read the fragmented table, size the output file
-    * count from the observed input bytes (ceil(bytes / target)), and
-    * rewrite range-partitioned + sorted by doc_id so every output
-    * file covers a contiguous, disjoint id range. The sort is what
-    * turns the rewrite into an indexable layout: afterwards the
-    * per-file min/max intervals tile the key space instead of all
-    * spanning it ([[skippingIndex]] proves this in CompactionSpec).
-    * Returns the compacted path. */
+  /** The compaction REWRITE itself: bin-pack `src`'s files into
+    * ceil(bytes / target) outputs at `dst`, range-partitioned and
+    * sorted by `sortCol` so every output file covers a contiguous,
+    * disjoint key range. The sort is what turns the rewrite into an
+    * indexable layout: afterwards the per-file min/max intervals
+    * tile the key space instead of all spanning it
+    * ([[skippingIndex]] proves this in CompactionSpec). */
+  def compactDir(spark: SparkSession, src: String, dst: String,
+                 sortCol: String): String = {
+    val bytes = listParquet(src).map(_.length()).sum
+    val nFiles = math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
+    spark.read.parquet(src)
+      .repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(dst)
+    dst
+  }
+
+  /** The fragmented documents table compacted once per JVM (the
+    * write is part of the measured operator). */
   def ensureCompacted(spark: SparkSession, dir: String): String = {
     val small = ensureFragmented(spark, dir)
     val path = s"${root(dir)}/compacted"
     val done = new java.io.File(s"${root(dir)}/_compacted_done")
     if (!done.exists()) {
-      val bytes = listParquet(small).map(_.length()).sum
-      val nFiles = math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
-      spark.read.parquet(small)
-        .repartitionByRange(nFiles, col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))
-        .write.mode("overwrite").parquet(path)
+      compactDir(spark, small, path, "doc_id")
       done.getParentFile.mkdirs(); done.createNewFile()
     }
     path

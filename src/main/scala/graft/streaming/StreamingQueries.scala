@@ -506,4 +506,23 @@ object StreamingQueries {
       .select("doc_id", "n_tokens", "n_distinct_tokens", "chars_no_space",
         "avg_token_len")
   }
+
+  /** OPTIMIZE after streaming ingest — the maintenance loop closed:
+    * the checkpointed parquet sink above lands one file per
+    * micro-batch task (the canonical small-files producer), and this
+    * query bin-packs that landing directory with [[graft.sources
+    * .Compaction.compactDir]] (sorted by doc_id, so the result is
+    * also skipping-indexable) and reads the stats back through the
+    * compacted layout. Same oracle as stream_to_parquet: neither the
+    * sink chunking nor the rewrite may change a row. */
+  def streamCompacted(spark: SparkSession, sfDir: String,
+                      nChunks: Int = 4): DataFrame = {
+    streamToParquet(spark, sfDir, nChunks) // the sink write runs inside
+    val root = cachedFeedRoot(s"sink:$sfDir:$nChunks")(_ => ())
+    val compacted = graft.sources.Compaction.compactDir(spark,
+      root.resolve("out").toString, root.resolve("compacted").toString, "doc_id")
+    spark.read.parquet(compacted)
+      .select("doc_id", "n_tokens", "n_distinct_tokens", "chars_no_space",
+        "avg_token_len")
+  }
 }

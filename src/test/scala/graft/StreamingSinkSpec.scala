@@ -16,6 +16,19 @@ class StreamingSinkSpec extends SparkSpec {
     assert(out.except(batch).isEmpty && batch.except(out).isEmpty)
   }
 
+  test("compacting the streaming sink folds its files and changes no row") {
+    val out = graft.streaming.StreamingQueries.streamToParquet(spark, Sf0001)
+    val compacted = graft.streaming.StreamingQueries.streamCompacted(spark, Sf0001)
+    assert(compacted.exceptAll(out).isEmpty && out.exceptAll(compacted).isEmpty,
+      "the rewrite must preserve the exact multiset of rows")
+    def files(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    // the sink lands >= one file per micro-batch task; the bin-pack
+    // must strictly fold them (sf0.001 fits one target file)
+    assert(files(compacted) < files(out),
+      s"compaction did not reduce files: ${files(out)} -> ${files(compacted)}")
+  }
+
   test("parquet sink is exactly-once across an interrupted restart") {
     val s = spark
     import s.implicits._
