@@ -149,8 +149,13 @@ object Compaction {
     val hit = idx.filter(r =>
       r.getAs[Long]("max_id") >= lo && r.getAs[Long]("min_id") < hi)
       .map(_.getAs[String]("file")).toSeq
-    scanStats(
-      spark.read.parquet(hit: _*)
-        .filter(col("doc_id") >= lo && col("doc_id") < hi))
+    // a sparse id space can leave the slice with zero intersecting
+    // files; parquet needs >= 1 path to carry a schema, so fall back
+    // to the full layout with a false filter (scans nothing: the
+    // range predicate is contradictory on every file's stats)
+    val src =
+      if (hit.nonEmpty) spark.read.parquet(hit: _*)
+      else spark.read.parquet(compacted).filter(lit(false))
+    scanStats(src.filter(col("doc_id") >= lo && col("doc_id") < hi))
   }
 }
