@@ -23,7 +23,21 @@ import graft.operators.MinHashLsh
   */
 object BandIndex {
 
-  val NumBuckets = 8
+  /** Bucket sizing — the production rule the sf0.5 word-salad
+    * measurement taught (DESIGN "Scale pass 4"): a bucketed join
+    * runs at the table's FIXED bucket count with AQE skew-splitting
+    * disabled, so the count must grow with the corpus or a large
+    * probe funnels through too few sorted streams. One band row per
+    * corpus doc per band, so corpus docs are the driver; floor 8
+    * keeps small corpora multi-file, the cap bounds catalog size. */
+  val DocsPerBucket = 1000L
+  val MinBuckets = 8
+  val MaxBuckets = 4096
+
+  def bucketsFor(corpusDocs: Long): Int =
+    math.max(MinBuckets.toLong,
+      math.min(MaxBuckets.toLong,
+        (corpusDocs + DocsPerBucket - 1) / DocsPerBucket)).toInt
 
   /** The corpus/batch doc_id frontier — shared with the flat
     * incremental_pairs registration (SparkEntry) so the two
@@ -43,11 +57,14 @@ object BandIndex {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val corpus = spark.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") < FrontierId)
+      // one bounded scalar (the ZOrder.eventMaxes catalog-stats
+      // justification) sizes the layout to the corpus
+      val buckets = bucketsFor(corpus.count())
       MinHashLsh.bands(corpus)
-        .repartition(NumBuckets, col("band"), col("band_key"))
+        .repartition(buckets, col("band"), col("band_key"))
         .write.mode("overwrite").format("parquet")
         .option("path", s"$root/bands")
-        .bucketBy(NumBuckets, "band", "band_key").sortBy("band", "band_key")
+        .bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
         .saveAsTable(t)
     }
     t

@@ -39,6 +39,13 @@ class BandIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  test("bucket sizing scales with the corpus and stays within bounds") {
+    assert(BandIndex.bucketsFor(0) == BandIndex.MinBuckets)
+    assert(BandIndex.bucketsFor(400) == BandIndex.MinBuckets)
+    assert(BandIndex.bucketsFor(20000) == 20)
+    assert(BandIndex.bucketsFor(100L * 1000 * 1000 * 1000) == BandIndex.MaxBuckets)
+  }
+
   test("bucketed index probe equals the flat incremental candidates") {
     val all = spark.read.parquet(s"$Sf0001/documents.parquet")
     val flat = MinHashLsh.incrementalCandidates(
