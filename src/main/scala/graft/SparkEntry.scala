@@ -114,6 +114,9 @@ object SparkEntry {
     "source_quality" -> ((s, d) => CorpusStats.sourceQuality(docs(s, d))),
     // one-row dataset-card manifest
     "corpus_manifest" -> ((s, d) => CorpusStats.corpusManifest(docs(s, d))),
+    // ANALYZE: per-column row/null/exact-ndv/min/max catalog stats
+    // in one pass (CBO, skew advisor, and skipping-index feedstock)
+    "table_stats" -> ((s, d) => CorpusStats.tableStats(docs(s, d))),
     // packing/curriculum diagnostic: token mass per length bucket
     "length_histogram" -> ((s, d) => CorpusStats.lengthHistogram(docs(s, d))),
     "source_overlap" -> ((s, d) => CorpusStats.sourceOverlap(docs(s, d))),
@@ -467,6 +470,7 @@ object SparkEntry {
     "shard_assign" -> Sql.shardAssign,
     "shard_write" -> Sql.shardAssign,
     "corpus_manifest" -> Sql.corpusManifest,
+    "table_stats" -> Sql.tableStats,
     "group_keep_best" -> Sql.nearDupGroupsKeepBest,
     "q6_forecast_revenue" -> Sql.q6ForecastRevenue,
     "q10_returned_revenue" -> Sql.q10ReturnedRevenue,

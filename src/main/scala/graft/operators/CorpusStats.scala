@@ -635,4 +635,43 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
   }
+
+  /** Numeric / string column split of the documents schema — min and
+    * max are emitted only for the numeric columns (string min/max
+    * would pin a collation contract the two engines don't share). */
+  val StatsNumCols: Seq[String] = Seq("doc_id", "n_chars")
+  val StatsStrCols: Seq[String] = Seq("text", "lang", "source")
+
+  /** ANALYZE-style per-column TABLE STATS in one pass: row count,
+    * null count, exact distinct count, and (numeric columns) min and
+    * max — the catalog statistics a cost-based optimizer, a skew
+    * advisor, or the [[graft.sources.Compaction]] skipping index all
+    * start from. One aggregate over the table (count_distinct
+    * expands the input ×|columns| map-side — the cadence of an
+    * ANALYZE, not a hot path; continuous monitoring at 100 TB swaps
+    * in the HLL sketch the approx_distinct query already carries),
+    * then a stack() unpivot of the single result row — driver-side
+    * work is one row regardless of table size. */
+  def tableStats(docs: DataFrame): DataFrame = {
+    val cols = StatsNumCols ++ StatsStrCols
+    val aggs = cols.flatMap { c =>
+      val mm =
+        if (StatsNumCols.contains(c))
+          Seq(min(col(c)).cast("long").as(s"min_$c"),
+            max(col(c)).cast("long").as(s"max_$c"))
+        else
+          Seq(lit(null).cast("long").as(s"min_$c"),
+            lit(null).cast("long").as(s"max_$c"))
+      Seq(count(col(c)).as(s"cnt_$c"),
+        count_distinct(col(c)).as(s"ndv_$c")) ++ mm
+    } :+ count(lit(1)).as("n_rows")
+    val row = docs.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', cnt_$c, ndv_$c, min_$c, max_$c").mkString(", ")
+    row.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_non_null, n_distinct, min_long, max_long)")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_non_null")).as("n_nulls"),
+        col("n_distinct"), col("min_long"), col("max_long"))
+  }
 }

@@ -2223,6 +2223,26 @@ WHERE rr <= $HybridTopK""")
       CAST(sum(length(text)) AS BIGINT) AS sum_chars
     FROM documents GROUP BY lang"""
 
+  /** ANALYZE replay: one UNION ALL branch per column, the same
+    * row/null/exact-distinct/min/max stats; string columns carry
+    * NULL min/max (no shared collation contract). Column lists
+    * interpolated from the operator's own definition. */
+  val tableStats: String = {
+    val num = graft.operators.CorpusStats.StatsNumCols
+    val str = graft.operators.CorpusStats.StatsStrCols
+    val branches = (num ++ str).map { c =>
+      val mm =
+        if (num.contains(c)) s"min($c)::BIGINT AS min_long, max($c)::BIGINT AS max_long"
+        else "NULL::BIGINT AS min_long, NULL::BIGINT AS max_long"
+      s"""SELECT '$c' AS col_name, n_rows,
+        (n_rows - count($c))::BIGINT AS n_nulls,
+        count(DISTINCT $c)::BIGINT AS n_distinct, $mm
+      FROM documents, nr GROUP BY n_rows"""
+    }
+    s"""WITH nr AS (SELECT count(*)::BIGINT AS n_rows FROM documents)
+    ${branches.mkString("\n    UNION ALL\n    ")}"""
+  }
+
   /** Skipping-index scan replay: the file-level min/max pruning is an
     * access-path optimization over the compacted layout; the result
     * is the plain [20%, 40%) doc_id slice of the raw table

@@ -339,4 +339,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows("changed") == changed.toLong)
     assert(rows.values.sum == 70L) // every id is in at least one snapshot
   }
+
+  test("table stats: one exact row per column, keys ndv, numeric min/max") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val n = docs.count()
+    val stats = CorpusStats.tableStats(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats.keySet ==
+      (CorpusStats.StatsNumCols ++ CorpusStats.StatsStrCols).toSet)
+    stats.values.foreach { r =>
+      assert(r.getLong(1) == n)        // n_rows
+      assert(r.getLong(2) == 0L)       // no nulls in the testdata
+    }
+    val id = stats("doc_id")
+    assert(id.getLong(3) == n)         // doc_id is a key: ndv == rows
+    assert(id.getLong(4) == 0L && id.getLong(5) == n - 1) // dense ids
+    assert(stats("text").isNullAt(4) && stats("text").isNullAt(5))
+    assert(stats("lang").getLong(3) < n) // categorical: ndv << rows
+  }
 }

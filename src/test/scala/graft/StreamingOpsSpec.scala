@@ -70,6 +70,48 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of: latest-at-or-before state, exact (us, event_id) tie order") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mkDf = (input: MemoryStream[(Long, Long, Long)]) => input.toDF()
+      .select($"_1".as("user_id"), $"_2".as("event_id"), $"_3".as("us"))
+    val targets = MemoryStream[(Long, Long, Long)] // (user_id, event_id, us)
+    val matches = MemoryStream[(Long, Long, Long)]
+    // batch 1 is loaded BEFORE the query starts so both sides land in
+    // ONE micro-batch (a running MemoryStream may trigger between
+    // addData calls, which would deliver a later click before an
+    // earlier target — the out-of-order feed the operator's contract
+    // excludes and the lockstep harness never produces):
+    // user 1 - clicks at 100 and 300, target BETWEEN them; tie case
+    // user 2 - click shares the target's us, click id 20 < target id
+    // 21 -> counts (the batch window's tie order); user 3 - click AT
+    // the target's us with id 31 > target id 30 -> must NOT count;
+    // user 4 - no click at all -> null row still emitted
+    matches.addData((1L, 10L, 100L), (1L, 11L, 300L),
+      (2L, 20L, 500L), (3L, 31L, 500L))
+    targets.addData((1L, 1L, 200L), (2L, 21L, 500L), (3L, 30L, 500L), (4L, 40L, 999L))
+    val q = StreamingOps.asOfJoinStream(mkDf(targets), mkDf(matches))
+      .toDF().writeStream.format("memory").queryName("saj").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2 (event times after batch 1): a later click then a
+      // later target — whether they share a micro-batch or not, the
+      // target must see the newest click via state (12 at 350)
+      matches.addData((1L, 12L, 350L))
+      targets.addData((1L, 2L, 400L))
+      q.processAllAvailable()
+      val rows = s.table("saj").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      assert(rows.size == 5, s"expected one row per target, got $rows")
+      assert(rows(1L) == 10L)   // target 1 at 200: latest click <= 200 is 10
+      assert(rows(2L) == 12L)   // target 2 at 400: state carries click 12 (350)
+      assert(rows(21L) == 20L)  // tie, click id sorts first -> counts
+      assert(rows(30L) == -1L)  // tie, click id sorts after -> excluded
+      assert(rows(40L) == -1L)  // no click ever -> null match emitted
+    } finally q.stop()
+  }
+
   test("durable sink: watermark-finalized windows land in parquet via checkpointed writeStream") {
     val s = spark
     import s.implicits._
