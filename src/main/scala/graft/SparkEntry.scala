@@ -117,6 +117,9 @@ object SparkEntry {
     // ANALYZE: per-column row/null/exact-ndv/min/max catalog stats
     // in one pass (CBO, skew advisor, and skipping-index feedstock)
     "table_stats" -> ((s, d) => CorpusStats.tableStats(docs(s, d))),
+    // join-key hotness top-k with integer permille-of-mean ratios —
+    // the diagnostic that decides when a key needs the salting path
+    "skew_report" -> ((s, d) => CorpusStats.skewReport(events(s, d))),
     // packing/curriculum diagnostic: token mass per length bucket
     "length_histogram" -> ((s, d) => CorpusStats.lengthHistogram(docs(s, d))),
     "source_overlap" -> ((s, d) => CorpusStats.sourceOverlap(docs(s, d))),
@@ -471,6 +474,7 @@ object SparkEntry {
     "shard_write" -> Sql.shardAssign,
     "corpus_manifest" -> Sql.corpusManifest,
     "table_stats" -> Sql.tableStats,
+    "skew_report" -> Sql.skewReport,
     "group_keep_best" -> Sql.nearDupGroupsKeepBest,
     "q6_forecast_revenue" -> Sql.q6ForecastRevenue,
     "q10_returned_revenue" -> Sql.q10ReturnedRevenue,

@@ -636,6 +636,35 @@ object CorpusStats {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
   }
 
+  /** Skew report size. */
+  val SkewTopK: Int = 20
+
+  /** JOIN-KEY SKEW REPORT: the top-k hottest keys of a prospective
+    * join/aggregation column with integer hotness ratios — the
+    * diagnostic that decides whether a key needs the
+    * [[Salting.saltedEquiJoin]] treatment (its planted-skew fixture
+    * is exactly a key this report would flag at rank 1). Per-key
+    * counts are one hash aggregate; the global top-k is the
+    * [[vocabTopK]] shape (distributed per-partition heads + driver
+    * merge of k rows, THEN a rank window over only the k survivors —
+    * no single-partition pass ever sees the key space). The hotness
+    * ratio is integer permille of the mean key load (count × n_keys
+    * × 1000 / total), so the report replays bit-exactly. */
+  def skewReport(events: DataFrame, topK: Int = SkewTopK): DataFrame = {
+    val counts = events.groupBy("user_id").agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(
+      sum(col("n_rows")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts
+      .orderBy(col("n_rows").desc, col("user_id").asc)
+      .limit(topK)
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_rows").desc, col("user_id").asc)).cast("long"))
+      .select(col("rank"), col("user_id"), col("n_rows"),
+        expr("n_rows * n_keys * 1000 div total_rows").as("permille_of_mean"))
+  }
+
   /** Numeric / string column split of the documents schema — min and
     * max are emitted only for the numeric columns (string min/max
     * would pin a collation contract the two engines don't share). */

@@ -2223,6 +2223,22 @@ WHERE rr <= $HybridTopK""")
       CAST(sum(length(text)) AS BIGINT) AS sum_chars
     FROM documents GROUP BY lang"""
 
+  /** Skew report replay: per-key counts, totals, rank by (count
+    * desc, key), integer permille-of-mean hotness. */
+  val skewReport: String = {
+    val k = graft.operators.CorpusStats.SkewTopK
+    s"""WITH kc AS (SELECT user_id, count(*)::BIGINT AS n_rows
+         FROM events GROUP BY user_id),
+    tot AS (SELECT sum(n_rows)::BIGINT AS total_rows,
+         count(*)::BIGINT AS n_keys FROM kc),
+    rk AS (SELECT user_id, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, user_id ASC) AS rank
+         FROM kc)
+    SELECT rank::BIGINT AS rank, user_id, n_rows,
+      (n_rows * n_keys * 1000 // total_rows)::BIGINT AS permille_of_mean
+    FROM rk, tot WHERE rank <= $k"""
+  }
+
   /** ANALYZE replay: one UNION ALL branch per column, the same
     * row/null/exact-distinct/min/max stats; string columns carry
     * NULL min/max (no shared collation contract). Column lists

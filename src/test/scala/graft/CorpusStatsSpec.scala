@@ -340,6 +340,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.values.sum == 70L) // every id is in at least one snapshot
   }
 
+  test("skew report flags a planted hot key at rank 1 with the exact ratio") {
+    val s = spark
+    import s.implicits._
+    // 99% of rows on key 7, the remainder spread over 100 cold keys
+    val rows = (1L to 9900L).map(_ => 7L) ++ (0L until 100L).filter(_ != 7L)
+    val df = rows.toDF("user_id")
+    val rep = CorpusStats.skewReport(df, topK = 5).collect()
+    assert(rep.length == 5)
+    val first = rep.head
+    assert(first.getLong(0) == 1L && first.getLong(1) == 7L)
+    assert(first.getLong(2) == 9900L)
+    // 100 distinct keys, 9999 rows: 9900 * 100 * 1000 div 9999
+    assert(first.getLong(3) == 9900L * 100L * 1000L / 9999L)
+    // cold keys report ~1/100 of the mean at permille scale
+    assert(rep.tail.forall(r => r.getLong(2) == 1L && r.getLong(3) < 150L))
+  }
+
   test("table stats: one exact row per column, keys ndv, numeric min/max") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val n = docs.count()
