@@ -42,6 +42,48 @@ class CompactionSpec extends SparkSpec {
     assert(idx.map(_._3).sum == spark.read.parquet(compacted).count())
   }
 
+  test("property: compact + skip survive random sparse tables and empty slices") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7L)
+    (1 to 5).foreach { trial =>
+      val n = 1 + rnd.nextInt(200)
+      // sparse, gappy, non-contiguous ids — the shapes that break
+      // interval arithmetic (dense ids can hide off-by-ones)
+      val ids = Seq.fill(n)(rnd.nextLong().abs % 100000L).distinct.sorted
+      val df = ids.map(i => (i, s"doc $i ${"x" * rnd.nextInt(50)}")).toDF("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory(s"graft_cprop_$trial").toString
+      df.repartition(1 + rnd.nextInt(16), col("doc_id"))
+        .write.parquet(s"$root/frag")
+      Compaction.compactDir(spark, s"$root/frag", s"$root/comp", "doc_id")
+      val back = spark.read.parquet(s"$root/comp")
+      assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+        s"trial $trial: row multiset changed")
+      val idx = Compaction.skippingIndex(spark, s"$root/comp").collect()
+        .map(r => (r.getAs[Long]("min_id"), r.getAs[Long]("max_id")))
+        .sortBy(_._1)
+      idx.sliding(2).foreach {
+        case Array((_, hiA), (loB, _)) =>
+          assert(hiA < loB, s"trial $trial: overlapping intervals")
+        case _ =>
+      }
+      // random slices, including ones guaranteed empty (beyond max id)
+      val maxId = ids.max
+      Seq((0L, maxId / 3 + 1), (maxId / 2, maxId + 1),
+        (maxId + 10, maxId + 20)).foreach { case (lo, hi) =>
+        val hit = idx.filter { case (mn, mx) => mx >= lo && mn < hi }
+        val expect = ids.count(i => i >= lo && i < hi)
+        val got =
+          if (hit.isEmpty) 0L
+          else spark.read.parquet(s"$root/comp")
+            .filter(col("doc_id") >= lo && col("doc_id") < hi).count()
+        assert(got == expect, s"trial $trial slice [$lo,$hi): $got != $expect")
+        // the index may never EXCLUDE a file that holds a matching row
+        if (expect > 0) assert(hit.nonEmpty, s"trial $trial: index dropped data")
+      }
+    }
+  }
+
   test("skipping scan reads a strict subset of files and matches the full scan") {
     val compacted = Compaction.ensureCompacted(spark, Sf001)
     val idx = Compaction.skippingIndex(spark, compacted).collect()
