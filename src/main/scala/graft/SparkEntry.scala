@@ -63,6 +63,11 @@ object SparkEntry {
     // twin — layout never changes the candidates)
     "incremental_pairs_bucketed" -> ((s, d) =>
       graft.sources.BandIndex.incrementalPairsBucketed(s, d)),
+    // stop-band removal at INDEX BUILD: degenerate buckets never
+    // enter the persisted index, the adversarial-corpus guard for
+    // the bucketed probe (flat path applies the cap per query)
+    "incremental_capped" -> ((s, d) =>
+      graft.sources.BandIndex.incrementalPairsCapped(s, d)),
     "similar_pairs" -> ((s, d) => MinHashLsh.similarPairs(docs(s, d))),
     "pairs_symmetric" -> ((s, d) => MinHashLsh.pairsSymmetric(docs(s, d))),
     "minhash_estimate" -> ((s, d) => MinHashLsh.estimatedPairs(docs(s, d))),
@@ -517,6 +522,8 @@ object SparkEntry {
     "collision_counts" -> Sql.collisionCounts,
     "incremental_pairs" -> Sql.incrementalPairs,
     "incremental_pairs_bucketed" -> Sql.incrementalPairs,
+    "incremental_capped" ->
+      Sql.incrementalPairsIndexCapped(graft.sources.BandIndex.DefaultMaxBucket),
     "ingest_filter" -> Sql.ingestFilter,
     "ingest_evolve" -> Sql.evolvedIngestStats,
     "quantile_error_gate" -> Sql.quantileErrorGate,

@@ -156,6 +156,28 @@ toktab AS (
   val incrementalPairs: String =
     docQ("SELECT id_l, id_r FROM cand WHERE id_l >= 400 OR id_r >= 400")
 
+  /** Capped-INDEX incremental probe replay: corpus buckets with
+    * occupancy > m never enter the index, so corpus×batch candidates
+    * form only through kept buckets; within-batch pairs are
+    * unaffected (the cap governs the index, not the batch). */
+  def incrementalPairsIndexCapped(m: Int): String = docQ(
+    s""", idx AS (SELECT band, band_key, doc_id FROM bands WHERE doc_id < 400),
+    keepb AS (SELECT band, band_key FROM idx
+              GROUP BY band, band_key HAVING count(*) <= $m),
+    nb AS (SELECT band, band_key, doc_id FROM bands WHERE doc_id >= 400),
+    crossp AS (SELECT least(i.doc_id, n.doc_id) AS id_l,
+                      greatest(i.doc_id, n.doc_id) AS id_r
+               FROM idx i
+               JOIN keepb k ON i.band = k.band AND i.band_key = k.band_key
+               JOIN nb n ON i.band = n.band AND i.band_key = n.band_key
+               WHERE i.doc_id <> n.doc_id),
+    within AS (SELECT l.doc_id AS id_l, r.doc_id AS id_r
+               FROM nb l JOIN nb r
+                 ON l.band = r.band AND l.band_key = r.band_key
+                    AND l.doc_id < r.doc_id)
+    SELECT DISTINCT id_l, id_r
+    FROM (SELECT * FROM crossp UNION ALL SELECT * FROM within)""")
+
   val similarPairs: String = docQ("SELECT id_l, id_r, jaccard FROM simpairs")
 
   val pairsSymmetric: String = docQ(

@@ -46,21 +46,40 @@ object BandIndex {
 
   private def tag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
 
+  /** Stop-band cap used by the capped index variant — the same 20
+    * as candidate_pairs_capped (max sf0.01 bucket is 58, so the cap
+    * genuinely bites at the oracle sf). */
+  val DefaultMaxBucket = 20
+
   /** Write the corpus band index ONCE, bucketed + sorted on the probe
-    * key. Idempotent per JVM (catalog check); the write is part of
-    * the measured operator, the [[Bucketed.ensureOrderTables]]
-    * discipline. */
-  def ensureBandIndexTable(spark: SparkSession, dir: String): String = {
-    val t = s"graft_band_idx_${tag(dir)}"
+    * key. With `maxBucket` set, degenerate band buckets (occupancy >
+    * cap) are dropped AT BUILD TIME — stop-band removal, the
+    * production answer to the adversarial-corpus funnel DESIGN
+    * "Scale pass 4" measured: junk keys never enter the index, so no
+    * probe ever pays for them (the flat path's candidate_pairs_capped
+    * applies the same cap per query instead). Idempotent per JVM
+    * (catalog check); the write is part of the measured operator, the
+    * [[Bucketed.ensureOrderTables]] discipline. */
+  def ensureBandIndexTable(spark: SparkSession, dir: String,
+                           maxBucket: Option[Int] = None): String = {
+    val t = s"graft_band_idx_${maxBucket.fold("")(m => s"c${m}_")}${tag(dir)}"
     if (!spark.catalog.tableExists(t)) {
-      val root = s"${sys.props("java.io.tmpdir")}/graft_band_idx_${tag(dir)}"
+      val root = s"${sys.props("java.io.tmpdir")}/graft_band_idx_" +
+        s"${maxBucket.fold("")(m => s"c${m}_")}${tag(dir)}"
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val corpus = spark.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") < FrontierId)
       // one bounded scalar (the ZOrder.eventMaxes catalog-stats
       // justification) sizes the layout to the corpus
       val buckets = bucketsFor(corpus.count())
-      MinHashLsh.bands(corpus)
+      val bandsDf = MinHashLsh.bands(corpus)
+      val pruned = maxBucket.fold(bandsDf) { m =>
+        val keep = bandsDf.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("occ")).filter(col("occ") <= m)
+          .select("band", "band_key")
+        bandsDf.join(keep, Seq("band", "band_key"))
+      }
+      pruned
         .repartition(buckets, col("band"), col("band_key"))
         .write.mode("overwrite").format("parquet")
         .option("path", s"$root/bands")
@@ -76,6 +95,19 @@ object BandIndex {
     * batch is shuffled to the index's bucketing. */
   def incrementalPairsBucketed(spark: SparkSession, dir: String): DataFrame = {
     val idx = spark.table(ensureBandIndexTable(spark, dir))
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") >= FrontierId)
+    MinHashLsh.incrementalCandidates(idx, batch, mergeHint = true)
+  }
+
+  /** The probe off the STOP-BAND-CAPPED index: identical join, but
+    * degenerate buckets were never written, so an adversarial key
+    * distribution cannot funnel quadratic output through the probe
+    * (within-batch pairs are unaffected — the cap governs what the
+    * INDEX serves, exactly like a search engine's stop-word list). */
+  def incrementalPairsCapped(spark: SparkSession, dir: String,
+                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val idx = spark.table(ensureBandIndexTable(spark, dir, Some(maxBucket)))
     val batch = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") >= FrontierId)
     MinHashLsh.incrementalCandidates(idx, batch, mergeHint = true)

@@ -46,6 +46,23 @@ class BandIndexSpec extends SparkSpec {
     assert(BandIndex.bucketsFor(100L * 1000 * 1000 * 1000) == BandIndex.MaxBuckets)
   }
 
+  test("stop-band-capped index: capped candidates are a strict subset, batch pairs intact") {
+    val all = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val uncapped = BandIndex.incrementalPairsBucketed(spark, Sf0001)
+    val capped = BandIndex.incrementalPairsCapped(spark, Sf0001, maxBucket = 3)
+    assert(capped.exceptAll(uncapped).isEmpty,
+      "the cap may only remove candidates, never invent them")
+    assert(capped.count() < uncapped.count(),
+      "cap 3 must genuinely drop degenerate-bucket candidates at sf0.001")
+    // within-batch pairs are outside the index and must survive the cap
+    val batchOnly = MinHashLsh.incrementalCandidates(
+      MinHashLsh.bands(all.filter(col("doc_id") < BandIndex.FrontierId))
+        .limit(0), // empty index: only within-batch pairs remain
+      all.filter(col("doc_id") >= BandIndex.FrontierId))
+    assert(batchOnly.exceptAll(capped).isEmpty,
+      "within-batch pairs must be unaffected by the index cap")
+  }
+
   test("bucketed index probe equals the flat incremental candidates") {
     val all = spark.read.parquet(s"$Sf0001/documents.parquet")
     val flat = MinHashLsh.incrementalCandidates(
