@@ -45,8 +45,9 @@ object SparkEntry {
     "ingest_filter" -> ((s, d) => {
       val c = org.apache.spark.sql.functions.col("doc_id")
       val all = docs(s, d)
-      IncrementalIngest.filterBatch(all.filter(c >= 400),
-        MinHashLsh.bands(all.filter(c < 400)), all.filter(c < 400))
+      val f = IncrementalIngest.frontierId(all)
+      IncrementalIngest.filterBatch(all.filter(c >= f),
+        MinHashLsh.bands(all.filter(c < f)), all.filter(c < f))
     }),
     // landing batches from two schema eras read as ONE table via
     // mergeSchema (pre-evolution rows null-fill the added column)
@@ -54,8 +55,9 @@ object SparkEntry {
     "incremental_pairs" -> ((s, d) => {
       val c = org.apache.spark.sql.functions.col("doc_id")
       val all = docs(s, d)
+      val f = IncrementalIngest.frontierId(all)
       MinHashLsh.incrementalCandidates(
-        MinHashLsh.bands(all.filter(c < 400)), all.filter(c >= 400))
+        MinHashLsh.bands(all.filter(c < f)), all.filter(c >= f))
     }),
     // the same probe off a PERSISTED index bucketed on the band key:
     // only the arriving batch shuffles; the corpus index is never

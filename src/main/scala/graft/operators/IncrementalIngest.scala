@@ -24,6 +24,25 @@ import graft.functions.PortableHash
   */
 object IncrementalIngest {
 
+  /** Corpus/batch FRONTIER for the registered incremental fixtures:
+    * the first [[FrontierPct]] percent of the id space is "the
+    * corpus", the rest "the arriving batch". PROPORTIONAL, not a
+    * fixed id: with a fixed 400 the sf0.5 scale run turned the
+    * "batch" into 98% of the corpus and every incremental query
+    * measured the batch self-join instead of the probe (DESIGN
+    * "Scale pass 4"). 80% of (max_id + 1) equals the historical 400
+    * at the sf0.001/sf0.01 oracle corpora (ids 0-499), so the gate
+    * behavior is unchanged; the oracle derives the same integer from
+    * max(doc_id). One bounded scalar per query build (the
+    * ZOrder.eventMaxes catalog-stats justification). Production
+    * ingest uses a real batch column — see [[ingestDedupStream]]. */
+  val FrontierPct: Int = 80
+
+  def frontierId(docs: DataFrame): Long = {
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    (mx + 1) * FrontierPct / 100
+  }
+
   /** One ingest round, pure batch-to-batch (the foreachBatch body,
     * factored for testability): returns the batch docs that survive
     * near-dup filtering against the corpus AND against earlier-id

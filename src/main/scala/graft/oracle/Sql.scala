@@ -91,6 +91,12 @@ toktab AS (
 
   private def docQ(sel: String): String = s"$docCtes\n$sel"
 
+  /** The proportional corpus/batch frontier CTE — mirrors
+    * IncrementalIngest.frontierId ((max_id + 1) * 80 // 100). */
+  private val frontierCte: String =
+    ", fr AS (SELECT (max(doc_id) + 1) * " +
+      s"${graft.operators.IncrementalIngest.FrontierPct} // 100 AS f FROM documents)"
+
   /** Integer cents of an exact-2-decimal double column. */
   private def cents(e: String): String = s"CAST(round($e * 100) AS BIGINT)"
   private def money(sumExpr: String): String = s"CAST($sumExpr AS DOUBLE) / 100.0"
@@ -141,9 +147,10 @@ toktab AS (
     * every candidate directly), so the oracle drops via cand + hset,
     * not via simpairs. */
   val ingestFilter: String = docQ(
-    s"""SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
-    FROM documents d
-    WHERE d.doc_id >= 400 AND d.doc_id NOT IN (
+    s"""$frontierCte
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d, fr
+    WHERE d.doc_id >= f AND d.doc_id NOT IN (
       SELECT c.id_r FROM cand c
       JOIN hset x ON c.id_l = x.doc_id
       JOIN hset y ON c.id_r = y.doc_id
@@ -154,17 +161,19 @@ toktab AS (
     * incremental candidates are exactly the full-corpus candidates
     * touching the batch. */
   val incrementalPairs: String =
-    docQ("SELECT id_l, id_r FROM cand WHERE id_l >= 400 OR id_r >= 400")
+    docQ(s"""$frontierCte
+    SELECT id_l, id_r FROM cand, fr WHERE id_l >= f OR id_r >= f""")
 
   /** Capped-INDEX incremental probe replay: corpus buckets with
     * occupancy > m never enter the index, so corpus×batch candidates
     * form only through kept buckets; within-batch pairs are
     * unaffected (the cap governs the index, not the batch). */
   def incrementalPairsIndexCapped(m: Int): String = docQ(
-    s""", idx AS (SELECT band, band_key, doc_id FROM bands WHERE doc_id < 400),
+    s"""$frontierCte,
+    idx AS (SELECT band, band_key, doc_id FROM bands, fr WHERE doc_id < f),
     keepb AS (SELECT band, band_key FROM idx
               GROUP BY band, band_key HAVING count(*) <= $m),
-    nb AS (SELECT band, band_key, doc_id FROM bands WHERE doc_id >= 400),
+    nb AS (SELECT band, band_key, doc_id FROM bands, fr WHERE doc_id >= f),
     crossp AS (SELECT least(i.doc_id, n.doc_id) AS id_l,
                       greatest(i.doc_id, n.doc_id) AS id_r
                FROM idx i

@@ -39,10 +39,6 @@ object BandIndex {
       math.min(MaxBuckets.toLong,
         (corpusDocs + DocsPerBucket - 1) / DocsPerBucket)).toInt
 
-  /** The corpus/batch doc_id frontier — shared with the flat
-    * incremental_pairs registration (SparkEntry) so the two
-    * formulations answer the identical question. */
-  val FrontierId = 400L
 
   private def tag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
 
@@ -67,8 +63,9 @@ object BandIndex {
       val root = s"${sys.props("java.io.tmpdir")}/graft_band_idx_" +
         s"${maxBucket.fold("")(m => s"c${m}_")}${tag(dir)}"
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val corpus = spark.read.parquet(s"$dir/documents.parquet")
-        .filter(col("doc_id") < FrontierId)
+      val all = spark.read.parquet(s"$dir/documents.parquet")
+      val corpus = all.filter(
+        col("doc_id") < graft.operators.IncrementalIngest.frontierId(all))
       // one bounded scalar (the ZOrder.eventMaxes catalog-stats
       // justification) sizes the layout to the corpus
       val buckets = bucketsFor(corpus.count())
@@ -95,8 +92,9 @@ object BandIndex {
     * batch is shuffled to the index's bucketing. */
   def incrementalPairsBucketed(spark: SparkSession, dir: String): DataFrame = {
     val idx = spark.table(ensureBandIndexTable(spark, dir))
-    val batch = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("doc_id") >= FrontierId)
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = all.filter(
+      col("doc_id") >= graft.operators.IncrementalIngest.frontierId(all))
     MinHashLsh.incrementalCandidates(idx, batch, mergeHint = true)
   }
 
@@ -108,8 +106,9 @@ object BandIndex {
   def incrementalPairsCapped(spark: SparkSession, dir: String,
                              maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val idx = spark.table(ensureBandIndexTable(spark, dir, Some(maxBucket)))
-    val batch = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("doc_id") >= FrontierId)
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = all.filter(
+      col("doc_id") >= graft.operators.IncrementalIngest.frontierId(all))
     MinHashLsh.incrementalCandidates(idx, batch, mergeHint = true)
   }
 }

@@ -48,6 +48,7 @@ class BandIndexSpec extends SparkSpec {
 
   test("stop-band-capped index: capped candidates are a strict subset, batch pairs intact") {
     val all = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val frontier = graft.operators.IncrementalIngest.frontierId(all)
     val uncapped = BandIndex.incrementalPairsBucketed(spark, Sf0001)
     val capped = BandIndex.incrementalPairsCapped(spark, Sf0001, maxBucket = 3)
     assert(capped.exceptAll(uncapped).isEmpty,
@@ -56,18 +57,19 @@ class BandIndexSpec extends SparkSpec {
       "cap 3 must genuinely drop degenerate-bucket candidates at sf0.001")
     // within-batch pairs are outside the index and must survive the cap
     val batchOnly = MinHashLsh.incrementalCandidates(
-      MinHashLsh.bands(all.filter(col("doc_id") < BandIndex.FrontierId))
+      MinHashLsh.bands(all.filter(col("doc_id") < frontier))
         .limit(0), // empty index: only within-batch pairs remain
-      all.filter(col("doc_id") >= BandIndex.FrontierId))
+      all.filter(col("doc_id") >= frontier))
     assert(batchOnly.exceptAll(capped).isEmpty,
       "within-batch pairs must be unaffected by the index cap")
   }
 
   test("bucketed index probe equals the flat incremental candidates") {
     val all = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val frontier = graft.operators.IncrementalIngest.frontierId(all)
     val flat = MinHashLsh.incrementalCandidates(
-      MinHashLsh.bands(all.filter(col("doc_id") < BandIndex.FrontierId)),
-      all.filter(col("doc_id") >= BandIndex.FrontierId))
+      MinHashLsh.bands(all.filter(col("doc_id") < frontier)),
+      all.filter(col("doc_id") >= frontier))
     val bucketed = BandIndex.incrementalPairsBucketed(spark, Sf0001)
     assert(bucketed.count() > 0)
     assert(bucketed.exceptAll(flat).isEmpty && flat.exceptAll(bucketed).isEmpty,
