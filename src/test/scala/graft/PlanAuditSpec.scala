@@ -26,10 +26,13 @@ class PlanAuditSpec extends SparkSpec {
     * - bm25_topk: the corpus (sum_dl, n_docs) scalar (1 row) crossed
     *   into the per-term postings stream.
     * - hybrid_rerank: contains bm25's scalar cross join; its own
-    *   anchor-vector join is a |terms|-row broadcast. */
+    *   anchor-vector join is a |terms|-row broadcast.
+    * - skew_report: the (total_rows, n_keys) scalar (1 row) crossed
+    *   into the k-row top-keys frame. */
   private val boundedByConstruction =
     Set("cosine_topk", "ann_ivf_topk", "ann_ivf_append", "tfidf_top_terms",
-      "q11_important_suppliers", "unigram_score", "bm25_topk", "hybrid_rerank")
+      "q11_important_suppliers", "unigram_score", "bm25_topk", "hybrid_rerank",
+      "skew_report")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
