@@ -17,7 +17,10 @@ class DeterminismSpec extends SparkSpec {
     "centroid_sim",       // integer centroid sums -> one double cosine
     "q1_pricing_summary", // cents/bp integer aggregation
     "minhash_estimate",   // positional sketch agreement
-    "unigram_score")      // integer shuffle arithmetic LM score
+    "unigram_score",      // integer shuffle arithmetic LM score
+    "shard_assign",       // two-phase cumsum must not depend on merge order
+    "skew_report",        // distributed top-k heads + rank tie-break
+    "table_stats")        // multi-count_distinct expand merge
 
   private def run(name: String, parts: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
