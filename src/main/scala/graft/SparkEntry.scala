@@ -233,6 +233,9 @@ object SparkEntry {
     // read back through the layout — sink→source identity, same
     // oracle (a layout must never change the rows)
     "shard_write" -> ((s, d) => graft.sources.Shards.shardedRoundTrip(s, d)),
+    // one shard read through the layout: the filter is a
+    // PartitionFilter, so only that shard's directory is opened
+    "shard_read" -> ((s, d) => graft.sources.Shards.shardRead(s, d)),
     // cluster-level consolidation: one richest survivor per connected
     // near-dup component (edge-level keep-best can drop whole cycles)
     "group_keep_best" -> ((s, d) => Dedup.nearDupGroupsKeepBest(s, docs(s, d))),
@@ -479,6 +482,7 @@ object SparkEntry {
     "curriculum_order" -> Sql.curriculumOrder,
     "shard_assign" -> Sql.shardAssign,
     "shard_write" -> Sql.shardAssign,
+    "shard_read" -> Sql.shardRead,
     "corpus_manifest" -> Sql.corpusManifest,
     "table_stats" -> Sql.tableStats,
     "skew_report" -> Sql.skewReport,

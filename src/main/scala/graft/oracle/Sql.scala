@@ -951,6 +951,24 @@ WHERE rn = 1""")
     FROM shcum""")
   }
 
+  /** One-shard read replay: shard 0 = running token offset below one
+    * budget in the global hash order (the shardAssign cumsum with a
+    * WHERE on the shard quotient). */
+  val shardRead: String = {
+    val (a, b) = Config.coeffs(5)
+    val budget = graft.operators.Sampling.DefaultShardTokens
+    docQ(s""", shord AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        (($a * ${pmodP("doc_id")} + $b) % $P) AS h FROM toktab),
+    shcum AS (SELECT doc_id, n_tokens,
+        coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          AS tokens_before
+      FROM shord)
+    SELECT doc_id, n_tokens, tokens_before,
+      (tokens_before // $budget)::BIGINT AS shard
+    FROM shcum WHERE tokens_before // $budget = 0""")
+  }
+
   /** DuckDB regexp_replace needs the 'g' flag to match Spark's
     * replace-all semantics. */
   val dedupNormalized: String =

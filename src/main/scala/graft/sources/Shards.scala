@@ -50,4 +50,17 @@ object Shards {
     spark.read.parquet(ensureShardedTable(spark, dir))
       .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
         col("shard").cast("long").as("shard"))
+
+  /** A dataloader's actual access pattern: ONE shard read through
+    * the layout. `shard` is a partition column, so the filter
+    * becomes a PartitionFilter (asserted in SamplingSpec) and only
+    * that shard's directory is ever listed or opened — at 100 TB a
+    * worker touches its own shard's bytes and nothing else. Oracle:
+    * shard 0 is exactly the docs whose running token offset sits
+    * below one budget in the global hash order. */
+  def shardRead(spark: SparkSession, dir: String, shard: Long = 0L): DataFrame =
+    spark.read.parquet(ensureShardedTable(spark, dir))
+      .filter(col("shard") === shard)
+      .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
+        col("shard").cast("long").as("shard"))
 }

@@ -260,6 +260,15 @@ class SamplingSpec extends SparkSpec {
     val direct = Sampling.shardAssign(spark.read.parquet(s"$Sf0001/documents.parquet"))
     assert(back.exceptAll(direct).isEmpty && direct.exceptAll(back).isEmpty,
       "the layout must not change the assignment rows")
+    // the one-shard read prunes at the PARTITION level: the scan's
+    // PartitionFilters carry the shard predicate, no data filter
+    val one = Shards.shardRead(spark, Sf0001, 0L)
+    val scan = one.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec leaf"))
+    assert(scan.partitionFilters.exists(_.toString.contains("shard")),
+      s"shard predicate must be a partition filter, was: ${scan.partitionFilters}")
+    assert(one.collect().forall(_.getLong(3) == 0L))
   }
 
   test("split leakage reports exactly the cross-split near-dup pairs") {
