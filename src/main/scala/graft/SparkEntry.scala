@@ -432,9 +432,16 @@ object SparkEntry {
     // changes the aggregate; the bench pair prices per-file overhead
     "small_files_scan" -> ((s, d) => graft.sources.Compaction.smallFilesScan(s, d)),
     "compacted_scan" -> ((s, d) => graft.sources.Compaction.compactedScan(s, d)),
-    // file-level min/max DATA SKIPPING: a catalog-sized index prunes
-    // whole files before the scan plans; residual filter in-engine
+    // file-level min/max DATA SKIPPING: a catalog-sized index (built
+    // from parquet FOOTER stats, not a data scan) prunes whole files
+    // before the scan plans; residual filter in-engine
     "skipping_scan" -> ((s, d) => graft.sources.Compaction.skippingScan(s, d)),
+    // ATOMIC versioned-snapshot commit (r8): the maintenance rewrite
+    // publishes immutable v{N}/ dirs through a one-rename manifest;
+    // this query reads THROUGH the manifest — a reader concurrent
+    // with (or after a killed) rewrite sees exactly one committed
+    // version, never a mix (CompactionSpec proves the crash story)
+    "snapshot_scan" -> ((s, d) => graft.sources.Compaction.snapshotScan(s, d)),
     // the reference's NATIVE line format through the DataSource V2
     // connector: id\t escaped-text lines, newline-aligned byte splits
     // (64 KB here so even sf0.001 scans in parallel), doc_id filter
@@ -592,6 +599,9 @@ object SparkEntry {
     "linear_scan" -> Sql.zorderBoxStats,
     "small_files_scan" -> Sql.compactionScan,
     "compacted_scan" -> Sql.compactionScan,
+    // reads through the versioned manifest — same oracle: snapshots
+    // change where bytes live and when they're visible, never results
+    "snapshot_scan" -> Sql.compactionScan,
     "skipping_scan" -> Sql.skippingScan,
     "csv_roundtrip" -> Sql.docsIdentity,
     "jsonl_roundtrip" -> Sql.docsIdentity,

@@ -649,7 +649,11 @@ object CorpusStats {
     * merge of k rows, THEN a rank window over only the k survivors —
     * no single-partition pass ever sees the key space). The hotness
     * ratio is integer permille of the mean key load (count × n_keys
-    * × 1000 / total), so the report replays bit-exactly. */
+    * × 1000 / total), so the report replays bit-exactly. The triple
+    * product is widened to decimal before the division: in long
+    * arithmetic a 1e9-row hot key over 1e8 keys is ~1e20 > 2^63 and
+    * Spark would wrap silently — exactly the 100 TB regime this
+    * diagnostic serves (r7 advice). */
   def skewReport(events: DataFrame, topK: Int = SkewTopK): DataFrame = {
     val counts = events.groupBy("user_id").agg(count(lit(1)).as("n_rows"))
     val totals = counts.agg(
@@ -662,7 +666,8 @@ object CorpusStats {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_rows").desc, col("user_id").asc)).cast("long"))
       .select(col("rank"), col("user_id"), col("n_rows"),
-        expr("n_rows * n_keys * 1000 div total_rows").as("permille_of_mean"))
+        expr("CAST(n_rows AS DECIMAL(38,0)) * n_keys * 1000 div total_rows")
+          .as("permille_of_mean"))
   }
 
   /** Numeric / string column split of the documents schema — min and

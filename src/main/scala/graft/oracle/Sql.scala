@@ -2273,7 +2273,10 @@ WHERE rr <= $HybridTopK""")
     FROM documents GROUP BY lang"""
 
   /** Skew report replay: per-key counts, totals, rank by (count
-    * desc, key), integer permille-of-mean hotness. */
+    * desc, key), integer permille-of-mean hotness. The triple product
+    * runs in HUGEINT — the twin of the engine's DECIMAL(38,0) widening
+    * (in BIGINT a 1e9-row key over 1e8 keys overflows; DuckDB would
+    * error where Spark wraps — r7 advice). */
   val skewReport: String = {
     val k = graft.operators.CorpusStats.SkewTopK
     s"""WITH kc AS (SELECT user_id, count(*)::BIGINT AS n_rows
@@ -2284,7 +2287,7 @@ WHERE rr <= $HybridTopK""")
          row_number() OVER (ORDER BY n_rows DESC, user_id ASC) AS rank
          FROM kc)
     SELECT rank::BIGINT AS rank, user_id, n_rows,
-      (n_rows * n_keys * 1000 // total_rows)::BIGINT AS permille_of_mean
+      (n_rows::HUGEINT * n_keys * 1000 // total_rows)::BIGINT AS permille_of_mean
     FROM rk, tot WHERE rank <= $k"""
   }
 
@@ -2302,7 +2305,7 @@ WHERE rr <= $HybridTopK""")
       s"""SELECT '$c' AS col_name, n_rows,
         (n_rows - count($c))::BIGINT AS n_nulls,
         count(DISTINCT $c)::BIGINT AS n_distinct, $mm
-      FROM documents, nr GROUP BY n_rows"""
+      FROM nr LEFT JOIN documents ON true GROUP BY n_rows"""
     }
     s"""WITH nr AS (SELECT count(*)::BIGINT AS n_rows FROM documents)
     ${branches.mkString("\n    UNION ALL\n    ")}"""

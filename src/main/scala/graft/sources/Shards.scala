@@ -24,21 +24,22 @@ object Shards {
 
   private def tag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
 
-  /** Write the shard-partitioned corpus once per JVM per sf dir; the
-    * write is part of the measured operator. Returns the table
-    * root. */
+  /** Write the shard-partitioned corpus once per SOURCE STATE, through
+    * a [[Snapshots]] versioned commit: atomic publish (a reader never
+    * sees a half-written shard layout) and fingerprint-keyed reuse (a
+    * regenerated documents.parquet at the same path rebuilds instead
+    * of serving stale shards — the r7 stale-marker advice). The write
+    * is part of the measured operator. Returns the table root. */
   def ensureShardedTable(spark: SparkSession, dir: String): String = {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_shards_${tag(dir)}"
-    val path = s"$root/docs_by_shard"
-    val done = new java.io.File(s"$root/_done")
-    if (!done.exists()) {
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val src = s"$dir/documents.parquet"
+    Snapshots.ensure(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_shards_${tag(dir)}",
+      Snapshots.fingerprint(spark, src)) { path =>
+      val docs = spark.read.parquet(src)
       Sampling.shardAssign(docs)
         .repartition(col("shard"))
         .write.mode("overwrite").partitionBy("shard").parquet(path)
-      done.getParentFile.mkdirs(); done.createNewFile()
     }
-    path
   }
 
   /** The assignment read back through the sharded layout. Column

@@ -58,36 +58,37 @@ object ZOrder {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Write the events table twice under tmp — `linear` (range-sorted
-    * by user_id only) and `zorder` (range-sorted by the Morton code
-    * of (user_id, event_id)) — with small parquet row groups so
-    * statistics pruning is observable at test scale (at production
-    * scale the default 128 MB groups play the same role). Idempotent
-    * per JVM; the write is part of the measured operator, the
-    * [[Bucketed.ensureOrderTables]] discipline. Returns
-    * (linearPath, zorderPath, maxUser, maxEvent). */
+  /** Write the events table twice — `linear/` (range-sorted by
+    * user_id only) and `zorder/` (range-sorted by the Morton code of
+    * (user_id, event_id)), both subdirs of ONE [[Snapshots]] version
+    * — with small parquet row groups so statistics pruning is
+    * observable at test scale (at production scale the default 128 MB
+    * groups play the same role). The clustering rewrite is therefore
+    * atomic (a reader resolves the whole before- or after-layout,
+    * never a mix) and fingerprint-keyed (a regenerated events table
+    * re-clusters instead of serving stale rows). The write is part of
+    * the measured operator, the [[Bucketed.ensureOrderTables]]
+    * discipline. Returns (linearPath, zorderPath, maxUser, maxEvent). */
   def ensureEventLayouts(spark: SparkSession, dir: String): (String, String, Long, Long) = {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_zorder_${tag(dir)}"
-    val linear = s"$root/linear"
-    val zorder = s"$root/zorder"
+    val src = s"$dir/events.parquet"
     val (maxU, maxE) = eventMaxes(spark, dir)
-    val done = new java.io.File(s"$root/_layouts_done")
-    if (!done.exists()) {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-      def write(df: DataFrame, sortCol: Column, path: String): Unit =
+    val data = Snapshots.ensure(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_zorder_${tag(dir)}",
+      Snapshots.fingerprint(spark, src)) { path =>
+      val ev = spark.read.parquet(src)
+      def write(df: DataFrame, sortCol: Column, p: String): Unit =
         df.withColumn("zv", sortCol)
           .repartitionByRange(8, col("zv"))
           .sortWithinPartitions(col("zv"))
           .drop("zv")
           .write.mode("overwrite")
           .option("parquet.block.size", 32 * 1024)
-          .parquet(path)
-      write(ev, col("user_id"), linear)
+          .parquet(p)
+      write(ev, col("user_id"), s"$path/linear")
       write(ev, zValue(norm16(col("user_id"), maxU),
-        norm16(col("event_id"), maxE)), zorder)
-      done.getParentFile.mkdirs(); done.createNewFile()
+        norm16(col("event_id"), maxE)), s"$path/zorder")
     }
-    (linear, zorder, maxU, maxE)
+    (s"$data/linear", s"$data/zorder", maxU, maxE)
   }
 
   /** The 2-d box predicate both layout twins run: user_id in the

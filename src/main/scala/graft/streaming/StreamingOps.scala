@@ -225,7 +225,13 @@ object StreamingOps {
   }
 
   case class AsOfEvent(user_id: Long, event_id: Long, us: Long, kind: Int)
-  case class AsOfState(match_id: Long, match_us: Long)
+
+  /** Per-user as-of state: the latest match seen plus the high-water
+    * event time already processed. `match_id` < 0 means no match has
+    * arrived yet (the state still tracks `max_us` so the in-order
+    * contract is enforced from the first event, not the first
+    * match). */
+  case class AsOfState(match_id: Long, match_us: Long, max_us: Long)
   case class AsOfOut(event_id: Long, user_id: Long, target_us: Long,
                      prev_match_id: Option[Long], prev_match_us: Option[Long],
                      gap_us: Option[Long])
@@ -243,7 +249,12 @@ object StreamingOps {
     * provides: micro-batches arrive in event-time order ACROSS
     * batches (within a batch the group sorts by (us, event_id), the
     * exact tie order of the batch window formulation — a click at a
-    * target's own timestamp counts iff its event_id sorts first). */
+    * target's own timestamp counts iff its event_id sorts first).
+    * That contract is ENFORCED, not assumed (r7 advice): the state
+    * carries the per-user high-water event time, and an event
+    * arriving below it fails the query fast with the offending
+    * (user, event, time) — one silently out-of-order batch would
+    * otherwise yield wrong prev_match rows forever after. */
   def asOfJoinStream(targets: DataFrame, matches: DataFrame): Dataset[AsOfOut] = {
     implicit val evEnc = Encoders.product[AsOfEvent]
     implicit val stEnc = Encoders.product[AsOfState]
@@ -259,14 +270,30 @@ object StreamingOps {
       .flatMapGroupsWithState[AsOfState, AsOfOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfState]) =>
-          var st = state.getOption
+          var st = state.getOption.getOrElse(AsOfState(-1L, 0L, Long.MinValue))
           val out = scala.collection.mutable.ListBuffer.empty[AsOfOut]
           rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
-            if (e.kind == 0) st = Some(AsOfState(e.event_id, e.us))
-            else out += AsOfOut(e.event_id, uid, e.us,
-              st.map(_.match_id), st.map(_.match_us), st.map(e.us - _.match_us))
+            // in-order contract check: the within-batch sort handles a
+            // disordered batch, but an event BELOW the high-water mark
+            // of a previous batch means history this operator already
+            // emitted against is wrong — fail fast, don't emit garbage
+            if (e.us < st.max_us)
+              throw new IllegalStateException(
+                s"asOfJoinStream: out-of-order micro-batch for user $uid — " +
+                  s"event ${e.event_id} at us=${e.us} arrived after the " +
+                  s"high-water mark us=${st.max_us}; feed micro-batches in " +
+                  "event-time order (time-partitioned source) or widen to " +
+                  "the watermarked interval join")
+            val prev = if (st.match_id >= 0) Some(st) else None
+            if (e.kind == 0) st = AsOfState(e.event_id, e.us, e.us)
+            else {
+              st = st.copy(max_us = e.us)
+              out += AsOfOut(e.event_id, uid, e.us,
+                prev.map(_.match_id), prev.map(_.match_us),
+                prev.map(e.us - _.match_us))
+            }
           }
-          st.foreach(state.update)
+          state.update(st)
           out.iterator
       }
   }

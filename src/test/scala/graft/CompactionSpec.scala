@@ -84,6 +84,25 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("footer-built index content == scan-built index content (same layout)") {
+    // the production build reads parquet FOOTER stats (catalog-sized);
+    // the scan build aggregates the data itself — both must agree
+    // exactly, which is what makes the footer stats trustworthy
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (new java.net.URI(r.getAs[String]("file")).getPath
+          .split('/').last,
+        r.getAs[Long]("min_id"), r.getAs[Long]("max_id"),
+        r.getAs[Long]("n_rows")))
+      .sortBy(_._1).toSeq
+    Seq(Compaction.ensureCompacted(spark, Sf001),
+        Compaction.ensureFragmented(spark, Sf001)).foreach { layout =>
+      val byFooter = norm(Compaction.skippingIndex(spark, layout))
+      val byScan = norm(Compaction.skippingIndexByScan(spark, layout))
+      assert(byFooter == byScan,
+        s"footer and scan index builds diverged on $layout")
+    }
+  }
+
   test("skipping scan reads a strict subset of files and matches the full scan") {
     val compacted = Compaction.ensureCompacted(spark, Sf001)
     val idx = Compaction.skippingIndex(spark, compacted).collect()

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Compaction, Snapshots}
+
+/** The transactional story of the maintenance rewrites (r8 verdict
+  * item 1): a reader concurrent with — or arriving after a killed —
+  * rewrite must see exactly the old or the new snapshot, never a
+  * mix; and snapshot reuse must key on the SOURCE DATA, not a marker
+  * file (r7 advice: stale `_done` markers served old rows after the
+  * source was regenerated at the same path). */
+class SnapshotsSpec extends SparkSpec {
+
+  private def tmpRoot(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_snap_$name").toString
+
+  private def writeDocs(path: String, ids: Seq[Long]): Unit = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .coalesce(2).write.mode("overwrite").parquet(path)
+  }
+
+  test("commit publishes atomically: no manifest, no version") {
+    val root = tmpRoot("atomic")
+    assert(Snapshots.current(spark, root).isEmpty)
+    val snap = Snapshots.commit(spark, root, "fp1") { p => writeDocs(p, 0L to 9L) }
+    assert(snap.version == 1)
+    val cur = Snapshots.current(spark, root).get
+    assert(cur == snap)
+    assert(spark.read.parquet(cur.dataPath).count() == 10)
+  }
+
+  test("a killed rewrite leaves the previous snapshot exactly intact") {
+    val root = tmpRoot("killed")
+    Snapshots.commit(spark, root, "v1") { p => writeDocs(p, 0L to 9L) }
+    val before = Snapshots.current(spark, root).get
+
+    // simulate a writer killed MID-REWRITE: the next version's data
+    // dir exists (even partially valid parquet) but the crash happened
+    // before the manifest rename — the single commit point
+    writeDocs(s"$root/v000000002", 100L to 102L)
+
+    val after = Snapshots.current(spark, root).get
+    assert(after == before, "an uncommitted data dir must be invisible")
+    val rows = spark.read.parquet(after.dataPath)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == (0L to 9L), "reader must see the OLD version, whole")
+  }
+
+  test("a new commit never touches the files a live reader resolved") {
+    val root = tmpRoot("immutable")
+    Snapshots.commit(spark, root, "v1") { p => writeDocs(p, 0L to 9L) }
+    val v1 = Snapshots.current(spark, root).get
+    val fs = Snapshots.fs(spark, root)
+    def listing(path: String): Seq[(String, Long, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        buf += ((st.getPath.toString, st.getLen, st.getModificationTime))
+      }
+      buf.sortBy(_._1).toSeq
+    }
+    val v1Files = listing(v1.dataPath)
+
+    // a reader that resolved v1 is now "running" — commit v2 under it
+    val v2 = Snapshots.commit(spark, root, "v2") { p => writeDocs(p, 10L to 29L) }
+    assert(v2.version == 2)
+
+    // v1's files: same names, same lengths, same mtimes — immutable
+    assert(listing(v1.dataPath) == v1Files,
+      "a rewrite must never modify a committed version's files")
+    // the in-flight reader finishes fine off v1...
+    assert(spark.read.parquet(v1.dataPath).count() == 10)
+    // ...while a new reader resolves exactly v2
+    val cur = Snapshots.current(spark, root).get
+    assert(cur.version == 2 &&
+      spark.read.parquet(cur.dataPath).count() == 20)
+  }
+
+  test("ensure keys on the source fingerprint, not a marker: regenerated source rebuilds") {
+    val root = tmpRoot("fp")
+    val src = s"${tmpRoot("fp_src")}/documents.parquet"
+    writeDocs(src, 0L to 4L)
+
+    val p1 = Snapshots.ensure(spark, root, Snapshots.fingerprint(spark, src)) { p =>
+      spark.read.parquet(src).write.parquet(p)
+    }
+    // same source state: served from the SAME snapshot, no rebuild
+    val p2 = Snapshots.ensure(spark, root, Snapshots.fingerprint(spark, src)) { p =>
+      fail("must not rebuild while the fingerprint matches")
+    }
+    assert(p1 == p2)
+
+    // regenerate the source AT THE SAME PATH (the r7 stale-marker
+    // scenario: new seed/scale, old markers) — ensure must rebuild
+    writeDocs(src, 0L to 14L)
+    val p3 = Snapshots.ensure(spark, root, Snapshots.fingerprint(spark, src)) { p =>
+      spark.read.parquet(src).write.parquet(p)
+    }
+    assert(p3 != p1, "a changed source must commit a new version")
+    assert(spark.read.parquet(p3).count() == 15,
+      "the resolved snapshot must serve the REGENERATED rows")
+  }
+
+  test("snapshot_scan reads through the manifest and matches the layout twins") {
+    val viaManifest = Compaction.snapshotScan(spark, Sf001)
+    val viaCompacted = Compaction.compactedScan(spark, Sf001)
+    assert(viaManifest.exceptAll(viaCompacted).isEmpty &&
+      viaCompacted.exceptAll(viaManifest).isEmpty,
+      "the snapshot access path must not change query results")
+    // the versioned root carries the full lifecycle: v1 fragmented,
+    // v2 compacted — current resolves the compaction
+    val vroot = Compaction.ensureSnapshotHistory(spark, Sf001)
+    val cur = Snapshots.current(spark, vroot).get
+    assert(cur.version >= 2 && cur.fingerprint.startsWith("compacted:"))
+  }
+
+  test("the maintenance ensure* paths survive a source regenerated at the same path") {
+    val s = spark
+    import s.implicits._
+    // a private "sf dir" whose documents.parquet we control
+    val dir = tmpRoot("sfdir")
+    def gen(n: Int): Unit =
+      (0 until n).map(i => (i.toLong, s"text $i ${"x" * (i % 37)}", "en", "web", 10L + i))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    gen(40)
+    assert(spark.read.parquet(Compaction.ensureCompacted(spark, dir)).count() == 40)
+    gen(70) // regenerated at the same path — the stale-marker trap
+    assert(spark.read.parquet(Compaction.ensureCompacted(spark, dir)).count() == 70,
+      "compacted layout served stale rows after the source changed")
+  }
+}
