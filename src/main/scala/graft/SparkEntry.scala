@@ -170,6 +170,14 @@ object SparkEntry {
     // text alone — video samples now decode for real on a stock JRE
     "media_video_frames" -> ((s, d) =>
       Multimodal.extractVideoFrames(Multimodal.encodeAvi(docs(s, d))).toDF()),
+    // COMPRESSED video round trip (r8) — the last codec stub retired:
+    // text → real JPEG per frame (ImageIO, quality 1.0, grayscale) →
+    // MJPEG-in-AVI container → RIFF walk + full JPEG decode → compare
+    // to the source raster in-engine. Lossy codec ⇒ the gate is a
+    // within-tolerance bit the oracle replays from text alone (the
+    // sketch_error_gate discipline), not a pixel checksum
+    "media_mjpeg" -> ((s, d) =>
+      Multimodal.mjpegRoundTrip(docs(s, d)).toDF()),
     // the OTHER stock-JRE codecs round-tripped for real — GIF (indexed
     // palette), BMP (24-bit RGB), WBMP (1-bit) — on a deterministic
     // fifth of the corpus (per-row ImageIO setup dominates; format
@@ -580,6 +588,7 @@ object SparkEntry {
     "media_audio" -> Sql.mediaAudio,
     "media_video_meta" -> Sql.mediaVideoMeta,
     "media_video_frames" -> Sql.mediaVideoFrames,
+    "media_mjpeg" -> Sql.mediaMjpeg,
     "media_decode_formats" -> Sql.mediaDecodeFormats,
     "ann_recall" -> Sql.annRecall,
     "pii_mask" -> Sql.piiMask,

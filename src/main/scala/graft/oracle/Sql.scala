@@ -669,6 +669,25 @@ WHERE rn = 1""")
           FROM documents)"""
   }
 
+  /** media_mjpeg replay: the MJPEG codec is LOSSY, so unlike the
+    * other media round trips the decoded pixels can't be re-derived
+    * bit-exactly from the text — the engine instead verifies every
+    * decoded frame against the source raster IN-ENGINE and emits a
+    * within-tolerance bit (the sketch_error_gate discipline). The
+    * oracle replays the frame geometry exactly (one row per frame,
+    * 16×4, frame count from the text length) and expects every
+    * tolerance bit to be 1: a broken codec path (wrong quant, wrong
+    * subsampling, byte-copy instead of decode) flips bits and fails
+    * the hash. */
+  val mediaMjpeg: String = {
+    val nFrames = "greatest(1, (length(text) + 63) // 64)"
+    s"""SELECT doc_id, CAST(f - 1 AS INTEGER) AS frame_idx,
+      CAST(16 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+      CAST(1 AS INTEGER) AS within_tol
+    FROM (SELECT doc_id, unnest(generate_series(1, $nFrames)) AS f
+          FROM documents)"""
+  }
+
   /** approx_distinct replay (r6 verdict item 7 — [oracle] now): the
     * exact distinct counts are plain SQL; the sketch-health bits are
     * expected 1 (a precision regression flips them in Spark's output

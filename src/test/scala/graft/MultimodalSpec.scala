@@ -230,6 +230,74 @@ class MultimodalSpec extends SparkSpec {
     assert(f.length == 1 && f.head.frame_idx == -1 && f.head.width == 0)
   }
 
+  test("MJPEG-in-AVI: frames are real JPEGs and decode within tolerance of the source raster") {
+    val text = "compressed video at last: motion jpeg frames, one real JPEG " +
+      "per frame, long enough for two frames and a zero-padded tail!"
+    assert(text.length > 64 && text.length < 128)
+    val payload = Multimodal.AviWriter.encodeMjpeg(text)
+    // the frames must be genuinely JPEG-compressed: a JPEG SOI marker
+    // (FF D8) inside the movi data, and an 'MJPG' strf compression tag
+    def hasSeq(hay: Array[Byte], needle: Array[Byte]): Boolean =
+      hay.indices.exists(i => i + needle.length <= hay.length &&
+        needle.indices.forall(j => hay(i + j) == needle(j)))
+    assert(hasSeq(payload, Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte)),
+      "MJPEG payload must contain JPEG SOI markers")
+    assert(hasSeq(payload, "MJPG".getBytes("US-ASCII")),
+      "container must declare the MJPG codec")
+    // full decode: dims + both frames within tolerance, and the error
+    // is genuinely nonzero-capable (lossy codec) but bounded
+    val (w, h, frames) = Multimodal.AviParser.decodeMjpeg(payload).get
+    assert(w == 16 && h == 4 && frames.length == 2)
+    for ((px, f) <- frames.zipWithIndex; i <- px.indices) {
+      val gi = f * 64 + i
+      val expected = if (gi < text.length) text.charAt(gi) % 256 else 0
+      assert(math.abs(px(i) - expected) <= Multimodal.MjpegTol,
+        s"frame $f pixel $i: decoded ${px(i)} vs source $expected")
+    }
+    // the DIB decoder must NOT accept an MJPEG container (codec gate)
+    assert(Multimodal.AviParser.decodeFrames(1L, payload).isEmpty)
+  }
+
+  test("mjpegRoundTrip gate: every frame row within_tol, undecodable input marked") {
+    val rows = Multimodal.mjpegRoundTrip(docsDf(
+      1L -> ("y" * 130), 2L -> "", 3L -> "short")).collect()
+    val byDoc = rows.groupBy(_.doc_id)
+    assert(byDoc(1L).length == 3 && byDoc(2L).length == 1 && byDoc(3L).length == 1)
+    assert(rows.forall(r => r.within_tol == 1 && r.width == 16 && r.height == 4),
+      s"all frames must pass the tolerance gate: ${rows.filter(_.within_tol == 0).toSeq}")
+    assert(byDoc(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2))
+    // a truncated container must surface as the marked failure row,
+    // not vanish: decodeMjpeg returns None on structural violations
+    val good = Multimodal.AviWriter.encodeMjpeg("hello mjpeg")
+    assert(Multimodal.AviParser.decodeMjpeg(good.take(good.length - 5)).isEmpty)
+  }
+
+  test("MJPEG decode round-trips arbitrary char-valued frames (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val textGen = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.choose(32.toChar, 126.toChar),
+        1 -> Gen.oneOf('é', '中', 'ÿ', 'Ā'))).map(_.mkString))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100),
+      Prop.forAll(textGen) { s =>
+        Multimodal.AviParser.decodeMjpeg(Multimodal.AviWriter.encodeMjpeg(s)) match {
+          case None => false
+          case Some((w, h, frames)) =>
+            val expectFrames = math.max(1, (s.length + 63) / 64)
+            w == 16 && h == 4 && frames.length == expectFrames &&
+              frames.zipWithIndex.forall { case (px, f) =>
+                px.indices.forall { i =>
+                  val gi = f * 64 + i
+                  val e = if (gi < s.length) s.charAt(gi) % 256 else 0
+                  math.abs(px(i) - e) <= Multimodal.MjpegTol
+                }
+              }
+        }
+      })
+    assert(res.passed, s"MJPEG round-trip property: ${res.status}")
+  }
+
   test("MP4 parser skips unknown boxes and rejects structural violations") {
     val good = Multimodal.Mp4Writer.encode(2L, "hello")
     // the writer always embeds a 'free' box, so a successful parse
