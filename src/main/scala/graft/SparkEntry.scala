@@ -417,6 +417,14 @@ object SparkEntry {
     // join key, so the join AND the per-key agg run with ZERO
     // Exchange (BucketedSpec asserts it) — the write-once/never-
     // shuffle-again layout for repeated fact-fact work at 100 TB
+    // ANALYZE stats wired into the PLANNER (r8): the same high-value-
+    // tail join once through CREATE TABLE + ANALYZE'd catalog tables
+    // (CBO sees row counts + column min/max: the filtered side
+    // broadcasts on its own — CatalogStatsSpec pins the plan flip) and
+    // once stats-blind over raw parquet. One oracle for both: stats
+    // change plans, never results
+    "cbo_join_stats" -> ((s, d) => CatalogStats.joinWithStats(s, d)),
+    "cbo_join_nostats" -> ((s, d) => CatalogStats.joinNoStats(s, d)),
     "bucketed_join" -> ((s, d) => graft.sources.Bucketed.bucketedOrderRevenue(s, d)),
     // the flat twin (same semantics + strategy, no layout): the bench
     // pair quantifies the exchanges the bucketed layout removes
@@ -601,6 +609,8 @@ object SparkEntry {
     "dsv2_text_scan" -> Sql.dsv2TextScan,
     "bucketed_join" -> Sql.bucketedOrderRevenue,
     "unbucketed_join" -> Sql.bucketedOrderRevenue,
+    "cbo_join_stats" -> Sql.cboJoin,
+    "cbo_join_nostats" -> Sql.cboJoin,
     "partition_pruned" -> Sql.partitionPrunedStats,
     "dpp_join" -> Sql.dppFamilyStats,
     "bloom_join" -> Sql.bloomPrunedJoin,

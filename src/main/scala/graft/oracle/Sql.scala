@@ -2222,6 +2222,21 @@ WHERE rr <= $HybridTopK""")
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderkey, o_orderpriority"""
 
+  /** CBO pair replay (CatalogStats): per-segment count + integer-
+    * cents revenue of the high-value order tail joined to customer.
+    * ONE oracle for both twins — catalog statistics drive the join
+    * strategy (CatalogStatsSpec pins broadcast-vs-shuffle), never
+    * the answer. Sum over BIGINT widens to HUGEINT in DuckDB, cast
+    * back before the money division. */
+  val cboJoin: String = {
+    val floor = graft.operators.CatalogStats.PriceFloor
+    s"""SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+      ${money(s"CAST(sum(${cents("o_totalprice")}) AS BIGINT)")} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > $floor
+    GROUP BY c_mktsegment"""
+  }
+
   /** Bloom-pruned join replay: the bloom prefilter has no false
     * negatives and the join drops its false positives, so the result
     * IS the plain dim-filtered join (Relational.bloomPrunedJoin). */
