@@ -96,8 +96,12 @@ object Compaction {
     * like [[ensureFragmented]]. */
   def ensureCompacted(spark: SparkSession, dir: String): String = {
     val small = ensureFragmented(spark, dir)
+    // the commit records per-file doc_id intervals in the manifest
+    // (one footer read per file just written — commit-time cost,
+    // query-time payoff in skippingScan)
     Snapshots.ensure(spark, s"${root(dir)}/compacted",
-      Snapshots.fingerprint(spark, small)) { path =>
+      Snapshots.fingerprint(spark, small),
+      statsFor = p => footerStats(spark, p)) { path =>
       compactDir(spark, small, path, "doc_id")
     }
   }
@@ -177,9 +181,20 @@ object Compaction {
     * content to [[skippingIndexByScan]] (asserted in CompactionSpec). */
   def skippingIndex(spark: SparkSession, path: String,
                     keyCol: String = "doc_id"): DataFrame = {
+    val rows = footerIntervals(spark, path, keyCol)
+      .map { case (u, mn, mx, n) => Row(u, mn, mx, n): Row }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, IndexSchema)
+  }
+
+  /** One footer read per planned file: (absolute uri, min, max,
+    * rows) for `keyCol` — shared by the index DataFrame view and the
+    * snapshot-commit stats hook. */
+  private def footerIntervals(spark: SparkSession, path: String,
+                              keyCol: String): Seq[(String, Long, Long, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
     val files = spark.read.parquet(path).inputFiles.toSeq
-    val rows = files.flatMap { u =>
+    files.flatMap { u =>
       val p = new org.apache.hadoop.fs.Path(u)
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -198,13 +213,22 @@ object Compaction {
         else {
           val maxs = stats.map(_._1).filter(_.hasNonNullValue)
             .map(_.genericGetMax.asInstanceOf[Number].longValue())
-          Some(Row(u, mins.min, maxs.max, nRows))
+          Some((u, mins.min, maxs.max, nRows))
         }
       } finally reader.close()
     }
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.asJava, IndexSchema)
   }
+
+  /** The snapshot-commit stats hook: the same footer intervals, as
+    * data-dir-relative [[Snapshots.FileStat]]s for the manifest —
+    * the write-time half of what [[skippingScan]] consumes at query
+    * time (Delta/Iceberg record exactly this in their manifests). */
+  def footerStats(spark: SparkSession, path: String,
+                  keyCol: String = "doc_id"): Seq[Snapshots.FileStat] =
+    footerIntervals(spark, path, keyCol).map { case (u, mn, mx, n) =>
+      Snapshots.FileStat(
+        new org.apache.hadoop.fs.Path(u).getName, mn, mx, n)
+    }
 
   /** The same index recovered by SCANNING the data (one aggregate
     * over input_file_name()) — kept as the cross-check twin that
@@ -223,24 +247,29 @@ object Compaction {
     ((maxId + 1) * 20 / 100, (maxId + 1) * 40 / 100)
 
   /** Range scan PLANNED THROUGH the skipping index: consult the
-    * (catalog-sized, footer-built) index on the driver, keep only
-    * files whose [min_id, max_id] interval intersects the query
-    * range, hand exactly those paths to the scan, and apply the
-    * residual filter in-engine. On the compacted layout the
-    * intersecting set is a small fraction of the files (asserted in
-    * CompactionSpec); at 100 TB this is the difference between
+    * file-stats catalog on the driver, keep only files whose
+    * [min_id, max_id] interval intersects the query range, hand
+    * exactly those paths to the scan, and apply the residual filter
+    * in-engine. The catalog comes from the SNAPSHOT MANIFEST the
+    * compaction commit wrote (zero data-path I/O at query time — the
+    * Delta/Iceberg read path); a snapshot committed without stats
+    * falls back to reading the footers here. On the compacted layout
+    * the intersecting set is a small fraction of the files (asserted
+    * in CompactionSpec); at 100 TB this is the difference between
     * listing+opening every file of a table and touching only the
-    * data the query can use. The collect is the file-stats catalog —
-    * bounded by file count, never by rows (the [[ZOrder.eventMaxes]]
-    * justification). */
+    * data the query can use. Driver memory is bounded by file count,
+    * never by rows (the [[ZOrder.eventMaxes]] justification). */
   def skippingScan(spark: SparkSession, dir: String): DataFrame = {
     val compacted = ensureCompacted(spark, dir)
-    val idx = skippingIndex(spark, compacted).collect()
-    val maxId = idx.map(_.getAs[Long]("max_id")).max
+    val manifest = Snapshots.fileStats(spark, s"${root(dir)}/compacted")
+    val idx: Seq[(String, Long, Long)] =
+      if (manifest.nonEmpty)
+        manifest.map(s => (s.path, s.minKey, s.maxKey))
+      else skippingIndex(spark, compacted).collect().toSeq.map(r =>
+        (r.getAs[String]("file"), r.getAs[Long]("min_id"), r.getAs[Long]("max_id")))
+    val maxId = idx.map(_._3).max
     val (lo, hi) = sliceBounds(maxId)
-    val hit = idx.filter(r =>
-      r.getAs[Long]("max_id") >= lo && r.getAs[Long]("min_id") < hi)
-      .map(_.getAs[String]("file")).toSeq
+    val hit = idx.filter { case (_, mn, mx) => mx >= lo && mn < hi }.map(_._1)
     // a sparse id space can leave the slice with zero intersecting
     // files; parquet needs >= 1 path to carry a schema, so fall back
     // to the full layout with a false filter (scans nothing: the

@@ -50,6 +50,15 @@ object Snapshots {
     * source fingerprint it was derived from. */
   case class Snapshot(version: Int, dataPath: String, fingerprint: String)
 
+  /** Per-file statistics recorded IN THE MANIFEST at commit time —
+    * the Delta/Iceberg pattern: the write already knows (or cheaply
+    * reads, one parquet footer per file it just wrote) each file's
+    * key interval and row count, so a reader plans file skipping
+    * from the manifest alone, zero data-path I/O at query time.
+    * `path` is relative to the snapshot's data dir, keeping the
+    * manifest valid if the table root is relocated. */
+  case class FileStat(path: String, minKey: Long, maxKey: Long, nRows: Long)
+
   def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -95,19 +104,29 @@ object Snapshots {
     * atomic commit point. Throws (leaving an unreferenced data dir,
     * never a partial table) if the rename loses a race or the write
     * fails. In-JVM commits on one root are serialized; cross-process
-    * single-maintainer per the object contract. */
-  def commit(spark: SparkSession, root: String, fingerprint: String)
+    * single-maintainer per the object contract.
+    *
+    * `statsFor` (optional) is called with the freshly-written data
+    * path BEFORE the commit rename and its per-file stats are
+    * recorded as extra manifest lines — commit-time work sized by
+    * file count (one footer read per file just written), bought back
+    * on every subsequent query that plans skipping from the manifest
+    * instead of the files ([[fileStats]]). */
+  def commit(spark: SparkSession, root: String, fingerprint: String,
+             statsFor: String => Seq[FileStat] = _ => Seq.empty)
             (write: String => Unit): Snapshot = lock(root).synchronized {
     val f = fs(spark, root)
     val next = current(spark, root).map(_.version + 1).getOrElse(1)
     val dataDir = dataDirName(next)
     val dataPath = new Path(root, dataDir)
     write(dataPath.toString)
+    val statLines = statsFor(dataPath.toString).map(s =>
+      s"\n${s.path}\t${s.minKey}\t${s.maxKey}\t${s.nRows}")
     val mdir = new Path(root, ManifestDir)
     f.mkdirs(mdir)
     val tmp = new Path(mdir, s".tmp_${java.util.UUID.randomUUID().toString.take(12)}")
     val out = f.create(tmp, true)
-    try out.write(s"$dataDir\t$fingerprint"
+    try out.write((s"$dataDir\t$fingerprint" + statLines.mkString)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(mdir, manifestName(next))
@@ -124,11 +143,35 @@ object Snapshots {
     * source state, else build and commit a fresh version. The
     * idempotence key is the DATA (fingerprint), not a marker file, so
     * reuse is correct across JVMs and a regenerated source rebuilds. */
-  def ensure(spark: SparkSession, root: String, fingerprint: String)
+  def ensure(spark: SparkSession, root: String, fingerprint: String,
+             statsFor: String => Seq[FileStat] = _ => Seq.empty)
             (write: String => Unit): String =
     current(spark, root).filter(_.fingerprint == fingerprint)
-      .getOrElse(commit(spark, root, fingerprint)(write))
+      .getOrElse(commit(spark, root, fingerprint, statsFor)(write))
       .dataPath
+
+  /** The per-file stats the CURRENT manifest carries (empty if the
+    * committing writer recorded none): manifest-read cost only —
+    * this is the query-time half of the commit-time `statsFor`
+    * investment. Paths come back absolute (resolved against the
+    * snapshot's data dir). */
+  def fileStats(spark: SparkSession, root: String): Seq[FileStat] =
+    current(spark, root) match {
+      case None => Seq.empty
+      case Some(snap) =>
+        val f = fs(spark, root)
+        val lines = readLine(f,
+          new Path(new Path(root, ManifestDir), manifestName(snap.version)))
+          .split('\n')
+        lines.iterator.drop(1).flatMap { l =>
+          l.split('\t') match {
+            case Array(p, mn, mx, n) =>
+              Some(FileStat(new Path(snap.dataPath, p).toString,
+                mn.toLong, mx.toLong, n.toLong))
+            case _ => None
+          }
+        }.toSeq
+    }
 
   /** Digest of every file under `paths` (recursive): path, length,
     * modification time — the metadata a catalog already holds, so the

@@ -117,6 +117,43 @@ class SnapshotsSpec extends SparkSpec {
     assert(cur.version >= 2 && cur.fingerprint.startsWith("compacted:"))
   }
 
+  test("the compaction commit records per-file stats in the manifest, matching the footers") {
+    // hermetic sf-dir: a snapshot committed BEFORE the stats feature
+    // (or by another writer) legitimately lacks stat lines —
+    // skippingScan falls back to footer reads for those — so this
+    // test must drive a fresh commit, not reuse a cached root
+    val s = spark
+    import s.implicits._
+    val dir = tmpRoot("statsdir")
+    (0L until 120L).map(i => (i, s"text $i ${"y" * (i % 23).toInt}", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(3).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val compacted = Compaction.ensureCompacted(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(compacted).getParent.toString
+    val manifest = Snapshots.fileStats(spark, root)
+      .map(s => (new java.net.URI(s.path).getPath.split('/').last,
+        s.minKey, s.maxKey, s.nRows)).sortBy(_._1)
+    assert(manifest.nonEmpty, "compaction commit must record file stats")
+    val footers = Compaction.skippingIndex(spark, compacted).collect()
+      .map(r => (new java.net.URI(r.getAs[String]("file")).getPath.split('/').last,
+        r.getAs[Long]("min_id"), r.getAs[Long]("max_id"), r.getAs[Long]("n_rows")))
+      .sortBy(_._1).toSeq
+    assert(manifest == footers,
+      "manifest-recorded stats must equal a fresh footer read of the same files")
+    // and the stats are genuinely consumed: the skipping scan planned
+    // from the manifest equals the full-layout scan
+    val viaManifest = Compaction.skippingScan(spark, dir)
+    val (lo, hi) = Compaction.sliceBounds(manifest.map(_._3).max)
+    import org.apache.spark.sql.functions.{count, length, lit, sum}
+    val fullStats = spark.read.parquet(compacted)
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+    assert(viaManifest.exceptAll(fullStats).isEmpty &&
+      fullStats.exceptAll(viaManifest).isEmpty)
+  }
+
   test("the maintenance ensure* paths survive a source regenerated at the same path") {
     val s = spark
     import s.implicits._
