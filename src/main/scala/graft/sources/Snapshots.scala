@@ -211,6 +211,54 @@ object Snapshots {
       .toSeq
   }
 
+  /** EXPIRE old snapshots: delete every version older than the
+    * newest `keepVersions` (manifest first, then its data dir, so a
+    * crash mid-expire can only leave an orphan dir — the same
+    * invisible-to-readers state a killed writer leaves, cleaned by
+    * the next expire). Also removes orphan data dirs no manifest
+    * references (killed writers' leftovers). This is the retention
+    * half of the snapshot lifecycle — immutable versions accumulate
+    * by design (that's what keeps concurrent readers safe), so a
+    * maintained table runs expire on a cadence, trading time-travel
+    * depth for storage exactly as Delta's VACUUM retention window
+    * does. A reader still scanning an expired version loses its
+    * files mid-query — the retention window must exceed the longest
+    * query, which is the reader contract every log-structured table
+    * format documents. Returns the deleted version numbers. */
+  def expire(spark: SparkSession, root: String,
+             keepVersions: Int = 1): Seq[Int] = lock(root).synchronized {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val f = fs(spark, root)
+    val mdir = new Path(root, ManifestDir)
+    if (!f.exists(mdir)) return Seq.empty
+    val versions = f.listStatus(mdir).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toInt).toSeq.sorted
+    val expired = versions.dropRight(keepVersions)
+    val kept = versions.takeRight(keepVersions).toSet
+    // resolve each expired manifest's data dir BEFORE deleting it
+    val dataDirs = expired.map { v =>
+      val line = readLine(f, new Path(mdir, manifestName(v)))
+      val sep = line.indexOf('\t')
+      val nl = line.indexOf('\n')
+      val end = if (sep < 0) (if (nl < 0) line.length else nl)
+                else sep
+      v -> new Path(root, line.take(end))
+    }
+    dataDirs.foreach { case (v, dataDir) =>
+      f.delete(new Path(mdir, manifestName(v)), false) // readers lose resolution first
+      f.delete(dataDir, true)
+    }
+    // orphan data dirs: v-prefixed dirs no surviving manifest names
+    val referenced = kept.map(dataDirName) ++ Set(ManifestDir)
+    f.listStatus(new Path(root)).iterator
+      .filter(s => s.isDirectory && !referenced(s.getPath.getName) &&
+        s.getPath.getName.matches("v\\d{9}"))
+      .foreach(s => f.delete(s.getPath, true))
+    expired
+  }
+
   // per-root in-JVM commit serialization
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lock(root: String): Object =

@@ -154,6 +154,31 @@ class SnapshotsSpec extends SparkSpec {
       fullStats.exceptAll(viaManifest).isEmpty)
   }
 
+  test("expire retains the newest versions, removes old data dirs and orphans") {
+    val root = tmpRoot("expire")
+    (1 to 3).foreach { i =>
+      Snapshots.commit(spark, root, s"fp$i") { p => writeDocs(p, 0L until (i * 10L)) }
+    }
+    // an orphan from a killed writer (no manifest references it)
+    writeDocs(s"$root/v000000099", 0L to 1L)
+    val fs = Snapshots.fs(spark, root)
+    def dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("v")).sorted.toSeq
+
+    assert(dirs.size == 4)
+    val deleted = Snapshots.expire(spark, root, keepVersions = 2)
+    assert(deleted == Seq(1), s"only v1 is past the retention window: $deleted")
+    assert(dirs == Seq("v000000002", "v000000003"),
+      "expire must drop v1 AND the unreferenced orphan")
+    // current still resolves, with its data intact
+    val cur = Snapshots.current(spark, root).get
+    assert(cur.version == 3 && spark.read.parquet(cur.dataPath).count() == 30)
+    // expiring down to 1 keeps exactly the newest
+    assert(Snapshots.expire(spark, root, keepVersions = 1) == Seq(2))
+    assert(dirs == Seq("v000000003"))
+    assert(Snapshots.current(spark, root).get.version == 3)
+  }
+
   test("the maintenance ensure* paths survive a source regenerated at the same path") {
     val s = spark
     import s.implicits._
