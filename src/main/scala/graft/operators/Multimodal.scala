@@ -800,34 +800,43 @@ object Multimodal {
       * pixel (measured max 1). */
     def encodeMjpeg(text: String, width: Int = Width,
                     frameChars: Int = FrameChars): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      try encodeMjpegWith(writer, text, width, frameChars)
+      finally writer.dispose()
+    }
+
+    /** Same, with a caller-owned writer — the per-partition-setup
+      * form [[Multimodal.mjpegRoundTrip]] uses (one writer serves
+      * every record of a partition, the [[Multimodal.encodeImage]]
+      * discipline: the registry lookup per row was measurable). */
+    def encodeMjpegWith(writer: javax.imageio.ImageWriter, text: String,
+                        width: Int = Width,
+                        frameChars: Int = FrameChars): Array[Byte] = {
       require(frameChars % width == 0, "frameChars must fill whole rows")
       val height = frameChars / width
       val nFrames = math.max(1, (text.length + frameChars - 1) / frameChars)
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
       val param = writer.getDefaultWriteParam
       param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       param.setCompressionQuality(1.0f)
-      try {
-        val frames = (0 until nFrames).map { f =>
-          val img = new java.awt.image.BufferedImage(
-            width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          var i = 0
-          while (i < frameChars) {
-            val gi = f * frameChars + i
-            val c = if (gi < text.length) text.charAt(gi) % 256 else 0
-            img.getRaster.setSample(i % width, i / width, 0, c)
-            i += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-          try {
-            writer.setOutput(ios)
-            writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-          } finally ios.close()
-          bos.toByteArray
+      val frames = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var i = 0
+        while (i < frameChars) {
+          val gi = f * frameChars + i
+          val c = if (gi < text.length) text.charAt(gi) % 256 else 0
+          img.getRaster.setSample(i % width, i / width, 0, c)
+          i += 1
         }
-        mux(frames, width, height, "MJPG", MjpgFourcc, "00dc")
-      } finally writer.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+        } finally ios.close()
+        bos.toByteArray
+      }
+      mux(frames, width, height, "MJPG", MjpgFourcc, "00dc")
     }
   }
 
@@ -861,6 +870,8 @@ object Multimodal {
       var vids: Boolean = false; var bgr24: Boolean = false
       // MJPEG stream: strh handler 'MJPG' seen / strf confirms 'MJPG'
       var mjpgHandler: Boolean = false; var mjpeg: Boolean = false
+      // per-container JPEG reader, set by decodeMjpeg for frame reuse
+      var jpegReader: javax.imageio.ImageReader = null
       val frames = scala.collection.mutable.ArrayBuffer.empty[Long]
       // mjpeg frames carry decoded gray pixels (the lossy-codec gate
       // compares them to the source raster; a fold can't)
@@ -872,27 +883,35 @@ object Multimodal {
       * JDK's full JPEG pipeline (entropy decode, dequantize, IDCT):
       * gray samples in top-down row-major order, or None when the
       * payload isn't a decodable single-band JPEG at the stream's
-      * declared dimensions. */
-    private def decodeJpegGray(b: Array[Byte], from: Int, len: Int,
-                               width: Int, height: Int): Option[Array[Int]] = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(b, from, len))
-      if (img == null || img.getWidth != width || img.getHeight != height ||
-          img.getRaster.getNumBands != 1) None
-      else {
-        val px = new Array[Int](width * height)
-        var y = 0
-        while (y < height) {
-          var x = 0
-          while (x < width) {
-            px(y * width + x) = img.getRaster.getSample(x, y, 0)
-            x += 1
+      * declared dimensions. The reader instance is reused across a
+      * container's frames (a per-frame ImageIO registry probe was
+      * measurable at ~10 frames/doc × corpus). */
+    private def decodeJpegGray(reader: javax.imageio.ImageReader,
+                               b: Array[Byte], from: Int, len: Int,
+                               width: Int, height: Int): Option[Array[Int]] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b, from, len))
+        try {
+          reader.setInput(iis)
+          val img = reader.read(0)
+          if (img == null || img.getWidth != width || img.getHeight != height ||
+              img.getRaster.getNumBands != 1) None
+          else {
+            val px = new Array[Int](width * height)
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) {
+                px(y * width + x) = img.getRaster.getSample(x, y, 0)
+                x += 1
+              }
+              y += 1
+            }
+            Some(px)
           }
-          y += 1
-        }
-        Some(px)
-      }
-    }
+        } finally iis.close()
+      } catch { case _: Exception => None }
 
     /** Decode one 24-bit BI_RGB DIB: bottom-up BGR rows with 4-byte
       * stride; fold gray = (r+g+b)/3 in top-down row-major order. */
@@ -959,7 +978,8 @@ object Multimodal {
               case None => st.malformed = true
             }
           case f if (f.endsWith("db") || f.endsWith("dc")) && st.mjpeg =>
-            decodeJpegGray(b, body.toInt, size.toInt, st.width, st.height) match {
+            decodeJpegGray(st.jpegReader, b, body.toInt, size.toInt,
+              st.width, st.height) match {
               case Some(px) => st.framesPx += px
               case None => st.malformed = true
             }
@@ -998,8 +1018,12 @@ object Multimodal {
       if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
           fourcc(payload, 8) != "AVI ") return None
       val st = new Stream
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+      if (!readers.hasNext) return None
+      st.jpegReader = readers.next()
       try walk(payload, 12L, math.min(payload.length.toLong, 8L + u32(payload, 4)), st, 0)
       catch { case _: Exception => return None }
+      finally st.jpegReader.dispose()
       if (st.malformed || !st.mjpeg || st.framesPx.isEmpty ||
           st.framesPx.size != st.nFrames || st.idxEntries != st.nFrames) None
       else Some((st.width, st.height, st.framesPx.toSeq))
@@ -1052,10 +1076,14 @@ object Multimodal {
     val frameChars = AviWriter.FrameChars
     docs.select(col("doc_id").cast("long"), col("text"))
       .mapPartitions { rows =>
+        // per-partition codec setup (the encodeImage discipline); the
+        // decode side reuses one reader per container inside
+        // AviParser.decodeMjpeg
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
         rows.flatMap { row =>
           val id = row.getLong(0)
           val text = row.getString(1)
-          val payload = AviWriter.encodeMjpeg(text)
+          val payload = AviWriter.encodeMjpegWith(writer, text)
           AviParser.decodeMjpeg(payload) match {
             case Some((w, h, frames)) =>
               frames.zipWithIndex.map { case (px, f) =>
