@@ -82,6 +82,24 @@ object Multimodal {
     * miss, None, and the caller falls back to the stub. */
   object ImageIoDecoder {
     val P = graft.Config.P
+
+    private def features(docId: Long, payload: Array[Byte],
+                         img: java.awt.image.BufferedImage,
+                         fmt: String): MediaFeatures = {
+      var acc = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          acc = (acc * 31 + (img.getRGB(x, y) & 0xffL)) % P
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(docId, payload.length.toLong, s"image/$fmt",
+        img.getWidth, img.getHeight, acc)
+    }
+
     def decode(docId: Long, payload: Array[Byte]): Option[MediaFeatures] =
       try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -95,21 +113,55 @@ object Multimodal {
             val img = reader.read(0)
             val fmt = reader.getFormatName.toLowerCase
             reader.dispose()
-            var acc = 0L
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                acc = (acc * 31 + (img.getRGB(x, y) & 0xffL)) % P
-                x += 1
-              }
-              y += 1
-            }
-            Some(MediaFeatures(docId, payload.length.toLong, s"image/$fmt",
-              img.getWidth, img.getHeight, acc))
+            Some(features(docId, payload, img, fmt))
           }
         } finally iis.close()
       } catch { case _: Exception => None }
+
+    /** Per-partition decode session: the ImageIO REGISTRY PROBE per
+      * row (every provider's canDecodeInput against the stream) was
+      * the dominant per-record cost of the lossless round-trip
+      * queries, not the pixel work. The session sniffs the formats
+      * with reliable magic bytes (PNG/JPEG/GIF/BMP) and dispatches
+      * straight to a cached reader instance; anything else — WBMP
+      * has no usable signature — falls back to the probing path.
+      * Same features, same fallback semantics (a corrupt payload
+      * returns None either way); one session per partition, the
+      * encodeImage per-partition-setup discipline. */
+    final class Session {
+      private val cache =
+        scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+      private def cached(fmt: String): Option[javax.imageio.ImageReader] =
+        cache.get(fmt).orElse {
+          val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+          if (!it.hasNext) None
+          else { val r = it.next(); cache(fmt) = r; Some(r) }
+        }
+      private def sniff(b: Array[Byte]): Option[String] =
+        if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+            b(2) == 'N' && b(3) == 'G') Some("png")
+        else if (b.length >= 3 && (b(0) & 0xff) == 0xFF &&
+            (b(1) & 0xff) == 0xD8 && (b(2) & 0xff) == 0xFF) Some("jpeg")
+        else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' &&
+            b(2) == 'F' && b(3) == '8') Some("gif")
+        else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("bmp")
+        else None
+      def decode(docId: Long, payload: Array[Byte]): Option[MediaFeatures] =
+        sniff(payload).flatMap(cached) match {
+          case Some(reader) =>
+            try {
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              try {
+                reader.setInput(iis)
+                val img = reader.read(0)
+                Some(features(docId, payload, img,
+                  reader.getFormatName.toLowerCase))
+              } finally iis.close()
+            } catch { case _: Exception => None }
+          case None => ImageIoDecoder.decode(docId, payload)
+        }
+    }
   }
 
   /** documents -> (doc_id, payload: binary) — the multimodal column
@@ -207,12 +259,13 @@ object Multimodal {
     implicit val enc = Encoders.product[MediaFeatures]
     binTable.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
-        // per-partition setup: a real implementation opens/initializes
-        // the codec here, once, and closes it when `rows` is drained
+        // per-partition setup: cached reader instances with magic-byte
+        // dispatch (registry probe only for signature-less formats)
+        val session = new ImageIoDecoder.Session
         rows.map { row =>
           val id = row.getLong(0)
           val payload = row.getAs[Array[Byte]](1)
-          ImageIoDecoder.decode(id, payload)
+          session.decode(id, payload)
             .getOrElse(StubDecoder.decode(id, payload))
         }
       }(enc)
