@@ -115,6 +115,14 @@ class SnapshotsSpec extends SparkSpec {
     val vroot = Compaction.ensureSnapshotHistory(spark, Sf001)
     val cur = Snapshots.current(spark, vroot).get
     assert(cur.version >= 2 && cur.fingerprint.startsWith("compacted:"))
+    // retention: expiring history down to the current version must
+    // leave the read-through-manifest path fully intact
+    Snapshots.expire(spark, vroot, keepVersions = 1)
+    assert(Snapshots.current(spark, vroot).get == cur)
+    val afterExpire = Compaction.snapshotScan(spark, Sf001)
+    assert(afterExpire.exceptAll(viaCompacted).isEmpty &&
+      viaCompacted.exceptAll(afterExpire).isEmpty,
+      "expire of old versions must not disturb the current snapshot's reads")
   }
 
   test("the compaction commit records per-file stats in the manifest, matching the footers") {
