@@ -51,6 +51,17 @@ object Multimodal {
     * row. Past this depth the input is flagged malformed. */
   val MaxBoxDepth: Int = 64
 
+  /** ImageIO's default stream cache is FILE-backed: every
+    * createImageInputStream/createImageOutputStream call makes (and
+    * deletes) a temp file. Every payload in this engine is an
+    * in-memory byte array, so the disk round trip is pure overhead —
+    * at ~10 frames/doc it is one temp file per frame per rep across
+    * 32 concurrent partitions, measured as multi-second cross-rep
+    * noise on the media queries. Memory-cached streams only
+    * (JVM-global, idempotent; referenced from every codec setup). */
+  private[operators] lazy val imageIoMemOnly: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Feature record produced by the decode stage. */
   case class MediaFeatures(doc_id: Long, n_bytes: Long, kind: String,
                            width: Int, height: Int, checksum: Long)
@@ -195,6 +206,7 @@ object Multimodal {
     implicit val enc = Encoders.product[Encoded]
     docs.select(col("doc_id").cast("long"), col("text"))
       .mapPartitions { rows =>
+        imageIoMemOnly
         import java.awt.image.{BufferedImage, IndexColorModel}
         // per-partition setup: palette AND writer — a partition is
         // consumed by one thread, so one writer instance serves every
@@ -259,6 +271,7 @@ object Multimodal {
     implicit val enc = Encoders.product[MediaFeatures]
     binTable.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        imageIoMemOnly
         // per-partition setup: cached reader instances with magic-byte
         // dispatch (registry probe only for signature-less formats)
         val session = new ImageIoDecoder.Session
@@ -316,6 +329,7 @@ object Multimodal {
     implicit val enc = Encoders.product[Encoded]
     docs.select(col("doc_id").cast("long"), col("text"))
       .mapPartitions { rows =>
+        imageIoMemOnly
         import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
         // one format object per partition; the writer is stateless
         val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
@@ -347,6 +361,7 @@ object Multimodal {
     implicit val enc = Encoders.product[AudioFeatures]
     binTable.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        imageIoMemOnly
         rows.map { row =>
           val id = row.getLong(0)
           val payload = row.getAs[Array[Byte]](1)
@@ -371,6 +386,7 @@ object Multimodal {
     implicit val enc = Encoders.product[Frame]
     binTable.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        imageIoMemOnly
         val P = graft.Config.P
         rows.flatMap { row =>
           val id = row.getLong(0)
@@ -398,6 +414,7 @@ object Multimodal {
     implicit val enc = Encoders.product[Resized]
     binTable.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        imageIoMemOnly
         rows.map { row =>
           val id = row.getLong(0)
           val in = row.getAs[Array[Byte]](1)
@@ -677,6 +694,7 @@ object Multimodal {
     implicit val enc = Encoders.product[Encoded]
     docs.select(col("doc_id").cast("long"), col("text"))
       .mapPartitions { rows =>
+        imageIoMemOnly
         rows.map(row => Encoded(row.getLong(0), Mp4Writer.encode(row.getLong(0), row.getString(1))))
       }(enc).toDF()
   }
@@ -689,6 +707,7 @@ object Multimodal {
     implicit val enc = Encoders.product[VideoMeta]
     binTable.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        imageIoMemOnly
         rows.map { row =>
           val id = row.getLong(0)
           val payload = row.getAs[Array[Byte]](1)
@@ -1088,6 +1107,7 @@ object Multimodal {
     implicit val enc = Encoders.product[Encoded]
     docs.select(col("doc_id").cast("long"), col("text"))
       .mapPartitions { rows =>
+        imageIoMemOnly
         rows.map(row => Encoded(row.getLong(0), AviWriter.encode(row.getLong(0), row.getString(1))))
       }(enc).toDF()
   }
@@ -1129,6 +1149,7 @@ object Multimodal {
     val frameChars = AviWriter.FrameChars
     docs.select(col("doc_id").cast("long"), col("text"))
       .mapPartitions { rows =>
+        imageIoMemOnly
         // per-partition codec setup (the encodeImage discipline); the
         // decode side reuses one reader per container inside
         // AviParser.decodeMjpeg
@@ -1165,6 +1186,7 @@ object Multimodal {
     implicit val enc = Encoders.product[VideoFrame]
     binTable.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        imageIoMemOnly
         rows.flatMap { row =>
           val id = row.getLong(0)
           val payload = row.getAs[Array[Byte]](1)
