@@ -32,6 +32,29 @@ class EdgeCaseSpec extends SparkSpec {
       .withColumn("n_chars", length(empty("text")).cast("long"))).count() == 0)
   }
 
+  test("empty corpus: catalog/diagnostic/codec operators define the zero-row contract") {
+    import org.apache.spark.sql.functions.{length, lit}
+    val s = spark
+    import s.implicits._
+    val emptyFull = empty
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(empty("text")).cast("long"))
+    // ANALYZE on an empty table is NOT empty: one row per column with
+    // n_rows = 0 (the engine/oracle divergence the r7 advice caught —
+    // the oracle's GROUP BY dropped its rows, the engine's global
+    // aggregate kept them; both now agree on this contract)
+    val stats = CorpusStats.tableStats(emptyFull).collect()
+    assert(stats.length == CorpusStats.StatsNumCols.size + CorpusStats.StatsStrCols.size)
+    assert(stats.forall(r => r.getAs[Long]("n_rows") == 0L &&
+      r.getAs[Long]("n_nulls") == 0L && r.getAs[Long]("n_distinct") == 0L))
+    // diagnostics and the lossy-codec round trip stay empty, no errors
+    val emptyEvents = Seq.empty[(Long, Long)].toDF("user_id", "event_id")
+    assert(CorpusStats.skewReport(emptyEvents).count() == 0)
+    assert(CorpusStats.bigramFluency(empty).count() == 0)
+    assert(Multimodal.mjpegRoundTrip(empty).count() == 0)
+  }
+
   test("single document: no self-pairs anywhere") {
     assert(MinHashLsh.signatures(single).count() == 1)
     assert(MinHashLsh.candidatePairs(single).count() == 0)
