@@ -162,6 +162,29 @@ class SnapshotsSpec extends SparkSpec {
       fullStats.exceptAll(viaManifest).isEmpty)
   }
 
+  test("concurrent in-JVM commits serialize: both land, distinct versions, no corruption") {
+    val root = tmpRoot("race")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (1 to 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Snapshots.Snapshot] {
+          def call(): Snapshots.Snapshot =
+            Snapshots.commit(spark, root, s"writer$i") { p =>
+              writeDocs(p, 0L until (i * 5L))
+            }
+        })
+      }
+      val snaps = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(snaps.map(_.version).sorted == Seq(1, 2),
+        "the per-root lock must serialize commits into consecutive versions")
+      val cur = Snapshots.current(spark, root).get
+      assert(cur.version == 2)
+      // both versions' data fully readable (immutability held under race)
+      snaps.foreach(sn => assert(
+        spark.read.parquet(sn.dataPath).count() == sn.fingerprint.last.asDigit * 5L))
+    } finally pool.shutdownNow()
+  }
+
   test("expire retains the newest versions, removes old data dirs and orphans") {
     val root = tmpRoot("expire")
     (1 to 3).foreach { i =>
