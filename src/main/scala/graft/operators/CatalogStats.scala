@@ -43,16 +43,22 @@ object CatalogStats {
     * tiny and reused by every subsequent plan, the economics that
     * make ANALYZE standard maintenance on a long-lived table. */
   def ensureAnalyzed(spark: SparkSession, dir: String): (String, String) = {
-    val o = s"orders_cbo_${tag(dir)}"
-    val c = s"customer_cbo_${tag(dir)}"
-    Seq(o -> "orders", c -> "customer").foreach { case (t, src) =>
+    val Seq(o, c) = ensureAnalyzedTables(spark, dir, Seq("orders", "customer"))
+    (o, c)
+  }
+
+  /** Generalized registration+ANALYZE for any of the testdata
+    * tables; returns the catalog names in input order. */
+  def ensureAnalyzedTables(spark: SparkSession, dir: String,
+                           names: Seq[String]): Seq[String] =
+    names.map { src =>
+      val t = s"${src}_cbo_${tag(dir)}"
       if (!spark.catalog.tableExists(t)) {
         spark.sql(s"CREATE TABLE $t USING parquet LOCATION '$dir/$src.parquet'")
         spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
       }
+      t
     }
-    (o, c)
-  }
 
   /** The probe query both twins run: per-market-segment order count
     * and revenue of the high-value tail, integer-cents arithmetic so

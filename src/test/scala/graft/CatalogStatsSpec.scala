@@ -89,6 +89,51 @@ class CatalogStatsSpec extends SparkSpec {
     }
   }
 
+  test("ANALYZE stats enable cost-based join REORDERING of an adversarial order") {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelationWithTable
+    // leaf tables of a logical plan, left-to-right — the join order
+    def leafOrder(p: LogicalPlan): Seq[String] = p.collect {
+      case r: HiveTableRelation => r.tableMeta.identifier.table
+      case LogicalRelationWithTable(_, Some(t)) => t.identifier.table
+    }
+    withConf("spark.sql.cbo.enabled" -> "true",
+             "spark.sql.cbo.joinReorder.enabled" -> "true",
+             "spark.sql.adaptive.enabled" -> "false") {
+      val Seq(oT, cT, lT) = CatalogStats.ensureAnalyzedTables(
+        spark, Sf001, Seq("orders", "customer", "lineitem"))
+      // adversarial SYNTACTIC order: start from the unfiltered
+      // customer x orders pair, join the heavily-filtered lineitem
+      // last — the order a cost-blind planner keeps. l_quantity > 49
+      // keeps ~2% of lineitem, so the cheapest tree joins THAT side
+      // first; only column stats reveal it.
+      def query(reorder: Boolean) = {
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", reorder.toString)
+        spark.table(cT)
+          .join(spark.table(oT), col("c_custkey") === col("o_custkey"))
+          .join(spark.table(lT).filter(col("l_quantity") > 49),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_items"))
+      }
+      val syntactic = leafOrder(query(reorder = false).queryExecution.optimizedPlan)
+      val reordered = leafOrder(query(reorder = true).queryExecution.optimizedPlan)
+      assert(syntactic.indexWhere(_.startsWith("customer")) <
+        syntactic.indexWhere(_.startsWith("lineitem")),
+        s"calibration: the syntactic plan keeps customer before lineitem: $syntactic")
+      assert(reordered != syntactic,
+        s"stats + CBO must reorder the adversarial join: $reordered")
+      assert(reordered.indexWhere(_.startsWith("lineitem")) <
+        reordered.indexWhere(_.startsWith("customer")),
+        s"the filtered fact side must join before the dimension: $reordered")
+      // and reordering never changes answers
+      def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(norm(query(reorder = true)) == norm(query(reorder = false)))
+    }
+  }
+
   test("registered twins agree without any conf tuning (the Verify posture)") {
     def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
