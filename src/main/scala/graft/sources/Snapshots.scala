@@ -79,10 +79,15 @@ object Snapshots {
     if (versions.isEmpty) None
     else {
       val v = versions.max
-      val line = readLine(f, new Path(mdir, manifestName(v)))
-      val sep = line.indexOf('\t')
+      // header = first line only; later lines are per-file stats
+      // ([[fileStats]]) and MUST NOT leak into the fingerprint, or
+      // fingerprint-keyed reuse silently rebuilds on every call
+      val header = readLine(f, new Path(mdir, manifestName(v)))
+        .takeWhile(_ != '\n')
+      val sep = header.indexOf('\t')
       val (dataDir, fp) =
-        if (sep < 0) (line, "") else (line.take(sep), line.drop(sep + 1))
+        if (sep < 0) (header, "")
+        else (header.take(sep), header.drop(sep + 1))
       Some(Snapshot(v, new Path(root, dataDir).toString, fp))
     }
   }

@@ -162,6 +162,29 @@ class SnapshotsSpec extends SparkSpec {
       fullStats.exceptAll(viaManifest).isEmpty)
   }
 
+  test("fingerprint reuse holds when the manifest carries file stats") {
+    // regression: stat lines share the manifest file with the header;
+    // a parse that swallowed them into the fingerprint made every
+    // ensure() silently rebuild (reuse never matched again)
+    val root = tmpRoot("fpstats")
+    val src = s"${tmpRoot("fpstats_src")}/documents.parquet"
+    writeDocs(src, 0L to 9L)
+    val statsFor = (p: String) =>
+      Seq(Snapshots.FileStat("part-0.parquet", 0L, 9L, 10L),
+        Snapshots.FileStat("part-1.parquet", 3L, 7L, 5L))
+    val fp = Snapshots.fingerprint(spark, src)
+    val p1 = Snapshots.ensure(spark, root, fp, statsFor) { p =>
+      spark.read.parquet(src).write.parquet(p)
+    }
+    assert(Snapshots.current(spark, root).get.fingerprint == fp,
+      "stat lines must not leak into the parsed fingerprint")
+    val p2 = Snapshots.ensure(spark, root, fp, statsFor) { _ =>
+      fail("must not rebuild while the fingerprint matches")
+    }
+    assert(p1 == p2)
+    assert(Snapshots.fileStats(spark, root).map(_.nRows).sorted == Seq(5L, 10L))
+  }
+
   test("concurrent in-JVM commits serialize: both land, distinct versions, no corruption") {
     val root = tmpRoot("race")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
