@@ -77,19 +77,7 @@ object Snapshots {
       .filter(n => n.nonEmpty && n.forall(_.isDigit))
       .map(_.toInt).toSeq
     if (versions.isEmpty) None
-    else {
-      val v = versions.max
-      // header = first line only; later lines are per-file stats
-      // ([[fileStats]]) and MUST NOT leak into the fingerprint, or
-      // fingerprint-keyed reuse silently rebuilds on every call
-      val header = readLine(f, new Path(mdir, manifestName(v)))
-        .takeWhile(_ != '\n')
-      val sep = header.indexOf('\t')
-      val (dataDir, fp) =
-        if (sep < 0) (header, "")
-        else (header.take(sep), header.drop(sep + 1))
-      Some(Snapshot(v, new Path(root, dataDir).toString, fp))
-    }
+    else at(spark, root, versions.max)
   }
 
   private def readLine(f: FileSystem, p: Path): String = {
@@ -154,6 +142,29 @@ object Snapshots {
     current(spark, root).filter(_.fingerprint == fingerprint)
       .getOrElse(commit(spark, root, fingerprint, statsFor)(write))
       .dataPath
+
+  /** TIME TRAVEL: resolve a specific committed version (None if that
+    * version was never committed or has been expired). Same
+    * manifest-read cost as [[current]]; the returned data path is
+    * immutable for as long as the version survives the retention
+    * window, which is what makes "query the table as of version N"
+    * a plain parquet read. */
+  def at(spark: SparkSession, root: String, version: Int): Option[Snapshot] = {
+    val f = fs(spark, root)
+    val mpath = new Path(new Path(root, ManifestDir), manifestName(version))
+    if (!f.exists(mpath)) None
+    else {
+      // header = first line only; later lines are per-file stats
+      // ([[fileStats]]) and MUST NOT leak into the fingerprint, or
+      // fingerprint-keyed reuse silently rebuilds on every call
+      val header = readLine(f, mpath).takeWhile(_ != '\n')
+      val sep = header.indexOf('\t')
+      val (dataDir, fp) =
+        if (sep < 0) (header, "")
+        else (header.take(sep), header.drop(sep + 1))
+      Some(Snapshot(version, new Path(root, dataDir).toString, fp))
+    }
+  }
 
   /** The per-file stats the CURRENT manifest carries (empty if the
     * committing writer recorded none): manifest-read cost only —

@@ -110,19 +110,35 @@ class SnapshotsSpec extends SparkSpec {
     assert(viaManifest.exceptAll(viaCompacted).isEmpty &&
       viaCompacted.exceptAll(viaManifest).isEmpty,
       "the snapshot access path must not change query results")
-    // the versioned root carries the full lifecycle: v1 fragmented,
-    // v2 compacted — current resolves the compaction
+    // the versioned root resolves the compaction as current (the
+    // fragmented v1 may already be expired by an earlier JVM's run of
+    // the retention test — version numbers keep counting regardless)
     val vroot = Compaction.ensureSnapshotHistory(spark, Sf001)
     val cur = Snapshots.current(spark, vroot).get
     assert(cur.version >= 2 && cur.fingerprint.startsWith("compacted:"))
-    // retention: expiring history down to the current version must
-    // leave the read-through-manifest path fully intact
-    Snapshots.expire(spark, vroot, keepVersions = 1)
-    assert(Snapshots.current(spark, vroot).get == cur)
-    val afterExpire = Compaction.snapshotScan(spark, Sf001)
-    assert(afterExpire.exceptAll(viaCompacted).isEmpty &&
-      viaCompacted.exceptAll(afterExpire).isEmpty,
-      "expire of old versions must not disturb the current snapshot's reads")
+  }
+
+  test("time travel resolves pinned versions until retention expires them") {
+    // private two-version history (the shared fixture persists across
+    // JVMs, so its v1 may legitimately be gone already)
+    val root = tmpRoot("timetravel")
+    Snapshots.commit(spark, root, "landing") { p => writeDocs(p, 0L to 9L) }
+    Snapshots.commit(spark, root, "rewritten") { p => writeDocs(p, 0L to 9L) }
+    val cur = Snapshots.current(spark, root).get
+    assert(cur.version == 2 && cur.fingerprint == "rewritten")
+    // version 1 stays queryable as a plain parquet read while it
+    // survives retention, and holds the same rows (rewrite invariant)
+    val v1 = Snapshots.at(spark, root, 1).get
+    assert(v1.fingerprint == "landing")
+    assert(spark.read.parquet(v1.dataPath).count() ==
+      spark.read.parquet(cur.dataPath).count())
+    // retention: expiring history down to current removes v1's
+    // resolution and leaves current reads fully intact
+    Snapshots.expire(spark, root, keepVersions = 1)
+    assert(Snapshots.at(spark, root, 1).isEmpty,
+      "an expired version must resolve to nothing, not stale paths")
+    assert(Snapshots.current(spark, root).get == cur)
+    assert(spark.read.parquet(cur.dataPath).count() == 10)
   }
 
   test("the compaction commit records per-file stats in the manifest, matching the footers") {
