@@ -329,7 +329,6 @@ object Multimodal {
     implicit val enc = Encoders.product[Encoded]
     docs.select(col("doc_id").cast("long"), col("text"))
       .mapPartitions { rows =>
-        imageIoMemOnly
         import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
         // one format object per partition; the writer is stateless
         val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
@@ -361,7 +360,6 @@ object Multimodal {
     implicit val enc = Encoders.product[AudioFeatures]
     binTable.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
-        imageIoMemOnly
         rows.map { row =>
           val id = row.getLong(0)
           val payload = row.getAs[Array[Byte]](1)
@@ -386,7 +384,6 @@ object Multimodal {
     implicit val enc = Encoders.product[Frame]
     binTable.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
-        imageIoMemOnly
         val P = graft.Config.P
         rows.flatMap { row =>
           val id = row.getLong(0)
@@ -414,7 +411,6 @@ object Multimodal {
     implicit val enc = Encoders.product[Resized]
     binTable.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
-        imageIoMemOnly
         rows.map { row =>
           val id = row.getLong(0)
           val in = row.getAs[Array[Byte]](1)
@@ -694,7 +690,6 @@ object Multimodal {
     implicit val enc = Encoders.product[Encoded]
     docs.select(col("doc_id").cast("long"), col("text"))
       .mapPartitions { rows =>
-        imageIoMemOnly
         rows.map(row => Encoded(row.getLong(0), Mp4Writer.encode(row.getLong(0), row.getString(1))))
       }(enc).toDF()
   }
@@ -707,7 +702,6 @@ object Multimodal {
     implicit val enc = Encoders.product[VideoMeta]
     binTable.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
-        imageIoMemOnly
         rows.map { row =>
           val id = row.getLong(0)
           val payload = row.getAs[Array[Byte]](1)
@@ -1107,7 +1101,6 @@ object Multimodal {
     implicit val enc = Encoders.product[Encoded]
     docs.select(col("doc_id").cast("long"), col("text"))
       .mapPartitions { rows =>
-        imageIoMemOnly
         rows.map(row => Encoded(row.getLong(0), AviWriter.encode(row.getLong(0), row.getString(1))))
       }(enc).toDF()
   }
@@ -1186,7 +1179,6 @@ object Multimodal {
     implicit val enc = Encoders.product[VideoFrame]
     binTable.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
-        imageIoMemOnly
         rows.flatMap { row =>
           val id = row.getLong(0)
           val payload = row.getAs[Array[Byte]](1)
