@@ -513,14 +513,25 @@ object StreamingQueries {
     * query bin-packs that landing directory with [[graft.sources
     * .Compaction.compactDir]] (sorted by doc_id, so the result is
     * also skipping-indexable) and reads the stats back through the
-    * compacted layout. Same oracle as stream_to_parquet: neither the
-    * sink chunking nor the rewrite may change a row. */
+    * compacted layout. The rewrite publishes through [[graft.sources
+    * .Snapshots]] like every other maintenance rewrite (r8): the
+    * compaction of a LIVE sink is exactly the case where a reader
+    * concurrent with the rewrite exists, so it gets the atomic
+    * manifest commit, keyed on the sink's committed state (another
+    * micro-batch landing re-compacts; an unchanged sink serves the
+    * committed snapshot). Same oracle as stream_to_parquet: neither
+    * the sink chunking nor the rewrite may change a row. */
   def streamCompacted(spark: SparkSession, sfDir: String,
                       nChunks: Int = 4): DataFrame = {
     streamToParquet(spark, sfDir, nChunks) // the sink write runs inside
     val root = cachedFeedRoot(s"sink:$sfDir:$nChunks")(_ => ())
-    val compacted = graft.sources.Compaction.compactDir(spark,
-      root.resolve("out").toString, root.resolve("compacted").toString, "doc_id")
+    val out = root.resolve("out").toString
+    val compacted = graft.sources.Snapshots.ensure(spark,
+      root.resolve("compacted").toString,
+      graft.sources.Snapshots.fingerprint(spark, out)) { path =>
+      graft.sources.Compaction.compactDir(spark, out, path, "doc_id")
+      ()
+    }
     spark.read.parquet(compacted)
       .select("doc_id", "n_tokens", "n_distinct_tokens", "chars_no_space",
         "avg_token_len")
