@@ -213,20 +213,6 @@ object Snapshots {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
-  /** Data files of a directory through the Hadoop API (non-recursive,
-    * parquet parts only) — the object-store-clean replacement for the
-    * java.io.File listings the maintenance fixtures used (r7 advice). */
-  def listParquet(spark: SparkSession, path: String): Seq[(String, Long)] = {
-    val f = fs(spark, path)
-    val p = new Path(path)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).iterator
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      .map(s => (s.getPath.toString, s.getLen))
-      .toSeq
-  }
-
   /** EXPIRE old snapshots: delete every version older than the
     * newest `keepVersions` (manifest first, then its data dir, so a
     * crash mid-expire can only leave an orphan dir — the same
