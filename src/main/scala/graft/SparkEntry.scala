@@ -335,6 +335,12 @@ object SparkEntry {
     // files bin-packed and read back — same oracle, closing the
     // small-files loop the compaction twins price
     "stream_compacted" -> ((s, d) => graft.streaming.StreamingQueries.streamCompacted(s, d)),
+    // the CDC merge against STORAGE: foreachBatch applies each
+    // version-ordered micro-batch to the snapshot table with the
+    // copy-on-write Merge; the manifest fingerprint records the batch
+    // id, making the writer exactly-once under replay (the Delta
+    // idempotent-txn pattern); oracle replays pure merge semantics
+    "stream_merge" -> ((s, d) => graft.streaming.StreamingQueries.streamMerge(s, d)),
     // CMS grid as the ONLY streaming state (bounded d*w forever);
     // final grid == batch grid, so the batch heavy_hitters oracle
     // hash-checks the streamed estimates
@@ -458,6 +464,15 @@ object SparkEntry {
     // with (or after a killed) rewrite sees exactly one committed
     // version, never a mix (CompactionSpec proves the crash story)
     "snapshot_scan" -> ((s, d) => graft.sources.Compaction.snapshotScan(s, d)),
+    // COPY-ON-WRITE row-level MERGE (r8): a CDC batch (deletes +
+    // upserts + inserts) applied to the snapshot table rewriting ONLY
+    // the files whose manifest key interval contains a change key —
+    // the rest carried by reference into the new version's manifest;
+    // the incremental twin chains a second batch built from the
+    // merged table itself (MergeSpec proves the carried-file, crash
+    // and retention stories)
+    "merge_scan" -> ((s, d) => graft.sources.Merge.mergeScan(s, d)),
+    "merge_incremental" -> ((s, d) => graft.sources.Merge.mergeIncrementalScan(s, d)),
     // the reference's NATIVE line format through the DataSource V2
     // connector: id\t escaped-text lines, newline-aligned byte splits
     // (64 KB here so even sf0.001 scans in parallel), doc_id filter
@@ -621,6 +636,8 @@ object SparkEntry {
     // reads through the versioned manifest — same oracle: snapshots
     // change where bytes live and when they're visible, never results
     "snapshot_scan" -> Sql.compactionScan,
+    "merge_scan" -> Sql.mergeScan,
+    "merge_incremental" -> Sql.mergeIncremental,
     "skipping_scan" -> Sql.skippingScan,
     "csv_roundtrip" -> Sql.docsIdentity,
     "jsonl_roundtrip" -> Sql.docsIdentity,
@@ -651,6 +668,7 @@ object SparkEntry {
     "events_sessionize" -> Sql.eventsSessionize,
     "cdc_merge" -> Sql.cdcMerge,
     "stream_cdc_merge" -> Sql.cdcMerge,
+    "stream_merge" -> Sql.streamMerge,
     "scd2_history" -> Sql.scd2History,
     "events_props_agg" -> Sql.eventsPropsAgg,
     "events_json_deciles" -> Sql.eventsJsonDeciles,

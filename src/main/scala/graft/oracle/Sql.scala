@@ -2345,6 +2345,63 @@ WHERE rr <= $HybridTopK""")
     ${branches.mkString("\n    UNION ALL\n    ")}"""
   }
 
+  /** Copy-on-write MERGE replay (batch 1): the storage layer applies
+    * delete %17==3 / re-language %23==5 / 100 inserts above max id as
+    * a CDC batch rewriting only key-intersecting files — but the
+    * CONTENT is pure merge semantics, so DuckDB replays it off the
+    * raw table with no knowledge of snapshots or file layout
+    * (graft.sources.Merge.changeBatch1's exact arithmetic). */
+  val mergeScan: String =
+    """WITH mx AS (SELECT max(doc_id) AS mi FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 23 = 5 THEN 'zz' ELSE lang END AS lang,
+        source, n_chars
+      FROM documents WHERE doc_id % 17 <> 3
+      UNION ALL
+      SELECT mi + i, 'new', 'merge', length('merged doc ' || i)
+      FROM mx, range(1, 101) t(i)
+    )
+    SELECT lang, source, count(*)::BIGINT AS n_docs,
+      sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
+    FROM m GROUP BY lang, source"""
+
+  /** Batch 2 chained on batch 1 (delete %29==7, re-source %31==11):
+    * two merges deep, carried file references and all — same oracle
+    * discipline, replayed as two stacked CTE rewrites. */
+  val mergeIncremental: String =
+    """WITH mx AS (SELECT max(doc_id) AS mi FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 23 = 5 THEN 'zz' ELSE lang END AS lang,
+        source, n_chars
+      FROM documents WHERE doc_id % 17 <> 3
+      UNION ALL
+      SELECT mi + i, 'new', 'merge', length('merged doc ' || i)
+      FROM mx, range(1, 101) t(i)
+    ),
+    m2 AS (
+      SELECT doc_id, lang,
+        CASE WHEN doc_id % 31 = 11 THEN 'rev2' ELSE source END AS source, n_chars
+      FROM m WHERE doc_id % 29 <> 7
+    )
+    SELECT lang, source, count(*)::BIGINT AS n_docs,
+      sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
+    FROM m2 GROUP BY lang, source"""
+
+  /** Continuous storage-merge replay: the streamed CDC feed
+    * (ChangeData.versionedFeed — v1 %7 upsert, v2 %11 upsert, v3 %13
+    * delete, highest version wins) applied through the copy-on-write
+    * storage layer; the final table is pure merge semantics off the
+    * raw documents, whatever files the batches touched. */
+  val streamMerge: String =
+    """SELECT doc_id, lang, source,
+      (CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0
+            THEN n_chars + 7 ELSE n_chars END)::BIGINT AS n_chars,
+      CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+           WHEN doc_id % 7 = 0 THEN text || ' [rev1]' ELSE text END AS text
+    FROM documents WHERE doc_id % 13 <> 0"""
+
   /** Skipping-index scan replay: the file-level min/max pruning is an
     * access-path optimization over the compacted layout; the result
     * is the plain [20%, 40%) doc_id slice of the raw table

@@ -182,6 +182,7 @@ object Compaction {
   def skippingIndex(spark: SparkSession, path: String,
                     keyCol: String = "doc_id"): DataFrame = {
     val rows = footerIntervals(spark, path, keyCol)
+      .filter(_._4 > 0) // the index view drops empty-sentinel files
       .map { case (u, mn, mx, n) => Row(u, mn, mx, n): Row }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, IndexSchema)
@@ -209,7 +210,13 @@ object Compaction {
         val nRows = stats.map(_._2).sum
         val mins = stats.map(_._1).filter(_.hasNonNullValue)
           .map(_.genericGetMin.asInstanceOf[Number].longValue())
-        if (nRows == 0 || mins.isEmpty) None
+        if (nRows == 0 || mins.isEmpty)
+          // zero-row (or stats-less) file: EMPTY SENTINEL interval
+          // [Long.Max, Long.Min] — intersects no key range, so skipping
+          // and merge pruning never touch it, but the file stays IN the
+          // manifest list: a fully-deleted table keeps its
+          // schema-bearing empty file and remains readable/merge-able
+          Some((u, Long.MaxValue, Long.MinValue, 0L))
         else {
           val maxs = stats.map(_._1).filter(_.hasNonNullValue)
             .map(_.genericGetMax.asInstanceOf[Number].longValue())

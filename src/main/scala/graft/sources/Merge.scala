@@ -1,0 +1,198 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level MERGE (upsert + delete) on a snapshot-maintained table,
+  * executed COPY-ON-WRITE: only the files whose key interval contains
+  * a change key are rewritten; every other file is carried into the
+  * new version BY REFERENCE through the manifest's root-relative file
+  * list ([[Snapshots.commit]]'s `carry`). This is the capability gap
+  * between "rebuild the table" and a continuously-maintained corpus:
+  * at 100 TB a CDC batch touches a sliver of the key space, and the
+  * Delta/Iceberg answer — rewrite O(touched files), publish with one
+  * atomic manifest rename — is the only shape whose cost tracks the
+  * batch, not the table. The reference (flat files, whole-job
+  * rewrites, `fs.delete` then write — Shingling.java:97-100) has no
+  * row-level maintenance at all; [[graft.operators.ChangeData]] holds
+  * the COMPUTATIONAL merge (latest-wins over a change log), while
+  * this is the STORAGE merge that applies such a batch in place.
+  *
+  * Pruning runs on the driver against the manifest's per-file
+  * [minKey, maxKey] stats — catalog-sized work (file count × binary
+  * search over the batch's distinct keys, themselves batch-bounded) —
+  * so query-time data I/O is exactly the touched files plus the
+  * batch. A key absent from the table but inside some file's interval
+  * conservatively touches that file (the interval can't prove
+  * absence), which keeps the no-duplicates invariant without a
+  * per-key bloom filter; keys beyond every interval insert without
+  * touching anything.
+  *
+  * Rewritten rows land range-sorted by the key so the NEW files carry
+  * tight disjoint intervals of their own (the [[Compaction]]
+  * discipline), and the commit records their footer stats next to the
+  * carried ones — the table stays skipping-plannable across any
+  * number of merges. Crash/concurrency story is [[Snapshots]]':
+  * a killed merge leaves an unreferenced data dir, never a partial
+  * table; readers of prior versions keep intact files until
+  * [[Snapshots.expire]], which keeps a version dir alive while any
+  * surviving manifest still carries a file inside it.
+  */
+object Merge {
+
+  val UpsertOp = "upsert"
+  val DeleteOp = "delete"
+
+  /** Apply one CDC-shaped change batch (`op` column = upsert|delete;
+    * upsert rows carry the full table schema) to the current snapshot
+    * of `root`, committing the result as the next version. Returns
+    * the committed snapshot; an empty batch is a no-op returning the
+    * current one. */
+  def merge(spark: SparkSession, root: String, changes: DataFrame,
+            fingerprint: String, keyCol: String = "doc_id"): Snapshots.Snapshot = {
+    val snap = Snapshots.current(spark, root).getOrElse(throw new IllegalStateException(
+      s"merge target $root has no committed snapshot"))
+    val stats = Snapshots.fileStats(spark, root)
+    require(stats.nonEmpty,
+      s"merge needs a stats-carrying snapshot (commit the base with statsFor) at $root")
+
+    // the batch's distinct keys: batch-sized by contract (a CDC batch,
+    // not the corpus), sorted for the per-file interval probe
+    val keys: Array[Long] = changes.select(col(keyCol).cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (keys.isEmpty) return snap
+
+    def touchedBy(mn: Long, mx: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(keys, mn)
+      val from = if (i >= 0) i else -(i + 1)
+      from < keys.length && keys(from) <= mx
+    }
+    val (touched, carried) = stats.partition(s => touchedBy(s.minKey, s.maxKey))
+
+    val upserts = changes.filter(col("op") === UpsertOp).drop("op")
+    val changeKeys = changes.select(col(keyCol)).distinct()
+    val merged =
+      if (touched.isEmpty) upserts
+      else {
+        val base = spark.read.parquet(touched.map(_.path): _*)
+        // delete-and-replace: every change key's old row goes (the
+        // broadcast anti-join is batch-bounded), upserts come back
+        base.join(broadcast(changeKeys), Seq(keyCol), "left_anti")
+          .unionByName(upserts.select(base.columns.toIndexedSeq.map(col): _*))
+      }
+
+    // size the rewrite by the touched bytes (catalog-sized listing),
+    // same bin-pack target as compaction; inserts are batch-noise
+    val conf = spark.sessionState.newHadoopConf()
+    val touchedBytes = touched.map { s =>
+      val p = new Path(s.path); p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val nFiles = math.max(1L,
+      (touchedBytes + Compaction.TargetFileBytes - 1) / Compaction.TargetFileBytes).toInt
+
+    // carried paths are already root-relative in the manifest; strip
+    // the absolute resolution fileStats applied so they re-record
+    val rootUri = new Path(root).toUri.getPath
+    val carryRel = carried.map { s =>
+      val p = new Path(s.path).toUri.getPath
+      s.copy(path = p.stripPrefix(rootUri).stripPrefix("/"))
+    }
+
+    Snapshots.commit(spark, root, fingerprint,
+      statsFor = p => Compaction.footerStats(spark, p, keyCol),
+      carry = carryRel) { path =>
+      merged.repartitionByRange(nFiles, col(keyCol))
+        .sortWithinPartitions(col(keyCol))
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** Read the current snapshot of a merge-maintained table: the
+    * manifest's file list (spanning version dirs), one parquet read. */
+  def readCurrent(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(Snapshots.dataFiles(spark, root): _*)
+
+  // ---- registered-query fixtures ------------------------------------
+
+  private def tag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
+  private def root(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_merge_${tag(dir)}"
+
+  private def maxDocId(spark: SparkSession, dir: String): Long =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .agg(max("doc_id")).head().getLong(0)
+
+  /** Batch 1 — the oracle-replayable CDC batch: delete doc_id%17==3,
+    * re-language doc_id%23==5 to 'zz' (delete wins the overlap), and
+    * insert 100 fresh docs above the current max id. */
+  def changeBatch1(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val mi = maxDocId(spark, dir)
+    val deletes = docs.filter(col("doc_id") % 17 === 3)
+      .withColumn("op", lit(DeleteOp))
+    val updates = docs.filter(col("doc_id") % 23 === 5 && col("doc_id") % 17 =!= 3)
+      .withColumn("lang", lit("zz"))
+      .withColumn("op", lit(UpsertOp))
+    val text = concat(lit("merged doc "), col("id").cast("string"))
+    val inserts = spark.range(1, 101).select(
+      (lit(mi) + col("id")).as("doc_id"),
+      text.as("text"),
+      lit("new").as("lang"),
+      lit("merge").as("source"),
+      length(text).cast("long").as("n_chars"))
+      .withColumn("op", lit(UpsertOp))
+    deletes.unionByName(updates).unionByName(inserts)
+  }
+
+  /** Batch 2 — built FROM THE CURRENT TABLE (the realistic CDC loop):
+    * delete doc_id%29==7, re-source doc_id%31==11 to 'rev2'. */
+  def changeBatch2(spark: SparkSession, vroot: String): DataFrame = {
+    val cur = readCurrent(spark, vroot)
+    cur.filter(col("doc_id") % 29 === 7).withColumn("op", lit(DeleteOp))
+      .unionByName(
+        cur.filter(col("doc_id") % 31 === 11 && col("doc_id") % 29 =!= 7)
+          .withColumn("source", lit("rev2"))
+          .withColumn("op", lit(UpsertOp)))
+  }
+
+  /** Base v1 + the given number of merge batches, rebuilt only when
+    * the source fingerprint (or chain depth) changed — the
+    * [[Snapshots.ensure]] idempotence discipline, keyed on the final
+    * chain state. */
+  def ensureChain(spark: SparkSession, dir: String, batches: Int): String = {
+    val src = s"$dir/documents.parquet"
+    val fp = Snapshots.fingerprint(spark, src)
+    val vroot = s"${root(dir)}/chain$batches"
+    val want = s"m$batches:$fp"
+    if (!Snapshots.current(spark, vroot).exists(_.fingerprint == want)) {
+      Snapshots.fs(spark, vroot).delete(new Path(vroot), true)
+      Snapshots.commit(spark, vroot, s"base:$fp",
+        statsFor = p => Compaction.footerStats(spark, p)) { p =>
+        Compaction.compactDir(spark, src, p, "doc_id")
+      }
+      val b1fp = if (batches >= 2) s"m1:$fp" else want
+      merge(spark, vroot, changeBatch1(spark, dir), b1fp)
+      if (batches >= 2)
+        merge(spark, vroot, changeBatch2(spark, vroot), want)
+    }
+    vroot
+  }
+
+  private def scanStats(df: DataFrame): DataFrame =
+    df.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("doc_id")).cast("long").as("sum_ids"))
+
+  /** The table after batch 1, read through the manifest's file list
+    * — content is pure merge semantics, so DuckDB replays it off the
+    * raw table with no knowledge of the layout. */
+  def mergeScan(spark: SparkSession, dir: String): DataFrame =
+    scanStats(readCurrent(spark, ensureChain(spark, dir, 1)))
+
+  /** The table after batch 2 chained on batch 1 — two copy-on-write
+    * versions deep, proving carried references survive re-merging. */
+  def mergeIncrementalScan(spark: SparkSession, dir: String): DataFrame =
+    scanStats(readCurrent(spark, ensureChain(spark, dir, 2)))
+}

@@ -55,8 +55,15 @@ object Snapshots {
     * reads, one parquet footer per file it just wrote) each file's
     * key interval and row count, so a reader plans file skipping
     * from the manifest alone, zero data-path I/O at query time.
-    * `path` is relative to the snapshot's data dir, keeping the
-    * manifest valid if the table root is relocated. */
+    * `path` is relative to the TABLE ROOT (e.g. `v000000001/part-x`),
+    * keeping the manifest valid if the root is relocated — and, since
+    * the path names its version dir, letting a later manifest CARRY a
+    * file from an earlier version without copying it: the manifest is
+    * a file LIST, not a directory pointer, which is what makes
+    * copy-on-write maintenance ([[Merge]]) O(touched files) instead
+    * of O(table). Bare names (no `/`) are tolerated for manifests
+    * written before this convention and resolve against the
+    * snapshot's own data dir. */
   case class FileStat(path: String, minKey: Long, maxKey: Long, nRows: Long)
 
   def fs(spark: SparkSession, path: String): FileSystem =
@@ -104,16 +111,27 @@ object Snapshots {
     * recorded as extra manifest lines — commit-time work sized by
     * file count (one footer read per file just written), bought back
     * on every subsequent query that plans skipping from the manifest
-    * instead of the files ([[fileStats]]). */
+    * instead of the files ([[fileStats]]). Its paths are relative to
+    * the written data dir and are stored prefixed with that dir, so
+    * every recorded path is root-relative in the manifest.
+    *
+    * `carry` (optional) lists files from EARLIER versions this commit
+    * keeps verbatim — already-root-relative stats recorded unchanged.
+    * This is the copy-on-write primitive: a maintenance rewrite
+    * writes only the files it changed and carries the rest by
+    * reference ([[expire]] keeps a version's data dir alive while any
+    * surviving manifest still references a file inside it). */
   def commit(spark: SparkSession, root: String, fingerprint: String,
-             statsFor: String => Seq[FileStat] = _ => Seq.empty)
+             statsFor: String => Seq[FileStat] = _ => Seq.empty,
+             carry: Seq[FileStat] = Seq.empty)
             (write: String => Unit): Snapshot = lock(root).synchronized {
     val f = fs(spark, root)
     val next = current(spark, root).map(_.version + 1).getOrElse(1)
     val dataDir = dataDirName(next)
     val dataPath = new Path(root, dataDir)
     write(dataPath.toString)
-    val statLines = statsFor(dataPath.toString).map(s =>
+    val statLines = (carry ++ statsFor(dataPath.toString).map(s =>
+      s.copy(path = s"$dataDir/${s.path}"))).map(s =>
       s"\n${s.path}\t${s.minKey}\t${s.maxKey}\t${s.nRows}")
     val mdir = new Path(root, ManifestDir)
     f.mkdirs(mdir)
@@ -169,8 +187,10 @@ object Snapshots {
   /** The per-file stats the CURRENT manifest carries (empty if the
     * committing writer recorded none): manifest-read cost only —
     * this is the query-time half of the commit-time `statsFor`
-    * investment. Paths come back absolute (resolved against the
-    * snapshot's data dir). */
+    * investment. Paths come back absolute — root-relative entries
+    * (the current convention, which may name earlier versions' dirs
+    * for carried files) resolve against the root; bare legacy names
+    * against the snapshot's own data dir. */
   def fileStats(spark: SparkSession, root: String): Seq[FileStat] =
     current(spark, root) match {
       case None => Seq.empty
@@ -182,12 +202,23 @@ object Snapshots {
         lines.iterator.drop(1).flatMap { l =>
           l.split('\t') match {
             case Array(p, mn, mx, n) =>
-              Some(FileStat(new Path(snap.dataPath, p).toString,
+              val base = if (p.contains('/')) root else snap.dataPath
+              Some(FileStat(new Path(base, p).toString,
                 mn.toLong, mx.toLong, n.toLong))
             case _ => None
           }
         }.toSeq
     }
+
+  /** The CURRENT snapshot's data files, absolute — the manifest file
+    * list when stats were recorded (the read path of a copy-on-write
+    * table, whose files span version dirs), else the snapshot's own
+    * data dir as a single-path fallback. */
+  def dataFiles(spark: SparkSession, root: String): Seq[String] = {
+    val stats = fileStats(spark, root)
+    if (stats.nonEmpty) stats.map(_.path)
+    else current(spark, root).map(_.dataPath).toSeq
+  }
 
   /** Digest of every file under `paths` (recursive): path, length,
     * modification time — the metadata a catalog already holds, so the
@@ -238,7 +269,22 @@ object Snapshots {
       .filter(n => n.nonEmpty && n.forall(_.isDigit))
       .map(_.toInt).toSeq.sorted
     val expired = versions.dropRight(keepVersions)
-    val kept = versions.takeRight(keepVersions).toSet
+    val kept = versions.takeRight(keepVersions)
+    // dirs the SURVIVING manifests still reference: their own data
+    // dirs plus any earlier version dir a carried (copy-on-write)
+    // file stat names — those must outlive their version's manifest
+    val referenced = kept.flatMap { v =>
+      val lines = readLine(f, new Path(mdir, manifestName(v))).split('\n')
+      val header = lines.head
+      val sep = header.indexOf('\t')
+      val own = if (sep < 0) header else header.take(sep)
+      val carried = lines.iterator.drop(1).flatMap { l =>
+        val p = l.split('\t').head
+        val slash = p.indexOf('/')
+        if (slash > 0) Some(p.take(slash)) else None
+      }
+      Iterator(own) ++ carried
+    }.toSet
     // resolve each expired manifest's data dir BEFORE deleting it
     val dataDirs = expired.map { v =>
       val line = readLine(f, new Path(mdir, manifestName(v)))
@@ -246,16 +292,16 @@ object Snapshots {
       val nl = line.indexOf('\n')
       val end = if (sep < 0) (if (nl < 0) line.length else nl)
                 else sep
-      v -> new Path(root, line.take(end))
+      v -> line.take(end)
     }
     dataDirs.foreach { case (v, dataDir) =>
       f.delete(new Path(mdir, manifestName(v)), false) // readers lose resolution first
-      f.delete(dataDir, true)
+      if (!referenced(dataDir)) f.delete(new Path(root, dataDir), true)
     }
     // orphan data dirs: v-prefixed dirs no surviving manifest names
-    val referenced = kept.map(dataDirName) ++ Set(ManifestDir)
     f.listStatus(new Path(root)).iterator
       .filter(s => s.isDirectory && !referenced(s.getPath.getName) &&
+        s.getPath.getName != ManifestDir &&
         s.getPath.getName.matches("v\\d{9}"))
       .foreach(s => f.delete(s.getPath, true))
     expired

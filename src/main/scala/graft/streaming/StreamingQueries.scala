@@ -472,6 +472,74 @@ object StreamingQueries {
     }
   }
 
+  /** STORAGE-LEVEL CONTINUOUS MERGE — the stream_cdc_merge
+    * aggregation's production twin: instead of holding the merged
+    * table as complete-mode memory-sink STATE, each version-ordered
+    * micro-batch is applied to a [[graft.sources.Snapshots]] table
+    * with the copy-on-write [[graft.sources.Merge]] (batch 0
+    * bootstraps the snapshot; batches 1..3 rewrite only the files
+    * their keys touch). The foreachBatch writer is made EXACTLY-ONCE
+    * by the manifest itself: every commit's fingerprint records the
+    * batch id, so a replayed micro-batch (the at-least-once delivery
+    * Structured Streaming guarantees on restart) is detected and
+    * skipped — the idempotent-writer pattern Delta implements with
+    * per-app transaction versions, here riding the same one-line
+    * manifest that makes the commit atomic. The final read-back is
+    * the manifest's file list; the oracle replays pure merge
+    * semantics off the raw table. */
+  def streamMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val feed = graft.operators.ChangeData.versionedFeed(docs)
+    val root = cachedFeedRoot(s"merge:$sfDir") { r =>
+      writeFeedChunks(feed, "version", Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)),
+        r, Files.createDirectory(r.resolve("in")), System.currentTimeMillis())
+    }
+    val tableRoot = root.resolve("table").toString
+    val stream = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.resolve("in").toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", root.resolve("cp").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMergeBatch(batch, tableRoot, batchId)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.sources.Merge.readCurrent(spark, tableRoot)
+      .select("doc_id", "lang", "source", "n_chars", "text")
+  }
+
+  /** One CDC micro-batch against the snapshot table. The applied
+    * batch id rides the commit fingerprint (`batch:N`): since the
+    * feed is applied in order, any batch at or below the recorded id
+    * is a replay and must be skipped, never re-merged — exactly-once
+    * on top of at-least-once delivery. */
+  private[graft] def applyMergeBatch(batch: DataFrame, tableRoot: String,
+                                     batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val cur = graft.sources.Snapshots.current(s, tableRoot)
+    val applied = cur.map(_.fingerprint).collect {
+      case f if f.startsWith("batch:") => f.stripPrefix("batch:").toLong
+    }
+    if (applied.exists(_ >= batchId)) return
+    val fp = s"batch:$batchId"
+    if (cur.isEmpty)
+      graft.sources.Snapshots.commit(s, tableRoot, fp,
+        statsFor = p => graft.sources.Compaction.footerStats(s, p)) { p =>
+        batch.drop("version", "op")
+          .repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+          .write.parquet(p)
+      }
+    else
+      graft.sources.Merge.merge(s, tableRoot,
+        batch.withColumn("op",
+            when(col("op") === "D", graft.sources.Merge.DeleteOp)
+              .otherwise(graft.sources.Merge.UpsertOp))
+          .drop("version"),
+        fp)
+  }
+
   /** CHECKPOINTED PARQUET SINK — the production landing path the
     * memory-sink harness queries don't exercise: the file-source feed
     * streamed through a stateless per-doc transform and WRITTEN by

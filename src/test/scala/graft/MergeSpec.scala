@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.{Compaction, Merge, Snapshots}
+
+/** The copy-on-write contract of the storage MERGE: a CDC batch must
+  * rewrite ONLY the files whose key interval contains a change key,
+  * carry every other file by reference (byte-identical, same
+  * version dir), keep the no-duplicate-key invariant even for
+  * inserts landing inside an untouched interval's gap, and interact
+  * correctly with retention — a version dir stays alive while any
+  * surviving manifest still carries a file inside it. */
+class MergeSpec extends SparkSpec {
+
+  private def tmpRoot(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_merge_$name").toString
+
+  /** Base table: ids 0,2,4,…,198 (even — odd ids are interval gaps)
+    * over ~8 files with disjoint key ranges, committed with footer
+    * stats. */
+  private def commitBase(root: String): Unit = {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 200L by 2).map(i => (i, s"doc $i ${"x" * 64}"))
+      .toDF("doc_id", "text")
+    Snapshots.commit(spark, root, "base",
+      statsFor = p => Compaction.footerStats(spark, p)) { p =>
+      df.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.parquet(p)
+    }
+  }
+
+  private def changes(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "op")
+  }
+
+  private def fileVersions(root: String): Map[String, Int] =
+    Snapshots.fileStats(spark, root).map { st =>
+      val segs = new Path(st.path).toUri.getPath.split('/')
+      st.path -> segs(segs.length - 2).stripPrefix("v").toInt
+    }.toMap
+
+  test("a narrow batch rewrites only interval-hit files; the rest are carried verbatim") {
+    val root = tmpRoot("cow")
+    commitBase(root)
+    val v1Files = Snapshots.fileStats(spark, root).map(_.path)
+    assert(v1Files.size >= 6, s"base should be several files, got ${v1Files.size}")
+    val fs = Snapshots.fs(spark, root)
+    def meta(p: String) = { val st = fs.getFileStatus(new Path(p)); (st.getLen, st.getModificationTime) }
+    val v1Meta = v1Files.map(p => p -> meta(p)).toMap
+
+    // one update inside the first file's range, one delete in the last's
+    val snap = Merge.merge(spark, root,
+      changes((0L, "rewritten", Merge.UpsertOp), (198L, "", Merge.DeleteOp)), "m1")
+    assert(snap.version == 2)
+
+    val vers = fileVersions(root)
+    val carried = vers.filter(_._2 == 1).keys.toSeq
+    val rewritten = vers.filter(_._2 == 2).keys.toSeq
+    assert(rewritten.nonEmpty && carried.size >= v1Files.size - 2,
+      s"expected at most 2 of ${v1Files.size} files rewritten; carried=${carried.size}")
+    // carried files are the SAME files: path, length, mtime untouched
+    carried.foreach(p => assert(meta(p) == v1Meta(p), s"carried file mutated: $p"))
+
+    val cur = Merge.readCurrent(spark, root)
+    assert(cur.count() == 99) // 100 - 1 delete
+    assert(cur.filter(col("doc_id") === 0L).select("text").head().getString(0) == "rewritten")
+    assert(cur.filter(col("doc_id") === 198L).isEmpty)
+  }
+
+  test("an insert into an untouched interval's gap lands exactly once") {
+    val root = tmpRoot("gap")
+    commitBase(root)
+    // 101 is odd — absent, but inside some file's [min,max] interval;
+    // 9999 is beyond every interval (no file touched for it)
+    Merge.merge(spark, root,
+      changes((101L, "gap doc", Merge.UpsertOp), (9999L, "tail doc", Merge.UpsertOp)), "m1")
+    val cur = Merge.readCurrent(spark, root)
+    assert(cur.filter(col("doc_id") === 101L).count() == 1)
+    assert(cur.filter(col("doc_id") === 9999L).count() == 1)
+    assert(cur.count() == 102)
+    // and the table stays skipping-plannable: every file has stats
+    val stats = Snapshots.fileStats(spark, root)
+    assert(stats.map(_.nRows).sum == 102)
+    // re-merging the same key replaces, never duplicates
+    Merge.merge(spark, root, changes((9999L, "tail v2", Merge.UpsertOp)), "m2")
+    val again = Merge.readCurrent(spark, root)
+    assert(again.filter(col("doc_id") === 9999L).count() == 1)
+    assert(again.filter(col("doc_id") === 9999L).select("text").head().getString(0) == "tail v2")
+  }
+
+  test("an empty batch is a no-op; a delete-everything batch still publishes") {
+    val root = tmpRoot("edge")
+    commitBase(root)
+    val v1 = Snapshots.current(spark, root).get
+    assert(Merge.merge(spark, root, changes(), "noop") == v1,
+      "empty batch must not commit a version")
+    // delete every row
+    val all = Merge.readCurrent(spark, root).select("doc_id")
+      .withColumn("text", lit("")).withColumn("op", lit(Merge.DeleteOp))
+    val snap = Merge.merge(spark, root, all, "wipe")
+    assert(snap.version == 2)
+    // the wiped table keeps its schema-bearing empty file under an
+    // empty sentinel interval — still readable, still merge-able
+    val stats = Snapshots.fileStats(spark, root)
+    assert(stats.nonEmpty && stats.map(_.nRows).sum == 0,
+      "a wiped table must keep a schema-bearing file list")
+    assert(Merge.readCurrent(spark, root).count() == 0)
+    Merge.merge(spark, root, changes((1L, "reborn", Merge.UpsertOp)), "rebirth")
+    val cur = Merge.readCurrent(spark, root)
+    assert(cur.count() == 1 && cur.select("text").head().getString(0) == "reborn")
+  }
+
+  test("expire keeps a version dir alive while a surviving manifest carries its files") {
+    val root = tmpRoot("retain")
+    commitBase(root)
+    Merge.merge(spark, root, changes((0L, "v2", Merge.UpsertOp)), "m1")
+    val before = Merge.readCurrent(spark, root).orderBy("doc_id").collect().toSeq
+
+    // v2's manifest carries most files from v000000001 — expiring down
+    // to 1 version must delete v1's MANIFEST but keep its data dir
+    val deleted = Snapshots.expire(spark, root, keepVersions = 1)
+    assert(deleted == Seq(1))
+    assert(Snapshots.at(spark, root, 1).isEmpty, "v1 no longer resolves")
+    val fs = Snapshots.fs(spark, root)
+    assert(fs.exists(new Path(root, "v000000001")),
+      "carried-from dir must survive retention")
+    assert(Merge.readCurrent(spark, root).orderBy("doc_id").collect().toSeq == before)
+
+    // a full rewrite (compaction through the snapshot layer) drops the
+    // carries; NOW expire reclaims both old dirs
+    Snapshots.commit(spark, root, "rewrite",
+      statsFor = p => Compaction.footerStats(spark, p)) { p =>
+      Merge.readCurrent(spark, root).repartitionByRange(2, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")).write.parquet(p)
+    }
+    Snapshots.expire(spark, root, keepVersions = 1)
+    assert(!fs.exists(new Path(root, "v000000001")) &&
+      !fs.exists(new Path(root, "v000000002")),
+      "unreferenced dirs reclaimed once the carries are gone")
+    assert(Merge.readCurrent(spark, root).orderBy("doc_id").collect().toSeq == before)
+  }
+
+  test("a killed merge is invisible: readers stay on the committed version") {
+    val root = tmpRoot("crash")
+    commitBase(root)
+    val v1 = Snapshots.current(spark, root).get
+    intercept[RuntimeException] {
+      Snapshots.commit(spark, root, "killed") { _ =>
+        throw new RuntimeException("executor lost mid-merge")
+      }
+    }
+    assert(Snapshots.current(spark, root).get == v1)
+    assert(Merge.readCurrent(spark, root).count() == 100)
+    // and the next merge commits cleanly over the leftovers
+    val snap = Merge.merge(spark, root, changes((0L, "after crash", Merge.UpsertOp)), "m1")
+    assert(snap.version >= 2 && Merge.readCurrent(spark, root).count() == 100)
+  }
+
+  test("the registered chain matches a plain-SQL replay of both batches") {
+    val dir = Sf001
+    val viaStorage = Merge.mergeIncrementalScan(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val mi = docs.agg(max("doc_id")).head().getLong(0)
+    val text = concat(lit("merged doc "), col("id").cast("string"))
+    val m = docs.filter(col("doc_id") % 17 =!= 3)
+      .withColumn("lang", when(col("doc_id") % 23 === 5, "zz").otherwise(col("lang")))
+      .select("doc_id", "lang", "source", "n_chars")
+      .unionByName(spark.range(1, 101).select(
+        (lit(mi) + col("id")).as("doc_id"), lit("new").as("lang"),
+        lit("merge").as("source"), length(text).cast("long").as("n_chars")))
+    val m2 = m.filter(col("doc_id") % 29 =!= 7)
+      .withColumn("source", when(col("doc_id") % 31 === 11, "rev2").otherwise(col("source")))
+    val expected = m2.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("doc_id")).cast("long").as("sum_ids"))
+    assert(viaStorage.exceptAll(expected).isEmpty &&
+      expected.exceptAll(viaStorage).isEmpty)
+  }
+}

@@ -151,4 +151,48 @@ class StreamingQueriesSpec extends SparkSpec {
       spark.read.parquet(s"$Sf0001/documents.parquet"))
     assertSameAs(StreamingQueries.streamCdcMerge(spark, Sf0001), batch)
   }
+
+  test("stream_merge: the snapshot table maintained by foreachBatch equals pure merge semantics") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val batch = docs.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("n_chars",
+        when(col("doc_id") % 11 === 0 || col("doc_id") % 7 === 0,
+          col("n_chars") + 7).otherwise(col("n_chars")))
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
+          .when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev1]")))
+          .otherwise(col("text")))
+      .select("doc_id", "lang", "source", "n_chars", "text")
+    assertSameAs(StreamingQueries.streamMerge(spark, Sf0001), batch)
+  }
+
+  test("stream_merge's writer is exactly-once: a replayed micro-batch never re-applies") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_smerge_replay").toString
+    def batchDf(rows: (Long, String, Long, String)*) =
+      rows.toDF("doc_id", "text", "version", "op")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "lang", "source", "n_chars", "text", "version", "op")
+    StreamingQueries.applyMergeBatch(
+      batchDf((1L, "one", 0L, "I"), (2L, "two", 0L, "I")), root, 0L)
+    StreamingQueries.applyMergeBatch(
+      batchDf((1L, "one v2", 1L, "U"), (2L, "", 1L, "D")), root, 1L)
+    val after = graft.sources.Merge.readCurrent(spark, root)
+    assert(after.count() == 1 &&
+      after.select("text").head().getString(0) == "one v2")
+    val version = graft.sources.Snapshots.current(spark, root).get.version
+    // the at-least-once replays Structured Streaming can deliver on
+    // restart: the SAME batch again, and an older one — both no-ops
+    StreamingQueries.applyMergeBatch(
+      batchDf((1L, "one v2", 1L, "U"), (2L, "", 1L, "D")), root, 1L)
+    StreamingQueries.applyMergeBatch(
+      batchDf((1L, "one", 0L, "I"), (2L, "two", 0L, "I")), root, 0L)
+    assert(graft.sources.Snapshots.current(spark, root).get.version == version,
+      "replayed batches must not commit new versions")
+    val again = graft.sources.Merge.readCurrent(spark, root)
+    assert(again.count() == 1 &&
+      again.select("text").head().getString(0) == "one v2")
+  }
 }
