@@ -473,6 +473,11 @@ object SparkEntry {
     // and retention stories)
     "merge_scan" -> ((s, d) => graft.sources.Merge.mergeScan(s, d)),
     "merge_incremental" -> ((s, d) => graft.sources.Merge.mergeIncrementalScan(s, d)),
+    // OPTIMIZE after merging: consolidate the chain's cross-dir file
+    // list into one compacted version (no carries) and expire the
+    // dirs the carries kept alive — same oracle as merge_incremental
+    // (the lifecycle step moves bytes, never rows)
+    "merge_compacted" -> ((s, d) => graft.sources.Merge.mergeCompactedScan(s, d)),
     // the reference's NATIVE line format through the DataSource V2
     // connector: id\t escaped-text lines, newline-aligned byte splits
     // (64 KB here so even sf0.001 scans in parallel), doc_id filter
@@ -638,6 +643,7 @@ object SparkEntry {
     "snapshot_scan" -> Sql.compactionScan,
     "merge_scan" -> Sql.mergeScan,
     "merge_incremental" -> Sql.mergeIncremental,
+    "merge_compacted" -> Sql.mergeIncremental,
     "skipping_scan" -> Sql.skippingScan,
     "csv_roundtrip" -> Sql.docsIdentity,
     "jsonl_roundtrip" -> Sql.docsIdentity,

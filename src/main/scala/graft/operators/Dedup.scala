@@ -53,8 +53,12 @@ object Dedup {
     * to the corpus, the quality attach is an equi-join on doc_id. */
   def nearDupKeepBest(docs: DataFrame, k: Int = Config.K,
                       threshold: Double = Config.Threshold): DataFrame = {
+    // q feeds three consumers (both edge sides + the final anti-join);
+    // materialize the (doc_id, n_tokens) pairs — 16 bytes/doc — so
+    // the corpus tokenizes ONCE instead of once per consumer
     val q = docs.select(col("doc_id"),
       size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"))
+      .graftCheckpoint()
     val pairs = MinHashLsh.similarPairs(docs, k, threshold)
     val sym = pairs.select(col("id_l").as("a"), col("id_r").as("b"))
       .union(pairs.select(col("id_r").as("a"), col("id_l").as("b")))

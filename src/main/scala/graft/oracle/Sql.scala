@@ -2345,19 +2345,22 @@ WHERE rr <= $HybridTopK""")
     ${branches.mkString("\n    UNION ALL\n    ")}"""
   }
 
-  /** Copy-on-write MERGE replay (batch 1): the storage layer applies
-    * delete %17==3 / re-language %23==5 / 100 inserts above max id as
-    * a CDC batch rewriting only key-intersecting files — but the
-    * CONTENT is pure merge semantics, so DuckDB replays it off the
-    * raw table with no knowledge of snapshots or file layout
-    * (graft.sources.Merge.changeBatch1's exact arithmetic). */
+  /** Copy-on-write MERGE replay (batch 1): the storage layer deletes
+    * the [10%,13%) id band, re-languages [40%,42%) and inserts 100
+    * docs above max id — range-localized so only key-intersecting
+    * files rewrite; but the CONTENT is pure merge semantics, so
+    * DuckDB replays it off the raw table with no knowledge of
+    * snapshots or file layout (graft.sources.Merge.band's
+    * sliceBounds-style integer arithmetic). */
   val mergeScan: String =
     """WITH mx AS (SELECT max(doc_id) AS mi FROM documents),
     m AS (
       SELECT doc_id,
-        CASE WHEN doc_id % 23 = 5 THEN 'zz' ELSE lang END AS lang,
+        CASE WHEN doc_id >= (mi+1)*40//100 AND doc_id < (mi+1)*42//100
+             THEN 'zz' ELSE lang END AS lang,
         source, n_chars
-      FROM documents WHERE doc_id % 17 <> 3
+      FROM documents, mx
+      WHERE NOT (doc_id >= (mi+1)*10//100 AND doc_id < (mi+1)*13//100)
       UNION ALL
       SELECT mi + i, 'new', 'merge', length('merged doc ' || i)
       FROM mx, range(1, 101) t(i)
@@ -2366,24 +2369,28 @@ WHERE rr <= $HybridTopK""")
       sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
     FROM m GROUP BY lang, source"""
 
-  /** Batch 2 chained on batch 1 (delete %29==7, re-source %31==11):
-    * two merges deep, carried file references and all — same oracle
-    * discipline, replayed as two stacked CTE rewrites. */
+  /** Batch 2 chained on batch 1 (delete the [70%,72%) band, re-source
+    * [20%,22%)): two merges deep, carried file references and all —
+    * same oracle discipline, replayed as two stacked CTE rewrites. */
   val mergeIncremental: String =
     """WITH mx AS (SELECT max(doc_id) AS mi FROM documents),
     m AS (
       SELECT doc_id,
-        CASE WHEN doc_id % 23 = 5 THEN 'zz' ELSE lang END AS lang,
+        CASE WHEN doc_id >= (mi+1)*40//100 AND doc_id < (mi+1)*42//100
+             THEN 'zz' ELSE lang END AS lang,
         source, n_chars
-      FROM documents WHERE doc_id % 17 <> 3
+      FROM documents, mx
+      WHERE NOT (doc_id >= (mi+1)*10//100 AND doc_id < (mi+1)*13//100)
       UNION ALL
       SELECT mi + i, 'new', 'merge', length('merged doc ' || i)
       FROM mx, range(1, 101) t(i)
     ),
     m2 AS (
-      SELECT doc_id, lang,
-        CASE WHEN doc_id % 31 = 11 THEN 'rev2' ELSE source END AS source, n_chars
-      FROM m WHERE doc_id % 29 <> 7
+      SELECT m.doc_id, m.lang,
+        CASE WHEN m.doc_id >= (mi+1)*20//100 AND m.doc_id < (mi+1)*22//100
+             THEN 'rev2' ELSE m.source END AS source, m.n_chars
+      FROM m, mx
+      WHERE NOT (m.doc_id >= (mi+1)*70//100 AND m.doc_id < (mi+1)*72//100)
     )
     SELECT lang, source, count(*)::BIGINT AS n_docs,
       sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids

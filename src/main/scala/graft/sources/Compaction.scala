@@ -77,8 +77,14 @@ object Compaction {
     * files, not by orphaned parts a killed task left behind (r7
     * advice), and non-local paths work. */
   def compactDir(spark: SparkSession, src: String, dst: String,
-                 sortCol: String): String = {
-    val df = spark.read.parquet(src)
+                 sortCol: String): String =
+    compactFrame(spark, spark.read.parquet(src), dst, sortCol)
+
+  /** The same bin-pack over an arbitrary parquet-backed frame — the
+    * form a copy-on-write table needs, whose current file list spans
+    * version dirs ([[Merge]]'s OPTIMIZE). */
+  def compactFrame(spark: SparkSession, df: DataFrame, dst: String,
+                   sortCol: String): String = {
     val conf = spark.sessionState.newHadoopConf()
     val bytes = df.inputFiles.map { u =>
       val p = new org.apache.hadoop.fs.Path(u)

@@ -44,14 +44,20 @@ object Merge {
   val UpsertOp = "upsert"
   val DeleteOp = "delete"
 
+  /** Bumped whenever the registered change-batch semantics change, so
+    * fingerprint-cached chains from an older design rebuild. */
+  private val BatchFormat = "b2"
+
   /** Apply one CDC-shaped change batch (`op` column = upsert|delete;
     * upsert rows carry the full table schema) to the current snapshot
-    * of `root`, committing the result as the next version. Returns
-    * the committed snapshot; an empty batch is a no-op returning the
-    * current one. */
+    * of `root`, committing the result as the next version. An EMPTY
+    * batch still commits — a carry-all version with no new files —
+    * so version history and idempotence fingerprints advance even
+    * when no row moves (the Delta empty-transaction behavior a
+    * fingerprint-stamped chain depends on). */
   def merge(spark: SparkSession, root: String, changes: DataFrame,
             fingerprint: String, keyCol: String = "doc_id"): Snapshots.Snapshot = {
-    val snap = Snapshots.current(spark, root).getOrElse(throw new IllegalStateException(
+    Snapshots.current(spark, root).getOrElse(throw new IllegalStateException(
       s"merge target $root has no committed snapshot"))
     val stats = Snapshots.fileStats(spark, root)
     require(stats.nonEmpty,
@@ -61,7 +67,11 @@ object Merge {
     // not the corpus), sorted for the per-file interval probe
     val keys: Array[Long] = changes.select(col(keyCol).cast("long"))
       .distinct().collect().map(_.getLong(0)).sorted
-    if (keys.isEmpty) return snap
+    if (keys.isEmpty)
+      return Snapshots.commit(spark, root, fingerprint,
+        carry = relativize(root, stats)) { p =>
+        Snapshots.fs(spark, root).mkdirs(new Path(p)); ()
+      }
 
     def touchedBy(mn: Long, mx: Long): Boolean = {
       val i = java.util.Arrays.binarySearch(keys, mn)
@@ -91,20 +101,23 @@ object Merge {
     val nFiles = math.max(1L,
       (touchedBytes + Compaction.TargetFileBytes - 1) / Compaction.TargetFileBytes).toInt
 
-    // carried paths are already root-relative in the manifest; strip
-    // the absolute resolution fileStats applied so they re-record
-    val rootUri = new Path(root).toUri.getPath
-    val carryRel = carried.map { s =>
-      val p = new Path(s.path).toUri.getPath
-      s.copy(path = p.stripPrefix(rootUri).stripPrefix("/"))
-    }
-
     Snapshots.commit(spark, root, fingerprint,
       statsFor = p => Compaction.footerStats(spark, p, keyCol),
-      carry = carryRel) { path =>
+      carry = relativize(root, carried)) { path =>
       merged.repartitionByRange(nFiles, col(keyCol))
         .sortWithinPartitions(col(keyCol))
         .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** Strip the absolute resolution [[Snapshots.fileStats]] applied so
+    * carried entries re-record root-relative in the next manifest. */
+  private def relativize(root: String,
+                         stats: Seq[Snapshots.FileStat]): Seq[Snapshots.FileStat] = {
+    val rootUri = new Path(root).toUri.getPath
+    stats.map { s =>
+      val p = new Path(s.path).toUri.getPath
+      s.copy(path = p.stripPrefix(rootUri).stripPrefix("/"))
     }
   }
 
@@ -123,15 +136,29 @@ object Merge {
     spark.read.parquet(s"$dir/documents.parquet")
       .agg(max("doc_id")).head().getLong(0)
 
-  /** Batch 1 — the oracle-replayable CDC batch: delete doc_id%17==3,
-    * re-language doc_id%23==5 to 'zz' (delete wins the overlap), and
-    * insert 100 fresh docs above the current max id. */
+  /** The [loPct%, hiPct%) doc_id band derived from the corpus' own
+    * max id — the [[Compaction.sliceBounds]] integer arithmetic, so
+    * the oracle replays the bounds exactly. RANGE-localized change
+    * batches are what makes the registered queries exercise the
+    * copy-on-write path for real: a CDC batch touching a narrow key
+    * band rewrites a sliver of the files (mod-scattered keys would
+    * conservatively touch every file's interval and degenerate to a
+    * full rewrite). */
+  private def band(mi: Long, loPct: Long, hiPct: Long): (Long, Long) =
+    ((mi + 1) * loPct / 100, (mi + 1) * hiPct / 100)
+
+  private def inBand(c: org.apache.spark.sql.Column, b: (Long, Long)) =
+    c >= b._1 && c < b._2
+
+  /** Batch 1 — the oracle-replayable CDC batch: delete the [10%,13%)
+    * id band, re-language [40%,42%) to 'zz', and insert 100 fresh
+    * docs above the current max id. */
   def changeBatch1(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val mi = maxDocId(spark, dir)
-    val deletes = docs.filter(col("doc_id") % 17 === 3)
+    val deletes = docs.filter(inBand(col("doc_id"), band(mi, 10, 13)))
       .withColumn("op", lit(DeleteOp))
-    val updates = docs.filter(col("doc_id") % 23 === 5 && col("doc_id") % 17 =!= 3)
+    val updates = docs.filter(inBand(col("doc_id"), band(mi, 40, 42)))
       .withColumn("lang", lit("zz"))
       .withColumn("op", lit(UpsertOp))
     val text = concat(lit("merged doc "), col("id").cast("string"))
@@ -146,12 +173,15 @@ object Merge {
   }
 
   /** Batch 2 — built FROM THE CURRENT TABLE (the realistic CDC loop):
-    * delete doc_id%29==7, re-source doc_id%31==11 to 'rev2'. */
-  def changeBatch2(spark: SparkSession, vroot: String): DataFrame = {
+    * delete the [70%,72%) band, re-source [20%,22%) to 'rev2'; bands
+    * off the ORIGINAL corpus max so the oracle sees the same bounds. */
+  def changeBatch2(spark: SparkSession, dir: String, vroot: String): DataFrame = {
+    val mi = maxDocId(spark, dir)
     val cur = readCurrent(spark, vroot)
-    cur.filter(col("doc_id") % 29 === 7).withColumn("op", lit(DeleteOp))
+    cur.filter(inBand(col("doc_id"), band(mi, 70, 72)))
+      .withColumn("op", lit(DeleteOp))
       .unionByName(
-        cur.filter(col("doc_id") % 31 === 11 && col("doc_id") % 29 =!= 7)
+        cur.filter(inBand(col("doc_id"), band(mi, 20, 22)))
           .withColumn("source", lit("rev2"))
           .withColumn("op", lit(UpsertOp)))
   }
@@ -164,8 +194,14 @@ object Merge {
     val src = s"$dir/documents.parquet"
     val fp = Snapshots.fingerprint(spark, src)
     val vroot = s"${root(dir)}/chain$batches"
-    val want = s"m$batches:$fp"
-    if (!Snapshots.current(spark, vroot).exists(_.fingerprint == want)) {
+    // the fingerprint keys on source DATA; the batch-format tag keys
+    // on batch SEMANTICS — cached chains from an older batch design
+    // must rebuild, not silently serve the old rows
+    val want = s"$BatchFormat-m$batches:$fp"
+    // an OPTIMIZEd chain ([[mergeCompactedScan]]) holds the same rows
+    // under a consolidated layout — still current, don't rebuild
+    val have = Snapshots.current(spark, vroot).map(_.fingerprint)
+    if (!have.contains(want) && !have.contains(s"opt:$want")) {
       Snapshots.fs(spark, vroot).delete(new Path(vroot), true)
       Snapshots.commit(spark, vroot, s"base:$fp",
         statsFor = p => Compaction.footerStats(spark, p)) { p =>
@@ -174,7 +210,7 @@ object Merge {
       val b1fp = if (batches >= 2) s"m1:$fp" else want
       merge(spark, vroot, changeBatch1(spark, dir), b1fp)
       if (batches >= 2)
-        merge(spark, vroot, changeBatch2(spark, vroot), want)
+        merge(spark, vroot, changeBatch2(spark, dir, vroot), want)
     }
     vroot
   }
@@ -195,4 +231,33 @@ object Merge {
     * versions deep, proving carried references survive re-merging. */
   def mergeIncrementalScan(spark: SparkSession, dir: String): DataFrame =
     scanStats(readCurrent(spark, ensureChain(spark, dir, 2)))
+
+  /** OPTIMIZE after merging — the lifecycle's last step: merges leave
+    * the current version's file list scattered across version dirs
+    * (carried refs + per-batch rewrites); this consolidates them into
+    * one fresh compacted version with NO carries, then expires every
+    * older version — the moment retention can finally reclaim the
+    * dirs the carries were keeping alive. Content is untouched, so
+    * the batch-2 oracle replays this scan unchanged. */
+  def mergeCompactedScan(spark: SparkSession, dir: String): DataFrame = {
+    val vroot = ensureChain(spark, dir, 2)
+    if (!Snapshots.current(spark, vroot).get.fingerprint.startsWith("opt:"))
+      optimize(spark, vroot)
+    scanStats(readCurrent(spark, vroot))
+  }
+
+  /** The OPTIMIZE step itself: rewrite the current (possibly
+    * cross-dir) file list as one compacted version with no carries,
+    * then expire everything older — after which retention has
+    * reclaimed every dir only the carries kept alive. */
+  def optimize(spark: SparkSession, vroot: String): Snapshots.Snapshot = {
+    val cur = Snapshots.current(spark, vroot).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $vroot"))
+    val snap = Snapshots.commit(spark, vroot, s"opt:${cur.fingerprint}",
+      statsFor = p => Compaction.footerStats(spark, p)) { p =>
+      Compaction.compactFrame(spark, readCurrent(spark, vroot), p, "doc_id")
+    }
+    Snapshots.expire(spark, vroot, keepVersions = 1)
+    snap
+  }
 }

@@ -93,17 +93,22 @@ class MergeSpec extends SparkSpec {
     assert(again.filter(col("doc_id") === 9999L).select("text").head().getString(0) == "tail v2")
   }
 
-  test("an empty batch is a no-op; a delete-everything batch still publishes") {
+  test("an empty batch commits a carry-all version; a delete-everything batch still publishes") {
     val root = tmpRoot("edge")
     commitBase(root)
     val v1 = Snapshots.current(spark, root).get
-    assert(Merge.merge(spark, root, changes(), "noop") == v1,
-      "empty batch must not commit a version")
+    // the Delta empty-transaction behavior: version history and
+    // idempotence fingerprints advance, no file moves
+    val noop = Merge.merge(spark, root, changes(), "noop")
+    assert(noop.version == 2 && noop.fingerprint == "noop")
+    assert(fileVersions(root).values.forall(_ == 1),
+      "an empty batch must carry every file, write none")
+    assert(Merge.readCurrent(spark, root).count() == 100)
     // delete every row
     val all = Merge.readCurrent(spark, root).select("doc_id")
       .withColumn("text", lit("")).withColumn("op", lit(Merge.DeleteOp))
     val snap = Merge.merge(spark, root, all, "wipe")
-    assert(snap.version == 2)
+    assert(snap.version == 3)
     // the wiped table keeps its schema-bearing empty file under an
     // empty sentinel interval — still readable, still merge-able
     val stats = Snapshots.fileStats(spark, root)
@@ -161,20 +166,50 @@ class MergeSpec extends SparkSpec {
     assert(snap.version >= 2 && Merge.readCurrent(spark, root).count() == 100)
   }
 
+  test("OPTIMIZE consolidates the cross-dir file list and lets expire reclaim carried dirs") {
+    val vroot = tmpRoot("optimize")
+    commitBase(vroot)
+    Merge.merge(spark, vroot, changes((0L, "v2", Merge.UpsertOp)), "m1")
+    Merge.merge(spark, vroot, changes((100L, "v3", Merge.UpsertOp)), "m2")
+    val before = Merge.readCurrent(spark, vroot).orderBy("doc_id").collect().toSeq
+    // pre-OPTIMIZE: the current file list spans version dirs
+    assert(fileVersions(vroot).values.toSet.size > 1,
+      "the merged chain should carry files from multiple versions")
+    Merge.optimize(spark, vroot)
+    assert(Merge.readCurrent(spark, vroot).orderBy("doc_id").collect().toSeq
+      == before, "OPTIMIZE must not change a row")
+    // post-OPTIMIZE: one version dir holds everything, older reclaimed
+    val vers = fileVersions(vroot).values.toSet
+    assert(vers.size == 1, s"expected one consolidated dir, got $vers")
+    val fs = Snapshots.fs(spark, vroot)
+    val dirs = fs.listStatus(new Path(vroot)).map(_.getPath.getName)
+      .filter(_.matches("v\\d{9}")).toSeq
+    assert(dirs.size == 1, s"expire should reclaim the carried dirs, left $dirs")
+    // and the registered lifecycle query serves the optimized chain
+    // idempotently (second call commits nothing)
+    Merge.mergeCompactedScan(spark, Sf001)
+    val reg = Merge.ensureChain(spark, Sf001, 2)
+    val v = Snapshots.current(spark, reg).get.version
+    Merge.mergeCompactedScan(spark, Sf001)
+    assert(Snapshots.current(spark, reg).get.version == v)
+  }
+
   test("the registered chain matches a plain-SQL replay of both batches") {
     val dir = Sf001
     val viaStorage = Merge.mergeIncrementalScan(spark, dir)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val mi = docs.agg(max("doc_id")).head().getLong(0)
+    def inBand(lo: Long, hi: Long) =
+      col("doc_id") >= (mi + 1) * lo / 100 && col("doc_id") < (mi + 1) * hi / 100
     val text = concat(lit("merged doc "), col("id").cast("string"))
-    val m = docs.filter(col("doc_id") % 17 =!= 3)
-      .withColumn("lang", when(col("doc_id") % 23 === 5, "zz").otherwise(col("lang")))
+    val m = docs.filter(!inBand(10, 13))
+      .withColumn("lang", when(inBand(40, 42), "zz").otherwise(col("lang")))
       .select("doc_id", "lang", "source", "n_chars")
       .unionByName(spark.range(1, 101).select(
         (lit(mi) + col("id")).as("doc_id"), lit("new").as("lang"),
         lit("merge").as("source"), length(text).cast("long").as("n_chars")))
-    val m2 = m.filter(col("doc_id") % 29 =!= 7)
-      .withColumn("source", when(col("doc_id") % 31 === 11, "rev2").otherwise(col("source")))
+    val m2 = m.filter(!inBand(70, 72))
+      .withColumn("source", when(inBand(20, 22), "rev2").otherwise(col("source")))
     val expected = m2.groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("sum_chars"),
