@@ -73,12 +73,26 @@ object Merge {
         Snapshots.fs(spark, root).mkdirs(new Path(p)); ()
       }
 
-    def touchedBy(mn: Long, mx: Long): Boolean = {
-      val i = java.util.Arrays.binarySearch(keys, mn)
+    // interval first (sorted-keys binary probe), then the file's key
+    // bloom when one is recorded: the interval can only prove a key
+    // OUTSIDE [min,max]; the bloom proves absence INSIDE it, so point
+    // deletes / gap inserts stop rewriting files they merely span
+    def touchedBy(s: Snapshots.FileStat): Boolean = {
+      val i = java.util.Arrays.binarySearch(keys, s.minKey)
       val from = if (i >= 0) i else -(i + 1)
-      from < keys.length && keys(from) <= mx
+      if (from >= keys.length || keys(from) > s.maxKey) false
+      else KeyBloom.decode(s.bloom) match {
+        case None => true // no bloom recorded: conservative
+        case Some(bits) =>
+          var j = from
+          while (j < keys.length && keys(j) <= s.maxKey) {
+            if (KeyBloom.mightContain(bits, keys(j))) return true
+            j += 1
+          }
+          false
+      }
     }
-    val (touched, carried) = stats.partition(s => touchedBy(s.minKey, s.maxKey))
+    val (touched, carried) = stats.partition(touchedBy)
 
     val upserts = changes.filter(col("op") === UpsertOp).drop("op")
     val changeKeys = changes.select(col(keyCol)).distinct()
@@ -102,12 +116,25 @@ object Merge {
       (touchedBytes + Compaction.TargetFileBytes - 1) / Compaction.TargetFileBytes).toInt
 
     Snapshots.commit(spark, root, fingerprint,
-      statsFor = p => Compaction.footerStats(spark, p, keyCol),
+      statsFor = p => statsWithBlooms(spark, p, keyCol),
       carry = relativize(root, carried)) { path =>
       merged.repartitionByRange(nFiles, col(keyCol))
         .sortWithinPartitions(col(keyCol))
         .write.mode("overwrite").parquet(path)
     }
+  }
+
+  /** Footer intervals plus a [[KeyBloom]] per freshly-written file:
+    * one extra executor-side columnar pass over only the files this
+    * commit wrote — the commit-time investment that buys bloom-exact
+    * pruning on every later merge (carried files keep their recorded
+    * bloom verbatim; an immutable file's bloom never staleness-drifts). */
+  def statsWithBlooms(spark: SparkSession, path: String,
+                      keyCol: String = "doc_id"): Seq[Snapshots.FileStat] = {
+    val base = Compaction.footerStats(spark, path, keyCol)
+    val byName = KeyBloom.bloomsFor(spark.read.parquet(path), keyCol)
+      .map { case (uri, b) => new Path(uri).getName -> b }
+    base.map(s => s.copy(bloom = byName.getOrElse(s.path, "")))
   }
 
   /** Strip the absolute resolution [[Snapshots.fileStats]] applied so
@@ -204,7 +231,7 @@ object Merge {
     if (!have.contains(want) && !have.contains(s"opt:$want")) {
       Snapshots.fs(spark, vroot).delete(new Path(vroot), true)
       Snapshots.commit(spark, vroot, s"base:$fp",
-        statsFor = p => Compaction.footerStats(spark, p)) { p =>
+        statsFor = p => statsWithBlooms(spark, p)) { p =>
         Compaction.compactDir(spark, src, p, "doc_id")
       }
       val b1fp = if (batches >= 2) s"m1:$fp" else want

@@ -63,8 +63,15 @@ object Snapshots {
     * copy-on-write maintenance ([[Merge]]) O(touched files) instead
     * of O(table). Bare names (no `/`) are tolerated for manifests
     * written before this convention and resolve against the
-    * snapshot's own data dir. */
-  case class FileStat(path: String, minKey: Long, maxKey: Long, nRows: Long)
+    * snapshot's own data dir.
+    *
+    * `bloom` (optional, empty = none recorded) is the file's base64
+    * key bloom ([[KeyBloom]]): min/max intervals prove a key outside
+    * the span, the bloom proves absence INSIDE it — the precision
+    * that keeps point deletes and gap inserts from rewriting files
+    * their key merely spans. */
+  case class FileStat(path: String, minKey: Long, maxKey: Long, nRows: Long,
+                      bloom: String = "")
 
   def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -132,7 +139,8 @@ object Snapshots {
     write(dataPath.toString)
     val statLines = (carry ++ statsFor(dataPath.toString).map(s =>
       s.copy(path = s"$dataDir/${s.path}"))).map(s =>
-      s"\n${s.path}\t${s.minKey}\t${s.maxKey}\t${s.nRows}")
+      s"\n${s.path}\t${s.minKey}\t${s.maxKey}\t${s.nRows}" +
+        (if (s.bloom.nonEmpty) s"\t${s.bloom}" else ""))
     val mdir = new Path(root, ManifestDir)
     f.mkdirs(mdir)
     val tmp = new Path(mdir, s".tmp_${java.util.UUID.randomUUID().toString.take(12)}")
@@ -200,11 +208,14 @@ object Snapshots {
           new Path(new Path(root, ManifestDir), manifestName(snap.version)))
           .split('\n')
         lines.iterator.drop(1).flatMap { l =>
+          def stat(p: String, mn: String, mx: String, n: String, bloom: String) = {
+            val base = if (p.contains('/')) root else snap.dataPath
+            FileStat(new Path(base, p).toString,
+              mn.toLong, mx.toLong, n.toLong, bloom)
+          }
           l.split('\t') match {
-            case Array(p, mn, mx, n) =>
-              val base = if (p.contains('/')) root else snap.dataPath
-              Some(FileStat(new Path(base, p).toString,
-                mn.toLong, mx.toLong, n.toLong))
+            case Array(p, mn, mx, n)    => Some(stat(p, mn, mx, n, ""))
+            case Array(p, mn, mx, n, b) => Some(stat(p, mn, mx, n, b))
             case _ => None
           }
         }.toSeq

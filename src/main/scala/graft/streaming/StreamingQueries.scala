@@ -525,7 +525,7 @@ object StreamingQueries {
     val fp = s"batch:$batchId"
     if (cur.isEmpty)
       graft.sources.Snapshots.commit(s, tableRoot, fp,
-        statsFor = p => graft.sources.Compaction.footerStats(s, p)) { p =>
+        statsFor = p => graft.sources.Merge.statsWithBlooms(s, p)) { p =>
         batch.drop("version", "op")
           .repartitionByRange(4, col("doc_id"))
           .sortWithinPartitions(col("doc_id"))

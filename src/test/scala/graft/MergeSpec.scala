@@ -25,7 +25,7 @@ class MergeSpec extends SparkSpec {
     val df = (0L until 200L by 2).map(i => (i, s"doc $i ${"x" * 64}"))
       .toDF("doc_id", "text")
     Snapshots.commit(spark, root, "base",
-      statsFor = p => Compaction.footerStats(spark, p)) { p =>
+      statsFor = p => Merge.statsWithBlooms(spark, p)) { p =>
       df.repartitionByRange(8, col("doc_id"))
         .sortWithinPartitions(col("doc_id"))
         .write.parquet(p)
@@ -75,14 +75,21 @@ class MergeSpec extends SparkSpec {
   test("an insert into an untouched interval's gap lands exactly once") {
     val root = tmpRoot("gap")
     commitBase(root)
-    // 101 is odd — absent, but inside some file's [min,max] interval;
-    // 9999 is beyond every interval (no file touched for it)
+    // 101 is odd — absent, but inside some file's [min,max] interval
+    // (the key bloom proves the absence, so NO file is rewritten);
+    // 9999 is beyond every interval
+    val nBase = Snapshots.fileStats(spark, root).size
     Merge.merge(spark, root,
       changes((101L, "gap doc", Merge.UpsertOp), (9999L, "tail doc", Merge.UpsertOp)), "m1")
     val cur = Merge.readCurrent(spark, root)
     assert(cur.filter(col("doc_id") === 101L).count() == 1)
     assert(cur.filter(col("doc_id") === 9999L).count() == 1)
     assert(cur.count() == 102)
+    // bloom-precise pruning: every base file carried, one insert file
+    val vers = fileVersions(root)
+    assert(vers.count(_._2 == 1) == nBase,
+      s"gap inserts must not rewrite bloom-negative files: $vers")
+    assert(vers.count(_._2 == 2) == 1, "the inserts land in one new file")
     // and the table stays skipping-plannable: every file has stats
     val stats = Snapshots.fileStats(spark, root)
     assert(stats.map(_.nRows).sum == 102)
@@ -192,6 +199,25 @@ class MergeSpec extends SparkSpec {
     val v = Snapshots.current(spark, reg).get.version
     Merge.mergeCompactedScan(spark, Sf001)
     assert(Snapshots.current(spark, reg).get.version == v)
+  }
+
+  test("key blooms: no false negatives, useful rejection, stable round trip") {
+    val s = spark
+    import s.implicits._
+    val keys = (0L until 500L).map(_ * 7L)
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_bloom")}/keys"
+    keys.toDF("doc_id").coalesce(1).write.parquet(dir)
+    val blooms = graft.sources.KeyBloom.bloomsFor(spark.read.parquet(dir), "doc_id")
+    assert(blooms.size == 1)
+    val bits = graft.sources.KeyBloom.decode(blooms.values.head).get
+    // a bloom over a file's EXACT key set can never miss a member
+    keys.foreach(k => assert(graft.sources.KeyBloom.mightContain(bits, k)))
+    // and rejects the vast majority of absent keys (500 keys in 4096
+    // bits ≈ 1.2% theoretical fp rate; assert a loose 10% bound)
+    val absent = (1L to 2000L).map(_ * 7L + 3L)
+    val fps = absent.count(graft.sources.KeyBloom.mightContain(bits, _))
+    assert(fps < absent.size / 10, s"false-positive rate too high: $fps/${absent.size}")
+    assert(graft.sources.KeyBloom.decode("").isEmpty)
   }
 
   test("the registered chain matches a plain-SQL replay of both batches") {
