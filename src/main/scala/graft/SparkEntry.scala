@@ -478,6 +478,11 @@ object SparkEntry {
     // dirs the carries kept alive — same oracle as merge_incremental
     // (the lifecycle step moves bytes, never rows)
     "merge_compacted" -> ((s, d) => graft.sources.Merge.mergeCompactedScan(s, d)),
+    // MERGE-ON-READ delete: an O(batch) commit that rewrites nothing —
+    // the keys ride the manifest's deletion list and are filtered at
+    // read until a copy-on-write merge or OPTIMIZE materializes them
+    // (the Delta deletion-vector trade at key granularity)
+    "merge_mor" -> ((s, d) => graft.sources.Merge.mergeMorScan(s, d)),
     // the reference's NATIVE line format through the DataSource V2
     // connector: id\t escaped-text lines, newline-aligned byte splits
     // (64 KB here so even sf0.001 scans in parallel), doc_id filter
@@ -644,6 +649,7 @@ object SparkEntry {
     "merge_scan" -> Sql.mergeScan,
     "merge_incremental" -> Sql.mergeIncremental,
     "merge_compacted" -> Sql.mergeIncremental,
+    "merge_mor" -> Sql.mergeMor,
     "skipping_scan" -> Sql.skippingScan,
     "csv_roundtrip" -> Sql.docsIdentity,
     "jsonl_roundtrip" -> Sql.docsIdentity,

@@ -2396,6 +2396,30 @@ WHERE rr <= $HybridTopK""")
       sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
     FROM m2 GROUP BY lang, source"""
 
+  /** Merge-on-read replay: batch 1 plus a deletion-list delete of the
+    * [55%,57%) band — the storage layer rewrites nothing and filters
+    * at read; content is plain merge semantics. */
+  val mergeMor: String =
+    """WITH mx AS (SELECT max(doc_id) AS mi FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN doc_id >= (mi+1)*40//100 AND doc_id < (mi+1)*42//100
+             THEN 'zz' ELSE lang END AS lang,
+        source, n_chars
+      FROM documents, mx
+      WHERE NOT (doc_id >= (mi+1)*10//100 AND doc_id < (mi+1)*13//100)
+      UNION ALL
+      SELECT mi + i, 'new', 'merge', length('merged doc ' || i)
+      FROM mx, range(1, 101) t(i)
+    ),
+    m3 AS (
+      SELECT m.* FROM m, mx
+      WHERE NOT (m.doc_id >= (mi+1)*55//100 AND m.doc_id < (mi+1)*57//100)
+    )
+    SELECT lang, source, count(*)::BIGINT AS n_docs,
+      sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
+    FROM m3 GROUP BY lang, source"""
+
   /** Continuous storage-merge replay: the streamed CDC feed
     * (ChangeData.versionedFeed — v1 %7 upsert, v2 %11 upsert, v3 %13
     * delete, highest version wins) applied through the copy-on-write

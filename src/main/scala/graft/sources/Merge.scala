@@ -67,9 +67,12 @@ object Merge {
     // not the corpus), sorted for the per-file interval probe
     val keys: Array[Long] = changes.select(col(keyCol).cast("long"))
       .distinct().collect().map(_.getLong(0)).sorted
+    val priorDels = morDeleteKeys(spark, root)
     if (keys.isEmpty)
       return Snapshots.commit(spark, root, fingerprint,
-        carry = relativize(root, stats)) { p =>
+        carry = relativize(root, stats),
+        extras = if (priorDels.isEmpty) Seq.empty
+                 else Seq(DeletesKey -> encodeKeys(priorDels))) { p =>
         Snapshots.fs(spark, root).mkdirs(new Path(p)); ()
       }
 
@@ -99,11 +102,16 @@ object Merge {
     val merged =
       if (touched.isEmpty) upserts
       else {
-        val base = spark.read.parquet(touched.map(_.path): _*)
+        // the raw touched bytes may still hold rows a merge-on-read
+        // delete removed logically — apply the list before merging so
+        // the rewrite materializes those deletions for its files
+        val raw = spark.read.parquet(touched.map(_.path): _*)
+        val base = if (priorDels.isEmpty) raw
+                   else raw.filter(!col(keyCol).isInCollection(priorDels))
         // delete-and-replace: every change key's old row goes (the
         // broadcast anti-join is batch-bounded), upserts come back
         base.join(broadcast(changeKeys), Seq(keyCol), "left_anti")
-          .unionByName(upserts.select(base.columns.toIndexedSeq.map(col): _*))
+          .unionByName(upserts.select(raw.columns.toIndexedSeq.map(col): _*))
       }
 
     // size the rewrite by the touched bytes (catalog-sized listing),
@@ -115,9 +123,18 @@ object Merge {
     val nFiles = math.max(1L,
       (touchedBytes + Compaction.TargetFileBytes - 1) / Compaction.TargetFileBytes).toInt
 
+    // the batch's keys now have EXPLICIT state (rewritten or inserted)
+    // — drop them from the deletion list so a re-upsert of a
+    // MOR-deleted key survives the read filter
+    val remainingDels = {
+      val ks = keys.toSet
+      priorDels.filterNot(ks)
+    }
     Snapshots.commit(spark, root, fingerprint,
       statsFor = p => statsWithBlooms(spark, p, keyCol),
-      carry = relativize(root, carried)) { path =>
+      carry = relativize(root, carried),
+      extras = if (remainingDels.isEmpty) Seq.empty
+               else Seq(DeletesKey -> encodeKeys(remainingDels))) { path =>
       merged.repartitionByRange(nFiles, col(keyCol))
         .sortWithinPartitions(col(keyCol))
         .write.mode("overwrite").parquet(path)
@@ -148,10 +165,59 @@ object Merge {
     }
   }
 
+  private val DeletesKey = "deletes"
+
+  private def encodeKeys(keys: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(keys.length * 8)
+    keys.foreach(bb.putLong)
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bb.array())
+  }
+
+  /** The MERGE-ON-READ deletion list the current manifest carries —
+    * keys logically deleted but not yet physically rewritten out.
+    * Batch-bounded by construction (each MOR delete adds one CDC
+    * batch's keys; any copy-on-write merge subtracts its batch and
+    * OPTIMIZE clears the list entirely). */
+  def morDeleteKeys(spark: SparkSession, root: String): Array[Long] =
+    Snapshots.extras(spark, root).get(DeletesKey) match {
+      case None => Array.emptyLongArray
+      case Some(s) =>
+        val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getUrlDecoder.decode(s))
+        Array.fill(bb.remaining() / 8)(bb.getLong)
+    }
+
+  /** MERGE-ON-READ DELETE: an O(batch) commit that rewrites NOTHING —
+    * every file is carried and the keys join the manifest's deletion
+    * list, applied as a read-time filter until a later copy-on-write
+    * merge (which subtracts its batch keys, so a re-upsert
+    * resurrects cleanly) or OPTIMIZE (which materializes the
+    * filter and clears the list) — the Delta deletion-vector
+    * trade at key granularity: delete latency O(batch) now, one
+    * predicate per read until maintenance amortizes it. */
+  def deleteMor(spark: SparkSession, root: String, delKeys: DataFrame,
+                fingerprint: String, keyCol: String = "doc_id"): Snapshots.Snapshot = {
+    val keys = delKeys.select(col(keyCol).cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    val merged = (morDeleteKeys(spark, root) ++ keys).distinct.sorted
+    Snapshots.commit(spark, root, fingerprint,
+      carry = relativize(root, Snapshots.fileStats(spark, root)),
+      extras = if (merged.isEmpty) Seq.empty
+               else Seq(DeletesKey -> encodeKeys(merged))) { p =>
+      Snapshots.fs(spark, root).mkdirs(new Path(p)); ()
+    }
+  }
+
   /** Read the current snapshot of a merge-maintained table: the
-    * manifest's file list (spanning version dirs), one parquet read. */
-  def readCurrent(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(Snapshots.dataFiles(spark, root): _*)
+    * manifest's file list (spanning version dirs) in one parquet
+    * read, minus the merge-on-read deletion list (compiled to an
+    * InSet predicate — batch-bounded, codegen-friendly). */
+  def readCurrent(spark: SparkSession, root: String,
+                  keyCol: String = "doc_id"): DataFrame = {
+    val df = spark.read.parquet(Snapshots.dataFiles(spark, root): _*)
+    val dels = morDeleteKeys(spark, root)
+    if (dels.isEmpty) df
+    else df.filter(!col(keyCol).isInCollection(dels))
+  }
 
   // ---- registered-query fixtures ------------------------------------
 
@@ -258,6 +324,32 @@ object Merge {
     * versions deep, proving carried references survive re-merging. */
   def mergeIncrementalScan(spark: SparkSession, dir: String): DataFrame =
     scanStats(readCurrent(spark, ensureChain(spark, dir, 2)))
+
+  /** The table after batch 1 plus a MERGE-ON-READ delete of the
+    * [55%,57%) id band — zero files rewritten, the band lives in the
+    * manifest's deletion list and is filtered at read time. Content
+    * is still pure merge semantics for the oracle. */
+  def mergeMorScan(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/documents.parquet"
+    val fp = Snapshots.fingerprint(spark, src)
+    val vroot = s"${root(dir)}/chainmor"
+    val want = s"$BatchFormat-mor:$fp"
+    if (!Snapshots.current(spark, vroot).exists(_.fingerprint == want)) {
+      Snapshots.fs(spark, vroot).delete(new Path(vroot), true)
+      Snapshots.commit(spark, vroot, s"base:$fp",
+        statsFor = p => statsWithBlooms(spark, p)) { p =>
+        Compaction.compactDir(spark, src, p, "doc_id")
+      }
+      merge(spark, vroot, changeBatch1(spark, dir), s"$BatchFormat-m1:$fp")
+      val mi = maxDocId(spark, dir)
+      deleteMor(spark, vroot,
+        spark.read.parquet(src)
+          .filter(inBand(col("doc_id"), band(mi, 55, 57)))
+          .select("doc_id"),
+        want)
+    }
+    scanStats(readCurrent(spark, vroot))
+  }
 
   /** OPTIMIZE after merging — the lifecycle's last step: merges leave
     * the current version's file list scattered across version dirs

@@ -127,10 +127,17 @@ object Snapshots {
     * This is the copy-on-write primitive: a maintenance rewrite
     * writes only the files it changed and carries the rest by
     * reference ([[expire]] keeps a version's data dir alive while any
-    * surviving manifest still references a file inside it). */
+    * surviving manifest still references a file inside it).
+    *
+    * `extras` (optional) are version-level key/value lines (`#key\tv`)
+    * — the hook merge-on-read state rides (a [[Merge]] deletion list
+    * applies to the whole file list until a rewrite materializes it);
+    * extras do NOT carry forward: each commit records exactly the
+    * state it wants the new version to have. */
   def commit(spark: SparkSession, root: String, fingerprint: String,
              statsFor: String => Seq[FileStat] = _ => Seq.empty,
-             carry: Seq[FileStat] = Seq.empty)
+             carry: Seq[FileStat] = Seq.empty,
+             extras: Seq[(String, String)] = Seq.empty)
             (write: String => Unit): Snapshot = lock(root).synchronized {
     val f = fs(spark, root)
     val next = current(spark, root).map(_.version + 1).getOrElse(1)
@@ -140,7 +147,8 @@ object Snapshots {
     val statLines = (carry ++ statsFor(dataPath.toString).map(s =>
       s.copy(path = s"$dataDir/${s.path}"))).map(s =>
       s"\n${s.path}\t${s.minKey}\t${s.maxKey}\t${s.nRows}" +
-        (if (s.bloom.nonEmpty) s"\t${s.bloom}" else ""))
+        (if (s.bloom.nonEmpty) s"\t${s.bloom}" else "")) ++
+      extras.map { case (k, v) => s"\n#$k\t$v" }
     val mdir = new Path(root, ManifestDir)
     f.mkdirs(mdir)
     val tmp = new Path(mdir, s".tmp_${java.util.UUID.randomUUID().toString.take(12)}")
@@ -213,12 +221,30 @@ object Snapshots {
             FileStat(new Path(base, p).toString,
               mn.toLong, mx.toLong, n.toLong, bloom)
           }
-          l.split('\t') match {
+          if (l.startsWith("#")) None // version-level extras, not files
+          else l.split('\t') match {
             case Array(p, mn, mx, n)    => Some(stat(p, mn, mx, n, ""))
             case Array(p, mn, mx, n, b) => Some(stat(p, mn, mx, n, b))
             case _ => None
           }
         }.toSeq
+    }
+
+  /** The CURRENT manifest's version-level extras (`#key` lines). */
+  def extras(spark: SparkSession, root: String): Map[String, String] =
+    current(spark, root) match {
+      case None => Map.empty
+      case Some(snap) =>
+        val f = fs(spark, root)
+        readLine(f, new Path(new Path(root, ManifestDir), manifestName(snap.version)))
+          .split('\n').iterator.drop(1)
+          .filter(_.startsWith("#"))
+          .flatMap { l =>
+            l.drop(1).split('\t') match {
+              case Array(k, v) => Some(k -> v)
+              case _ => None
+            }
+          }.toMap
     }
 
   /** The CURRENT snapshot's data files, absolute — the manifest file

@@ -201,6 +201,46 @@ class MergeSpec extends SparkSpec {
     assert(Snapshots.current(spark, reg).get.version == v)
   }
 
+  test("merge-on-read delete rewrites nothing; COW re-upsert resurrects; OPTIMIZE materializes") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("mor")
+    commitBase(root)
+    val nBase = Snapshots.fileStats(spark, root).size
+
+    // MOR delete of three present keys: zero files rewritten
+    Merge.deleteMor(spark, root, Seq(10L, 50L, 90L).toDF("doc_id"), "mor1")
+    assert(fileVersions(root).values.forall(_ == 1) &&
+      Snapshots.fileStats(spark, root).size == nBase,
+      "a merge-on-read delete must carry every file untouched")
+    val cur = Merge.readCurrent(spark, root)
+    assert(cur.count() == 97 &&
+      cur.filter(col("doc_id").isin(10L, 50L, 90L)).isEmpty)
+    // ...while the physical bytes still hold the rows
+    assert(spark.read.parquet(Snapshots.dataFiles(spark, root): _*)
+      .filter(col("doc_id") === 10L).count() == 1)
+
+    // a COW upsert of a MOR-deleted key resurrects it exactly once
+    Merge.merge(spark, root, changes((50L, "back", Merge.UpsertOp)), "m1")
+    val after = Merge.readCurrent(spark, root)
+    assert(after.count() == 98)
+    assert(after.filter(col("doc_id") === 50L).select("text")
+      .head().getString(0) == "back")
+    assert(after.filter(col("doc_id").isin(10L, 90L)).isEmpty,
+      "unrelated MOR deletions must survive the COW merge")
+    // an empty batch preserves the remaining deletion list
+    Merge.merge(spark, root, changes(), "noop")
+    assert(Merge.morDeleteKeys(spark, root).toSeq == Seq(10L, 90L))
+
+    // OPTIMIZE materializes the filter and clears the list
+    Merge.optimize(spark, root)
+    assert(Merge.morDeleteKeys(spark, root).isEmpty)
+    val opt = spark.read.parquet(Snapshots.dataFiles(spark, root): _*)
+    assert(opt.filter(col("doc_id").isin(10L, 90L)).isEmpty,
+      "OPTIMIZE must physically remove MOR-deleted rows")
+    assert(Merge.readCurrent(spark, root).count() == 98)
+  }
+
   test("key blooms: no false negatives, useful rejection, stable round trip") {
     val s = spark
     import s.implicits._
