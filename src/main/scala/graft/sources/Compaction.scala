@@ -216,13 +216,23 @@ object Compaction {
         val nRows = stats.map(_._2).sum
         val mins = stats.map(_._1).filter(_.hasNonNullValue)
           .map(_.genericGetMin.asInstanceOf[Number].longValue())
-        if (nRows == 0 || mins.isEmpty)
-          // zero-row (or stats-less) file: EMPTY SENTINEL interval
-          // [Long.Max, Long.Min] — intersects no key range, so skipping
-          // and merge pruning never touch it, but the file stays IN the
-          // manifest list: a fully-deleted table keeps its
-          // schema-bearing empty file and remains readable/merge-able
+        if (nRows == 0)
+          // zero-row file: EMPTY SENTINEL interval [Long.Max, Long.Min]
+          // — intersects no key range, so skipping and merge pruning
+          // never touch it, but the file stays IN the manifest list: a
+          // fully-deleted table keeps its schema-bearing empty file and
+          // remains readable/merge-able
           Some((u, Long.MaxValue, Long.MinValue, 0L))
+        else if (mins.isEmpty)
+          // NON-empty file whose footer carries no usable key stats
+          // (stats disabled, or every key null): the empty sentinel
+          // here would be a correctness bug — merge pruning would
+          // prove "no key intersects" and a delete/upsert of a key
+          // physically in this file would never touch it, leaving the
+          // old row alive. Record the conservative FULL-SPAN interval
+          // instead: the file intersects every key range, so it is
+          // always rewritten/scanned — pure cost, never wrong.
+          Some((u, Long.MinValue, Long.MaxValue, nRows))
         else {
           val maxs = stats.map(_._1).filter(_.hasNonNullValue)
             .map(_.genericGetMax.asInstanceOf[Number].longValue())

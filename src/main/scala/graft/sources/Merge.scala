@@ -196,11 +196,20 @@ object Merge {
     * predicate per read until maintenance amortizes it. */
   def deleteMor(spark: SparkSession, root: String, delKeys: DataFrame,
                 fingerprint: String, keyCol: String = "doc_id"): Snapshots.Snapshot = {
+    // same precondition as merge(): a MOR commit carries the CURRENT
+    // file list forward, so a base committed without statsFor (empty
+    // fileStats) would carry NOTHING and the new version would
+    // silently serve an empty table — fail fast instead
+    Snapshots.current(spark, root).getOrElse(throw new IllegalStateException(
+      s"merge-on-read delete target $root has no committed snapshot"))
+    val stats = Snapshots.fileStats(spark, root)
+    require(stats.nonEmpty,
+      s"deleteMor needs a stats-carrying snapshot (commit the base with statsFor) at $root")
     val keys = delKeys.select(col(keyCol).cast("long"))
       .distinct().collect().map(_.getLong(0))
     val merged = (morDeleteKeys(spark, root) ++ keys).distinct.sorted
     Snapshots.commit(spark, root, fingerprint,
-      carry = relativize(root, Snapshots.fileStats(spark, root)),
+      carry = relativize(root, stats),
       extras = if (merged.isEmpty) Seq.empty
                else Seq(DeletesKey -> encodeKeys(merged))) { p =>
       Snapshots.fs(spark, root).mkdirs(new Path(p)); ()
@@ -372,8 +381,13 @@ object Merge {
   def optimize(spark: SparkSession, vroot: String): Snapshots.Snapshot = {
     val cur = Snapshots.current(spark, vroot).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $vroot"))
+    // statsWithBlooms, not bare footerStats: the consolidated files
+    // are carried by every later merge, and a bloom-less carry
+    // degenerates that merge's pruning to conservative interval-touch
+    // rewrites — OPTIMIZE must not silently lower the table's
+    // skipping precision
     val snap = Snapshots.commit(spark, vroot, s"opt:${cur.fingerprint}",
-      statsFor = p => Compaction.footerStats(spark, p)) { p =>
+      statsFor = p => statsWithBlooms(spark, p)) { p =>
       Compaction.compactFrame(spark, readCurrent(spark, vroot), p, "doc_id")
     }
     Snapshots.expire(spark, vroot, keepVersions = 1)

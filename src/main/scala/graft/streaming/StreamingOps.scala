@@ -230,7 +230,16 @@ object StreamingOps {
     * event time already processed. `match_id` < 0 means no match has
     * arrived yet (the state still tracks `max_us` so the in-order
     * contract is enforced from the first event, not the first
-    * match). */
+    * match).
+    *
+    * STATE-SCHEMA BREAK (r8): widened from 2 fields (match_id,
+    * match_us) to 3 when the high-water contract landed. A restart
+    * from a checkpoint written by the 2-field encoder fails state
+    * deserialization — resuming an old checkpoint against this
+    * encoder is NOT supported. The harness feed key was bumped
+    * ([[graft.streaming.StreamingQueries]] `aj2:`) so no pre-change
+    * checkpoint directory is ever resumed; a production deployment
+    * does the same (new checkpoint dir) or replays from the source. */
   case class AsOfState(match_id: Long, match_us: Long, max_us: Long)
   case class AsOfOut(event_id: Long, user_id: Long, target_us: Long,
                      prev_match_id: Option[Long], prev_match_us: Option[Long],

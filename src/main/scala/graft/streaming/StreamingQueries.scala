@@ -281,7 +281,7 @@ object StreamingQueries {
     val matches = all.filter(col("event_type") === "click").drop("event_type")
     val ranges = rangesOf(all, "us", nChunks)
     runTwoSourceFileQuery(spark, targets, matches, "us", ranges,
-      "graft_stream_asof_join", s"aj:$sfDir:$nChunks") { (t, m) =>
+      "graft_stream_asof_join", s"aj2:$sfDir:$nChunks") { (t, m) =>
       StreamingOps.asOfJoinStream(t, m).toDF()
     }.select("event_id", "user_id", "target_us",
       "prev_match_id", "prev_match_us", "gap_us")
@@ -518,8 +518,17 @@ object StreamingQueries {
                                      batchId: Long): Unit = {
     val s = batch.sparkSession
     val cur = graft.sources.Snapshots.current(s, tableRoot)
-    val applied = cur.map(_.fingerprint).collect {
-      case f if f.startsWith("batch:") => f.stripPrefix("batch:").toLong
+    // the replay check is only sound when EVERY commit on this table
+    // is batch-stamped; a foreign fingerprint (an OPTIMIZE run, a
+    // manually bootstrapped base) would otherwise read as "no batch
+    // applied" and a replayed micro-batch would re-merge, duplicating
+    // rows — fail fast rather than silently break exactly-once
+    val applied = cur.map(_.fingerprint).map { f =>
+      if (f.startsWith("batch:")) f.stripPrefix("batch:").toLong
+      else throw new IllegalStateException(
+        s"stream-merge table $tableRoot carries non-batch fingerprint '$f' — " +
+          "cannot prove exactly-once replay; only batch-stamped commits " +
+          "may touch a streaming merge target")
     }
     if (applied.exists(_ >= batchId)) return
     val fp = s"batch:$batchId"

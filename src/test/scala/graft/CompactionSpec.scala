@@ -84,6 +84,24 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("a non-empty file without key stats records the conservative full-span interval") {
+    // all-null keys: the footer has row counts but no usable min/max
+    // for doc_id — the stat must be FULL-SPAN (always touched/scanned),
+    // never the empty sentinel (never touched), or a merge of a key
+    // physically in this file would silently skip it
+    val s = spark
+    import s.implicits._
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_nostats")}/t"
+    (1 to 10).map(i => (None: Option[Long], s"row $i"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(dir)
+    val stats = Compaction.footerStats(spark, dir)
+    assert(stats.size == 1)
+    val st = stats.head
+    assert(st.nRows == 10, s"row count must be real, got ${st.nRows}")
+    assert(st.minKey == Long.MinValue && st.maxKey == Long.MaxValue,
+      s"stats-less non-empty file must span every key, got [${st.minKey}, ${st.maxKey}]")
+  }
+
   test("footer-built index content == scan-built index content (same layout)") {
     // the production build reads parquet FOOTER stats (catalog-sized);
     // the scan build aggregates the data itself — both must agree
