@@ -33,14 +33,22 @@ import org.apache.spark.sql.SparkSession
   * stale-`_done`-marker advice, solved by the same mechanism that
   * provides atomicity.
   *
-  * Concurrency contract: single maintainer per table root (the
-  * cadence compaction/clustering actually runs at — one OPTIMIZE job
-  * per table). Concurrent COMMITS would race on the next version
-  * number and need a CAS/lock service exactly as Delta does on S3;
-  * concurrent READERS are always safe, which is the property a
-  * continuously-queried 100 TB corpus needs. All I/O goes through the
-  * Hadoop [[FileSystem]] API, so the layer is object-store-clean
-  * (r7 verdict item 7).
+  * Concurrency contract (r9): concurrent READERS are always safe —
+  * that is the property a continuously-queried 100 TB corpus needs.
+  * Concurrent WRITERS are DETECTED, not coordinated: data is staged
+  * in a uniquely-named `.tmp_v_*` dir and renamed to its version name
+  * only at publish, so two processes committing against the same
+  * parent can never interleave bytes in one directory; the loser of
+  * the manifest-rename race then RETRIES against the new parent when
+  * its write is content-idempotent (no `carry`/`extras`, i.e. the
+  * output does not depend on the parent state — the ensure-style
+  * derived layouts), and otherwise fails fast NAMING the parent
+  * version it lost to, so the caller re-reads the table and re-merges
+  * (exactly Delta's conflict-resolution contract; a CAS/lock service
+  * is only needed on stores without atomic rename). All I/O goes
+  * through the Hadoop [[FileSystem]] API, so the layer is
+  * object-store-clean (r7 verdict item 7) — on a store without
+  * atomic rename, plug the commit point into a CAS as Delta does.
   */
 object Snapshots {
 
@@ -133,38 +141,91 @@ object Snapshots {
     * — the hook merge-on-read state rides (a [[Merge]] deletion list
     * applies to the whole file list until a rewrite materializes it);
     * extras do NOT carry forward: each commit records exactly the
-    * state it wants the new version to have. */
+    * state it wants the new version to have.
+    *
+    * CROSS-PROCESS RACES (r9): the data is written ONCE into a
+    * uniquely-named staging dir, then the publish loop renames it to
+    * `v{N}` and renames the manifest into place. Either rename
+    * failing means another process committed version N first; the
+    * loop re-resolves the parent and retries with N+1 when the write
+    * is content-idempotent (`retryOnConflict`, defaulting to "no
+    * carry, no extras" — a commit whose content depends on the
+    * parent's file list must NOT be replayed against a new parent),
+    * else throws a [[CommitConflict]] naming the version it lost to
+    * so the caller re-reads and re-derives. */
   def commit(spark: SparkSession, root: String, fingerprint: String,
              statsFor: String => Seq[FileStat] = _ => Seq.empty,
              carry: Seq[FileStat] = Seq.empty,
-             extras: Seq[(String, String)] = Seq.empty)
+             extras: Seq[(String, String)] = Seq.empty,
+             retryOnConflict: Option[Boolean] = None)
             (write: String => Unit): Snapshot = lock(root).synchronized {
     val f = fs(spark, root)
-    val next = current(spark, root).map(_.version + 1).getOrElse(1)
-    val dataDir = dataDirName(next)
-    val dataPath = new Path(root, dataDir)
-    write(dataPath.toString)
-    val statLines = (carry ++ statsFor(dataPath.toString).map(s =>
-      s.copy(path = s"$dataDir/${s.path}"))).map(s =>
-      s"\n${s.path}\t${s.minKey}\t${s.maxKey}\t${s.nRows}" +
-        (if (s.bloom.nonEmpty) s"\t${s.bloom}" else "")) ++
-      extras.map { case (k, v) => s"\n#$k\t$v" }
+    val canRetry = retryOnConflict.getOrElse(carry.isEmpty && extras.isEmpty)
+    // the parent is resolved BEFORE the write: anything a foreign
+    // process publishes after this point is a conflict the loop must
+    // detect (rename refusal), not silently absorb
+    var next = current(spark, root).map(_.version + 1).getOrElse(1)
+    // stage once into a uniquely-named dir: no concurrent writer can
+    // collide with it, and no reader resolves it (readers only follow
+    // manifests). NOT dot/underscore-prefixed — statsFor reads the
+    // staged dir through the Spark datasource path, which silently
+    // drops hidden paths.
+    val staged = new Path(root,
+      s"tmp_v_${java.util.UUID.randomUUID().toString.take(12)}")
+    write(staged.toString)
+    if (!f.exists(staged)) f.mkdirs(staged) // a no-file commit still publishes
+    val stats = statsFor(staged.toString)
     val mdir = new Path(root, ManifestDir)
     f.mkdirs(mdir)
-    val tmp = new Path(mdir, s".tmp_${java.util.UUID.randomUUID().toString.take(12)}")
-    val out = f.create(tmp, true)
-    try out.write((s"$dataDir\t$fingerprint" + statLines.mkString)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val target = new Path(mdir, manifestName(next))
-    if (f.exists(target) || !f.rename(tmp, target)) {
-      f.delete(tmp, false)
-      throw new IllegalStateException(
-        s"snapshot commit lost a race publishing $target — " +
-          "one maintainer per table root (see Snapshots scaladoc)")
+
+    var curData = staged
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 20) throw new IllegalStateException(
+        s"snapshot commit on $root gave up after $attempts attempts — " +
+          "pathological writer contention")
+      val dataDir = dataDirName(next)
+      val dataPath = new Path(root, dataDir)
+      if (!f.rename(curData, dataPath)) {
+        // another process took this version's data-dir name first
+        if (f.exists(dataPath)) { next += 1 }
+        else throw new IllegalStateException(
+          s"could not move staged data $curData to $dataPath")
+      } else {
+        curData = dataPath
+        val statLines = (carry ++ stats.map(s =>
+          s.copy(path = s"$dataDir/${s.path}"))).map(s =>
+          s"\n${s.path}\t${s.minKey}\t${s.maxKey}\t${s.nRows}" +
+            (if (s.bloom.nonEmpty) s"\t${s.bloom}" else "")) ++
+          extras.map { case (k, v) => s"\n#$k\t$v" }
+        val tmp = new Path(mdir,
+          s".tmp_${java.util.UUID.randomUUID().toString.take(12)}")
+        val out = f.create(tmp, true)
+        try out.write((s"$dataDir\t$fingerprint" + statLines.mkString)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        val target = new Path(mdir, manifestName(next))
+        if (!f.exists(target) && f.rename(tmp, target))
+          return Snapshot(next, dataPath.toString, fingerprint)
+        // lost the manifest race: version `next` now belongs to the
+        // other writer (whose header names ITS data dir, not ours)
+        f.delete(tmp, false)
+        if (!canRetry) throw new CommitConflict(root, next,
+          s"snapshot commit on $root lost the publish race for version " +
+            s"$next: the table advanced past the parent this write was " +
+            "derived from — re-read the current snapshot and re-derive " +
+            "(carry/extras-bearing commits are not content-idempotent)")
+        next += 1
+      }
     }
-    Snapshot(next, dataPath.toString, fingerprint)
+    throw new IllegalStateException("unreachable")
   }
+
+  /** Thrown when a non-retryable commit loses a cross-process publish
+    * race; `version` names the parent the caller must rebase onto. */
+  final class CommitConflict(val root: String, val version: Int, msg: String)
+    extends IllegalStateException(msg)
 
   /** Serve the current snapshot when it was derived from exactly this
     * source state, else build and commit a fresh version. The
@@ -208,53 +269,60 @@ object Snapshots {
     * for carried files) resolve against the root; bare legacy names
     * against the snapshot's own data dir. */
   def fileStats(spark: SparkSession, root: String): Seq[FileStat] =
-    current(spark, root) match {
-      case None => Seq.empty
-      case Some(snap) =>
-        val f = fs(spark, root)
-        val lines = readLine(f,
-          new Path(new Path(root, ManifestDir), manifestName(snap.version)))
-          .split('\n')
-        lines.iterator.drop(1).flatMap { l =>
-          def stat(p: String, mn: String, mx: String, n: String, bloom: String) = {
-            val base = if (p.contains('/')) root else snap.dataPath
-            FileStat(new Path(base, p).toString,
-              mn.toLong, mx.toLong, n.toLong, bloom)
-          }
-          if (l.startsWith("#")) None // version-level extras, not files
-          else l.split('\t') match {
-            case Array(p, mn, mx, n)    => Some(stat(p, mn, mx, n, ""))
-            case Array(p, mn, mx, n, b) => Some(stat(p, mn, mx, n, b))
-            case _ => None
-          }
-        }.toSeq
-    }
+    current(spark, root).map(s => fileStatsAt(spark, root, s)).getOrElse(Seq.empty)
+
+  /** [[fileStats]] addressed at a PINNED version — the time-travel
+    * read path ([[at]] resolves the snapshot, this resolves its file
+    * list, carried references and all). */
+  def fileStatsAt(spark: SparkSession, root: String, snap: Snapshot): Seq[FileStat] = {
+    val f = fs(spark, root)
+    val lines = readLine(f,
+      new Path(new Path(root, ManifestDir), manifestName(snap.version)))
+      .split('\n')
+    lines.iterator.drop(1).flatMap { l =>
+      def stat(p: String, mn: String, mx: String, n: String, bloom: String) = {
+        val base = if (p.contains('/')) root else snap.dataPath
+        FileStat(new Path(base, p).toString,
+          mn.toLong, mx.toLong, n.toLong, bloom)
+      }
+      if (l.startsWith("#")) None // version-level extras, not files
+      else l.split('\t') match {
+        case Array(p, mn, mx, n)    => Some(stat(p, mn, mx, n, ""))
+        case Array(p, mn, mx, n, b) => Some(stat(p, mn, mx, n, b))
+        case _ => None
+      }
+    }.toSeq
+  }
 
   /** The CURRENT manifest's version-level extras (`#key` lines). */
   def extras(spark: SparkSession, root: String): Map[String, String] =
-    current(spark, root) match {
-      case None => Map.empty
-      case Some(snap) =>
-        val f = fs(spark, root)
-        readLine(f, new Path(new Path(root, ManifestDir), manifestName(snap.version)))
-          .split('\n').iterator.drop(1)
-          .filter(_.startsWith("#"))
-          .flatMap { l =>
-            l.drop(1).split('\t') match {
-              case Array(k, v) => Some(k -> v)
-              case _ => None
-            }
-          }.toMap
-    }
+    current(spark, root).map(s => extrasAt(spark, root, s)).getOrElse(Map.empty)
+
+  /** [[extras]] at a pinned version. */
+  def extrasAt(spark: SparkSession, root: String, snap: Snapshot): Map[String, String] = {
+    val f = fs(spark, root)
+    readLine(f, new Path(new Path(root, ManifestDir), manifestName(snap.version)))
+      .split('\n').iterator.drop(1)
+      .filter(_.startsWith("#"))
+      .flatMap { l =>
+        l.drop(1).split('\t') match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+  }
 
   /** The CURRENT snapshot's data files, absolute — the manifest file
     * list when stats were recorded (the read path of a copy-on-write
     * table, whose files span version dirs), else the snapshot's own
     * data dir as a single-path fallback. */
-  def dataFiles(spark: SparkSession, root: String): Seq[String] = {
-    val stats = fileStats(spark, root)
-    if (stats.nonEmpty) stats.map(_.path)
-    else current(spark, root).map(_.dataPath).toSeq
+  def dataFiles(spark: SparkSession, root: String): Seq[String] =
+    current(spark, root).map(s => dataFilesAt(spark, root, s)).getOrElse(Seq.empty)
+
+  /** [[dataFiles]] at a pinned version. */
+  def dataFilesAt(spark: SparkSession, root: String, snap: Snapshot): Seq[String] = {
+    val stats = fileStatsAt(spark, root, snap)
+    if (stats.nonEmpty) stats.map(_.path) else Seq(snap.dataPath)
   }
 
   /** Digest of every file under `paths` (recursive): path, length,
@@ -335,11 +403,16 @@ object Snapshots {
       f.delete(new Path(mdir, manifestName(v)), false) // readers lose resolution first
       if (!referenced(dataDir)) f.delete(new Path(root, dataDir), true)
     }
-    // orphan data dirs: v-prefixed dirs no surviving manifest names
+    // orphan data dirs: v-prefixed dirs no surviving manifest names,
+    // plus `tmp_v_*` staging dirs a killed writer abandoned (an
+    // IN-FLIGHT cross-process writer's staging dir could be swept
+    // here — expire shares the commit cadence contract: run it from
+    // the maintenance job, not concurrently with foreign writers)
     f.listStatus(new Path(root)).iterator
       .filter(s => s.isDirectory && !referenced(s.getPath.getName) &&
         s.getPath.getName != ManifestDir &&
-        s.getPath.getName.matches("v\\d{9}"))
+        (s.getPath.getName.matches("v\\d{9}") ||
+          s.getPath.getName.startsWith("tmp_v_")))
       .foreach(s => f.delete(s.getPath, true))
     expired
   }

@@ -224,6 +224,50 @@ class SnapshotsSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("a cross-process publish race retries content-idempotent commits onto the new parent") {
+    val root = tmpRoot("race")
+    Snapshots.commit(spark, root, "v1") { p => writeDocs(p, 0L to 9L) }
+
+    // simulate a FOREIGN process winning version 2 while our commit's
+    // write is in flight: from inside the write callback, fabricate
+    // the other writer's data dir and manifest by hand (no lock
+    // re-entry — this is exactly the interleaving two JVMs produce)
+    val fs = Snapshots.fs(spark, root)
+    def foreignCommit(version: Int, dataDir: String, ids: Seq[Long]): Unit = {
+      writeDocs(s"$root/$dataDir", ids)
+      val m = new org.apache.hadoop.fs.Path(s"$root/_manifests/${"%09d".format(version)}")
+      val out = fs.create(m, false)
+      try out.write(s"$dataDir\tforeign".getBytes("UTF-8")) finally out.close()
+    }
+
+    val snap = Snapshots.commit(spark, root, "mine") { p =>
+      writeDocs(p, 100L to 109L)
+      foreignCommit(2, "vforeign02", 50L to 59L)
+    }
+    // the loser re-resolved the parent and landed one past the winner
+    assert(snap.version == 3, s"expected retry to land v3, got v${snap.version}")
+    assert(Snapshots.current(spark, root).get == snap)
+    // both versions' rows are correct and independently resolvable
+    assert(spark.read.parquet(Snapshots.at(spark, root, 2).get.dataPath)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == (50L to 59L))
+    assert(spark.read.parquet(snap.dataPath)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == (100L to 109L))
+
+    // a commit whose content DEPENDS on the parent (carries files)
+    // must not silently rebase: it fails naming the version it lost to
+    val ex = intercept[Snapshots.CommitConflict] {
+      Snapshots.commit(spark, root, "rebased",
+        carry = Seq(Snapshots.FileStat("v000000003/part-x", 0L, 1L, 1L)),
+        retryOnConflict = Some(false)) { p =>
+        writeDocs(p, 200L to 204L)
+        foreignCommit(4, "vforeign04", 60L to 69L)
+      }
+    }
+    assert(ex.version == 4)
+    assert(Snapshots.current(spark, root).get.version == 4,
+      "the foreign winner stays current after the conflict")
+  }
+
   test("expire retains the newest versions, removes old data dirs and orphans") {
     val root = tmpRoot("expire")
     (1 to 3).foreach { i =>
