@@ -479,10 +479,26 @@ object SparkEntry {
     // (the lifecycle step moves bytes, never rows)
     "merge_compacted" -> ((s, d) => graft.sources.Merge.mergeCompactedScan(s, d)),
     // MERGE-ON-READ delete: an O(batch) commit that rewrites nothing —
-    // the keys ride the manifest's deletion list and are filtered at
-    // read until a copy-on-write merge or OPTIMIZE materializes them
+    // the keys ride a parquet deletion SIDECAR in the version dir
+    // (anti-joined at read; nothing key-sized ever lands driver-side)
+    // until a copy-on-write merge or OPTIMIZE materializes them
     // (the Delta deletion-vector trade at key granularity)
     "merge_mor" -> ((s, d) => graft.sources.Merge.mergeMorScan(s, d)),
+    // TIME TRAVEL (r9): read version 2 of the two-batch chain — the
+    // state batch 1 froze, resolved entirely AT that version (file
+    // list, schema, deletion sidecar) while the table has since
+    // advanced; same oracle as merge_scan by construction
+    "snapshot_at" -> ((s, d) => graft.sources.Merge.snapshotAtScan(s, d)),
+    // STRING/COMPOSITE merge keys (r9): the batch-1 chain keyed on a
+    // string surrogate — canonical 64-bit hash for stats/blooms/
+    // layout, exact string equality for the delete-and-replace; the
+    // key's shape must never change what a merge means, so it shares
+    // merge_scan's oracle
+    "merge_string_key" -> ((s, d) => graft.sources.Merge.mergeStringKeyScan(s, d)),
+    // SCHEMA EVOLUTION mid-chain (r9): batch 2's upserts carry a
+    // column the table never had — the merge widens the manifest
+    // schema and CARRIED files null-fill it at read, unrewritten
+    "merge_evolve" -> ((s, d) => graft.sources.Merge.mergeEvolveScan(s, d)),
     // the reference's NATIVE line format through the DataSource V2
     // connector: id\t escaped-text lines, newline-aligned byte splits
     // (64 KB here so even sf0.001 scans in parallel), doc_id filter
@@ -650,6 +666,12 @@ object SparkEntry {
     "merge_incremental" -> Sql.mergeIncremental,
     "merge_compacted" -> Sql.mergeIncremental,
     "merge_mor" -> Sql.mergeMor,
+    // time travel to the post-batch-1 version == batch 1's oracle;
+    // the string-keyed chain replays batch 1 identically (the key
+    // shape is a layout concern, never a semantic one)
+    "snapshot_at" -> Sql.mergeScan,
+    "merge_string_key" -> Sql.mergeScan,
+    "merge_evolve" -> Sql.mergeEvolve,
     "skipping_scan" -> Sql.skippingScan,
     "csv_roundtrip" -> Sql.docsIdentity,
     "jsonl_roundtrip" -> Sql.docsIdentity,

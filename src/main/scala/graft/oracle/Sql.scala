@@ -2396,6 +2396,39 @@ WHERE rr <= $HybridTopK""")
       sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
     FROM m2 GROUP BY lang, source"""
 
+  /** Schema-evolution replay: batch 2's upserts (the re-sourced
+    * [20%,22%) band) carry a `rev = 2` column the table never had;
+    * every other surviving row null-fills it. Identical CTE stack to
+    * mergeIncremental plus the widened column — the storage layer's
+    * carried-file null-fill must be indistinguishable from computing
+    * the column on the raw table. */
+  val mergeEvolve: String =
+    """WITH mx AS (SELECT max(doc_id) AS mi FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN doc_id >= (mi+1)*40//100 AND doc_id < (mi+1)*42//100
+             THEN 'zz' ELSE lang END AS lang,
+        source, n_chars
+      FROM documents, mx
+      WHERE NOT (doc_id >= (mi+1)*10//100 AND doc_id < (mi+1)*13//100)
+      UNION ALL
+      SELECT mi + i, 'new', 'merge', length('merged doc ' || i)
+      FROM mx, range(1, 101) t(i)
+    ),
+    m2 AS (
+      SELECT m.doc_id, m.lang,
+        CASE WHEN m.doc_id >= (mi+1)*20//100 AND m.doc_id < (mi+1)*22//100
+             THEN 'rev2' ELSE m.source END AS source, m.n_chars,
+        CASE WHEN m.doc_id >= (mi+1)*20//100 AND m.doc_id < (mi+1)*22//100
+             THEN 2 ELSE NULL END AS rev
+      FROM m, mx
+      WHERE NOT (m.doc_id >= (mi+1)*70//100 AND m.doc_id < (mi+1)*72//100)
+    )
+    SELECT lang, source, count(*)::BIGINT AS n_docs,
+      sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids,
+      sum(rev)::BIGINT AS sum_rev
+    FROM m2 GROUP BY lang, source"""
+
   /** Merge-on-read replay: batch 1 plus a deletion-list delete of the
     * [55%,57%) band — the storage layer rewrites nothing and filters
     * at read; content is plain merge semantics. */

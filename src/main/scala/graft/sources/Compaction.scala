@@ -85,16 +85,22 @@ object Compaction {
     * version dirs ([[Merge]]'s OPTIMIZE). */
   def compactFrame(spark: SparkSession, df: DataFrame, dst: String,
                    sortCol: String): String = {
+    df.repartitionByRange(binPackFileCount(spark, df), col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(dst)
+    dst
+  }
+
+  /** ceil(planned input bytes / target) — the bin-pack output file
+    * count every maintenance rewrite sizes itself by (catalog-sized:
+    * one getFileStatus per planned file). */
+  def binPackFileCount(spark: SparkSession, df: DataFrame): Int = {
     val conf = spark.sessionState.newHadoopConf()
     val bytes = df.inputFiles.map { u =>
       val p = new org.apache.hadoop.fs.Path(u)
       p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
-    val nFiles = math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
-    df.repartitionByRange(nFiles, col(sortCol))
-      .sortWithinPartitions(col(sortCol))
-      .write.mode("overwrite").parquet(dst)
-    dst
+    math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
   }
 
   /** The fragmented documents table compacted once per source state

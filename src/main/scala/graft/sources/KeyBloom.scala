@@ -71,6 +71,11 @@ object KeyBloom {
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bb.array())
   }
 
+  /** The aggregate's byte output, encoded directly — byte-identical
+    * to [[encode]] of the decoded words (big-endian both ways). */
+  def encodeBytes(bytes: Array[Byte]): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
+
   /** Empty string (no bloom recorded) decodes to None — the
     * conservative always-touched path. */
   def decode(s: String): Option[Array[Long]] =

@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Row-level MERGE (upsert + delete) on a snapshot-maintained table,
   * executed COPY-ON-WRITE: only the files whose key interval contains
@@ -19,25 +20,46 @@ import org.apache.spark.sql.functions._
   * the COMPUTATIONAL merge (latest-wins over a change log), while
   * this is the STORAGE merge that applies such a batch in place.
   *
-  * Pruning runs on the driver against the manifest's per-file
-  * [minKey, maxKey] stats — catalog-sized work (file count × binary
-  * search over the batch's distinct keys, themselves batch-bounded) —
-  * so query-time data I/O is exactly the touched files plus the
-  * batch. A key absent from the table but inside some file's interval
-  * conservatively touches that file (the interval can't prove
-  * absence), which keeps the no-duplicates invariant without a
-  * per-key bloom filter; keys beyond every interval insert without
-  * touching anything.
+  * KEYS (r9): any column set works. A single integral key keeps its
+  * natural order (range-pruning-friendly intervals); composite or
+  * string keys are canonicalized to a 64-bit hash (`xxhash64` over
+  * string-casts, so an int-typed batch matches a long-typed table),
+  * and the rewrite range-sorts by that hash so files still carry
+  * tight DISJOINT intervals — over the hash domain instead of the
+  * key domain. Interval + bloom pruning runs on the canonical key
+  * (a hash collision costs a redundant rewrite, never correctness);
+  * the delete-and-replace anti-joins run on the REAL key columns, so
+  * row identity is exact. Null keys are never merge targets (the CDC
+  * contract); null-keyed rows ride along as carried data.
   *
-  * Rewritten rows land range-sorted by the key so the NEW files carry
-  * tight disjoint intervals of their own (the [[Compaction]]
-  * discipline), and the commit records their footer stats next to the
-  * carried ones — the table stays skipping-plannable across any
-  * number of merges. Crash/concurrency story is [[Snapshots]]':
-  * a killed merge leaves an unreferenced data dir, never a partial
-  * table; readers of prior versions keep intact files until
-  * [[Snapshots.expire]], which keeps a version dir alive while any
-  * surviving manifest still carries a file inside it.
+  * SCALE (r9): no key set is ever materialized on the driver. The
+  * batch's keys probe the manifest's per-file [min,max]+bloom catalog
+  * EXECUTOR-side (the catalog is broadcast — file-count-sized, the
+  * thing a driver legitimately holds) and only the touched file
+  * indices come back; the delete-and-replace is an anti-join against
+  * the batch frame; and the merge-on-read deletion list lives in a
+  * parquet SIDECAR inside the version dir (`deletes/`), applied as an
+  * anti-join at read — a 10⁸-key GDPR batch flows through the same
+  * plan shapes as a 10-key fix-up.
+  *
+  * SCHEMA EVOLUTION (r9): an upsert batch may carry columns the table
+  * lacks (and vice versa) — the rewrite unions by name with null
+  * fill, and the commit records the widened schema in the manifest
+  * (`#schema`), which readers apply so CARRIED files null-fill added
+  * columns without being rewritten (the Delta log-schema pattern;
+  * `mergeSchema` would re-read every footer instead).
+  *
+  * Rewritten rows land range-sorted by the canonical key so the NEW
+  * files carry tight disjoint intervals of their own (the
+  * [[Compaction]] discipline), and the commit records their stats +
+  * blooms next to the carried ones — the table stays
+  * skipping-plannable across any number of merges. Crash/concurrency
+  * story is [[Snapshots]]': a killed merge leaves an unreferenced
+  * staging dir, never a partial table; a merge that loses a
+  * cross-process publish race fails with [[Snapshots.CommitConflict]]
+  * (its content depends on the parent file list — the caller
+  * re-reads and re-merges); readers of prior versions keep intact
+  * files until [[Snapshots.expire]].
   */
 object Merge {
 
@@ -45,113 +67,88 @@ object Merge {
   val DeleteOp = "delete"
 
   /** Bumped whenever the registered change-batch semantics change, so
-    * fingerprint-cached chains from an older design rebuild. */
-  private val BatchFormat = "b2"
+    * fingerprint-cached chains from an older design rebuild. (b3:
+    * sidecar deletion lists + schema extras + canonical-key layout.) */
+  private val BatchFormat = "b3"
 
-  /** Apply one CDC-shaped change batch (`op` column = upsert|delete;
-    * upsert rows carry the full table schema) to the current snapshot
-    * of `root`, committing the result as the next version. An EMPTY
-    * batch still commits — a carry-all version with no new files —
-    * so version history and idempotence fingerprints advance even
-    * when no row moves (the Delta empty-transaction behavior a
-    * fingerprint-stamped chain depends on). */
-  def merge(spark: SparkSession, root: String, changes: DataFrame,
-            fingerprint: String, keyCol: String = "doc_id"): Snapshots.Snapshot = {
-    Snapshots.current(spark, root).getOrElse(throw new IllegalStateException(
-      s"merge target $root has no committed snapshot"))
-    val stats = Snapshots.fileStats(spark, root)
-    require(stats.nonEmpty,
-      s"merge needs a stats-carrying snapshot (commit the base with statsFor) at $root")
+  private val DeletesKey = "deletes"
+  private val DeletesDir = "deletes"
+  private val SchemaKey = "schema"
 
-    // the batch's distinct keys: batch-sized by contract (a CDC batch,
-    // not the corpus), sorted for the per-file interval probe
-    val keys: Array[Long] = changes.select(col(keyCol).cast("long"))
-      .distinct().collect().map(_.getLong(0)).sorted
-    val priorDels = morDeleteKeys(spark, root)
-    if (keys.isEmpty)
-      return Snapshots.commit(spark, root, fingerprint,
-        carry = relativize(root, stats),
-        extras = if (priorDels.isEmpty) Seq.empty
-                 else Seq(DeletesKey -> encodeKeys(priorDels))) { p =>
-        Snapshots.fs(spark, root).mkdirs(new Path(p)); ()
-      }
+  // ---- canonical merge key ------------------------------------------
 
-    // interval first (sorted-keys binary probe), then the file's key
-    // bloom when one is recorded: the interval can only prove a key
-    // OUTSIDE [min,max]; the bloom proves absence INSIDE it, so point
-    // deletes / gap inserts stop rewriting files they merely span
-    def touchedBy(s: Snapshots.FileStat): Boolean = {
-      val i = java.util.Arrays.binarySearch(keys, s.minKey)
-      val from = if (i >= 0) i else -(i + 1)
-      if (from >= keys.length || keys(from) > s.maxKey) false
-      else KeyBloom.decode(s.bloom) match {
-        case None => true // no bloom recorded: conservative
-        case Some(bits) =>
-          var j = from
-          while (j < keys.length && keys(j) <= s.maxKey) {
-            if (KeyBloom.mightContain(bits, keys(j))) return true
-            j += 1
-          }
-          false
-      }
-    }
-    val (touched, carried) = stats.partition(touchedBy)
+  /** True when the key keeps its natural long order (range pruning on
+    * the real key domain); else the canonical key is a 64-bit hash. */
+  private def naturalLong(schema: StructType, keyCols: Seq[String]): Boolean =
+    keyCols.size == 1 && (schema(keyCols.head).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
 
-    val upserts = changes.filter(col("op") === UpsertOp).drop("op")
-    val changeKeys = changes.select(col(keyCol)).distinct()
-    val merged =
-      if (touched.isEmpty) upserts
-      else {
-        // the raw touched bytes may still hold rows a merge-on-read
-        // delete removed logically — apply the list before merging so
-        // the rewrite materializes those deletions for its files
-        val raw = spark.read.parquet(touched.map(_.path): _*)
-        val base = if (priorDels.isEmpty) raw
-                   else raw.filter(!col(keyCol).isInCollection(priorDels))
-        // delete-and-replace: every change key's old row goes (the
-        // broadcast anti-join is batch-bounded), upserts come back
-        base.join(broadcast(changeKeys), Seq(keyCol), "left_anti")
-          .unionByName(upserts.select(raw.columns.toIndexedSeq.map(col): _*))
-      }
+  /** The canonical 64-bit pruning/layout key. String-casts before
+    * hashing make the canonicalization TYPE-STABLE: an int-keyed
+    * batch and a long-keyed table agree, where hashing raw physical
+    * types would not. */
+  private[sources] def canonicalCol(schema: StructType, keyCols: Seq[String]): Column =
+    if (naturalLong(schema, keyCols)) col(keyCols.head).cast("long")
+    else xxhash64(keyCols.map(c => col(c).cast("string")): _*)
 
-    // size the rewrite by the touched bytes (catalog-sized listing),
-    // same bin-pack target as compaction; inserts are batch-noise
-    val conf = spark.sessionState.newHadoopConf()
-    val touchedBytes = touched.map { s =>
-      val p = new Path(s.path); p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sum
-    val nFiles = math.max(1L,
-      (touchedBytes + Compaction.TargetFileBytes - 1) / Compaction.TargetFileBytes).toInt
+  // ---- commit-time stats --------------------------------------------
 
-    // the batch's keys now have EXPLICIT state (rewritten or inserted)
-    // — drop them from the deletion list so a re-upsert of a
-    // MOR-deleted key survives the read filter
-    val remainingDels = {
-      val ks = keys.toSet
-      priorDels.filterNot(ks)
-    }
-    Snapshots.commit(spark, root, fingerprint,
-      statsFor = p => statsWithBlooms(spark, p, keyCol),
-      carry = relativize(root, carried),
-      extras = if (remainingDels.isEmpty) Seq.empty
-               else Seq(DeletesKey -> encodeKeys(remainingDels))) { path =>
-      merged.repartitionByRange(nFiles, col(keyCol))
-        .sortWithinPartitions(col(keyCol))
-        .write.mode("overwrite").parquet(path)
-    }
+  /** The immediate (non-hidden) data files of a version/staging dir —
+    * listed through the Hadoop API, NOT a datasource dir-read, so the
+    * `deletes/` sidecar subdir never pollutes stats or reads. */
+  private def topLevelFiles(spark: SparkSession, path: String): Seq[String] = {
+    val f = Snapshots.fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).iterator
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_")
+      })
+      .map(_.getPath.toString).toSeq
   }
 
-  /** Footer intervals plus a [[KeyBloom]] per freshly-written file:
-    * one extra executor-side columnar pass over only the files this
-    * commit wrote — the commit-time investment that buys bloom-exact
-    * pruning on every later merge (carried files keep their recorded
-    * bloom verbatim; an immutable file's bloom never staleness-drifts). */
+  /** Per-file interval + row count + [[KeyBloom]] for a freshly
+    * written data dir, in ONE executor-side columnar pass over only
+    * the files this commit wrote (the commit-time investment that
+    * buys catalog-only pruning on every later merge; carried files
+    * keep their recorded stats verbatim — an immutable file's stats
+    * never drift). Works for any key shape via the canonical key; a
+    * zero-row file records the empty sentinel (intersects nothing,
+    * keeps the table schema-bearing); a file whose keys are all null
+    * records the conservative full span. */
   def statsWithBlooms(spark: SparkSession, path: String,
-                      keyCol: String = "doc_id"): Seq[Snapshots.FileStat] = {
-    val base = Compaction.footerStats(spark, path, keyCol)
-    val byName = KeyBloom.bloomsFor(spark.read.parquet(path), keyCol)
-      .map { case (uri, b) => new Path(uri).getName -> b }
-    base.map(s => s.copy(bloom = byName.getOrElse(s.path, "")))
+                      keyCols: Seq[String] = Seq("doc_id")): Seq[Snapshots.FileStat] = {
+    val files = topLevelFiles(spark, path)
+    if (files.isEmpty) return Seq.empty
+    val df = spark.read.parquet(files: _*)
+    val k = canonicalCol(df.schema, keyCols)
+    val agg = df.groupBy(input_file_name().as("file"))
+      .agg(min(k).as("mn"), max(k).as("mx"), count(lit(1)).as("n"),
+        KeyBloom.bloomAgg(k.cast("long")).as("bloom"))
+      .collect()
+      .map { r =>
+        val name = new Path(r.getAs[String]("file")).getName
+        val bloom = KeyBloom.encodeBytes(r.getAs[Array[Byte]]("bloom"))
+        name -> (Option(r.get(r.fieldIndex("mn"))),
+          Option(r.get(r.fieldIndex("mx"))), r.getAs[Long]("n"), bloom)
+      }.toMap
+    files.map { u =>
+      val name = new Path(u).getName
+      agg.get(name) match {
+        case Some((Some(mn), Some(mx), n, bloom)) =>
+          Snapshots.FileStat(name, mn.asInstanceOf[Number].longValue(),
+            mx.asInstanceOf[Number].longValue(), n, bloom)
+        case Some((_, _, n, _)) =>
+          // all keys null: full span, always touched — cost, never wrong
+          Snapshots.FileStat(name, Long.MinValue, Long.MaxValue, n)
+        case None =>
+          // zero-row schema-bearing file: empty sentinel, never touched
+          Snapshots.FileStat(name, Long.MaxValue, Long.MinValue, 0L)
+      }
+    }
   }
 
   /** Strip the absolute resolution [[Snapshots.fileStats]] applied so
@@ -165,67 +162,305 @@ object Merge {
     }
   }
 
-  private val DeletesKey = "deletes"
+  // ---- schema extra ---------------------------------------------------
 
-  private def encodeKeys(keys: Array[Long]): String = {
-    val bb = java.nio.ByteBuffer.allocate(keys.length * 8)
-    keys.foreach(bb.putLong)
-    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bb.array())
-  }
+  private def encodeSchema(s: StructType): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def decodeSchema(s: String): StructType =
+    DataType.fromJson(new String(java.util.Base64.getUrlDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+
+  /** The table schema the current manifest records (None before the
+    * first merge-family commit stamped one). */
+  def tableSchema(spark: SparkSession, root: String): Option[StructType] =
+    Snapshots.current(spark, root).flatMap(s => tableSchemaAt(spark, root, s))
+
+  private def tableSchemaAt(spark: SparkSession, root: String,
+                            snap: Snapshots.Snapshot): Option[StructType] =
+    Snapshots.extrasAt(spark, root, snap).get(SchemaKey).map(decodeSchema)
+
+  // ---- merge-on-read deletion sidecar ---------------------------------
 
   /** The MERGE-ON-READ deletion list the current manifest carries —
-    * keys logically deleted but not yet physically rewritten out.
-    * Batch-bounded by construction (each MOR delete adds one CDC
-    * batch's keys; any copy-on-write merge subtracts its batch and
-    * OPTIMIZE clears the list entirely). */
-  def morDeleteKeys(spark: SparkSession, root: String): Array[Long] =
-    Snapshots.extras(spark, root).get(DeletesKey) match {
-      case None => Array.emptyLongArray
-      case Some(s) =>
-        val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getUrlDecoder.decode(s))
-        Array.fill(bb.remaining() / 8)(bb.getLong)
+    * key rows logically deleted but not yet physically rewritten out,
+    * as a DataFrame over the key columns (a parquet sidecar inside
+    * the version dir; nothing key-sized ever lands on the driver). */
+  def morDeletes(spark: SparkSession, root: String): Option[DataFrame] =
+    Snapshots.current(spark, root).flatMap(s => morDeletesAt(spark, root, s))
+
+  private def morDeletesAt(spark: SparkSession, root: String,
+                           snap: Snapshots.Snapshot): Option[DataFrame] =
+    Snapshots.extrasAt(spark, root, snap).get(DeletesKey).map { rel =>
+      spark.read.parquet(
+        topLevelFiles(spark, new Path(snap.dataPath, rel).toString): _*)
     }
 
+  // ---- the copy-on-write merge ----------------------------------------
+
+  /** Apply one CDC-shaped change batch (`op` column = upsert|delete;
+    * upsert rows carry data columns — missing ones null-fill, new
+    * ones widen the table schema) to the current snapshot of `root`,
+    * committing the result as the next version. An EMPTY batch still
+    * commits — a carry-all version with no new files — so version
+    * history and idempotence fingerprints advance even when no row
+    * moves (the Delta empty-transaction behavior a fingerprint-
+    * stamped chain depends on). */
+  def merge(spark: SparkSession, root: String, changes: DataFrame,
+            fingerprint: String, keyCols: Seq[String] = Seq("doc_id")): Snapshots.Snapshot = {
+    val cur = Snapshots.current(spark, root).getOrElse(throw new IllegalStateException(
+      s"merge target $root has no committed snapshot"))
+    val stats = Snapshots.fileStats(spark, root)
+    require(stats.nonEmpty,
+      s"merge needs a stats-carrying snapshot (commit the base with statsFor) at $root")
+
+    val priorDels = morDeletesAt(spark, root, cur)
+    val storedSchema = tableSchemaAt(spark, root, cur)
+    // the on-disk schema files were written under (pre-widening);
+    // reads of raw files apply it so carried columns line up
+    def readFiles(paths: Seq[String]): DataFrame = storedSchema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    def baseSchema: StructType = storedSchema.getOrElse(
+      spark.read.parquet(stats.head.path).schema)
+
+    if (changes.isEmpty) {
+      // carry-all: every file by reference, deletion list re-recorded
+      val hasDels = priorDels.isDefined
+      return Snapshots.commit(spark, root, fingerprint,
+        carry = relativize(root, stats),
+        extras = schemaExtras(baseSchema, hasDels),
+        retryOnConflict = Some(false)) { p =>
+        priorDels.foreach(d =>
+          d.write.parquet(new Path(p, DeletesDir).toString))
+      }
+    }
+
+    // which files does the batch touch? Probe the broadcast catalog
+    // executor-side; only file INDICES return to the driver.
+    val canonical = canonicalCol(changes.schema, keyCols)
+    val touchedIdx = probeTouched(spark, changes.select(canonical.as("k")), stats)
+    val (touched, carried) = stats.zipWithIndex.partition { case (_, i) => touchedIdx(i) }
+
+    val upserts = changes.filter(col("op") === UpsertOp).drop("op")
+    val changeKeys = changes.select(keyCols.map(col): _*).distinct()
+    val merged = {
+      val base =
+        if (touched.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+        else {
+          // the raw touched bytes may still hold rows a merge-on-read
+          // delete removed logically — apply the list before merging so
+          // the rewrite materializes those deletions for its files
+          val raw = readFiles(touched.map(_._1.path))
+          priorDels.fold(raw)(d => raw.join(d, keyCols, "left_anti"))
+        }
+      // delete-and-replace: every change key's old row goes (an
+      // anti-join against the batch frame — AQE broadcasts a small
+      // batch, shuffles a huge one; no driver key list either way),
+      // upserts come back, by name, null-filling across the widening
+      base.join(changeKeys, keyCols, "left_anti")
+        .unionByName(upserts, allowMissingColumns = true)
+    }
+
+    // size the rewrite by the touched bytes (catalog-sized listing),
+    // same bin-pack target as compaction; inserts are batch-noise
+    val conf = spark.sessionState.newHadoopConf()
+    val touchedBytes = touched.map { case (s, _) =>
+      val p = new Path(s.path); p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val nFiles = math.max(1L,
+      (touchedBytes + Compaction.TargetFileBytes - 1) / Compaction.TargetFileBytes).toInt
+
+    // the batch's keys now have EXPLICIT state (rewritten or inserted)
+    // — drop them from the deletion list so a re-upsert of a
+    // MOR-deleted key survives the read filter
+    val remainingDels = priorDels.map(_.join(changeKeys, keyCols, "left_anti"))
+    val hasRemaining = remainingDels.exists(!_.isEmpty)
+
+    Snapshots.commit(spark, root, fingerprint,
+      statsFor = p => statsWithBlooms(spark, p, keyCols),
+      carry = relativize(root, carried.map(_._1)),
+      extras = schemaExtras(merged.schema, hasRemaining),
+      retryOnConflict = Some(false)) { path =>
+      writeRangeSorted(merged, keyCols, nFiles, path)
+      if (hasRemaining)
+        remainingDels.get.write.parquet(new Path(path, DeletesDir).toString)
+    }
+  }
+
+  private def schemaExtras(schema: StructType, hasDels: Boolean): Seq[(String, String)] =
+    Seq(SchemaKey -> encodeSchema(schema)) ++
+      (if (hasDels) Seq(DeletesKey -> DeletesDir) else Seq.empty)
+
+  /** Range-sort by the canonical key and write: output files tile the
+    * canonical key space with tight disjoint intervals (the property
+    * all pruning rests on), whatever the key's shape. */
+  private def writeRangeSorted(df: DataFrame, keyCols: Seq[String],
+                               nFiles: Int, path: String): Unit =
+    df.withColumn("__gk", canonicalCol(df.schema, keyCols))
+      .repartitionByRange(nFiles, col("__gk"))
+      .sortWithinPartitions(col("__gk"))
+      .drop("__gk")
+      .write.mode("overwrite").parquet(path)
+
+  /** EXECUTOR-side pruning probe: broadcast the (file-count-sized)
+    * catalog — sorted intervals, prefix-max for overlap cutoff,
+    * decoded blooms — and stream the batch's canonical keys through
+    * it; a key marks a file only when it lies inside the interval AND
+    * the bloom cannot prove absence. Only the hit file indices are
+    * collected (bounded by file count, never by batch size). */
+  private def probeTouched(spark: SparkSession, keys: DataFrame,
+                           stats: Seq[Snapshots.FileStat]): Set[Int] = {
+    val order = stats.zipWithIndex.sortBy(_._1.minKey)
+    val mins = order.map(_._1.minKey).toArray
+    val maxs = order.map(_._1.maxKey).toArray
+    val origIdx = order.map(_._2).toArray
+    val blooms = order.map(s => KeyBloom.decode(s._1.bloom).orNull).toArray
+    // prefix max over sorted-by-min intervals: once maxUpTo(i) < k no
+    // earlier interval can contain k — the overlap-scan cutoff
+    val maxUpTo = new Array[Long](maxs.length)
+    var acc = Long.MinValue
+    for (i <- maxs.indices) { acc = math.max(acc, maxs(i)); maxUpTo(i) = acc }
+    val bc = spark.sparkContext.broadcast((mins, maxs, maxUpTo, blooms))
+    import spark.implicits._
+    val hits = keys.na.drop().as[Long].mapPartitions { it =>
+      val (mins, maxs, maxUpTo, blooms) = bc.value
+      val hit = new java.util.BitSet(mins.length)
+      it.foreach { k =>
+        // last interval whose min <= k
+        var lo = 0; var hi = mins.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (mins(mid) <= k) lo = mid + 1 else hi = mid
+        }
+        var i = lo - 1
+        while (i >= 0 && maxUpTo(i) >= k) {
+          if (maxs(i) >= k && !hit.get(i) &&
+            (blooms(i) == null || KeyBloom.mightContain(blooms(i), k)))
+            hit.set(i)
+          i -= 1
+        }
+      }
+      Iterator.range(0, mins.length).filter(hit.get).map(_.toLong)
+    }.distinct().collect()
+    hits.map(i => origIdx(i.toInt)).toSet
+  }
+
   /** MERGE-ON-READ DELETE: an O(batch) commit that rewrites NOTHING —
-    * every file is carried and the keys join the manifest's deletion
-    * list, applied as a read-time filter until a later copy-on-write
-    * merge (which subtracts its batch keys, so a re-upsert
-    * resurrects cleanly) or OPTIMIZE (which materializes the
-    * filter and clears the list) — the Delta deletion-vector
-    * trade at key granularity: delete latency O(batch) now, one
-    * predicate per read until maintenance amortizes it. */
+    * every file is carried and the key rows land in the version's
+    * parquet deletion sidecar, applied as a read-time anti-join until
+    * a later copy-on-write merge (which subtracts its batch keys, so
+    * a re-upsert resurrects cleanly) or OPTIMIZE (which materializes
+    * the filter and clears the list) — the Delta deletion-vector
+    * trade at key granularity. `delKeys`' columns ARE the key
+    * columns; nothing is ever collected to the driver. */
   def deleteMor(spark: SparkSession, root: String, delKeys: DataFrame,
-                fingerprint: String, keyCol: String = "doc_id"): Snapshots.Snapshot = {
+                fingerprint: String): Snapshots.Snapshot = {
     // same precondition as merge(): a MOR commit carries the CURRENT
     // file list forward, so a base committed without statsFor (empty
     // fileStats) would carry NOTHING and the new version would
     // silently serve an empty table — fail fast instead
-    Snapshots.current(spark, root).getOrElse(throw new IllegalStateException(
+    val cur = Snapshots.current(spark, root).getOrElse(throw new IllegalStateException(
       s"merge-on-read delete target $root has no committed snapshot"))
     val stats = Snapshots.fileStats(spark, root)
     require(stats.nonEmpty,
       s"deleteMor needs a stats-carrying snapshot (commit the base with statsFor) at $root")
-    val keys = delKeys.select(col(keyCol).cast("long"))
-      .distinct().collect().map(_.getLong(0))
-    val merged = (morDeleteKeys(spark, root) ++ keys).distinct.sorted
+    val merged = morDeletesAt(spark, root, cur) match {
+      case Some(prior) => prior.unionByName(delKeys).distinct()
+      case None => delKeys.distinct()
+    }
+    val schema = tableSchemaAt(spark, root, cur).getOrElse(
+      spark.read.parquet(stats.head.path).schema)
     Snapshots.commit(spark, root, fingerprint,
       carry = relativize(root, stats),
-      extras = if (merged.isEmpty) Seq.empty
-               else Seq(DeletesKey -> encodeKeys(merged))) { p =>
-      Snapshots.fs(spark, root).mkdirs(new Path(p)); ()
+      extras = schemaExtras(schema, hasDels = true),
+      retryOnConflict = Some(false)) { p =>
+      merged.write.parquet(new Path(p, DeletesDir).toString)
     }
   }
 
   /** Read the current snapshot of a merge-maintained table: the
     * manifest's file list (spanning version dirs) in one parquet
-    * read, minus the merge-on-read deletion list (compiled to an
-    * InSet predicate — batch-bounded, codegen-friendly). */
-  def readCurrent(spark: SparkSession, root: String,
-                  keyCol: String = "doc_id"): DataFrame = {
-    val df = spark.read.parquet(Snapshots.dataFiles(spark, root): _*)
-    val dels = morDeleteKeys(spark, root)
-    if (dels.isEmpty) df
-    else df.filter(!col(keyCol).isInCollection(dels))
+    * read under the manifest's recorded schema (carried files
+    * null-fill columns later merges added), minus the deletion
+    * sidecar (anti-join — batch-bounded, broadcast by AQE). */
+  def readCurrent(spark: SparkSession, root: String): DataFrame = {
+    val snap = Snapshots.current(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    readSnapshot(spark, root, snap)
+  }
+
+  /** TIME TRAVEL: the table exactly as version `version` froze it —
+    * same read path as [[readCurrent]] (file list, schema, deletion
+    * sidecar all resolved AT that version), possible for as long as
+    * retention keeps the version ([[Snapshots.expire]]). */
+  def readAt(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val snap = Snapshots.at(spark, root, version).getOrElse(
+      throw new IllegalStateException(
+        s"version $version of $root was never committed or has been expired"))
+    readSnapshot(spark, root, snap)
+  }
+
+  private def readSnapshot(spark: SparkSession, root: String,
+                           snap: Snapshots.Snapshot): DataFrame = {
+    val files = Snapshots.dataFilesAt(spark, root, snap)
+    val df = tableSchemaAt(spark, root, snap) match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
+    morDeletesAt(spark, root, snap) match {
+      case Some(dels) => df.join(dels, dels.columns.toIndexedSeq, "left_anti")
+      case None => df
+    }
+  }
+
+  /** The OPTIMIZE step: rewrite the current (possibly cross-dir) file
+    * list as one compacted version with no carries — materializing
+    * the deletion sidecar and clearing it — then expire everything
+    * older, after which retention has reclaimed every dir only the
+    * carries kept alive. `zorderBy` preserves a 2-dim clustering
+    * through maintenance: files are laid out by the Morton interleave
+    * of the two columns instead of the linear canonical-key sort, so
+    * a z-clustered table keeps its two-dim pruning win (stats/blooms
+    * are still recorded on the MERGE key — pruning precision and
+    * layout are independent concerns). */
+  def optimize(spark: SparkSession, vroot: String,
+               keyCols: Seq[String] = Seq("doc_id"),
+               zorderBy: Option[(String, String)] = None): Snapshots.Snapshot = {
+    val cur = Snapshots.current(spark, vroot).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $vroot"))
+    val df = readCurrent(spark, vroot)
+    // statsWithBlooms, not bare footerStats: the consolidated files
+    // are carried by every later merge, and a bloom-less carry
+    // degenerates that merge's pruning to conservative interval-touch
+    // rewrites — OPTIMIZE must not silently lower the table's
+    // skipping precision
+    val snap = Snapshots.commit(spark, vroot, s"opt:${cur.fingerprint}",
+      statsFor = p => statsWithBlooms(spark, p, keyCols),
+      extras = Seq(SchemaKey -> encodeSchema(df.schema)),
+      retryOnConflict = Some(false)) { p =>
+      zorderBy match {
+        case None =>
+          writeRangeSorted(df, keyCols, Compaction.binPackFileCount(spark, df), p)
+        case Some((a, b)) =>
+          val maxes = df.agg(max(col(a)), max(col(b))).head()
+          val z = ZOrder.zValue(
+            ZOrder.norm16(col(a), maxes.getLong(0)),
+            ZOrder.norm16(col(b), maxes.getLong(1)))
+          df.withColumn("__gz", z)
+            .repartitionByRange(Compaction.binPackFileCount(spark, df), col("__gz"))
+            .sortWithinPartitions(col("__gz"))
+            .drop("__gz")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 32 * 1024)
+            .parquet(p)
+      }
+    }
+    Snapshots.expire(spark, vroot, keepVersions = 1)
+    snap
   }
 
   // ---- registered-query fixtures ------------------------------------
@@ -249,8 +484,7 @@ object Merge {
   private def band(mi: Long, loPct: Long, hiPct: Long): (Long, Long) =
     ((mi + 1) * loPct / 100, (mi + 1) * hiPct / 100)
 
-  private def inBand(c: org.apache.spark.sql.Column, b: (Long, Long)) =
-    c >= b._1 && c < b._2
+  private def inBand(c: Column, b: (Long, Long)) = c >= b._1 && c < b._2
 
   /** Batch 1 — the oracle-replayable CDC batch: delete the [10%,13%)
     * id band, re-language [40%,42%) to 'zz', and insert 100 fresh
@@ -291,15 +525,18 @@ object Merge {
   /** Base v1 + the given number of merge batches, rebuilt only when
     * the source fingerprint (or chain depth) changed — the
     * [[Snapshots.ensure]] idempotence discipline, keyed on the final
-    * chain state. */
-  def ensureChain(spark: SparkSession, dir: String, batches: Int): String = {
+    * chain state. `suffix` separates roots whose lifecycle diverges
+    * (the OPTIMIZE query consolidates ITS root; the time-travel query
+    * needs its chain's history intact). */
+  def ensureChain(spark: SparkSession, dir: String, batches: Int,
+                  suffix: String = ""): String = {
     val src = s"$dir/documents.parquet"
     val fp = Snapshots.fingerprint(spark, src)
-    val vroot = s"${root(dir)}/chain$batches"
+    val vroot = s"${root(dir)}/chain$batches$suffix"
     // the fingerprint keys on source DATA; the batch-format tag keys
     // on batch SEMANTICS — cached chains from an older batch design
     // must rebuild, not silently serve the old rows
-    val want = s"$BatchFormat-m$batches:$fp"
+    val want = s"$BatchFormat-m$batches$suffix:$fp"
     // an OPTIMIZEd chain ([[mergeCompactedScan]]) holds the same rows
     // under a consolidated layout — still current, don't rebuild
     val have = Snapshots.current(spark, vroot).map(_.fingerprint)
@@ -334,10 +571,79 @@ object Merge {
   def mergeIncrementalScan(spark: SparkSession, dir: String): DataFrame =
     scanStats(readCurrent(spark, ensureChain(spark, dir, 2)))
 
+  /** TIME TRAVEL over the merge chain: read version 2 — the state
+    * batch 1 froze — of the SAME root [[mergeIncrementalScan]] has
+    * since advanced past with batch 2. The oracle is merge_scan's:
+    * a pinned version must replay exactly what it froze, carried
+    * references, schema and deletion state all resolved AT that
+    * version. */
+  def snapshotAtScan(spark: SparkSession, dir: String): DataFrame = {
+    val vroot = ensureChain(spark, dir, 2)
+    scanStats(readAt(spark, vroot, 2))
+  }
+
+  /** The same batch-1 chain keyed on a STRING surrogate key
+    * (`'d' || doc_id`) — the composite/string-key path: canonical
+    * 64-bit hash for stats/blooms/layout, exact string equality for
+    * the delete-and-replace. Content is identical to [[mergeScan]]
+    * (the key's SHAPE must never change what a merge means), so the
+    * two share one oracle. */
+  def mergeStringKeyScan(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/documents.parquet"
+    val fp = Snapshots.fingerprint(spark, src)
+    val vroot = s"${root(dir)}/chainstr"
+    val want = s"$BatchFormat-str:$fp"
+    if (!Snapshots.current(spark, vroot).exists(_.fingerprint == want)) {
+      Snapshots.fs(spark, vroot).delete(new Path(vroot), true)
+      val withKey = spark.read.parquet(src)
+        .withColumn("doc_key", concat(lit("d"), col("doc_id")))
+      Snapshots.commit(spark, vroot, s"base:$fp",
+        statsFor = p => statsWithBlooms(spark, p, Seq("doc_key"))) { p =>
+        writeRangeSorted(withKey, Seq("doc_key"),
+          Compaction.binPackFileCount(spark, spark.read.parquet(src)), p)
+      }
+      merge(spark, vroot,
+        changeBatch1(spark, dir)
+          .withColumn("doc_key", concat(lit("d"), col("doc_id"))),
+        want, Seq("doc_key"))
+    }
+    scanStats(readCurrent(spark, vroot))
+  }
+
+  /** SCHEMA EVOLUTION mid-chain: batch 2's upserts carry a `rev`
+    * column the table never had. The merge widens the schema, the
+    * carried files (never rewritten) null-fill it at read, and the
+    * aggregate proves exactly the upserted band carries the value —
+    * the oracle replays the widened semantics off the raw table. */
+  def mergeEvolveScan(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/documents.parquet"
+    val fp = Snapshots.fingerprint(spark, src)
+    val vroot = s"${root(dir)}/chainevolve"
+    val want = s"$BatchFormat-evolve:$fp"
+    if (!Snapshots.current(spark, vroot).exists(_.fingerprint == want)) {
+      Snapshots.fs(spark, vroot).delete(new Path(vroot), true)
+      Snapshots.commit(spark, vroot, s"base:$fp",
+        statsFor = p => statsWithBlooms(spark, p)) { p =>
+        Compaction.compactDir(spark, src, p, "doc_id")
+      }
+      merge(spark, vroot, changeBatch1(spark, dir), s"m1:$fp")
+      merge(spark, vroot,
+        changeBatch2(spark, dir, vroot)
+          .withColumn("rev", when(col("op") === UpsertOp, lit(2L))),
+        want)
+    }
+    readCurrent(spark, vroot)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("doc_id")).cast("long").as("sum_ids"),
+        sum(col("rev")).cast("long").as("sum_rev"))
+  }
+
   /** The table after batch 1 plus a MERGE-ON-READ delete of the
     * [55%,57%) id band — zero files rewritten, the band lives in the
-    * manifest's deletion list and is filtered at read time. Content
-    * is still pure merge semantics for the oracle. */
+    * version's deletion sidecar and is anti-joined at read time.
+    * Content is still pure merge semantics for the oracle. */
   def mergeMorScan(spark: SparkSession, dir: String): DataFrame = {
     val src = s"$dir/documents.parquet"
     val fp = Snapshots.fingerprint(spark, src)
@@ -365,32 +671,15 @@ object Merge {
     * (carried refs + per-batch rewrites); this consolidates them into
     * one fresh compacted version with NO carries, then expires every
     * older version — the moment retention can finally reclaim the
-    * dirs the carries were keeping alive. Content is untouched, so
-    * the batch-2 oracle replays this scan unchanged. */
+    * dirs the carries were keeping alive. Runs on its OWN chain root
+    * (`opt` suffix): consolidation destroys history, and the
+    * time-travel query needs [[ensureChain]]'s plain root intact.
+    * Content is untouched, so the batch-2 oracle replays this scan
+    * unchanged. */
   def mergeCompactedScan(spark: SparkSession, dir: String): DataFrame = {
-    val vroot = ensureChain(spark, dir, 2)
+    val vroot = ensureChain(spark, dir, 2, "opt")
     if (!Snapshots.current(spark, vroot).get.fingerprint.startsWith("opt:"))
       optimize(spark, vroot)
     scanStats(readCurrent(spark, vroot))
-  }
-
-  /** The OPTIMIZE step itself: rewrite the current (possibly
-    * cross-dir) file list as one compacted version with no carries,
-    * then expire everything older — after which retention has
-    * reclaimed every dir only the carries kept alive. */
-  def optimize(spark: SparkSession, vroot: String): Snapshots.Snapshot = {
-    val cur = Snapshots.current(spark, vroot).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot under $vroot"))
-    // statsWithBlooms, not bare footerStats: the consolidated files
-    // are carried by every later merge, and a bloom-less carry
-    // degenerates that merge's pruning to conservative interval-touch
-    // rewrites — OPTIMIZE must not silently lower the table's
-    // skipping precision
-    val snap = Snapshots.commit(spark, vroot, s"opt:${cur.fingerprint}",
-      statsFor = p => statsWithBlooms(spark, p)) { p =>
-      Compaction.compactFrame(spark, readCurrent(spark, vroot), p, "doc_id")
-    }
-    Snapshots.expire(spark, vroot, keepVersions = 1)
-    snap
   }
 }

@@ -195,7 +195,7 @@ class MergeSpec extends SparkSpec {
     // and the registered lifecycle query serves the optimized chain
     // idempotently (second call commits nothing)
     Merge.mergeCompactedScan(spark, Sf001)
-    val reg = Merge.ensureChain(spark, Sf001, 2)
+    val reg = Merge.ensureChain(spark, Sf001, 2, "opt")
     val v = Snapshots.current(spark, reg).get.version
     Merge.mergeCompactedScan(spark, Sf001)
     assert(Snapshots.current(spark, reg).get.version == v)
@@ -230,11 +230,12 @@ class MergeSpec extends SparkSpec {
       "unrelated MOR deletions must survive the COW merge")
     // an empty batch preserves the remaining deletion list
     Merge.merge(spark, root, changes(), "noop")
-    assert(Merge.morDeleteKeys(spark, root).toSeq == Seq(10L, 90L))
+    assert(Merge.morDeletes(spark, root).get
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 90L))
 
     // OPTIMIZE materializes the filter and clears the list
     Merge.optimize(spark, root)
-    assert(Merge.morDeleteKeys(spark, root).isEmpty)
+    assert(Merge.morDeletes(spark, root).isEmpty)
     val opt = spark.read.parquet(Snapshots.dataFiles(spark, root): _*)
     assert(opt.filter(col("doc_id").isin(10L, 90L)).isEmpty,
       "OPTIMIZE must physically remove MOR-deleted rows")
@@ -258,6 +259,169 @@ class MergeSpec extends SparkSpec {
     val fps = absent.count(graft.sources.KeyBloom.mightContain(bits, _))
     assert(fps < absent.size / 10, s"false-positive rate too high: $fps/${absent.size}")
     assert(graft.sources.KeyBloom.decode("").isEmpty)
+  }
+
+  test("string and composite keys: exact replace, bloom-precise pruning on the hash domain") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("strkey")
+    // composite (tenant, name) key — the real-CDC shape
+    val df = (0 until 200).map(i => (s"t${i % 4}", s"doc$i", i.toLong))
+      .toDF("tenant", "name", "payload")
+    val keys = Seq("tenant", "name")
+    Snapshots.commit(spark, root, "base",
+      statsFor = p => Merge.statsWithBlooms(spark, p, keys)) { p =>
+      // hash-sorted layout: files tile the canonical (hash) domain
+      df.withColumn("__k", xxhash64(col("tenant").cast("string"), col("name").cast("string")))
+        .repartitionByRange(8, col("__k")).sortWithinPartitions("__k").drop("__k")
+        .write.parquet(p)
+    }
+    val nBase = Snapshots.fileStats(spark, root).size
+    assert(nBase >= 6)
+
+    // upsert one present key, delete another, insert a fresh one
+    val batch = Seq(
+      ("t1", "doc5", 999L, Merge.UpsertOp),
+      ("t2", "doc6", 0L, Merge.DeleteOp),
+      ("t9", "brand-new", 7L, Merge.UpsertOp))
+      .toDF("tenant", "name", "payload", "op")
+    Merge.merge(spark, root, batch, "m1", keys)
+    val cur = Merge.readCurrent(spark, root)
+    assert(cur.count() == 200) // -1 delete +1 insert
+    assert(cur.filter(col("tenant") === "t1" && col("name") === "doc5")
+      .select("payload").head().getLong(0) == 999L)
+    assert(cur.filter(col("tenant") === "t2" && col("name") === "doc6").isEmpty)
+    assert(cur.filter(col("tenant") === "t9").count() == 1)
+    // pruning is exact on the hash domain: at most the 2 files holding
+    // the touched keys rewrite (blooms keep hash-span files carried)
+    val vers = fileVersions(root)
+    assert(vers.count(_._2 == 1) >= nBase - 2,
+      s"hash-key pruning should carry hash-miss files: $vers")
+    // a second merge of an ABSENT key inside some hash interval:
+    // blooms prove absence, nothing rewrites
+    Merge.merge(spark, root,
+      Seq(("t3", "nonexistent", 1L, Merge.UpsertOp)).toDF("tenant", "name", "payload", "op"),
+      "m2", keys)
+    val vers2 = fileVersions(root)
+    assert(vers2.count(_._2 <= 2) == vers.size,
+      s"bloom-negative hash keys must not rewrite files: $vers2")
+  }
+
+  test("schema evolution through the merge: carried files null-fill the added column") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("evolve")
+    commitBase(root)
+    val v1Files = Snapshots.fileStats(spark, root).map(_.path).toSet
+
+    // the batch carries a column the table never had
+    val batch = Seq((0L, "rewritten", 7L, Merge.UpsertOp))
+      .toDF("doc_id", "text", "score", "op")
+    Merge.merge(spark, root, batch, "m1")
+    val cur = Merge.readCurrent(spark, root)
+    assert(cur.columns.toSeq == Seq("doc_id", "text", "score"),
+      s"schema must widen in place: ${cur.columns.toSeq}")
+    // most files were CARRIED (never rewritten) yet read back with the
+    // widened schema, null-filled
+    val carried = Snapshots.fileStats(spark, root).map(_.path).toSet intersect v1Files
+    assert(carried.size >= v1Files.size - 2, "evolution must not rewrite the table")
+    assert(cur.filter(col("doc_id") === 0L).select("score").head().getLong(0) == 7L)
+    assert(cur.filter(col("score").isNull).count() == 99,
+      "carried rows null-fill the added column")
+    // a later batch WITHOUT the column upserts under the widened schema
+    Merge.merge(spark, root, changes((2L, "partial", Merge.UpsertOp)), "m2")
+    val after = Merge.readCurrent(spark, root)
+    assert(after.filter(col("doc_id") === 2L).select("text").head().getString(0) == "partial")
+    assert(after.filter(col("doc_id") === 2L).select("score").head().isNullAt(0))
+    assert(after.filter(col("doc_id") === 0L).select("score").head().getLong(0) == 7L)
+  }
+
+  test("a bulk merge-on-read delete keeps every key off the driver") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("bulk")
+    commitBase(root)
+    // a GDPR-scale deletion batch: one million keys (covers ids >= 100)
+    val bulk = spark.range(50L, 1000000L).select(col("id").as("doc_id"))
+    Merge.deleteMor(spark, root, bulk, "gdpr")
+    val cur = Merge.readCurrent(spark, root)
+    // the plan must anti-join a parquet sidecar — never a literal key
+    // list (LocalTableScan / InSet) materialized driver-side
+    val plan = cur.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), s"driver-side key list in plan:\n$plan")
+    assert(cur.count() == 25) // even ids 0..48 survive
+    assert(cur.agg(max("doc_id")).head().getLong(0) == 48L)
+    // a follow-up COW merge re-upserting one deleted key still works
+    Merge.merge(spark, root, changes((100L, "back", Merge.UpsertOp)), "m1")
+    val after = Merge.readCurrent(spark, root)
+    assert(after.count() == 26)
+    assert(after.filter(col("doc_id") === 100L).count() == 1)
+  }
+
+  test("time travel reads a merge chain exactly as each version froze it") {
+    val root = tmpRoot("travel")
+    commitBase(root)
+    Merge.merge(spark, root, changes((0L, "v2-text", Merge.UpsertOp),
+      (198L, "", Merge.DeleteOp)), "m1")
+    Merge.deleteMor(spark, root, changes((2L, "", Merge.DeleteOp)).select("doc_id"), "mor")
+    Merge.merge(spark, root, changes((4L, "v4-text", Merge.UpsertOp)), "m2")
+
+    // v1: the pristine base
+    assert(Merge.readAt(spark, root, 1).count() == 100)
+    // v2: after batch 1 (one rewrite, one delete)
+    val v2 = Merge.readAt(spark, root, 2)
+    assert(v2.count() == 99 &&
+      v2.filter(col("doc_id") === 0L).select("text").head().getString(0) == "v2-text")
+    // v3: the MOR delete applied ITS version's sidecar
+    assert(Merge.readAt(spark, root, 3).count() == 98)
+    assert(Merge.readAt(spark, root, 3).filter(col("doc_id") === 2L).isEmpty)
+    // v4 == current
+    assert(Merge.readAt(spark, root, 4).count() == 98)
+    assert(Merge.readCurrent(spark, root).filter(col("doc_id") === 4L)
+      .select("text").head().getString(0) == "v4-text")
+    // retention expiry: v1 stops resolving once expired
+    Snapshots.expire(spark, root, keepVersions = 1)
+    intercept[IllegalStateException] { Merge.readAt(spark, root, 1) }
+    assert(Merge.readCurrent(spark, root).count() == 98, "current survives expiry")
+  }
+
+  test("OPTIMIZE can preserve a z-order clustering through maintenance") {
+    val s = spark
+    import s.implicits._
+    // 2-d table keyed by id, clustered on (x, y)
+    val n = 200000
+    val df = spark.range(n.toLong).select(col("id").as("doc_id"),
+      (col("id") * 2654435761L % 65536L).as("x"),
+      (col("id") * 40503L % 65536L).as("y"))
+    val root = tmpRoot("zopt")
+    Snapshots.commit(spark, root, "base",
+      statsFor = p => Merge.statsWithBlooms(spark, p)) { p =>
+      df.withColumn("zv", graft.sources.ZOrder.zValue(col("x"), col("y")))
+        .repartitionByRange(4, col("zv")).sortWithinPartitions("zv").drop("zv")
+        .write.option("parquet.block.size", 8 * 1024).parquet(p)
+    }
+    Merge.merge(spark, root, Seq((5L, 1L, 1L, Merge.UpsertOp))
+      .toDF("doc_id", "x", "y", "op"), "m1")
+    Merge.optimize(spark, root, zorderBy = Some(("x", "y")))
+
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val box = Merge.readCurrent(spark, root)
+        .filter(col("x") >= 10000 && col("x") < 16553 &&
+          col("y") >= 30000 && col("y") < 36553)
+      val out = box.collect().length.toLong
+      val scan = box.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec leaf"))
+      val scanned = scan.metrics("numOutputRows").value
+      assert(out > 0)
+      // row-group stats bound BOTH dims post-OPTIMIZE: the scan skips
+      // the vast majority of the table (a linear re-sort would read
+      // every group the x predicate spans)
+      assert(scanned * 5 < n,
+        s"z-preserving OPTIMIZE should keep 2-dim pruning: scanned $scanned of $n")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   test("the registered chain matches a plain-SQL replay of both batches") {
