@@ -424,6 +424,62 @@ class MergeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  test("property: random COW/MOR chains equal the computational replay, both key shapes") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3; hashKeys <- Seq(false, true)) {
+      val root = tmpRoot(s"prop${trial}_$hashKeys")
+      val n = 80 + rnd.nextInt(80)
+      // string key exercises the hash-canonical path; long the natural
+      def keyOf(i: Long): String = s"k$i"
+      val base = (0L until n.toLong).map(i => (i, keyOf(i), s"txt$i")).toDF("id", "key", "text")
+      val keyCols = if (hashKeys) Seq("key") else Seq("id")
+      Snapshots.commit(spark, root, "base",
+        statsFor = p => Merge.statsWithBlooms(spark, p, keyCols)) { p =>
+        base.repartitionByRange(5, col("id")).sortWithinPartitions("id").write.parquet(p)
+      }
+      // model: the expected surviving (id -> text) map
+      var model = (0L until n.toLong).map(i => i -> s"txt$i").toMap
+      for (b <- 1 to 4) {
+        val ops = (0 until 15).map { _ =>
+          val id = rnd.nextInt(n * 3 / 2).toLong // some absent / insert ids
+          if (rnd.nextBoolean()) (id, s"v$b-$id", Merge.UpsertOp)
+          else (id, "", Merge.DeleteOp)
+        }
+        // within one batch a key must carry ONE intent (CDC batches are
+        // already deduped by the extractor) — keep the last op per key
+        val dedup = ops.groupBy(_._1).map(_._2.last).toSeq
+        if (b == 3) {
+          // a MOR-delete batch mid-chain
+          val dels = dedup.map(_._1)
+          Merge.deleteMor(spark, root,
+            dels.map(i => (i, keyOf(i))).toDF("id", "key").select(keyCols.map(col): _*),
+            s"mor$b")
+          model = model -- dels
+        } else {
+          val batch = dedup.map { case (i, t, op) => (i, keyOf(i), t, op) }
+            .toDF("id", "key", "text", "op")
+          Merge.merge(spark, root, batch, s"m$b", keyCols)
+          dedup.foreach { case (i, t, op) =>
+            if (op == Merge.UpsertOp) model += (i -> t) else model -= i
+          }
+        }
+        val got = Merge.readCurrent(spark, root)
+          .select("id", "text").as[(Long, String)].collect().toMap
+        assert(got == model,
+          s"trial=$trial hash=$hashKeys batch=$b: table diverged from replay " +
+            s"(missing=${(model.keySet -- got.keySet).take(5)}, " +
+            s"extra=${(got.keySet -- model.keySet).take(5)})")
+      }
+      // OPTIMIZE never changes rows
+      Merge.optimize(spark, root, keyCols)
+      val opt = Merge.readCurrent(spark, root)
+        .select("id", "text").as[(Long, String)].collect().toMap
+      assert(opt == model, s"OPTIMIZE changed rows (trial=$trial hash=$hashKeys)")
+    }
+  }
+
   test("the registered chain matches a plain-SQL replay of both batches") {
     val dir = Sf001
     val viaStorage = Merge.mergeIncrementalScan(spark, dir)
