@@ -208,7 +208,43 @@ object Merge {
     * moves (the Delta empty-transaction behavior a fingerprint-
     * stamped chain depends on). */
   def merge(spark: SparkSession, root: String, changes: DataFrame,
-            fingerprint: String, keyCols: Seq[String] = Seq("doc_id")): Snapshots.Snapshot = {
+            fingerprint: String, keyCols: Seq[String] = Seq("doc_id")): Snapshots.Snapshot =
+    mergeImpl(spark, root, changes, fingerprint, keyCols, () => ())
+
+  /** [[merge]] with AUTOMATIC conflict re-resolution: when the commit
+    * loses to a concurrent writer ([[Snapshots.CommitConflict]] — the
+    * optimistic parent check or the publish rename), re-read the
+    * advanced table and re-derive the whole rewrite against it.
+    * Re-derivation is always sound for a CDC batch: the retry
+    * serializes as "apply the batch AFTER the winner", which is
+    * exactly the semantics a losing transaction must adopt (Delta's
+    * conflict-resolution loop). Each attempt re-reads current state,
+    * re-prunes and re-writes — the price of losing, paid O(touched
+    * files), never paid in correctness. */
+  def mergeRetrying(spark: SparkSession, root: String, changes: DataFrame,
+                    fingerprint: String, keyCols: Seq[String] = Seq("doc_id"),
+                    maxAttempts: Int = 5): Snapshots.Snapshot =
+    mergeRetryingHooked(spark, root, changes, fingerprint, keyCols,
+      maxAttempts, () => ())
+
+  private[graft] def mergeRetryingHooked(spark: SparkSession, root: String,
+      changes: DataFrame, fingerprint: String, keyCols: Seq[String],
+      maxAttempts: Int, beforeCommit: () => Unit): Snapshots.Snapshot = {
+    var attempt = 1
+    while (true) {
+      try return mergeImpl(spark, root, changes, fingerprint, keyCols, beforeCommit)
+      catch {
+        case c: Snapshots.CommitConflict =>
+          if (attempt >= maxAttempts) throw c
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private[graft] def mergeImpl(spark: SparkSession, root: String, changes: DataFrame,
+            fingerprint: String, keyCols: Seq[String],
+            beforeCommit: () => Unit): Snapshots.Snapshot = {
     val cur = Snapshots.current(spark, root).getOrElse(throw new IllegalStateException(
       s"merge target $root has no committed snapshot"))
     val stats = Snapshots.fileStats(spark, root)
@@ -229,10 +265,12 @@ object Merge {
     if (changes.isEmpty) {
       // carry-all: every file by reference, deletion list re-recorded
       val hasDels = priorDels.isDefined
+      beforeCommit()
       return Snapshots.commit(spark, root, fingerprint,
         carry = relativize(root, stats),
         extras = schemaExtras(baseSchema, hasDels),
-        retryOnConflict = Some(false)) { p =>
+        retryOnConflict = Some(false),
+        expectedParent = Some(cur.version)) { p =>
         priorDels.foreach(d =>
           d.write.parquet(new Path(p, DeletesDir).toString))
       }
@@ -280,11 +318,13 @@ object Merge {
     val remainingDels = priorDels.map(_.join(changeKeys, keyCols, "left_anti"))
     val hasRemaining = remainingDels.exists(!_.isEmpty)
 
+    beforeCommit()
     Snapshots.commit(spark, root, fingerprint,
       statsFor = p => statsWithBlooms(spark, p, keyCols),
       carry = relativize(root, carried.map(_._1)),
       extras = schemaExtras(merged.schema, hasRemaining),
-      retryOnConflict = Some(false)) { path =>
+      retryOnConflict = Some(false),
+      expectedParent = Some(cur.version)) { path =>
       writeRangeSorted(merged, keyCols, nFiles, path)
       if (hasRemaining)
         remainingDels.get.write.parquet(new Path(path, DeletesDir).toString)
@@ -377,7 +417,8 @@ object Merge {
     Snapshots.commit(spark, root, fingerprint,
       carry = relativize(root, stats),
       extras = schemaExtras(schema, hasDels = true),
-      retryOnConflict = Some(false)) { p =>
+      retryOnConflict = Some(false),
+      expectedParent = Some(cur.version)) { p =>
       merged.write.parquet(new Path(p, DeletesDir).toString)
     }
   }
@@ -441,7 +482,8 @@ object Merge {
     val snap = Snapshots.commit(spark, vroot, s"opt:${cur.fingerprint}",
       statsFor = p => statsWithBlooms(spark, p, keyCols),
       extras = Seq(SchemaKey -> encodeSchema(df.schema)),
-      retryOnConflict = Some(false)) { p =>
+      retryOnConflict = Some(false),
+      expectedParent = Some(cur.version)) { p =>
       zorderBy match {
         case None =>
           writeRangeSorted(df, keyCols, Compaction.binPackFileCount(spark, df), p)

@@ -157,14 +157,29 @@ object Snapshots {
              statsFor: String => Seq[FileStat] = _ => Seq.empty,
              carry: Seq[FileStat] = Seq.empty,
              extras: Seq[(String, String)] = Seq.empty,
-             retryOnConflict: Option[Boolean] = None)
+             retryOnConflict: Option[Boolean] = None,
+             expectedParent: Option[Int] = None)
             (write: String => Unit): Snapshot = lock(root).synchronized {
     val f = fs(spark, root)
-    val canRetry = retryOnConflict.getOrElse(carry.isEmpty && extras.isEmpty)
+    val canRetry = retryOnConflict.getOrElse(
+      carry.isEmpty && extras.isEmpty && expectedParent.isEmpty)
+    // OPTIMISTIC CONCURRENCY (r9): a derived commit names the parent
+    // version its content was computed FROM (`expectedParent`; 0 = an
+    // empty table). If the table advanced between that read and this
+    // commit — another thread past this lock, or another process —
+    // publishing would silently build over the winner's changes (the
+    // classic lost update: our carry list is stale). Validate under
+    // the lock and at the rename, exactly Delta's commit-time check.
+    val parentNow = current(spark, root).map(_.version).getOrElse(0)
+    expectedParent.foreach { p =>
+      if (parentNow != p) throw new CommitConflict(root, parentNow,
+        s"snapshot commit on $root expected parent v$p but the table is " +
+          s"at v$parentNow — re-read the current snapshot and re-derive")
+    }
     // the parent is resolved BEFORE the write: anything a foreign
     // process publishes after this point is a conflict the loop must
     // detect (rename refusal), not silently absorb
-    var next = current(spark, root).map(_.version + 1).getOrElse(1)
+    var next = parentNow + 1
     // stage once into a uniquely-named dir: no concurrent writer can
     // collide with it, and no reader resolves it (readers only follow
     // manifests). NOT dot/underscore-prefixed — statsFor reads the

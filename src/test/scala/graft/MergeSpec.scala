@@ -424,6 +424,45 @@ class MergeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  test("a concurrent commit between read and publish is a conflict, and mergeRetrying re-derives") {
+    val root = tmpRoot("conflict")
+    commitBase(root)
+
+    // the lost-update interleave: while OUR merge is between its
+    // state read and its commit, a competing merge lands. Without the
+    // optimistic parent check our commit would publish a carry list
+    // derived from v1 and silently drop the winner's row.
+    val won = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def foreignOnce(): Unit = if (won.compareAndSet(false, true))
+      Merge.merge(spark, root, changes((2L, "foreign-win", Merge.UpsertOp)), "foreign")
+
+    // a bare merge must FAIL the parent check, not lose the update
+    val ex = intercept[Snapshots.CommitConflict] {
+      Merge.mergeImpl(spark, root,
+        changes((0L, "mine", Merge.UpsertOp)), "mine", Seq("doc_id"),
+        () => foreignOnce())
+    }
+    assert(ex.version == 2, "conflict must name the parent that won")
+    assert(Merge.readCurrent(spark, root)
+      .filter(col("doc_id") === 2L).select("text").head().getString(0) == "foreign-win")
+
+    // mergeRetrying re-reads the advanced table and lands on top:
+    // BOTH writers' rows survive (serialized as foreign-then-mine)
+    won.set(false)
+    val root2 = tmpRoot("conflict2")
+    commitBase(root2)
+    def foreign2(): Unit = if (won.compareAndSet(false, true))
+      Merge.merge(spark, root2, changes((2L, "foreign-win", Merge.UpsertOp)), "foreign")
+    val snap = Merge.mergeRetryingHooked(spark, root2,
+      changes((0L, "mine", Merge.UpsertOp)), "mine", Seq("doc_id"),
+      maxAttempts = 5, beforeCommit = () => foreign2())
+    assert(snap.version == 3, s"retry should land past the winner, got v${snap.version}")
+    val cur = Merge.readCurrent(spark, root2)
+    assert(cur.filter(col("doc_id") === 0L).select("text").head().getString(0) == "mine")
+    assert(cur.filter(col("doc_id") === 2L).select("text").head().getString(0) == "foreign-win")
+    assert(cur.count() == 100)
+  }
+
   test("property: random COW/MOR chains equal the computational replay, both key shapes") {
     val s = spark
     import s.implicits._
