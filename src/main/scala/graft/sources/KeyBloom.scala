@@ -17,22 +17,41 @@ import org.apache.spark.sql.functions._
   *
   * Built EXECUTOR-SIDE in one columnar pass (`groupBy(
   * input_file_name())` + this commutative bit-OR aggregate — map-side
-  * partial combine, the driver sees one `Bits/8`-byte array per
-  * file), at commit time, over only the files the commit just wrote.
-  * Probes are derived from a splitmix64 avalanche of the key, k bit
-  * positions per key — pure integer arithmetic, identical at build
-  * and query time.
+  * partial combine, the driver sees one bitset per file), at commit
+  * time, over only the files the commit just wrote. Probes are
+  * derived from a splitmix64 avalanche of the key, k bit positions
+  * per key — pure integer arithmetic, identical at build and query
+  * time.
   *
-  * Sizing: [[Bits]] = 4096 (512 bytes/file, ~700 base64 chars in the
-  * manifest line) targets the harness' bin-packed file sizes at ~10
-  * bits/row; a production table sizes bits by target rows-per-file
-  * and moves the bitsets to a manifest sidecar once file counts make
-  * inline lines heavy (the Delta layout). */
+  * SIZING is ADAPTIVE (r9): the commit picks the bitset size from the
+  * files' actual row counts ([[bitsFor]] — ~10 bits/key, floor 4096,
+  * cap 2^17 ≈ 16 KB/file ≈ 13k keys at full precision), so a
+  * 100-row fix-up file pays 512 bytes while a bin-packed 10k-row file
+  * keeps its ~1% false-positive rate instead of degenerating to
+  * all-positive (what any FIXED size does the moment rows-per-file
+  * outgrows it). The size rides the encoding — [[decode]] infers it
+  * from length, so files of different generations and sizes coexist
+  * in one manifest. Beyond the cap a production table moves the
+  * bitsets to a manifest sidecar (the Delta layout); the cap keeps
+  * inline manifest lines bounded.
+  */
 object KeyBloom {
 
-  val Bits = 4096
-  private val Words = Bits / 64
+  /** Floor size: 4096 bits = 512 bytes/file (~700 base64 chars). */
+  val MinBits = 4096
+
+  /** Inline-manifest cap: 2^17 bits = 16 KB/file. */
+  val MaxBits = 1 << 17
+
   private val Probes = 6
+
+  /** ~10 bits per expected key, rounded to whole 64-bit words,
+    * clamped to [[MinBits]]..[[MaxBits]]. */
+  def bitsFor(expectedKeys: Long): Int = {
+    val want = expectedKeys * 10L
+    val clamped = math.min(MaxBits.toLong, math.max(MinBits.toLong, want))
+    (((clamped + 63) / 64) * 64).toInt
+  }
 
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -42,23 +61,27 @@ object KeyBloom {
   }
 
   private def setBits(bits: Array[Long], key: Long): Unit = {
+    val nBits = bits.length * 64
     val h1 = mix(key)
     val h2 = mix(h1) | 1L
     var i = 0
     while (i < Probes) {
-      val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, Bits).toInt
+      val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, nBits).toInt
       bits(idx >> 6) |= 1L << (idx & 63)
       i += 1
     }
   }
 
-  /** Query side: false means PROVABLY absent from the built key set. */
+  /** Query side: false means PROVABLY absent from the built key set.
+    * The modulus comes from the bitset itself, so probes agree with
+    * whatever size the building commit chose. */
   def mightContain(bits: Array[Long], key: Long): Boolean = {
+    val nBits = bits.length * 64
     val h1 = mix(key)
     val h2 = mix(h1) | 1L
     var i = 0
     while (i < Probes) {
-      val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, Bits).toInt
+      val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, nBits).toInt
       if ((bits(idx >> 6) & (1L << (idx & 63))) == 0L) return false
       i += 1
     }
@@ -66,7 +89,7 @@ object KeyBloom {
   }
 
   def encode(bits: Array[Long]): String = {
-    val bb = java.nio.ByteBuffer.allocate(Words * 8)
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
     bits.foreach(bb.putLong)
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bb.array())
   }
@@ -77,26 +100,27 @@ object KeyBloom {
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
 
   /** Empty string (no bloom recorded) decodes to None — the
-    * conservative always-touched path. */
+    * conservative always-touched path. Size inferred from length. */
   def decode(s: String): Option[Array[Long]] =
     if (s == null || s.isEmpty) None
     else {
-      val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getUrlDecoder.decode(s))
-      Some(Array.fill(Words)(bb.getLong))
+      val bytes = java.util.Base64.getUrlDecoder.decode(s)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Some(Array.fill(bytes.length / 8)(bb.getLong))
     }
 
-  private object BloomAgg extends Aggregator[Long, Array[Long], Array[Byte]] {
-    override def zero: Array[Long] = new Array[Long](Words)
+  private class BloomAgg(words: Int) extends Aggregator[Long, Array[Long], Array[Byte]] {
+    override def zero: Array[Long] = new Array[Long](words)
     override def reduce(acc: Array[Long], key: Long): Array[Long] = {
       setBits(acc, key); acc
     }
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       var i = 0
-      while (i < Words) { a(i) |= b(i); i += 1 }
+      while (i < words) { a(i) |= b(i); i += 1 }
       a
     }
     override def finish(acc: Array[Long]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(Words * 8)
+      val bb = java.nio.ByteBuffer.allocate(words * 8)
       acc.foreach(bb.putLong)
       bb.array()
     }
@@ -104,20 +128,28 @@ object KeyBloom {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  private lazy val bloomUdaf = udaf(BloomAgg, Encoders.scalaLong)
-
-  def bloomAgg(key: Column): Column = bloomUdaf(key)
+  /** The bit-OR bloom aggregate at a given size (whole words). All
+    * groups of one aggregation share the size — the commit picks it
+    * from the largest file it wrote ([[bitsFor]]); different commits
+    * (and so different manifest lines) are free to differ. */
+  def bloomAgg(key: Column, bits: Int = MinBits): Column = {
+    require(bits % 64 == 0 && bits > 0, s"bloom bits must be whole words: $bits")
+    udaf(new BloomAgg(bits / 64), Encoders.scalaLong)(key)
+  }
 
   /** One executor-side pass over a freshly-written data dir: the
-    * base64 key bloom per absolute file uri. */
-  def bloomsFor(df: DataFrame, keyCol: String): Map[String, String] =
+    * base64 key bloom per absolute file uri, sized by the largest
+    * file's row count (counted first — footer metadata cost). */
+  def bloomsFor(df: DataFrame, keyCol: String): Map[String, String] = {
+    val counts = df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n")).collect()
+    if (counts.isEmpty) return Map.empty
+    val bits = bitsFor(counts.map(_.getAs[Long]("n")).max)
     df.groupBy(input_file_name().as("file"))
-      .agg(bloomAgg(col(keyCol).cast("long")).as("bloom"))
+      .agg(bloomAgg(col(keyCol).cast("long"), bits).as("bloom"))
       .collect()
-      .map { r =>
-        val bytes = r.getAs[Array[Byte]]("bloom")
-        val bb = java.nio.ByteBuffer.wrap(bytes)
-        r.getAs[String]("file") ->
-          encode(Array.fill(Words)(bb.getLong))
-      }.toMap
+      .map(r => r.getAs[String]("file") ->
+        encodeBytes(r.getAs[Array[Byte]]("bloom")))
+      .toMap
+  }
 }

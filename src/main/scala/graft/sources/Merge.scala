@@ -125,16 +125,31 @@ object Merge {
     if (files.isEmpty) return Seq.empty
     val df = spark.read.parquet(files: _*)
     val k = canonicalCol(df.schema, keyCols)
-    val agg = df.groupBy(input_file_name().as("file"))
-      .agg(min(k).as("mn"), max(k).as("mx"), count(lit(1)).as("n"),
-        KeyBloom.bloomAgg(k.cast("long")).as("bloom"))
+    // pass 1: intervals + row counts (cheap columnar agg), which also
+    // SIZE the blooms — ~10 bits per key of the largest file
+    // ([[KeyBloom.bitsFor]]), so precision tracks the bin-pack target
+    // instead of degrading as files grow
+    val base = df.groupBy(input_file_name().as("file"))
+      .agg(min(k).as("mn"), max(k).as("mx"), count(lit(1)).as("n"))
       .collect()
       .map { r =>
-        val name = new Path(r.getAs[String]("file")).getName
-        val bloom = KeyBloom.encodeBytes(r.getAs[Array[Byte]]("bloom"))
-        name -> (Option(r.get(r.fieldIndex("mn"))),
-          Option(r.get(r.fieldIndex("mx"))), r.getAs[Long]("n"), bloom)
+        new Path(r.getAs[String]("file")).getName ->
+          (Option(r.get(r.fieldIndex("mn"))),
+            Option(r.get(r.fieldIndex("mx"))), r.getAs[Long]("n"))
       }.toMap
+    val bits = KeyBloom.bitsFor(
+      if (base.isEmpty) 0L else base.valuesIterator.map(_._3).max)
+    // pass 2: the blooms at that size (freshly-written files — the
+    // second scan reads page-cached bytes)
+    val blooms = df.groupBy(input_file_name().as("file"))
+      .agg(KeyBloom.bloomAgg(k.cast("long"), bits).as("bloom"))
+      .collect()
+      .map(r => new Path(r.getAs[String]("file")).getName ->
+        KeyBloom.encodeBytes(r.getAs[Array[Byte]]("bloom")))
+      .toMap
+    val agg = base.map { case (name, (mn, mx, n)) =>
+      name -> (mn, mx, n, blooms.getOrElse(name, ""))
+    }
     files.map { u =>
       val name = new Path(u).getName
       agg.get(name) match {

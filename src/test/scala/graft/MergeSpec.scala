@@ -259,6 +259,22 @@ class MergeSpec extends SparkSpec {
     val fps = absent.count(graft.sources.KeyBloom.mightContain(bits, _))
     assert(fps < absent.size / 10, s"false-positive rate too high: $fps/${absent.size}")
     assert(graft.sources.KeyBloom.decode("").isEmpty)
+    // adaptive sizing: ~10 bits/key (whole words), floored and capped
+    assert(bits.length * 64 == graft.sources.KeyBloom.bitsFor(500))
+    assert(graft.sources.KeyBloom.bitsFor(10) == graft.sources.KeyBloom.MinBits)
+    assert(graft.sources.KeyBloom.bitsFor(1000000) == graft.sources.KeyBloom.MaxBits)
+    // a 10k-key file keeps a useful fp rate (a FIXED 4096-bit bloom
+    // saturates at ~2.4 keys/bit and answers "maybe" for everything —
+    // every merge would conservatively rewrite every big file)
+    val bigDir = s"${java.nio.file.Files.createTempDirectory("graft_bloom_big")}/keys"
+    (0L until 10000L).map(_ * 3L).toDF("doc_id").coalesce(1).write.parquet(bigDir)
+    val bigBits = graft.sources.KeyBloom.decode(
+      graft.sources.KeyBloom.bloomsFor(spark.read.parquet(bigDir), "doc_id").values.head).get
+    assert(bigBits.length * 64 == graft.sources.KeyBloom.bitsFor(10000))
+    val bigAbsent = (1L to 4000L).map(_ * 3L + 1L)
+    val bigFps = bigAbsent.count(graft.sources.KeyBloom.mightContain(bigBits, _))
+    assert(bigFps < bigAbsent.size / 10,
+      s"10k-key bloom must stay discriminative: $bigFps/${bigAbsent.size} fps")
   }
 
   test("string and composite keys: exact replace, bloom-precise pruning on the hash domain") {
