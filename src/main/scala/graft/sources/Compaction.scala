@@ -204,9 +204,15 @@ object Compaction {
     * rows) for `keyCol` — shared by the index DataFrame view and the
     * snapshot-commit stats hook. */
   private def footerIntervals(spark: SparkSession, path: String,
-                              keyCol: String): Seq[(String, Long, Long, Long)] = {
+                              keyCol: String): Seq[(String, Long, Long, Long)] =
+    footerIntervalsFor(spark, spark.read.parquet(path).inputFiles.toSeq, keyCol)
+
+  /** The same footer walk over an EXPLICIT file list — the form the
+    * merge commit uses (its version dirs hold a `deletes/` sidecar a
+    * datasource dir-read would trip over). */
+  private[sources] def footerIntervalsFor(spark: SparkSession, files: Seq[String],
+                                          keyCol: String): Seq[(String, Long, Long, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
-    val files = spark.read.parquet(path).inputFiles.toSeq
     files.flatMap { u =>
       val p = new org.apache.hadoop.fs.Path(u)
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
@@ -255,6 +261,14 @@ object Compaction {
   def footerStats(spark: SparkSession, path: String,
                   keyCol: String = "doc_id"): Seq[Snapshots.FileStat] =
     footerIntervals(spark, path, keyCol).map { case (u, mn, mx, n) =>
+      Snapshots.FileStat(
+        new org.apache.hadoop.fs.Path(u).getName, mn, mx, n)
+    }
+
+  /** [[footerStats]] over an explicit file list. */
+  private[sources] def footerStatsFor(spark: SparkSession, files: Seq[String],
+                                      keyCol: String): Seq[Snapshots.FileStat] =
+    footerIntervalsFor(spark, files, keyCol).map { case (u, mn, mx, n) =>
       Snapshots.FileStat(
         new org.apache.hadoop.fs.Path(u).getName, mn, mx, n)
     }

@@ -137,15 +137,18 @@ object KeyBloom {
     udaf(new BloomAgg(bits / 64), Encoders.scalaLong)(key)
   }
 
-  /** One executor-side pass over a freshly-written data dir: the
-    * base64 key bloom per absolute file uri, sized by the largest
-    * file's row count (counted first — footer metadata cost). */
+  /** One executor-side pass over a parquet frame: the base64 key
+    * bloom per absolute file uri, sized by the largest file's row
+    * count. The spec-facing unit surface for the bloom properties;
+    * the production commit path is [[Merge.statsWithBlooms]], which
+    * fuses the sizing pass with the interval stats it needs anyway. */
   def bloomsFor(df: DataFrame, keyCol: String): Map[String, String] = {
     val counts = df.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n")).collect()
     if (counts.isEmpty) return Map.empty
     val bits = bitsFor(counts.map(_.getAs[Long]("n")).max)
-    df.groupBy(input_file_name().as("file"))
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(input_file_name().as("file"))
       .agg(bloomAgg(col(keyCol).cast("long"), bits).as("bloom"))
       .collect()
       .map(r => r.getAs[String]("file") ->

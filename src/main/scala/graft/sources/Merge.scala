@@ -125,45 +125,54 @@ object Merge {
     if (files.isEmpty) return Seq.empty
     val df = spark.read.parquet(files: _*)
     val k = canonicalCol(df.schema, keyCols)
-    // pass 1: intervals + row counts (cheap columnar agg), which also
-    // SIZE the blooms — ~10 bits per key of the largest file
-    // ([[KeyBloom.bitsFor]]), so precision tracks the bin-pack target
-    // instead of degrading as files grow
-    val base = df.groupBy(input_file_name().as("file"))
-      .agg(min(k).as("mn"), max(k).as("mx"), count(lit(1)).as("n"))
-      .collect()
-      .map { r =>
-        new Path(r.getAs[String]("file")).getName ->
-          (Option(r.get(r.fieldIndex("mn"))),
-            Option(r.get(r.fieldIndex("mx"))), r.getAs[Long]("n"))
-      }.toMap
-    val bits = KeyBloom.bitsFor(
-      if (base.isEmpty) 0L else base.valuesIterator.map(_._3).max)
-    // pass 2: the blooms at that size (freshly-written files — the
-    // second scan reads page-cached bytes)
-    val blooms = df.groupBy(input_file_name().as("file"))
+    // pass 1 — intervals + row counts, which also SIZE the blooms
+    // (~10 bits per key of the largest file, [[KeyBloom.bitsFor]]).
+    // Natural keys read them from the parquet FOOTERS the write just
+    // produced (metadata cost only — the sentinel conventions for
+    // empty and all-null files live there); hashed canonical keys
+    // have no physical column, so they pay one columnar pass over
+    // just the key columns.
+    val bare: Seq[Snapshots.FileStat] =
+      if (naturalLong(df.schema, keyCols))
+        Compaction.footerStatsFor(spark, files, keyCols.head)
+      else {
+        val agg = df.groupBy(input_file_name().as("file"))
+          .agg(min(k).as("mn"), max(k).as("mx"), count(lit(1)).as("n"))
+          .collect()
+          .map { r =>
+            new Path(r.getAs[String]("file")).getName ->
+              (Option(r.get(r.fieldIndex("mn"))),
+                Option(r.get(r.fieldIndex("mx"))), r.getAs[Long]("n"))
+          }.toMap
+        files.map { u =>
+          val name = new Path(u).getName
+          agg.get(name) match {
+            case Some((Some(mn), Some(mx), n)) =>
+              Snapshots.FileStat(name, mn.asInstanceOf[Number].longValue(),
+                mx.asInstanceOf[Number].longValue(), n)
+            case Some((_, _, n)) =>
+              // all keys null: full span, always touched — never wrong
+              Snapshots.FileStat(name, Long.MinValue, Long.MaxValue, n)
+            case None =>
+              // zero-row schema-bearing file: empty sentinel
+              Snapshots.FileStat(name, Long.MaxValue, Long.MinValue, 0L)
+          }
+        }
+      }
+    val bits = KeyBloom.bitsFor(bare.iterator.map(_.nRows).max)
+    // pass 2 — the blooms at that size, over NON-NULL keys only (a
+    // null key can never be a merge target, and the aggregate's
+    // primitive input encoder rejects nulls); a file whose keys are
+    // all null simply records no bloom and stays conservatively
+    // always-touched
+    val blooms = df.filter(k.isNotNull)
+      .groupBy(input_file_name().as("file"))
       .agg(KeyBloom.bloomAgg(k.cast("long"), bits).as("bloom"))
       .collect()
       .map(r => new Path(r.getAs[String]("file")).getName ->
         KeyBloom.encodeBytes(r.getAs[Array[Byte]]("bloom")))
       .toMap
-    val agg = base.map { case (name, (mn, mx, n)) =>
-      name -> (mn, mx, n, blooms.getOrElse(name, ""))
-    }
-    files.map { u =>
-      val name = new Path(u).getName
-      agg.get(name) match {
-        case Some((Some(mn), Some(mx), n, bloom)) =>
-          Snapshots.FileStat(name, mn.asInstanceOf[Number].longValue(),
-            mx.asInstanceOf[Number].longValue(), n, bloom)
-        case Some((_, _, n, _)) =>
-          // all keys null: full span, always touched — cost, never wrong
-          Snapshots.FileStat(name, Long.MinValue, Long.MaxValue, n)
-        case None =>
-          // zero-row schema-bearing file: empty sentinel, never touched
-          Snapshots.FileStat(name, Long.MaxValue, Long.MinValue, 0L)
-      }
-    }
+    bare.map(s => s.copy(bloom = blooms.getOrElse(s.path, "")))
   }
 
   /** Strip the absolute resolution [[Snapshots.fileStats]] applied so
@@ -257,9 +266,15 @@ object Merge {
     throw new IllegalStateException("unreachable")
   }
 
-  private[graft] def mergeImpl(spark: SparkSession, root: String, changes: DataFrame,
+  private[graft] def mergeImpl(spark: SparkSession, root: String, changes0: DataFrame,
             fingerprint: String, keyCols: Seq[String],
-            beforeCommit: () => Unit): Snapshots.Snapshot = {
+            beforeCommit: () => Unit): Snapshots.Snapshot = try {
+    // the batch frame is consumed by several independent actions
+    // (emptiness, the pruning probe, both anti-joins, the rewrite) —
+    // persist it once so a table-derived batch (the realistic CDC
+    // loop builds batches FROM readCurrent) doesn't re-read the whole
+    // table per action; batch-bounded memory, released in `finally`
+    val changes = changes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cur = Snapshots.current(spark, root).getOrElse(throw new IllegalStateException(
       s"merge target $root has no committed snapshot"))
     val stats = Snapshots.fileStats(spark, root)
@@ -274,8 +289,18 @@ object Merge {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
-    def baseSchema: StructType = storedSchema.getOrElse(
+    lazy val baseSchema: StructType = storedSchema.getOrElse(
       spark.read.parquet(stats.head.path).schema)
+
+    // the natural-long-vs-hash dispatch must agree between the
+    // TABLE's recorded stats and the batch's probe keys — a string-
+    // keyed table probed with raw longs (or vice versa) would prune
+    // against the wrong domain and silently duplicate keys. The
+    // canonical HASH is type-stable across integral widths; the
+    // dispatch itself is pinned to the table's key shape.
+    require(naturalLong(baseSchema, keyCols) == naturalLong(changes.schema, keyCols),
+      s"batch key type ${keyCols.map(c => changes.schema(c).dataType).mkString(",")} " +
+        s"does not match the table's key shape for $keyCols at $root")
 
     if (changes.isEmpty) {
       // carry-all: every file by reference, deletion list re-recorded
@@ -344,7 +369,7 @@ object Merge {
       if (hasRemaining)
         remainingDels.get.write.parquet(new Path(path, DeletesDir).toString)
     }
-  }
+  } finally changes0.unpersist(blocking = false)
 
   private def schemaExtras(schema: StructType, hasDels: Boolean): Seq[(String, String)] =
     Seq(SchemaKey -> encodeSchema(schema)) ++
@@ -485,7 +510,8 @@ object Merge {
     * layout are independent concerns). */
   def optimize(spark: SparkSession, vroot: String,
                keyCols: Seq[String] = Seq("doc_id"),
-               zorderBy: Option[(String, String)] = None): Snapshots.Snapshot = {
+               zorderBy: Option[(String, String)] = None,
+               writeOptions: Map[String, String] = Map.empty): Snapshots.Snapshot = {
     val cur = Snapshots.current(spark, vroot).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $vroot"))
     val df = readCurrent(spark, vroot)
@@ -499,20 +525,30 @@ object Merge {
       extras = Seq(SchemaKey -> encodeSchema(df.schema)),
       retryOnConflict = Some(false),
       expectedParent = Some(cur.version)) { p =>
-      zorderBy match {
+      // normalize bounds as longs (Int-typed dims are the common
+      // 16-bit-normalizable case); an EMPTY table has no bounds and
+      // nothing to cluster — fall through to the linear layout
+      val zBounds = zorderBy.flatMap { case (a, b) =>
+        val m = df.agg(max(col(a).cast("long")), max(col(b).cast("long"))).head()
+        if (m.isNullAt(0) || m.isNullAt(1)) None
+        else Some((a, b, m.getLong(0), m.getLong(1)))
+      }
+      zBounds match {
         case None =>
           writeRangeSorted(df, keyCols, Compaction.binPackFileCount(spark, df), p)
-        case Some((a, b)) =>
-          val maxes = df.agg(max(col(a)), max(col(b))).head()
+        case Some((a, b, ma, mb)) =>
           val z = ZOrder.zValue(
-            ZOrder.norm16(col(a), maxes.getLong(0)),
-            ZOrder.norm16(col(b), maxes.getLong(1)))
+            ZOrder.norm16(col(a), ma),
+            ZOrder.norm16(col(b), mb))
+          // writeOptions carries parquet tuning (e.g. a row-group size
+          // matched to the clustering granularity); defaults stay the
+          // production parquet defaults
           df.withColumn("__gz", z)
             .repartitionByRange(Compaction.binPackFileCount(spark, df), col("__gz"))
             .sortWithinPartitions(col("__gz"))
             .drop("__gz")
             .write.mode("overwrite")
-            .option("parquet.block.size", 32 * 1024)
+            .options(writeOptions)
             .parquet(p)
       }
     }

@@ -193,46 +193,68 @@ object Snapshots {
     val mdir = new Path(root, ManifestDir)
     f.mkdirs(mdir)
 
-    var curData = staged
+    // Move the staged data to its final name ONCE. The pretty name
+    // `v{N}` is only a preference: if another writer (live or killed
+    // mid-commit) already holds it, fall back to a unique-suffixed
+    // name — the manifest header records whichever name won, so the
+    // MANIFEST RENAME below is the single authoritative commit point
+    // and the data-dir name never decides a race (a name-collision
+    // "winner" that hasn't published yet must not be silently built
+    // past: that was the residual lost-update window of the first
+    // r9 cut of this loop).
+    val dataDir = {
+      val pretty = dataDirName(next)
+      val prettyPath = new Path(root, pretty)
+      def toUnique(src: Path): String = {
+        val unique = s"${dataDirName(next)}_${
+          java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
+        if (!f.rename(src, new Path(root, unique)))
+          throw new IllegalStateException(
+            s"could not move staged data $src to $root/$unique")
+        unique
+      }
+      if (f.exists(prettyPath) || !f.rename(staged, prettyPath)) toUnique(staged)
+      else {
+        // Hadoop rename-onto-existing-dir NESTS the source inside the
+        // destination instead of failing — if a foreign writer parked
+        // its data at the pretty name in the window after our exists
+        // check, our bytes are now at pretty/stagedName. Detect and
+        // move them out to a unique sibling; the foreign dir is left
+        // exactly as its writer expects it.
+        val nested = new Path(prettyPath, staged.getName)
+        if (f.exists(nested)) toUnique(nested) else pretty
+      }
+    }
+    val dataPath = new Path(root, dataDir)
+    val statLines = (carry ++ stats.map(s =>
+      s.copy(path = s"$dataDir/${s.path}"))).map(s =>
+      s"\n${s.path}\t${s.minKey}\t${s.maxKey}\t${s.nRows}" +
+        (if (s.bloom.nonEmpty) s"\t${s.bloom}" else "")) ++
+      extras.map { case (k, v) => s"\n#$k\t$v" }
     var attempts = 0
     while (true) {
       attempts += 1
       if (attempts > 20) throw new IllegalStateException(
         s"snapshot commit on $root gave up after $attempts attempts — " +
           "pathological writer contention")
-      val dataDir = dataDirName(next)
-      val dataPath = new Path(root, dataDir)
-      if (!f.rename(curData, dataPath)) {
-        // another process took this version's data-dir name first
-        if (f.exists(dataPath)) { next += 1 }
-        else throw new IllegalStateException(
-          s"could not move staged data $curData to $dataPath")
-      } else {
-        curData = dataPath
-        val statLines = (carry ++ stats.map(s =>
-          s.copy(path = s"$dataDir/${s.path}"))).map(s =>
-          s"\n${s.path}\t${s.minKey}\t${s.maxKey}\t${s.nRows}" +
-            (if (s.bloom.nonEmpty) s"\t${s.bloom}" else "")) ++
-          extras.map { case (k, v) => s"\n#$k\t$v" }
-        val tmp = new Path(mdir,
-          s".tmp_${java.util.UUID.randomUUID().toString.take(12)}")
-        val out = f.create(tmp, true)
-        try out.write((s"$dataDir\t$fingerprint" + statLines.mkString)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        val target = new Path(mdir, manifestName(next))
-        if (!f.exists(target) && f.rename(tmp, target))
-          return Snapshot(next, dataPath.toString, fingerprint)
-        // lost the manifest race: version `next` now belongs to the
-        // other writer (whose header names ITS data dir, not ours)
-        f.delete(tmp, false)
-        if (!canRetry) throw new CommitConflict(root, next,
-          s"snapshot commit on $root lost the publish race for version " +
-            s"$next: the table advanced past the parent this write was " +
-            "derived from — re-read the current snapshot and re-derive " +
-            "(carry/extras-bearing commits are not content-idempotent)")
-        next += 1
-      }
+      val tmp = new Path(mdir,
+        s".tmp_${java.util.UUID.randomUUID().toString.take(12)}")
+      val out = f.create(tmp, true)
+      try out.write((s"$dataDir\t$fingerprint" + statLines.mkString)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val target = new Path(mdir, manifestName(next))
+      if (!f.exists(target) && f.rename(tmp, target))
+        return Snapshot(next, dataPath.toString, fingerprint)
+      // lost the manifest race: version `next` belongs to another
+      // writer (whose header names ITS data dir, not ours)
+      f.delete(tmp, false)
+      if (!canRetry) throw new CommitConflict(root, next,
+        s"snapshot commit on $root lost the publish race for version " +
+          s"$next: the table advanced past the parent this write was " +
+          "derived from — re-read the current snapshot and re-derive " +
+          "(carry/extras-bearing commits are not content-idempotent)")
+      next += 1
     }
     throw new IllegalStateException("unreachable")
   }
@@ -426,7 +448,7 @@ object Snapshots {
     f.listStatus(new Path(root)).iterator
       .filter(s => s.isDirectory && !referenced(s.getPath.getName) &&
         s.getPath.getName != ManifestDir &&
-        (s.getPath.getName.matches("v\\d{9}") ||
+        (s.getPath.getName.matches("v\\d{9}(_[0-9a-f]{8})?") ||
           s.getPath.getName.startsWith("tmp_v_")))
       .foreach(s => f.delete(s.getPath, true))
     expired

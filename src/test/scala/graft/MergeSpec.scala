@@ -418,7 +418,8 @@ class MergeSpec extends SparkSpec {
     }
     Merge.merge(spark, root, Seq((5L, 1L, 1L, Merge.UpsertOp))
       .toDF("doc_id", "x", "y", "op"), "m1")
-    Merge.optimize(spark, root, zorderBy = Some(("x", "y")))
+    Merge.optimize(spark, root, zorderBy = Some(("x", "y")),
+      writeOptions = Map("parquet.block.size" -> (8 * 1024).toString))
 
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -438,6 +439,39 @@ class MergeSpec extends SparkSpec {
       assert(scanned * 5 < n,
         s"z-preserving OPTIMIZE should keep 2-dim pruning: scanned $scanned of $n")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("null-keyed rows ride through rewrites; key-shape mismatches fail fast") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("nullkey")
+    // base holds two null-keyed rows INSIDE the table (CDC keys are
+    // non-null by contract, table rows need not be)
+    val df = ((0L until 100L).map(i => (Option(i), s"doc $i")) ++
+      Seq((Option.empty[Long], "orphan a"), (Option.empty[Long], "orphan b")))
+      .toDF("doc_id", "text")
+    Snapshots.commit(spark, root, "base",
+      statsFor = p => Merge.statsWithBlooms(spark, p)) { p =>
+      df.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.parquet(p)
+    }
+    // a merge touching the file that holds the null rows (nulls sort
+    // first — doc_id 0's file) must carry them through the rewrite
+    // and the commit's bloom pass must not choke on them
+    Merge.merge(spark, root, changes((0L, "rewritten", Merge.UpsertOp)), "m1")
+    val cur = Merge.readCurrent(spark, root)
+    assert(cur.count() == 102)
+    assert(cur.filter(col("doc_id").isNull).count() == 2,
+      "null-keyed rows must survive a rewrite of their file")
+    assert(cur.filter(col("doc_id") === 0L).select("text").head().getString(0) == "rewritten")
+
+    // a batch whose key SHAPE disagrees with the table's (string vs
+    // integral) would probe the wrong canonical domain — fail fast
+    val bad = Seq(("0", "sneaky", Merge.UpsertOp)).toDF("doc_id", "text", "op")
+    val ex = intercept[IllegalArgumentException] {
+      Merge.merge(spark, root, bad, "bad")
+    }
+    assert(ex.getMessage.contains("key type"), ex.getMessage)
   }
 
   test("a concurrent commit between read and publish is a conflict, and mergeRetrying re-derives") {

@@ -268,6 +268,36 @@ class SnapshotsSpec extends SparkSpec {
       "the foreign winner stays current after the conflict")
   }
 
+  test("an in-flight writer holding the pretty data-dir name never decides the race") {
+    // the residual lost-update window of the first r9 commit loop:
+    // writer A renamed its data to v000000002 but has NOT published
+    // manifest 2 yet. Writer B must not treat the name collision as
+    // \"the parent advanced\" (it did not — A may still lose), nor
+    // silently skip to v3 with stale content: B falls back to a
+    // unique-suffixed dir and the MANIFEST rename alone decides.
+    val root = tmpRoot("inflight")
+    Snapshots.commit(spark, root, "v1") { p => writeDocs(p, 0L to 9L) }
+    // A: data dir parked at the pretty name, no manifest
+    writeDocs(s"$root/v000000002", 100L to 104L)
+
+    // B: a parent-pinned commit (the merge shape) — parent is STILL
+    // v1, so this must SUCCEED as v2 under a suffixed dir name
+    val snap = Snapshots.commit(spark, root, "writerB",
+      retryOnConflict = Some(false), expectedParent = Some(1)) { p =>
+      writeDocs(p, 200L to 204L)
+    }
+    assert(snap.version == 2)
+    assert(snap.dataPath.matches(".*/v\\d{9}_[0-9a-f]{8}"),
+      s"expected a suffixed fallback dir, got ${snap.dataPath}")
+    assert(spark.read.parquet(Snapshots.current(spark, root).get.dataPath)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == (200L to 204L))
+    // A's parked dir is now an orphan a later expire sweeps
+    Snapshots.expire(spark, root, keepVersions = 1)
+    assert(!Snapshots.fs(spark, root)
+      .exists(new org.apache.hadoop.fs.Path(root, "v000000002")),
+      "the in-flight loser's parked dir is reclaimed as an orphan")
+  }
+
   test("manifest growth: a 10k-file stats+bloom manifest parses in catalog time") {
     // the r8 verdict's growth question: fileStats is O(files) per plan
     // — at 100 TB / 128 MB-files that's ~800k lines. Measure the
