@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * [[Merge]] skips the rewrite; a false positive only costs a
   * redundant rewrite, never correctness.
   *
-  * Built EXECUTOR-SIDE in one columnar pass (`groupBy(
-  * input_file_name())` + this commutative bit-OR aggregate — map-side
-  * partial combine, the driver sees one bitset per file), at commit
-  * time, over only the files the commit just wrote. Probes are
+  * Built EXECUTOR-SIDE (`groupBy(input_file_name())` + this
+  * commutative bit-OR aggregate — map-side partial combine, the
+  * driver sees one bitset per file) at commit time, over only the
+  * files the commit just wrote; a preceding row-count pass (fused
+  * with the commit's interval stats) picks the bitset size. Probes are
   * derived from a splitmix64 avalanche of the key, k bit positions
   * per key — pure integer arithmetic, identical at build and query
   * time.
@@ -137,11 +138,12 @@ object KeyBloom {
     udaf(new BloomAgg(bits / 64), Encoders.scalaLong)(key)
   }
 
-  /** One executor-side pass over a parquet frame: the base64 key
-    * bloom per absolute file uri, sized by the largest file's row
-    * count. The spec-facing unit surface for the bloom properties;
-    * the production commit path is [[Merge.statsWithBlooms]], which
-    * fuses the sizing pass with the interval stats it needs anyway. */
+  /** Per-file key blooms over a parquet frame (TWO jobs: a count
+    * pass sizes the bitset, the bloom pass builds it), keyed by
+    * absolute file uri. The spec-facing unit surface for the bloom
+    * properties; the production commit path is
+    * [[Merge.statsWithBlooms]], which gets the sizing counts from
+    * the interval stats it needs anyway. */
   def bloomsFor(df: DataFrame, keyCol: String): Map[String, String] = {
     val counts = df.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n")).collect()

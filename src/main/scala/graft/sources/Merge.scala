@@ -74,6 +74,7 @@ object Merge {
   private val DeletesKey = "deletes"
   private val DeletesDir = "deletes"
   private val SchemaKey = "schema"
+  private val KeyColsKey = "keycols"
 
   // ---- canonical merge key ------------------------------------------
 
@@ -268,13 +269,25 @@ object Merge {
 
   private[graft] def mergeImpl(spark: SparkSession, root: String, changes0: DataFrame,
             fingerprint: String, keyCols: Seq[String],
-            beforeCommit: () => Unit): Snapshots.Snapshot = try {
+            beforeCommit: () => Unit): Snapshots.Snapshot = {
     // the batch frame is consumed by several independent actions
     // (emptiness, the pruning probe, both anti-joins, the rewrite) —
     // persist it once so a table-derived batch (the realistic CDC
     // loop builds batches FROM readCurrent) doesn't re-read the whole
-    // table per action; batch-bounded memory, released in `finally`
-    val changes = changes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // table per action; batch-bounded memory, released in `finally`.
+    // A caller-managed cache is left alone (no refcount in Spark —
+    // unpersisting it here would silently evict their artifact).
+    val callerCached =
+      changes0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val changes = if (callerCached) changes0
+      else changes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeBody(spark, root, changes, fingerprint, keyCols, beforeCommit)
+    finally if (!callerCached) changes.unpersist(blocking = false)
+  }
+
+  private def mergeBody(spark: SparkSession, root: String, changes: DataFrame,
+            fingerprint: String, keyCols: Seq[String],
+            beforeCommit: () => Unit): Snapshots.Snapshot = {
     val cur = Snapshots.current(spark, root).getOrElse(throw new IllegalStateException(
       s"merge target $root has no committed snapshot"))
     val stats = Snapshots.fileStats(spark, root)
@@ -292,12 +305,17 @@ object Merge {
     lazy val baseSchema: StructType = storedSchema.getOrElse(
       spark.read.parquet(stats.head.path).schema)
 
-    // the natural-long-vs-hash dispatch must agree between the
-    // TABLE's recorded stats and the batch's probe keys — a string-
-    // keyed table probed with raw longs (or vice versa) would prune
-    // against the wrong domain and silently duplicate keys. The
-    // canonical HASH is type-stable across integral widths; the
-    // dispatch itself is pinned to the table's key shape.
+    // the canonical domain must agree between the TABLE's recorded
+    // stats and the batch's probe keys — probing hash-domain blooms
+    // with raw longs (or probing with a DIFFERENT key column than the
+    // stats were built on) would prune against the wrong domain and
+    // silently duplicate keys. The manifest records the merge key at
+    // every merge-family commit; once stamped, callers must match it.
+    Snapshots.extrasAt(spark, root, cur).get(KeyColsKey).foreach { rec =>
+      require(rec.split(',').toSeq == keyCols,
+        s"this table is merged on [$rec], not [${keyCols.mkString(",")}] — " +
+          s"the recorded stats/blooms live in that key's canonical domain ($root)")
+    }
     require(naturalLong(baseSchema, keyCols) == naturalLong(changes.schema, keyCols),
       s"batch key type ${keyCols.map(c => changes.schema(c).dataType).mkString(",")} " +
         s"does not match the table's key shape for $keyCols at $root")
@@ -308,7 +326,7 @@ object Merge {
       beforeCommit()
       return Snapshots.commit(spark, root, fingerprint,
         carry = relativize(root, stats),
-        extras = schemaExtras(baseSchema, hasDels),
+        extras = schemaExtras(baseSchema, keyCols, hasDels),
         retryOnConflict = Some(false),
         expectedParent = Some(cur.version)) { p =>
         priorDels.foreach(d =>
@@ -362,18 +380,31 @@ object Merge {
     Snapshots.commit(spark, root, fingerprint,
       statsFor = p => statsWithBlooms(spark, p, keyCols),
       carry = relativize(root, carried.map(_._1)),
-      extras = schemaExtras(merged.schema, hasRemaining),
+      extras = schemaExtras(merged.schema, keyCols, hasRemaining),
       retryOnConflict = Some(false),
       expectedParent = Some(cur.version)) { path =>
       writeRangeSorted(merged, keyCols, nFiles, path)
       if (hasRemaining)
         remainingDels.get.write.parquet(new Path(path, DeletesDir).toString)
     }
-  } finally changes0.unpersist(blocking = false)
+  }
 
-  private def schemaExtras(schema: StructType, hasDels: Boolean): Seq[(String, String)] =
-    Seq(SchemaKey -> encodeSchema(schema)) ++
+  private def schemaExtras(schema: StructType, keyCols: Seq[String],
+                           hasDels: Boolean): Seq[(String, String)] =
+    Seq(SchemaKey -> encodeSchema(schema),
+      KeyColsKey -> keyCols.mkString(",")) ++
       (if (hasDels) Seq(DeletesKey -> DeletesDir) else Seq.empty)
+
+  /** The merge key columns the current manifest records (None before
+    * the first merge-family commit stamped them). Once stamped, every
+    * later merge/delete must use the SAME columns: the recorded
+    * stats/blooms live in THAT key's canonical domain, and probing
+    * them with a different key would prune against the wrong domain
+    * and silently duplicate rows. */
+  def recordedKeyCols(spark: SparkSession, root: String): Option[Seq[String]] =
+    Snapshots.current(spark, root).flatMap(s =>
+      Snapshots.extrasAt(spark, root, s).get(KeyColsKey)
+        .map(_.split(',').toIndexedSeq))
 
   /** Range-sort by the canonical key and write: output files tile the
     * canonical key space with tight disjoint intervals (the property
@@ -448,6 +479,11 @@ object Merge {
     val stats = Snapshots.fileStats(spark, root)
     require(stats.nonEmpty,
       s"deleteMor needs a stats-carrying snapshot (commit the base with statsFor) at $root")
+    val delCols = delKeys.columns.toIndexedSeq
+    Snapshots.extrasAt(spark, root, cur).get(KeyColsKey).foreach { rec =>
+      require(rec.split(',').toSeq == delCols,
+        s"this table is merged on [$rec], not [${delCols.mkString(",")}] ($root)")
+    }
     val merged = morDeletesAt(spark, root, cur) match {
       case Some(prior) => prior.unionByName(delKeys).distinct()
       case None => delKeys.distinct()
@@ -456,7 +492,7 @@ object Merge {
       spark.read.parquet(stats.head.path).schema)
     Snapshots.commit(spark, root, fingerprint,
       carry = relativize(root, stats),
-      extras = schemaExtras(schema, hasDels = true),
+      extras = schemaExtras(schema, delCols, hasDels = true),
       retryOnConflict = Some(false),
       expectedParent = Some(cur.version)) { p =>
       merged.write.parquet(new Path(p, DeletesDir).toString)
@@ -522,7 +558,7 @@ object Merge {
     // skipping precision
     val snap = Snapshots.commit(spark, vroot, s"opt:${cur.fingerprint}",
       statsFor = p => statsWithBlooms(spark, p, keyCols),
-      extras = Seq(SchemaKey -> encodeSchema(df.schema)),
+      extras = schemaExtras(df.schema, keyCols, hasDels = false),
       retryOnConflict = Some(false),
       expectedParent = Some(cur.version)) { p =>
       // normalize bounds as longs (Int-typed dims are the common

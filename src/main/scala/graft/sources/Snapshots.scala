@@ -161,6 +161,11 @@ object Snapshots {
              expectedParent: Option[Int] = None)
             (write: String => Unit): Snapshot = lock(root).synchronized {
     val f = fs(spark, root)
+    // a parent-pinned commit must never silently replay against a
+    // NEWER parent — the two knobs are mutually exclusive by design
+    require(!(retryOnConflict.contains(true) && expectedParent.isDefined),
+      "retryOnConflict=true contradicts expectedParent: a commit derived " +
+        "from a specific parent cannot be content-idempotent")
     val canRetry = retryOnConflict.getOrElse(
       carry.isEmpty && extras.isEmpty && expectedParent.isEmpty)
     // OPTIMISTIC CONCURRENCY (r9): a derived commit names the parent
@@ -206,12 +211,26 @@ object Snapshots {
       val pretty = dataDirName(next)
       val prettyPath = new Path(root, pretty)
       def toUnique(src: Path): String = {
-        val unique = s"${dataDirName(next)}_${
-          java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
-        if (!f.rename(src, new Path(root, unique)))
-          throw new IllegalStateException(
-            s"could not move staged data $src to $root/$unique")
-        unique
+        // fresh-suffix loop with the same nesting detection as the
+        // pretty path below: rename-onto-existing NESTS on the Hadoop
+        // local FS, so a suffix collision (or a crashed run's
+        // leftover) must never publish paths that do not exist
+        var out: Option[String] = None
+        var attempt = 0
+        var cur = src
+        while (out.isEmpty && attempt < 10) {
+          attempt += 1
+          val unique = s"${dataDirName(next)}_${
+            java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
+          val uniquePath = new Path(root, unique)
+          if (!f.exists(uniquePath) && f.rename(cur, uniquePath)) {
+            val nested = new Path(uniquePath, cur.getName)
+            if (!f.exists(nested)) out = Some(unique)
+            else cur = nested // nested into a foreign dir: move out again
+          }
+        }
+        out.getOrElse(throw new IllegalStateException(
+          s"could not move staged data $src to a unique dir under $root"))
       }
       if (f.exists(prettyPath) || !f.rename(staged, prettyPath)) toUnique(staged)
       else {
@@ -244,7 +263,7 @@ object Snapshots {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val target = new Path(mdir, manifestName(next))
-      if (!f.exists(target) && f.rename(tmp, target))
+      if (publishIfAbsent(f, tmp, target))
         return Snapshot(next, dataPath.toString, fingerprint)
       // lost the manifest race: version `next` belongs to another
       // writer (whose header names ITS data dir, not ours)
@@ -258,6 +277,34 @@ object Snapshots {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** ATOMIC PUT-IF-ABSENT of a fully-written file — the single commit
+    * primitive everything rests on, per-scheme (the Delta LogStore
+    * abstraction at minimum size):
+    *
+    *  - local `file:` — `link(2)` via [[java.nio.file.Files.createLink]]:
+    *    atomically fails when the target exists AND publishes the
+    *    complete content in one syscall (a check-then-rename pair is
+    *    NOT safe here: POSIX rename(2) silently REPLACES an existing
+    *    target, so two racing committers could both "win" a version
+    *    and one commit would vanish);
+    *  - everything else — exists-check + rename, which is the correct
+    *    primitive on HDFS (rename onto an existing file returns
+    *    false, never replaces). An object store without atomic
+    *    rename-no-replace needs a CAS service plugged in here,
+    *    exactly as Delta documents for S3. */
+  private def publishIfAbsent(f: FileSystem, tmp: Path, target: Path): Boolean =
+    if ("file" == Option(target.toUri.getScheme).getOrElse(f.getScheme)) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !f.exists(target) && f.rename(tmp, target)
 
   /** Thrown when a non-retryable commit loses a cross-process publish
     * race; `version` names the parent the caller must rebase onto. */

@@ -253,8 +253,9 @@ class MergeSpec extends SparkSpec {
     val bits = graft.sources.KeyBloom.decode(blooms.values.head).get
     // a bloom over a file's EXACT key set can never miss a member
     keys.foreach(k => assert(graft.sources.KeyBloom.mightContain(bits, k)))
-    // and rejects the vast majority of absent keys (500 keys in 4096
-    // bits ≈ 1.2% theoretical fp rate; assert a loose 10% bound)
+    // and rejects the vast majority of absent keys (adaptive sizing
+    // gives 500 keys ~10 bits each ≈ ~1% theoretical fp rate;
+    // assert a loose 10% bound)
     val absent = (1L to 2000L).map(_ * 7L + 3L)
     val fps = absent.count(graft.sources.KeyBloom.mightContain(bits, _))
     assert(fps < absent.size / 10, s"false-positive rate too high: $fps/${absent.size}")
@@ -321,6 +322,16 @@ class MergeSpec extends SparkSpec {
     val vers2 = fileVersions(root)
     assert(vers2.count(_._2 <= 2) == vers.size,
       s"bloom-negative hash keys must not rewrite files: $vers2")
+    // the manifest records the merge key; a merge with DIFFERENT key
+    // columns would probe the recorded blooms in the wrong canonical
+    // domain — it must fail fast, not silently duplicate rows
+    assert(Merge.recordedKeyCols(spark, root).contains(keys))
+    val wrongKey = intercept[IllegalArgumentException] {
+      Merge.merge(spark, root,
+        Seq(("t0", "doc1", 5L, Merge.UpsertOp)).toDF("tenant", "name", "payload", "op"),
+        "m3", Seq("payload"))
+    }
+    assert(wrongKey.getMessage.contains("merged on"), wrongKey.getMessage)
   }
 
   test("schema evolution through the merge: carried files null-fill the added column") {
