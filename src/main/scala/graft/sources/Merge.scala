@@ -417,19 +417,83 @@ object Merge {
       .drop("__gk")
       .write.mode("overwrite").parquet(path)
 
-  /** EXECUTOR-side pruning probe: broadcast the (file-count-sized)
-    * catalog — sorted intervals, prefix-max for overlap cutoff,
-    * decoded blooms — and stream the batch's canonical keys through
-    * it; a key marks a file only when it lies inside the interval AND
-    * the bloom cannot prove absence. Only the hit file indices are
-    * collected (bounded by file count, never by batch size). */
+  /** Bound on DECODED bloom bytes shipped in one probe broadcast.
+    * At the 100 TB shape (800k files × up-to-16 KB capped blooms ≈
+    * 13 GB of bitsets) a single fused interval+bloom broadcast is a
+    * scale-killer — the probe splits instead: intervals first
+    * (24 B/file, always broadcastable), bloom refinement only over
+    * the interval-HIT files, in chunks this size. Conf-tunable
+    * (`spark.graft.merge.bloomChunkBytes`) so specs can force the
+    * chunked path at toy sizes. */
+  private def bloomChunkBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.merge.bloomChunkBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+
+  /** EXECUTOR-side pruning probe: stream the batch's canonical keys
+    * through a broadcast catalog; a key marks a file only when it
+    * lies inside the file's interval AND the bloom cannot prove
+    * absence. Only hit file indices are collected (bounded by file
+    * count, never by batch size).
+    *
+    * BROADCAST-BOUNDED (r9): when the catalog's decoded blooms fit
+    * [[BloomChunkBytes]] this is ONE fused pass (the common case —
+    * identical to the original single-broadcast probe). Past the
+    * bound it becomes interval-probe → bloom-refine: phase 1
+    * broadcasts intervals only and yields candidate files; phase 2
+    * re-probes ONLY the candidates' blooms, sliced into bounded
+    * chunks — every broadcast stays ≤ intervals + one chunk,
+    * whatever the table's file count. A candidate without a bloom
+    * stays conservatively touched, exactly as before. */
   private def probeTouched(spark: SparkSession, keys: DataFrame,
                            stats: Seq[Snapshots.FileStat]): Set[Int] = {
     val order = stats.zipWithIndex.sortBy(_._1.minKey)
     val mins = order.map(_._1.minKey).toArray
     val maxs = order.map(_._1.maxKey).toArray
     val origIdx = order.map(_._2).toArray
-    val blooms = order.map(s => KeyBloom.decode(s._1.bloom).orNull).toArray
+    // decoded size of a base64 bloom without decoding it
+    def bloomBytes(s: Snapshots.FileStat): Long =
+      if (s.bloom.isEmpty) 0L else s.bloom.length.toLong * 3 / 4
+    val totalBloomBytes = order.iterator.map(p => bloomBytes(p._1)).sum
+    val chunkBudget = bloomChunkBytes(spark)
+
+    if (totalBloomBytes <= chunkBudget) {
+      val blooms = order.map(s => KeyBloom.decode(s._1.bloom).orNull).toArray
+      return probePass(spark, keys, mins, maxs, blooms).map(origIdx).toSet
+    }
+
+    // phase 1 — intervals only
+    val ivHits = probePass(spark, keys, mins, maxs,
+      new Array[Array[Long]](mins.length)).sorted
+    // phase 2 — bloom refinement over the candidates, bounded chunks
+    val (checkable, always) = ivHits.partition(i => order(i)._1.bloom.nonEmpty)
+    val confirmed = Seq.newBuilder[Int]
+    var chunk = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var chunkBytes = 0L
+    def flush(): Unit = if (chunk.nonEmpty) {
+      val local = chunk.toArray // sorted-by-min subsequence of `order`
+      val hits = probePass(spark, keys,
+        local.map(mins), local.map(maxs),
+        local.map(i => KeyBloom.decode(order(i)._1.bloom).orNull))
+      confirmed ++= hits.map(local)
+      chunk = scala.collection.mutable.ArrayBuffer.empty[Int]
+      chunkBytes = 0L
+    }
+    checkable.foreach { i =>
+      val b = bloomBytes(order(i)._1)
+      if (chunk.nonEmpty && chunkBytes + b > chunkBudget) flush()
+      chunk += i; chunkBytes += b
+    }
+    flush()
+    (always ++ confirmed.result()).map(origIdx).toSet
+  }
+
+  /** One probe job over a (sub)catalog sorted by interval min: the
+    * binary-search + prefix-max-cutoff kernel, returning LOCAL
+    * indices into the given arrays. A null bloom never rejects. */
+  private def probePass(spark: SparkSession, keys: DataFrame,
+                        mins: Array[Long], maxs: Array[Long],
+                        blooms: Array[Array[Long]]): Seq[Int] = {
+    if (mins.isEmpty) return Seq.empty
     // prefix max over sorted-by-min intervals: once maxUpTo(i) < k no
     // earlier interval can contain k — the overlap-scan cutoff
     val maxUpTo = new Array[Long](maxs.length)
@@ -437,7 +501,7 @@ object Merge {
     for (i <- maxs.indices) { acc = math.max(acc, maxs(i)); maxUpTo(i) = acc }
     val bc = spark.sparkContext.broadcast((mins, maxs, maxUpTo, blooms))
     import spark.implicits._
-    val hits = keys.na.drop().as[Long].mapPartitions { it =>
+    try keys.na.drop().as[Long].mapPartitions { it =>
       val (mins, maxs, maxUpTo, blooms) = bc.value
       val hit = new java.util.BitSet(mins.length)
       it.foreach { k =>
@@ -456,8 +520,8 @@ object Merge {
         }
       }
       Iterator.range(0, mins.length).filter(hit.get).map(_.toLong)
-    }.distinct().collect()
-    hits.map(i => origIdx(i.toInt)).toSet
+    }.distinct().collect().map(_.toInt).toSeq
+    finally bc.unpersist(blocking = false)
   }
 
   /** MERGE-ON-READ DELETE: an O(batch) commit that rewrites NOTHING —

@@ -53,6 +53,22 @@ import org.apache.spark.sql.SparkSession
 object Snapshots {
 
   private val ManifestDir = "_manifests"
+  private val StatsCpKey = "statscp"
+
+  /** File-count threshold above which a commit CHECKPOINTS its stats
+    * block to a parquet sidecar instead of inline manifest lines —
+    * the Delta checkpoint pattern, at the point the r9 growth
+    * measurement said it pays: a 100 TB / 800k-file table's inline
+    * stats are ~560 MB of text parsed by EVERY `fileStats` call
+    * (~6 s/plan extrapolated from the 10k-file microbench), where
+    * the columnar sidecar reads the same catalog in a fraction of
+    * that and the manifest header stays one line. Below the
+    * threshold the inline text block is the simpler, equally correct
+    * artifact (and avoids a per-plan parquet open). Tunable for
+    * tests via `spark.graft.manifest.checkpointFiles`. */
+  def checkpointThreshold(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.manifest.checkpointFiles")
+      .map(_.toInt).getOrElse(10000)
 
   /** One committed version: its number, resolved data path, and the
     * source fingerprint it was derived from. */
@@ -109,6 +125,30 @@ object Snapshots {
       val buf = new Array[Byte](4096)
       var n = in.read(buf)
       while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim
+    } finally in.close()
+  }
+
+  /** The manifest's FIRST line only — [[at]]/[[current]] resolve the
+    * header without paying for an inline stats block (O(catalog) text
+    * on a big un-checkpointed manifest): read in 4 KB chunks and stop
+    * at the first newline. */
+  private def readHeader(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var done = false
+      while (!done) {
+        val n = in.read(buf)
+        if (n <= 0) done = true
+        else {
+          var i = 0
+          while (i < n && buf(i) != '\n') i += 1
+          bytes.write(buf, 0, i)
+          if (i < n) done = true
+        }
+      }
       new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim
     } finally in.close()
   }
@@ -245,11 +285,24 @@ object Snapshots {
       }
     }
     val dataPath = new Path(root, dataDir)
-    val statLines = (carry ++ stats.map(s =>
-      s.copy(path = s"$dataDir/${s.path}"))).map(s =>
-      s"\n${s.path}\t${s.minKey}\t${s.maxKey}\t${s.nRows}" +
-        (if (s.bloom.nonEmpty) s"\t${s.bloom}" else "")) ++
-      extras.map { case (k, v) => s"\n#$k\t$v" }
+    val allStats = carry ++ stats.map(s => s.copy(path = s"$dataDir/${s.path}"))
+    // CHECKPOINT (r9): above the threshold the stats block goes to a
+    // parquet sidecar under _manifests/ — written BEFORE the commit
+    // point, uniquely named (a racing loser's sidecar is an orphan
+    // [[expire]] sweeps), referenced from the manifest as an extra.
+    // The manifest rename stays the single atomic commit point.
+    val cpRef: Option[String] =
+      if (allStats.nonEmpty && allStats.size >= checkpointThreshold(spark)) {
+        val name = s"cp_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.parquet"
+        writeCheckpoint(spark, new Path(mdir, name), allStats)
+        Some(name)
+      } else None
+    val statLines =
+      (if (cpRef.isDefined) Seq.empty
+       else allStats.map(s =>
+         s"\n${s.path}\t${s.minKey}\t${s.maxKey}\t${s.nRows}" +
+           (if (s.bloom.nonEmpty) s"\t${s.bloom}" else ""))) ++
+      (extras ++ cpRef.map(StatsCpKey -> _)).map { case (k, v) => s"\n#$k\t$v" }
     var attempts = 0
     while (true) {
       attempts += 1
@@ -311,6 +364,77 @@ object Snapshots {
   final class CommitConflict(val root: String, val version: Int, msg: String)
     extends IllegalStateException(msg)
 
+  // ---- stats checkpoint (parquet sidecar of the manifest's stats block)
+
+  private val CpSchema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+    """message graft_manifest_stats {
+      |  required binary path (STRING);
+      |  required int64 min_key;
+      |  required int64 max_key;
+      |  required int64 n_rows;
+      |  required binary bloom (STRING);
+      |}""".stripMargin)
+
+  /** ONE parquet file, written driver-side through parquet-hadoop
+    * directly (no Spark job — the catalog is driver-sized by
+    * definition, and a distributed write would pay scheduling for a
+    * metadata artifact). Immutable once the manifest referencing it
+    * publishes; unreferenced on a lost race and swept by [[expire]]. */
+  private def writeCheckpoint(spark: SparkSession, file: Path,
+                              stats: Seq[FileStat]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val conf = spark.sessionState.newHadoopConf()
+    val gf = new SimpleGroupFactory(CpSchema)
+    val w = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withType(CpSchema).withConf(conf)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try stats.foreach { s =>
+      w.write(gf.newGroup()
+        .append("path", s.path)
+        .append("min_key", s.minKey)
+        .append("max_key", s.maxKey)
+        .append("n_rows", s.nRows)
+        .append("bloom", s.bloom))
+    } finally w.close()
+  }
+
+  /** Read a stats checkpoint back, driver-side (columnar sequential
+    * read of one file — the query-plan-time half; paths come back
+    * RELATIVE exactly as the inline lines would). `withBlooms=false`
+    * PROJECTS the bloom column away — the columnar payoff text lines
+    * cannot have: the read path ([[dataFilesAt]], skipping planners)
+    * needs paths and intervals, and the blooms are ~95% of the
+    * catalog's bytes. */
+  private def readCheckpoint(spark: SparkSession, file: Path,
+                             withBlooms: Boolean = true): Seq[FileStat] = {
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val conf = spark.sessionState.newHadoopConf()
+    if (!withBlooms)
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        """message graft_manifest_stats {
+          |  required binary path (STRING);
+          |  required int64 min_key;
+          |  required int64 max_key;
+          |  required int64 n_rows;
+          |}""".stripMargin)
+    val r = org.apache.parquet.hadoop.ParquetReader
+      .builder(new GroupReadSupport(), file).withConf(conf).build()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[FileStat]
+    try {
+      var g = r.read()
+      while (g != null) {
+        buf += FileStat(g.getString("path", 0), g.getLong("min_key", 0),
+          g.getLong("max_key", 0), g.getLong("n_rows", 0),
+          if (withBlooms) g.getString("bloom", 0) else "")
+        g = r.read()
+      }
+    } finally r.close()
+    buf.toSeq
+  }
+
   /** Serve the current snapshot when it was derived from exactly this
     * source state, else build and commit a fresh version. The
     * idempotence key is the DATA (fingerprint), not a marker file, so
@@ -336,7 +460,7 @@ object Snapshots {
       // header = first line only; later lines are per-file stats
       // ([[fileStats]]) and MUST NOT leak into the fingerprint, or
       // fingerprint-keyed reuse silently rebuilds on every call
-      val header = readLine(f, mpath).takeWhile(_ != '\n')
+      val header = readHeader(f, mpath)
       val sep = header.indexOf('\t')
       val (dataDir, fp) =
         if (sep < 0) (header, "")
@@ -358,34 +482,80 @@ object Snapshots {
   /** [[fileStats]] addressed at a PINNED version — the time-travel
     * read path ([[at]] resolves the snapshot, this resolves its file
     * list, carried references and all). */
-  def fileStatsAt(spark: SparkSession, root: String, snap: Snapshot): Seq[FileStat] = {
+  def fileStatsAt(spark: SparkSession, root: String, snap: Snapshot,
+                  withBlooms: Boolean = true): Seq[FileStat] = {
     val f = fs(spark, root)
-    val lines = readLine(f,
-      new Path(new Path(root, ManifestDir), manifestName(snap.version)))
-      .split('\n')
-    lines.iterator.drop(1).flatMap { l =>
-      def stat(p: String, mn: String, mx: String, n: String, bloom: String) = {
-        val base = if (p.contains('/')) root else snap.dataPath
-        FileStat(new Path(base, p).toString,
-          mn.toLong, mx.toLong, n.toLong, bloom)
-      }
-      if (l.startsWith("#")) None // version-level extras, not files
-      else l.split('\t') match {
-        case Array(p, mn, mx, n)    => Some(stat(p, mn, mx, n, ""))
-        case Array(p, mn, mx, n, b) => Some(stat(p, mn, mx, n, b))
-        case _ => None
-      }
-    }.toSeq
+    val mpath = new Path(new Path(root, ManifestDir), manifestName(snap.version))
+    // SNAPSHOT CACHE (the Delta pattern): a published manifest is
+    // immutable — it is created by one atomic put-if-absent and only
+    // ever DELETED (expire), never rewritten — so its parsed stats can
+    // be reused for as long as the file is byte-identical. The key
+    // carries mtime+length so the one path that recreates a manifest
+    // name with different content (a root wiped and rebuilt, where
+    // version numbers restart) misses instead of serving stale stats.
+    val st = f.getFileStatus(mpath)
+    val key = (mpath.toString, st.getModificationTime, st.getLen, withBlooms)
+    val cached = statsCache.get(key)
+    if (cached != null) return cached
+    val lines = readLine(f, mpath).split('\n')
+    def resolve(s: FileStat): FileStat = {
+      val base = if (s.path.contains('/')) root else snap.dataPath
+      s.copy(path = new Path(base, s.path).toString)
+    }
+    // a checkpointed manifest holds NO inline stat lines — the whole
+    // block lives in the parquet sidecar the #statscp extra names
+    val cp = lines.iterator.drop(1)
+      .find(_.startsWith(s"#$StatsCpKey\t"))
+      .map(_.split('\t')(1))
+    val stats = cp match {
+      case Some(name) =>
+        readCheckpoint(spark,
+          new Path(new Path(root, ManifestDir), name), withBlooms).map(resolve)
+      case None =>
+        lines.iterator.drop(1).flatMap { l =>
+          if (l.startsWith("#")) None // version-level extras, not files
+          else l.split('\t') match {
+            case Array(p, mn, mx, n)    => Some(resolve(FileStat(p, mn.toLong, mx.toLong, n.toLong)))
+            case Array(p, mn, mx, n, b) => Some(resolve(FileStat(p, mn.toLong, mx.toLong, n.toLong,
+              if (withBlooms) b else "")))
+            case _ => None
+          }
+        }.toSeq
+    }
+    statsCache.put(key, stats)
+    stats
   }
+
+  /** Bounded LRU of parsed manifest stats, keyed on the manifest
+    * file's identity (path, mtime, length) — safe because published
+    * manifests are immutable (see [[fileStatsAt]]). A big table's
+    * catalog entry is large by nature (it is what the planning caller
+    * materializes anyway), so the bound is small: 8 live tables. */
+  private val statsCache = lru[(String, Long, Long, Boolean), Seq[FileStat]](8)
+
+  private def lru[K, V](bound: Int): java.util.Map[K, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+          size() > bound
+      })
 
   /** The CURRENT manifest's version-level extras (`#key` lines). */
   def extras(spark: SparkSession, root: String): Map[String, String] =
     current(spark, root).map(s => extrasAt(spark, root, s)).getOrElse(Map.empty)
 
-  /** [[extras]] at a pinned version. */
+  /** [[extras]] at a pinned version. Cached on the manifest file's
+    * identity like [[fileStatsAt]] — a merge resolves extras several
+    * times per commit (key columns, schema, deletion list), and an
+    * INLINE manifest makes each resolve a full stats-block read. */
   def extrasAt(spark: SparkSession, root: String, snap: Snapshot): Map[String, String] = {
     val f = fs(spark, root)
-    readLine(f, new Path(new Path(root, ManifestDir), manifestName(snap.version)))
+    val mpath = new Path(new Path(root, ManifestDir), manifestName(snap.version))
+    val st = f.getFileStatus(mpath)
+    val key = (mpath.toString, st.getModificationTime, st.getLen)
+    val cached = extrasCache.get(key)
+    if (cached != null) return cached
+    val out = readLine(f, mpath)
       .split('\n').iterator.drop(1)
       .filter(_.startsWith("#"))
       .flatMap { l =>
@@ -394,7 +564,12 @@ object Snapshots {
           case _ => None
         }
       }.toMap
+    extrasCache.put(key, out)
+    out
   }
+
+  /** Extras are key/value-sized; a wider bound is free. */
+  private val extrasCache = lru[(String, Long, Long), Map[String, String]](64)
 
   /** The CURRENT snapshot's data files, absolute — the manifest file
     * list when stats were recorded (the read path of a copy-on-write
@@ -403,9 +578,11 @@ object Snapshots {
   def dataFiles(spark: SparkSession, root: String): Seq[String] =
     current(spark, root).map(s => dataFilesAt(spark, root, s)).getOrElse(Seq.empty)
 
-  /** [[dataFiles]] at a pinned version. */
+  /** [[dataFiles]] at a pinned version. Only PATHS are needed here,
+    * so the bloom column (the catalog's bulk) is never read — on a
+    * checkpointed manifest that is a true columnar projection. */
   def dataFilesAt(spark: SparkSession, root: String, snap: Snapshot): Seq[String] = {
-    val stats = fileStatsAt(spark, root, snap)
+    val stats = fileStatsAt(spark, root, snap, withBlooms = false)
     if (stats.nonEmpty) stats.map(_.path) else Seq(snap.dataPath)
   }
 
@@ -459,34 +636,57 @@ object Snapshots {
       .map(_.toInt).toSeq.sorted
     val expired = versions.dropRight(keepVersions)
     val kept = versions.takeRight(keepVersions)
+    // a manifest's stat paths, CHECKPOINT-AWARE: a checkpointed
+    // manifest's file list (and so its carried-dir references) lives
+    // in the parquet sidecar, not inline — resolving carries from the
+    // inline lines alone would let expire delete a version dir a
+    // surviving checkpointed manifest still references
+    def cpName(lines: Array[String]): Option[String] =
+      lines.iterator.drop(1)
+        .find(_.startsWith(s"#$StatsCpKey\t")).map(_.split('\t')(1))
+    def relPaths(lines: Array[String]): Iterator[String] = cpName(lines) match {
+      case Some(name) =>
+        readCheckpoint(spark, new Path(mdir, name)).iterator.map(_.path)
+      case None => lines.iterator.drop(1)
+        .filterNot(_.startsWith("#")).map(_.split('\t').head)
+    }
     // dirs the SURVIVING manifests still reference: their own data
     // dirs plus any earlier version dir a carried (copy-on-write)
     // file stat names — those must outlive their version's manifest
-    val referenced = kept.flatMap { v =>
-      val lines = readLine(f, new Path(mdir, manifestName(v))).split('\n')
+    val keptLines = kept.map(v =>
+      readLine(f, new Path(mdir, manifestName(v))).split('\n'))
+    val referencedCp = keptLines.flatMap(l => cpName(l)).toSet
+    val referenced = keptLines.flatMap { lines =>
       val header = lines.head
       val sep = header.indexOf('\t')
       val own = if (sep < 0) header else header.take(sep)
-      val carried = lines.iterator.drop(1).flatMap { l =>
-        val p = l.split('\t').head
+      val carried = relPaths(lines).flatMap { p =>
         val slash = p.indexOf('/')
         if (slash > 0) Some(p.take(slash)) else None
       }
       Iterator(own) ++ carried
     }.toSet
-    // resolve each expired manifest's data dir BEFORE deleting it
+    // resolve each expired manifest's data dir + sidecar BEFORE deleting it
     val dataDirs = expired.map { v =>
-      val line = readLine(f, new Path(mdir, manifestName(v)))
-      val sep = line.indexOf('\t')
-      val nl = line.indexOf('\n')
-      val end = if (sep < 0) (if (nl < 0) line.length else nl)
-                else sep
-      v -> line.take(end)
+      val lines = readLine(f, new Path(mdir, manifestName(v))).split('\n')
+      val header = lines.head
+      val sep = header.indexOf('\t')
+      (v, if (sep < 0) header else header.take(sep), cpName(lines))
     }
-    dataDirs.foreach { case (v, dataDir) =>
+    dataDirs.foreach { case (v, dataDir, cp) =>
       f.delete(new Path(mdir, manifestName(v)), false) // readers lose resolution first
+      cp.filterNot(referencedCp).foreach(n => f.delete(new Path(mdir, n), false))
       if (!referenced(dataDir)) f.delete(new Path(root, dataDir), true)
     }
+    // orphan stats checkpoints: sidecars no surviving manifest names
+    // (a lost publish race, or a writer killed between sidecar write
+    // and manifest rename) — same sweep contract as tmp_v_ staging
+    f.listStatus(mdir).iterator
+      .filter { s =>
+        val n = s.getPath.getName
+        n.startsWith("cp_") && n.endsWith(".parquet") && !referencedCp(n)
+      }
+      .foreach(s => f.delete(s.getPath, false))
     // orphan data dirs: v-prefixed dirs no surviving manifest names,
     // plus `tmp_v_*` staging dirs a killed writer abandoned (an
     // IN-FLIGHT cross-process writer's staging dir could be swept

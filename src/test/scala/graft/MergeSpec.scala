@@ -580,6 +580,74 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("the chunked bloom probe prunes exactly like the fused single-broadcast probe") {
+    // past the broadcast budget the probe splits into interval-probe →
+    // per-chunk bloom-refine; force one-bloom-per-chunk at toy size
+    // and prove BOTH the pruning precision (gap insert rewrites
+    // nothing it shouldn't) and the merged content are unchanged
+    def run(root: String): (Set[Int], Map[Long, String]) = {
+      val s = spark
+      import s.implicits._
+      commitBase(root)
+      // 51: a gap key inside some file's interval (bloom prunes it);
+      // 0 and 198: real keys at both edges (must touch their files)
+      Merge.merge(spark, root,
+        changes((51L, "gap", Merge.UpsertOp), (0L, "zero", Merge.UpsertOp),
+          (198L, "", Merge.DeleteOp)), "m1")
+      val vers = fileVersions(root).values.toSet
+      val rows = Merge.readCurrent(spark, root)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      (vers, rows)
+    }
+    val (_, fused) = run(tmpRoot("probe_fused"))
+    spark.conf.set("spark.graft.merge.bloomChunkBytes", "100")
+    val (_, chunked) = try run(tmpRoot("probe_chunked"))
+      finally spark.conf.unset("spark.graft.merge.bloomChunkBytes")
+    assert(chunked == fused, "chunked probe changed merge content")
+    assert(chunked(51L) == "gap" && chunked(0L) == "zero" && !chunked.contains(198L))
+
+    // pruning parity, measured: the same gap-only batch must rewrite
+    // the same (bloom-pruned) file set under both probe forms
+    def touchedCount(root: String): Int = {
+      commitBase(root)
+      Merge.merge(spark, root, changes((51L, "gap", Merge.UpsertOp)), "m1")
+      fileVersions(root).values.count(_ == 2)
+    }
+    val fusedTouched = touchedCount(tmpRoot("probe_fused2"))
+    spark.conf.set("spark.graft.merge.bloomChunkBytes", "100")
+    val chunkedTouched = try touchedCount(tmpRoot("probe_chunked2"))
+      finally spark.conf.unset("spark.graft.merge.bloomChunkBytes")
+    assert(chunkedTouched == fusedTouched,
+      s"chunked probe touched $chunkedTouched files, fused $fusedTouched")
+  }
+
+  test("a fully checkpointed chain (COW, MOR, OPTIMIZE) equals the inline chain") {
+    // every commit above the (lowered) threshold routes its stats
+    // block through the parquet sidecar — the whole merge machinery
+    // (interval+bloom pruning, carries, MOR sidecar, OPTIMIZE,
+    // retention) must behave identically to the inline-manifest form
+    val s = spark
+    import s.implicits._
+    def runChain(root: String): Map[Long, String] = {
+      commitBase(root)
+      Merge.merge(spark, root,
+        changes((0L, "rewritten", Merge.UpsertOp), (51L, "gap", Merge.UpsertOp),
+          (198L, "", Merge.DeleteOp)), "m1")
+      Merge.deleteMor(spark, root, Seq(10L, 12L).toDF("doc_id"), "mor1")
+      Merge.merge(spark, root,
+        changes((10L, "back", Merge.UpsertOp), (100L, "upd", Merge.UpsertOp)), "m2")
+      Merge.optimize(spark, root)
+      Merge.readCurrent(spark, root)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+    }
+    val inline = runChain(tmpRoot("cpchain_inline"))
+    spark.conf.set("spark.graft.manifest.checkpointFiles", "1")
+    val viaCp = try runChain(tmpRoot("cpchain_cp"))
+      finally spark.conf.unset("spark.graft.manifest.checkpointFiles")
+    assert(viaCp == inline, "checkpointed chain diverged from the inline chain")
+    assert(viaCp(10L) == "back" && !viaCp.contains(12L) && viaCp(51L) == "gap")
+  }
+
   test("the registered chain matches a plain-SQL replay of both batches") {
     val dir = Sf001
     val viaStorage = Merge.mergeIncrementalScan(spark, dir)

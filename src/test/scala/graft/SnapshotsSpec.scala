@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sources.{Compaction, Snapshots}
+import graft.sources.{Compaction, Merge, Snapshots}
 
 /** The transactional story of the maintenance rewrites (r8 verdict
   * item 1): a reader concurrent with — or arriving after a killed —
@@ -318,11 +318,16 @@ class SnapshotsSpec extends SparkSpec {
     try out.write((s"v000000001\tfp" + lines.mkString).getBytes("UTF-8"))
     finally out.close()
 
-    // warm once (JIT), then measure
+    // cold = the real text parse; steady = the manifest-identity cache
+    // (sound: published manifests are immutable) plus current()'s
+    // remaining full-file header read
+    val tc = System.nanoTime()
     Snapshots.fileStats(spark, root)
+    val coldMs = (System.nanoTime() - tc) / 1e6
     val t0 = System.nanoTime()
     val stats = Snapshots.fileStats(spark, root)
     val ms = (System.nanoTime() - t0) / 1e6
+    info(f"fileStats COLD parse over $n files with blooms: $coldMs%.1f ms")
     assert(stats.size == n)
     assert(stats.head.minKey == 0L && stats.last.maxKey == (n - 1) * 100L + 99)
     info(f"fileStats over $n files with blooms: $ms%.1f ms")
@@ -331,6 +336,134 @@ class SnapshotsSpec extends SparkSpec {
     val t1 = System.nanoTime()
     Snapshots.current(spark, root)
     info(f"current(): ${(System.nanoTime() - t1) / 1e6}%.1f ms")
+
+    // the CHECKPOINTED form of the same 10k-file catalog: one parquet
+    // sidecar instead of 7 MB of text — measure the plan-time parse
+    // side by side and pin equality of the resolved stats
+    val rootCp = tmpRoot("manifest10kcp")
+    spark.conf.set("spark.graft.manifest.checkpointFiles", "1")
+    try Snapshots.commit(spark, rootCp, "fp",
+      statsFor = _ => (0 until n).map(i => Snapshots.FileStat(
+        s"part-$i.parquet", i * 100L, i * 100L + 99, 100L, bloom))) { p =>
+      Snapshots.fs(spark, p).mkdirs(new org.apache.hadoop.fs.Path(p))
+    } finally spark.conf.unset("spark.graft.manifest.checkpointFiles")
+    val tcc = System.nanoTime()
+    Snapshots.fileStats(spark, rootCp) // cold: the real sidecar read
+    val cpColdMs = (System.nanoTime() - tcc) / 1e6
+    val t2 = System.nanoTime()
+    val cpStats = Snapshots.fileStats(spark, rootCp)
+    val cpMs = (System.nanoTime() - t2) / 1e6
+    assert(cpStats.size == n)
+    assert(cpStats.map(_.copy(path = "")).toSet == stats.map(_.copy(path = "")).toSet,
+      "checkpointed stats must carry identical intervals/counts/blooms")
+    info(f"fileStats via checkpoint COLD: $cpColdMs%.1f ms (inline cold: $coldMs%.1f ms)")
+    info(f"fileStats via checkpoint steady: $cpMs%.1f ms (inline steady: $ms%.1f ms)")
+    assert(cpMs < 2000, f"checkpointed 10k-file parse took $cpMs%.1f ms")
+
+    // the READ path (dataFiles) projects the bloom column away — the
+    // columnar payoff: the blooms are ~95% of the catalog's bytes and
+    // a path-only resolve should not pay for them
+    Snapshots.dataFiles(spark, rootCp) // warm
+    val t3 = System.nanoTime()
+    val files = Snapshots.dataFiles(spark, rootCp)
+    val leanMs = (System.nanoTime() - t3) / 1e6
+    assert(files.size == n)
+    info(f"dataFiles via checkpoint (bloom column projected away): $leanMs%.1f ms")
+    // and current() on the checkpointed root reads a header-sized file
+    val t4 = System.nanoTime()
+    Snapshots.current(spark, rootCp)
+    info(f"current() on checkpointed manifest: ${(System.nanoTime() - t4) / 1e6}%.1f ms")
+  }
+
+  test("stats checkpoint: above the threshold the manifest stays header-sized and round-trips") {
+    // the Delta checkpoint pattern, implemented at the r9-measured
+    // threshold: inline text stats are O(files) parsed per plan
+    // (~560 MB at the 100 TB / 800k-file shape); above the threshold
+    // the stats block lands in ONE parquet sidecar written
+    // driver-side, the manifest keeps its one-line header, and
+    // fileStats resolves through the sidecar transparently.
+    val stats = (0 until 200).map(i => Snapshots.FileStat(
+      s"part-$i.parquet", i * 10L, i * 10L + 9, 10L,
+      graft.sources.KeyBloom.encode(Array.fill(8)(i.toLong))))
+    def committed(root: String, threshold: String): Seq[Snapshots.FileStat] = {
+      spark.conf.set("spark.graft.manifest.checkpointFiles", threshold)
+      try {
+        Snapshots.commit(spark, root, "fp", statsFor = _ => stats) { p =>
+          Snapshots.fs(spark, p).mkdirs(new org.apache.hadoop.fs.Path(p))
+        }
+        Snapshots.fileStats(spark, root)
+      } finally spark.conf.unset("spark.graft.manifest.checkpointFiles")
+    }
+    val inline = committed(tmpRoot("cp_inline"), "100000")
+    val rootCp = tmpRoot("cp_on")
+    val viaCp = committed(rootCp, "10")
+
+    // identical resolved stats, path prefix aside (different roots)
+    def rel(s: Seq[Snapshots.FileStat]) =
+      s.map(st => st.copy(path = st.path.split('/').takeRight(2).mkString("/")))
+    assert(rel(viaCp) == rel(inline),
+      "checkpointed fileStats must equal the inline form exactly")
+
+    val fs = Snapshots.fs(spark, rootCp)
+    val mpath = new org.apache.hadoop.fs.Path(s"$rootCp/_manifests/000000001")
+    val raw = {
+      val in = fs.open(mpath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val lines = raw.trim.split('\n')
+    assert(lines.count(!_.startsWith("#")) == 1,
+      s"checkpointed manifest must hold ONLY the header line: ${lines.take(3).toSeq}")
+    assert(lines.exists(_.startsWith("#statscp\t")),
+      "manifest must reference its sidecar")
+    val cpFiles = fs.listStatus(new org.apache.hadoop.fs.Path(rootCp, "_manifests"))
+      .map(_.getPath.getName).filter(_.startsWith("cp_"))
+    assert(cpFiles.length == 1, s"exactly one sidecar: ${cpFiles.toSeq}")
+    // extras still parse (the sidecar ref IS an extra line)
+    assert(Snapshots.extras(spark, rootCp).contains("statscp"))
+  }
+
+  test("expire follows checkpointed carries and sweeps expired and orphan sidecars") {
+    val root = tmpRoot("cp_expire")
+    val fs = Snapshots.fs(spark, root)
+    spark.conf.set("spark.graft.manifest.checkpointFiles", "1")
+    try {
+      // v1: real files, stats checkpointed
+      Snapshots.commit(spark, root, "v1",
+        statsFor = p => Merge.statsWithBlooms(spark, p)) { p =>
+        writeDocs(p, 0L to 9L)
+      }
+      val v1stats = Snapshots.fileStats(spark, root)
+      assert(v1stats.nonEmpty)
+      // v2: carries v1's files BY REFERENCE — the carry list lives
+      // only in v2's parquet sidecar, not inline
+      val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+      val carried = v1stats.map { s =>
+        val p = new org.apache.hadoop.fs.Path(s.path).toUri.getPath
+        s.copy(path = p.stripPrefix(rootUri).stripPrefix("/"))
+      }
+      Snapshots.commit(spark, root, "v2", carry = carried,
+        retryOnConflict = Some(false)) { p =>
+        fs.mkdirs(new org.apache.hadoop.fs.Path(p))
+      }
+      // an orphan sidecar (a lost race / killed writer leftover)
+      val orphan = new org.apache.hadoop.fs.Path(s"$root/_manifests/cp_deadbeefdeadbeef.parquet")
+      val out = fs.create(orphan, true); out.write(Array[Byte](1)); out.close()
+
+      Snapshots.expire(spark, root, keepVersions = 1)
+      // v1's DATA DIR must survive: v2's checkpointed carry references it
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root, "v000000001")),
+        "expire must not delete a dir referenced only via a checkpointed carry")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_manifests/000000001")),
+        "v1's manifest is past retention")
+      assert(!fs.exists(orphan), "orphan sidecars are swept")
+      val cpLeft = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_manifests"))
+        .map(_.getPath.getName).filter(_.startsWith("cp_"))
+      assert(cpLeft.length == 1, s"only v2's sidecar survives: ${cpLeft.toSeq}")
+      // and the table still reads whole through the carried references
+      val rows = spark.read.parquet(Snapshots.dataFiles(spark, root): _*)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq == (0L to 9L))
+    } finally spark.conf.unset("spark.graft.manifest.checkpointFiles")
   }
 
   test("expire retains the newest versions, removes old data dirs and orphans") {
