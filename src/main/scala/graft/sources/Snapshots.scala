@@ -55,6 +55,11 @@ object Snapshots {
   private val ManifestDir = "_manifests"
   private val StatsCpKey = "statscp"
 
+  /** A delta manifest may differ from its base sidecar by at most
+    * 1/this fraction of the sidecar's entries before the commit
+    * rotates to a fresh sidecar (10 = a 10% cumulative delta). */
+  private val DeltaReuseInvFraction = 10L
+
   /** File-count threshold above which a commit CHECKPOINTS its stats
     * block to a parquet sidecar instead of inline manifest lines —
     * the Delta checkpoint pattern, at the point the r9 growth
@@ -291,17 +296,48 @@ object Snapshots {
     // point, uniquely named (a racing loser's sidecar is an orphan
     // [[expire]] sweeps), referenced from the manifest as an extra.
     // The manifest rename stays the single atomic commit point.
-    val cpRef: Option[String] =
-      if (allStats.nonEmpty && allStats.size >= checkpointThreshold(spark)) {
-        val name = s"cp_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.parquet"
-        writeCheckpoint(spark, new Path(mdir, name), allStats)
-        Some(name)
-      } else None
-    val statLines =
-      (if (cpRef.isDefined) Seq.empty
-       else allStats.map(s =>
-         s"\n${s.path}\t${s.minKey}\t${s.maxKey}\t${s.nRows}" +
-           (if (s.bloom.nonEmpty) s"\t${s.bloom}" else ""))) ++
+    //
+    // DELTA REUSE (the Delta log+checkpoint shape): when the parent
+    // already has a sidecar and this commit's catalog differs from
+    // that sidecar by a small fraction, the manifest references the
+    // SAME immutable sidecar plus inline add lines and `-\tpath`
+    // remove lines — a CDC merge touching 3 of 800k files commits
+    // O(delta) catalog bytes, not O(table). The delta is computed
+    // against the SIDECAR's contents (not the parent's resolved
+    // view), so chained delta manifests stay one-level: base − removes
+    // + adds = exactly this commit's stats, independent of which
+    // version actually won any publish race (the reference is to an
+    // immutable FILE, not a version). When the cumulative delta
+    // outgrows [[DeltaReuseMaxFraction]] the commit rotates to a
+    // fresh sidecar.
+    def line(s: FileStat): String =
+      s"\n${s.path}\t${s.minKey}\t${s.maxKey}\t${s.nRows}" +
+        (if (s.bloom.nonEmpty) s"\t${s.bloom}" else "")
+    val (cpRef: Option[String], deltaLines: Seq[String]) =
+      if (allStats.isEmpty || allStats.size < checkpointThreshold(spark))
+        (None, allStats.map(line))
+      else {
+        val parentCp = (if (parentNow >= 1) at(spark, root, parentNow) else None)
+          .flatMap(p => extrasAt(spark, root, p).get(StatsCpKey))
+        val reuse = parentCp.flatMap { name =>
+          val base = readCheckpoint(spark, new Path(mdir, name))
+          val baseMap = base.iterator.map(s => s.path -> s).toMap
+          val newPaths = allStats.iterator.map(_.path).toSet
+          val removes = base.iterator.map(_.path).filterNot(newPaths).toSeq
+          val adds = allStats.filterNot(s => baseMap.get(s.path).contains(s))
+          if ((removes.size + adds.size).toLong * DeltaReuseInvFraction <= base.size)
+            Some((name, adds.map(line) ++ removes.map(p => s"\n-\t$p")))
+          else None
+        }
+        reuse match {
+          case Some((name, lines)) => (Some(name), lines)
+          case None =>
+            val name = s"cp_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.parquet"
+            writeCheckpoint(spark, new Path(mdir, name), allStats)
+            (Some(name), Seq.empty)
+        }
+      }
+    val statLines = deltaLines ++
       (extras ++ cpRef.map(StatsCpKey -> _)).map { case (k, v) => s"\n#$k\t$v" }
     var attempts = 0
     while (true) {
@@ -502,28 +538,42 @@ object Snapshots {
       val base = if (s.path.contains('/')) root else snap.dataPath
       s.copy(path = new Path(base, s.path).toString)
     }
-    // a checkpointed manifest holds NO inline stat lines — the whole
-    // block lives in the parquet sidecar the #statscp extra names
+    val stats = relativeStats(spark,
+      new Path(root, ManifestDir), lines, withBlooms).map(resolve)
+    statsCache.put(key, stats)
+    stats
+  }
+
+  /** A manifest's stat entries with RELATIVE paths — the shared
+    * resolution [[fileStatsAt]] (absolute-resolves on top) and
+    * [[expire]] (needs relative dir prefixes) both use. Three forms:
+    * plain inline lines; a `#statscp` sidecar holding the whole
+    * block; or a DELTA manifest — the sidecar PLUS inline add lines
+    * and `-\tpath` remove lines, resolved as base − removes + adds. */
+  private def relativeStats(spark: SparkSession, mdir: Path,
+                            lines: Array[String],
+                            withBlooms: Boolean): Seq[FileStat] = {
+    val inline = lines.iterator.drop(1).flatMap { l =>
+      if (l.startsWith("#") || l.startsWith("-\t")) None
+      else l.split('\t') match {
+        case Array(p, mn, mx, n)    => Some(FileStat(p, mn.toLong, mx.toLong, n.toLong))
+        case Array(p, mn, mx, n, b) => Some(FileStat(p, mn.toLong, mx.toLong, n.toLong,
+          if (withBlooms) b else ""))
+        case _ => None
+      }
+    }.toSeq
     val cp = lines.iterator.drop(1)
       .find(_.startsWith(s"#$StatsCpKey\t"))
       .map(_.split('\t')(1))
-    val stats = cp match {
+    cp match {
+      case None => inline
       case Some(name) =>
-        readCheckpoint(spark,
-          new Path(new Path(root, ManifestDir), name), withBlooms).map(resolve)
-      case None =>
-        lines.iterator.drop(1).flatMap { l =>
-          if (l.startsWith("#")) None // version-level extras, not files
-          else l.split('\t') match {
-            case Array(p, mn, mx, n)    => Some(resolve(FileStat(p, mn.toLong, mx.toLong, n.toLong)))
-            case Array(p, mn, mx, n, b) => Some(resolve(FileStat(p, mn.toLong, mx.toLong, n.toLong,
-              if (withBlooms) b else "")))
-            case _ => None
-          }
-        }.toSeq
+        val base = readCheckpoint(spark, new Path(mdir, name), withBlooms)
+        val removed = lines.iterator.drop(1)
+          .filter(_.startsWith("-\t")).map(_.drop(2)).toSet
+        val overridden = inline.iterator.map(_.path).toSet
+        base.filterNot(s => removed(s.path) || overridden(s.path)) ++ inline
     }
-    statsCache.put(key, stats)
-    stats
   }
 
   /** Bounded LRU of parsed manifest stats, keyed on the manifest
@@ -644,12 +694,9 @@ object Snapshots {
     def cpName(lines: Array[String]): Option[String] =
       lines.iterator.drop(1)
         .find(_.startsWith(s"#$StatsCpKey\t")).map(_.split('\t')(1))
-    def relPaths(lines: Array[String]): Iterator[String] = cpName(lines) match {
-      case Some(name) =>
-        readCheckpoint(spark, new Path(mdir, name)).iterator.map(_.path)
-      case None => lines.iterator.drop(1)
-        .filterNot(_.startsWith("#")).map(_.split('\t').head)
-    }
+    def relPaths(lines: Array[String]): Iterator[String] =
+      relativeStats(spark, mdir, lines, withBlooms = false)
+        .iterator.map(_.path)
     // dirs the SURVIVING manifests still reference: their own data
     // dirs plus any earlier version dir a carried (copy-on-write)
     // file stat names — those must outlive their version's manifest

@@ -422,6 +422,69 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.extras(spark, rootCp).contains("statscp"))
   }
 
+  test("delta manifests reuse the parent sidecar until the delta outgrows it") {
+    // the Delta log+checkpoint shape: a commit whose catalog differs
+    // from the parent's sidecar by a small fraction references the
+    // SAME immutable sidecar plus inline add/`-` remove lines —
+    // commit-time catalog I/O tracks the DELTA, not the table; a big
+    // divergence rotates to a fresh sidecar
+    val root = tmpRoot("cp_delta")
+    val fs = Snapshots.fs(spark, root)
+    val bloom = graft.sources.KeyBloom.encode(Array.fill(8)(7L))
+    def mk(i: Int) = Snapshots.FileStat(s"part-$i.parquet", i * 10L, i * 10L + 9, 10L, bloom)
+    def relativized(): Seq[Snapshots.FileStat] = {
+      val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+      Snapshots.fileStats(spark, root).map { s =>
+        val p = new org.apache.hadoop.fs.Path(s.path).toUri.getPath
+        s.copy(path = p.stripPrefix(rootUri).stripPrefix("/"))
+      }
+    }
+    def rawManifest(v: Int): Seq[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(f"$root/_manifests/$v%09d"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.split('\n').toSeq
+      finally in.close()
+    }
+    val mkdirsOnly = (p: String) =>
+      { Snapshots.fs(spark, p).mkdirs(new org.apache.hadoop.fs.Path(p)); () }
+    spark.conf.set("spark.graft.manifest.checkpointFiles", "5")
+    try {
+      Snapshots.commit(spark, root, "v1",
+        statsFor = _ => (0 until 100).map(mk))(mkdirsOnly)
+      val cp1 = Snapshots.extras(spark, root)("statscp")
+
+      // v2: drop 2 carried files, add 3 fresh — small delta, REUSE
+      val carry2 = relativized().drop(2)
+      Snapshots.commit(spark, root, "v2", carry = carry2,
+        statsFor = _ => (200 until 203).map(mk),
+        retryOnConflict = Some(false))(mkdirsOnly)
+      assert(Snapshots.extras(spark, root)("statscp") == cp1,
+        "a small delta must reuse the parent's sidecar")
+      val m2 = rawManifest(2)
+      assert(m2.count(l => l.startsWith("-\t")) == 2, s"2 remove lines: $m2")
+      assert(m2.count(l => !l.startsWith("#") && !l.startsWith("-\t")) == 1 + 3,
+        s"header + 3 add lines: $m2")
+      val got2 = Snapshots.fileStats(spark, root).map(_.path.split('/').last).toSet
+      val want2 = ((2 until 100) ++ (200 until 203)).map(i => s"part-$i.parquet").toSet
+      assert(got2 == want2, "delta-resolved stats diverged")
+
+      // v3: keep only 10 files — delta > 10% of the base, ROTATE
+      val carry3 = relativized().take(10)
+      Snapshots.commit(spark, root, "v3", carry = carry3,
+        retryOnConflict = Some(false))(mkdirsOnly)
+      val cp3 = Snapshots.extras(spark, root)("statscp")
+      assert(cp3 != cp1, "an outgrown delta must rotate to a fresh sidecar")
+      assert(rawManifest(3).count(l => !l.startsWith("#")) == 1,
+        "a rotated manifest holds only its header")
+      assert(Snapshots.fileStats(spark, root).size == 10)
+
+      // retention: v3 references only cp3; expire drops cp1 with v1/v2
+      Snapshots.expire(spark, root, keepVersions = 1)
+      val cps = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_manifests"))
+        .map(_.getPath.getName).filter(_.startsWith("cp_")).toSeq
+      assert(cps == Seq(cp3), s"only the live sidecar survives: $cps")
+    } finally spark.conf.unset("spark.graft.manifest.checkpointFiles")
+  }
+
   test("expire follows checkpointed carries and sweeps expired and orphan sidecars") {
     val root = tmpRoot("cp_expire")
     val fs = Snapshots.fs(spark, root)
@@ -458,7 +521,9 @@ class SnapshotsSpec extends SparkSpec {
       assert(!fs.exists(orphan), "orphan sidecars are swept")
       val cpLeft = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_manifests"))
         .map(_.getPath.getName).filter(_.startsWith("cp_"))
-      assert(cpLeft.length == 1, s"only v2's sidecar survives: ${cpLeft.toSeq}")
+      // (with delta reuse v2's carry-all references v1's OWN sidecar —
+      // the shared file must survive v1's manifest expiring)
+      assert(cpLeft.length == 1, s"only the live sidecar survives: ${cpLeft.toSeq}")
       // and the table still reads whole through the carried references
       val rows = spark.read.parquet(Snapshots.dataFiles(spark, root): _*)
         .select("doc_id").collect().map(_.getLong(0)).sorted
