@@ -436,7 +436,7 @@ object Merge {
     * count, never by batch size).
     *
     * BROADCAST-BOUNDED (r9): when the catalog's decoded blooms fit
-    * [[BloomChunkBytes]] this is ONE fused pass (the common case —
+    * [[bloomChunkBytes]] this is ONE fused pass (the common case —
     * identical to the original single-broadcast probe). Past the
     * bound it becomes interval-probe → bloom-refine: phase 1
     * broadcasts intervals only and yields candidate files; phase 2

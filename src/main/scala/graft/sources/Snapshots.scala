@@ -60,6 +60,10 @@ object Snapshots {
     * rotates to a fresh sidecar (10 = a 10% cumulative delta). */
   private val DeltaReuseInvFraction = 10L
 
+  /** Absolute cap on a delta manifest's inline bytes — bounds the
+    * text every reader parses, whatever the bloom width. */
+  private val DeltaMaxInlineBytes = 64L << 20
+
   /** File-count threshold above which a commit CHECKPOINTS its stats
     * block to a parquet sidecar instead of inline manifest lines —
     * the Delta checkpoint pattern, at the point the r9 growth
@@ -123,22 +127,12 @@ object Snapshots {
     else at(spark, root, versions.max)
   }
 
-  private def readLine(f: FileSystem, p: Path): String = {
-    val in = f.open(p)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      var n = in.read(buf)
-      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim
-    } finally in.close()
-  }
-
-  /** The manifest's FIRST line only — [[at]]/[[current]] resolve the
-    * header without paying for an inline stats block (O(catalog) text
-    * on a big un-checkpointed manifest): read in 4 KB chunks and stop
-    * at the first newline. */
-  private def readHeader(f: FileSystem, p: Path): String = {
+  /** Read a manifest's text — whole file, or FIRST LINE only
+    * (`headerOnly`, the [[at]]/[[current]] resolve path: stop at the
+    * first newline instead of paying for an inline stats block,
+    * O(catalog) text on a big un-checkpointed manifest). One reader,
+    * one stop condition flag. */
+  private def readManifest(f: FileSystem, p: Path, headerOnly: Boolean = false): String = {
     val in = f.open(p)
     try {
       val bytes = new java.io.ByteArrayOutputStream()
@@ -148,15 +142,22 @@ object Snapshots {
         val n = in.read(buf)
         if (n <= 0) done = true
         else {
-          var i = 0
-          while (i < n && buf(i) != '\n') i += 1
-          bytes.write(buf, 0, i)
-          if (i < n) done = true
+          var stop = n
+          if (headerOnly) {
+            var i = 0
+            while (i < n && buf(i) != '\n') i += 1
+            if (i < n) { stop = i; done = true }
+          }
+          bytes.write(buf, 0, stop)
         }
       }
       new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim
     } finally in.close()
   }
+
+  private def readLine(f: FileSystem, p: Path): String = readManifest(f, p)
+  private def readHeader(f: FileSystem, p: Path): String =
+    readManifest(f, p, headerOnly = true)
 
   /** Write one version and publish it atomically: `write(dataPath)`
     * materializes the data under the next `v{N}/`, then the manifest
@@ -308,8 +309,8 @@ object Snapshots {
     // + adds = exactly this commit's stats, independent of which
     // version actually won any publish race (the reference is to an
     // immutable FILE, not a version). When the cumulative delta
-    // outgrows [[DeltaReuseMaxFraction]] the commit rotates to a
-    // fresh sidecar.
+    // outgrows [[DeltaReuseInvFraction]] (or [[DeltaMaxInlineBytes]])
+    // the commit rotates to a fresh sidecar.
     def line(s: FileStat): String =
       s"\n${s.path}\t${s.minKey}\t${s.maxKey}\t${s.nRows}" +
         (if (s.bloom.nonEmpty) s"\t${s.bloom}" else "")
@@ -325,8 +326,16 @@ object Snapshots {
           val newPaths = allStats.iterator.map(_.path).toSet
           val removes = base.iterator.map(_.path).filterNot(newPaths).toSeq
           val adds = allStats.filterNot(s => baseMap.get(s.path).contains(s))
-          if ((removes.size + adds.size).toLong * DeltaReuseInvFraction <= base.size)
-            Some((name, adds.map(line) ++ removes.map(p => s"\n-\t$p")))
+          val deltaLines = adds.map(line) ++ removes.map(p => s"\n-\t$p")
+          // two rotation bounds: cumulative drift (entries, vs the
+          // base) AND an absolute inline-bytes cap — add lines carry
+          // blooms, so an entry bound alone could let a wide-bloom
+          // delta write a manifest far bigger than the text parse any
+          // reader should pay
+          val deltaBytes = deltaLines.iterator.map(_.length.toLong).sum
+          if ((removes.size + adds.size).toLong * DeltaReuseInvFraction <= base.size &&
+              deltaBytes <= DeltaMaxInlineBytes)
+            Some((name, deltaLines))
           else None
         }
         reuse match {
@@ -526,13 +535,33 @@ object Snapshots {
     // immutable — it is created by one atomic put-if-absent and only
     // ever DELETED (expire), never rewritten — so its parsed stats can
     // be reused for as long as the file is byte-identical. The key
-    // carries mtime+length so the one path that recreates a manifest
-    // name with different content (a root wiped and rebuilt, where
-    // version numbers restart) misses instead of serving stale stats.
+    // carries mtime+length AND the header line (data dir + source
+    // fingerprint, a cheap stop-at-first-newline read): mtime alone is
+    // unreliable below a store's timestamp granularity and manifest
+    // LENGTH collides by construction (fixed-width header, same-shape
+    // stat lines), so a wiped-and-rebuilt root could otherwise serve
+    // the old table's catalog.
     val st = f.getFileStatus(mpath)
-    val key = (mpath.toString, st.getModificationTime, st.getLen, withBlooms)
-    val cached = statsCache.get(key)
-    if (cached != null) return cached
+    val key = (mpath.toString, st.getModificationTime, st.getLen,
+      readHeader(f, mpath), withBlooms)
+    val hit = statsCache.get(key)
+    if (hit != null) {
+      val v = hit.get()
+      if (v != null) return v
+    }
+    // a bloomless ask can be DERIVED from a cached bloomful parse —
+    // never re-read the manifest just to drop a column
+    if (!withBlooms) {
+      val full = statsCache.get(key.copy(_5 = true))
+      if (full != null) {
+        val v = full.get()
+        if (v != null) {
+          val lean = v.map(s => if (s.bloom.isEmpty) s else s.copy(bloom = ""))
+          statsCache.put(key, new java.lang.ref.SoftReference(lean))
+          return lean
+        }
+      }
+    }
     val lines = readLine(f, mpath).split('\n')
     def resolve(s: FileStat): FileStat = {
       val base = if (s.path.contains('/')) root else snap.dataPath
@@ -540,7 +569,7 @@ object Snapshots {
     }
     val stats = relativeStats(spark,
       new Path(root, ManifestDir), lines, withBlooms).map(resolve)
-    statsCache.put(key, stats)
+    statsCache.put(key, new java.lang.ref.SoftReference(stats))
     stats
   }
 
@@ -562,10 +591,7 @@ object Snapshots {
         case _ => None
       }
     }.toSeq
-    val cp = lines.iterator.drop(1)
-      .find(_.startsWith(s"#$StatsCpKey\t"))
-      .map(_.split('\t')(1))
-    cp match {
+    cpNameOf(lines) match {
       case None => inline
       case Some(name) =>
         val base = readCheckpoint(spark, new Path(mdir, name), withBlooms)
@@ -576,12 +602,24 @@ object Snapshots {
     }
   }
 
+  /** The sidecar a manifest's `#statscp` extra names, if any — the
+    * ONE place that line's format is known (read path, retention and
+    * the commit-time delta diff all resolve through this). */
+  private def cpNameOf(lines: Array[String]): Option[String] =
+    lines.iterator.drop(1)
+      .find(_.startsWith(s"#$StatsCpKey\t")).map(_.split('\t')(1))
+
   /** Bounded LRU of parsed manifest stats, keyed on the manifest
-    * file's identity (path, mtime, length) — safe because published
-    * manifests are immutable (see [[fileStatsAt]]). A big table's
-    * catalog entry is large by nature (it is what the planning caller
-    * materializes anyway), so the bound is small: 8 live tables. */
-  private val statsCache = lru[(String, Long, Long, Boolean), Seq[FileStat]](8)
+    * file's identity (path, mtime, length, header) — safe because
+    * published manifests are immutable (see [[fileStatsAt]]). A big
+    * table's catalog entry is large by nature (it is what the
+    * planning caller materializes anyway), so the bound is small (8)
+    * AND the values are SoftReferences: under heap pressure the GC
+    * reclaims idle catalogs instead of the driver pinning multi-GB
+    * of stats for the JVM lifetime — a cleared entry just re-parses. */
+  private val statsCache =
+    lru[(String, Long, Long, String, Boolean),
+        java.lang.ref.SoftReference[Seq[FileStat]]](8)
 
   private def lru[K, V](bound: Int): java.util.Map[K, V] =
     java.util.Collections.synchronizedMap(
@@ -602,7 +640,10 @@ object Snapshots {
     val f = fs(spark, root)
     val mpath = new Path(new Path(root, ManifestDir), manifestName(snap.version))
     val st = f.getFileStatus(mpath)
-    val key = (mpath.toString, st.getModificationTime, st.getLen)
+    // same identity key as the stats cache: mtime+length+header (see
+    // [[fileStatsAt]] for why length alone collides by construction)
+    val key = (mpath.toString, st.getModificationTime, st.getLen,
+      readHeader(f, mpath))
     val cached = extrasCache.get(key)
     if (cached != null) return cached
     val out = readLine(f, mpath)
@@ -619,7 +660,7 @@ object Snapshots {
   }
 
   /** Extras are key/value-sized; a wider bound is free. */
-  private val extrasCache = lru[(String, Long, Long), Map[String, String]](64)
+  private val extrasCache = lru[(String, Long, Long, String), Map[String, String]](64)
 
   /** The CURRENT snapshot's data files, absolute — the manifest file
     * list when stats were recorded (the read path of a copy-on-write
@@ -691,9 +732,7 @@ object Snapshots {
     // in the parquet sidecar, not inline — resolving carries from the
     // inline lines alone would let expire delete a version dir a
     // surviving checkpointed manifest still references
-    def cpName(lines: Array[String]): Option[String] =
-      lines.iterator.drop(1)
-        .find(_.startsWith(s"#$StatsCpKey\t")).map(_.split('\t')(1))
+    def cpName(lines: Array[String]): Option[String] = cpNameOf(lines)
     def relPaths(lines: Array[String]): Iterator[String] =
       relativeStats(spark, mdir, lines, withBlooms = false)
         .iterator.map(_.path)
@@ -713,35 +752,58 @@ object Snapshots {
       }
       Iterator(own) ++ carried
     }.toSet
-    // resolve each expired manifest's data dir + sidecar BEFORE deleting it
+    // resolve each expired manifest's REFERENCED DIRS (its own data
+    // dir plus every dir its carried file list names) + sidecar
+    // BEFORE deleting anything: a dir that only expired manifests
+    // referenced is deterministically reclaimable — it was published,
+    // and retention expiring its last referent is the caller's
+    // explicit choice. (Leaving such dirs to the age-gated orphan
+    // sweep below would make OPTIMIZE+expire non-deterministic.)
     val dataDirs = expired.map { v =>
       val lines = readLine(f, new Path(mdir, manifestName(v))).split('\n')
       val header = lines.head
       val sep = header.indexOf('\t')
-      (v, if (sep < 0) header else header.take(sep), cpName(lines))
+      val own = if (sep < 0) header else header.take(sep)
+      val dirs = (Iterator(own) ++ relPaths(lines).flatMap { p =>
+        val slash = p.indexOf('/')
+        if (slash > 0) Some(p.take(slash)) else None
+      }).toSet
+      (v, dirs, cpName(lines))
     }
-    dataDirs.foreach { case (v, dataDir, cp) =>
+    dataDirs.foreach { case (v, dirs, cp) =>
       f.delete(new Path(mdir, manifestName(v)), false) // readers lose resolution first
       cp.filterNot(referencedCp).foreach(n => f.delete(new Path(mdir, n), false))
-      if (!referenced(dataDir)) f.delete(new Path(root, dataDir), true)
+      dirs.filterNot(referenced).foreach(d => f.delete(new Path(root, d), true))
     }
-    // orphan stats checkpoints: sidecars no surviving manifest names
-    // (a lost publish race, or a writer killed between sidecar write
-    // and manifest rename) — same sweep contract as tmp_v_ staging
+    // ORPHAN sweep, AGE-GATED (`spark.graft.manifest.orphanGraceMs`,
+    // default 1 h — Delta's VACUUM-retention idea): artifacts no
+    // surviving manifest names are either a killed writer's leftovers
+    // (sweep) or an IN-FLIGHT cross-process commit's not-yet-published
+    // work (must NOT sweep — deleting a sidecar whose manifest rename
+    // is about to SUCCEED would publish a version referencing a
+    // missing file, bricking the table; deleting a staging dir merely
+    // fails the racing commit, but gets the same gate for symmetry).
+    // The deterministic deletions above (expired manifests' dirs and
+    // sidecars) are not age-gated: they were published, and retention
+    // expiring them is the caller's explicit choice.
+    val grace = spark.conf.getOption("spark.graft.manifest.orphanGraceMs")
+      .map(_.toLong).getOrElse(3600000L)
+    val cutoff = System.currentTimeMillis() - grace
+    // orphan stats checkpoints: a lost publish race, or a writer
+    // killed between sidecar write and manifest rename
     f.listStatus(mdir).iterator
       .filter { s =>
         val n = s.getPath.getName
-        n.startsWith("cp_") && n.endsWith(".parquet") && !referencedCp(n)
+        n.startsWith("cp_") && n.endsWith(".parquet") && !referencedCp(n) &&
+          s.getModificationTime < cutoff
       }
       .foreach(s => f.delete(s.getPath, false))
     // orphan data dirs: v-prefixed dirs no surviving manifest names,
-    // plus `tmp_v_*` staging dirs a killed writer abandoned (an
-    // IN-FLIGHT cross-process writer's staging dir could be swept
-    // here — expire shares the commit cadence contract: run it from
-    // the maintenance job, not concurrently with foreign writers)
+    // plus `tmp_v_*` staging dirs a killed writer abandoned
     f.listStatus(new Path(root)).iterator
       .filter(s => s.isDirectory && !referenced(s.getPath.getName) &&
         s.getPath.getName != ManifestDir &&
+        s.getModificationTime < cutoff &&
         (s.getPath.getName.matches("v\\d{9}(_[0-9a-f]{8})?") ||
           s.getPath.getName.startsWith("tmp_v_")))
       .foreach(s => f.delete(s.getPath, true))

@@ -291,8 +291,16 @@ class SnapshotsSpec extends SparkSpec {
       s"expected a suffixed fallback dir, got ${snap.dataPath}")
     assert(spark.read.parquet(Snapshots.current(spark, root).get.dataPath)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == (200L to 204L))
-    // A's parked dir is now an orphan a later expire sweeps
+    // A's parked dir is now an orphan a later expire sweeps — but
+    // only past the orphan GRACE window (a fresh unreferenced dir
+    // could be an in-flight commit's work)
     Snapshots.expire(spark, root, keepVersions = 1)
+    assert(Snapshots.fs(spark, root)
+      .exists(new org.apache.hadoop.fs.Path(root, "v000000002")),
+      "a fresh orphan inside the grace window must survive expire")
+    spark.conf.set("spark.graft.manifest.orphanGraceMs", "0")
+    try Snapshots.expire(spark, root, keepVersions = 1)
+    finally spark.conf.unset("spark.graft.manifest.orphanGraceMs")
     assert(!Snapshots.fs(spark, root)
       .exists(new org.apache.hadoop.fs.Path(root, "v000000002")),
       "the in-flight loser's parked dir is reclaimed as an orphan")
@@ -512,7 +520,13 @@ class SnapshotsSpec extends SparkSpec {
       val orphan = new org.apache.hadoop.fs.Path(s"$root/_manifests/cp_deadbeefdeadbeef.parquet")
       val out = fs.create(orphan, true); out.write(Array[Byte](1)); out.close()
 
-      Snapshots.expire(spark, root, keepVersions = 1)
+      // inside the grace window the orphan could be an IN-FLIGHT
+      // commit's sidecar — expire must leave it alone
+      Snapshots.expire(spark, root, keepVersions = 2)
+      assert(fs.exists(orphan), "a fresh orphan sidecar survives the grace window")
+      spark.conf.set("spark.graft.manifest.orphanGraceMs", "0")
+      try Snapshots.expire(spark, root, keepVersions = 1)
+      finally spark.conf.unset("spark.graft.manifest.orphanGraceMs")
       // v1's DATA DIR must survive: v2's checkpointed carry references it
       assert(fs.exists(new org.apache.hadoop.fs.Path(root, "v000000001")),
         "expire must not delete a dir referenced only via a checkpointed carry")
@@ -543,10 +557,12 @@ class SnapshotsSpec extends SparkSpec {
       .map(_.getPath.getName).filter(_.startsWith("v")).sorted.toSeq
 
     assert(dirs.size == 4)
-    val deleted = Snapshots.expire(spark, root, keepVersions = 2)
+    spark.conf.set("spark.graft.manifest.orphanGraceMs", "0")
+    val deleted = try Snapshots.expire(spark, root, keepVersions = 2)
+      finally spark.conf.unset("spark.graft.manifest.orphanGraceMs")
     assert(deleted == Seq(1), s"only v1 is past the retention window: $deleted")
     assert(dirs == Seq("v000000002", "v000000003"),
-      "expire must drop v1 AND the unreferenced orphan")
+      "expire must drop v1 AND the unreferenced orphan (grace 0)")
     // current still resolves, with its data intact
     val cur = Snapshots.current(spark, root).get
     assert(cur.version == 3 && spark.read.parquet(cur.dataPath).count() == 30)
