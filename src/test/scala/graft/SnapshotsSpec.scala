@@ -493,6 +493,67 @@ class SnapshotsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.manifest.checkpointFiles")
   }
 
+  test("property: random commit chains resolve identically inline, checkpointed and delta") {
+    // the delta arithmetic (base − removes − overridden + adds) and
+    // the rotation rule must be INVISIBLE: whatever sequence of
+    // commits (fresh stats, carries, drops, re-adds), fileStats must
+    // equal a model that never heard of sidecars. Random chains at
+    // threshold 1 force every commit through the checkpoint/delta
+    // machinery; the same chains at threshold ∞ stay inline — both
+    // must match the model exactly.
+    val rnd = new scala.util.Random(1234)
+    val bloomOf = (i: Int) =>
+      graft.sources.KeyBloom.encode(Array.fill(8)(i.toLong * 31 + 7))
+    for (trial <- 0 until 3; checkpointed <- Seq(true, false)) {
+      val root = tmpRoot(s"cp_prop${trial}_$checkpointed")
+      if (checkpointed) spark.conf.set("spark.graft.manifest.checkpointFiles", "1")
+      try {
+        // model: version -> the relative stat set that version holds
+        var model = Map.empty[String, Snapshots.FileStat]
+        var nextId = 0
+        for (step <- 1 to 6) {
+          // random carry subset of the current model + random fresh stats
+          val keep = model.values.filter(_ => rnd.nextBoolean() || model.size <= 2).toSeq
+          val freshN = 1 + rnd.nextInt(4)
+          val fresh = (0 until freshN).map { _ =>
+            nextId += 1
+            Snapshots.FileStat(s"part-$nextId.parquet",
+              nextId * 100L, nextId * 100L + 99, 100L, bloomOf(nextId))
+          }
+          Snapshots.commit(spark, root, s"fp$step",
+            statsFor = _ => fresh, carry = keep,
+            retryOnConflict = Some(false)) { p =>
+            Snapshots.fs(spark, p).mkdirs(new org.apache.hadoop.fs.Path(p))
+          }
+          val ver = Snapshots.current(spark, root).get.version
+          val dataDir = new org.apache.hadoop.fs.Path(
+            Snapshots.current(spark, root).get.dataPath).getName
+          model = (keep.map(s => s.path -> s) ++
+            fresh.map(s => s"$dataDir/${s.path}" ->
+              s.copy(path = s"$dataDir/${s.path}"))).toMap
+          assert(ver == step)
+          // resolved stats (relativized) must equal the model — both
+          // bloomful and the projected lean form
+          val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+          def rel(stats: Seq[Snapshots.FileStat]) = stats.map { s =>
+            val p = new org.apache.hadoop.fs.Path(s.path).toUri.getPath
+            s.copy(path = p.stripPrefix(rootUri).stripPrefix("/"))
+          }.map(s => s.path -> s).toMap
+          val got = rel(Snapshots.fileStats(spark, root))
+          assert(got == model,
+            s"trial=$trial cp=$checkpointed step=$step: stats diverged " +
+              s"(missing=${(model.keySet -- got.keySet).take(3)}, " +
+              s"extra=${(got.keySet -- model.keySet).take(3)})")
+          val lean = Snapshots.dataFilesAt(spark, root,
+            Snapshots.current(spark, root).get)
+          assert(lean.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath
+            .stripPrefix(rootUri).stripPrefix("/")).toSet == model.keySet)
+        }
+      } finally if (checkpointed)
+        spark.conf.unset("spark.graft.manifest.checkpointFiles")
+    }
+  }
+
   test("expire follows checkpointed carries and sweeps expired and orphan sidecars") {
     val root = tmpRoot("cp_expire")
     val fs = Snapshots.fs(spark, root)
