@@ -381,6 +381,50 @@ class SnapshotsSpec extends SparkSpec {
     val t4 = System.nanoTime()
     Snapshots.current(spark, rootCp)
     info(f"current() on checkpointed manifest: ${(System.nanoTime() - t4) / 1e6}%.1f ms")
+
+    // DELTA COMMIT at a 50k-file catalog: the O(delta) receipt. A
+    // 20-file change against a 50k-entry sidecar must commit a
+    // header-sized manifest (inline delta lines only) and reuse the
+    // sidecar byte-for-byte — commit-time catalog I/O tracks the
+    // batch, not the table.
+    val rootD = tmpRoot("manifest50kdelta")
+    val fsD = Snapshots.fs(spark, rootD)
+    val big = 50000
+    val bigStats = (0 until big).map(i => Snapshots.FileStat(
+      s"part-$i.parquet", i * 100L, i * 100L + 99, 100L, bloom))
+    val mkdirsOnly = (p: String) =>
+      { Snapshots.fs(spark, p).mkdirs(new org.apache.hadoop.fs.Path(p)); () }
+    spark.conf.set("spark.graft.manifest.checkpointFiles", "1")
+    try {
+      val tFull = System.nanoTime()
+      Snapshots.commit(spark, rootD, "base",
+        statsFor = _ => bigStats)(mkdirsOnly)
+      val fullMs = (System.nanoTime() - tFull) / 1e6
+      val cpName = Snapshots.extras(spark, rootD)("statscp")
+      val cpLen = fsD.getFileStatus(new org.apache.hadoop.fs.Path(
+        s"$rootD/_manifests/$cpName")).getLen
+      // the delta: carry all but 10, add 10 fresh
+      val rootUri = new org.apache.hadoop.fs.Path(rootD).toUri.getPath
+      val carried = Snapshots.fileStats(spark, rootD).drop(10).map { s =>
+        val p = new org.apache.hadoop.fs.Path(s.path).toUri.getPath
+        s.copy(path = p.stripPrefix(rootUri).stripPrefix("/"))
+      }
+      val tDelta = System.nanoTime()
+      Snapshots.commit(spark, rootD, "delta", carry = carried,
+        statsFor = _ => (big until big + 10).map(i => Snapshots.FileStat(
+          s"part-$i.parquet", i * 100L, i * 100L + 99, 100L, bloom)),
+        retryOnConflict = Some(false))(mkdirsOnly)
+      val deltaMs = (System.nanoTime() - tDelta) / 1e6
+      assert(Snapshots.extras(spark, rootD)("statscp") == cpName,
+        "the 20-entry delta must reuse the 50k-entry sidecar")
+      val mLen = fsD.getFileStatus(new org.apache.hadoop.fs.Path(
+        s"$rootD/_manifests/000000002")).getLen
+      info(f"50k-file catalog: full-sidecar commit $fullMs%.0f ms ($cpLen%d B sidecar); " +
+        f"20-entry delta commit $deltaMs%.0f ms ($mLen%d B manifest)")
+      assert(mLen < 32768,
+        s"a 20-entry delta manifest must stay header-sized, got $mLen B")
+      assert(Snapshots.fileStats(spark, rootD).size == big)
+    } finally spark.conf.unset("spark.graft.manifest.checkpointFiles")
   }
 
   test("stats checkpoint: above the threshold the manifest stays header-sized and round-trips") {
