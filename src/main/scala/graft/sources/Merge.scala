@@ -585,6 +585,50 @@ object Merge {
     readSnapshot(spark, root, snap)
   }
 
+  /** Catalog-PRUNED read of a key range over the current snapshot:
+    * only files whose manifest-recorded interval intersects [lo, hi)
+    * are opened — the read-time half of the commit-time stats
+    * investment, composed with the full merge-table read semantics
+    * (manifest schema for carried files, deletion-sidecar anti-join).
+    * At 100 TB this is the difference between "point lookup on a
+    * maintained table" being a catalog operation and being a table
+    * scan. Natural single-long keys only — a hashed canonical key
+    * tiles the hash domain, where a RANGE of the real key is
+    * meaningless (point probes on hashed keys go through the bloom
+    * path instead, [[probeTouched]]'s machinery at write time). */
+  def readCurrentRange(spark: SparkSession, root: String,
+                       lo: Long, hi: Long,
+                       keyCol: String = "doc_id"): DataFrame = {
+    val snap = Snapshots.current(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    recordedKeyCols(spark, root).foreach { rec =>
+      require(rec == Seq(keyCol),
+        s"this table is merged on [${rec.mkString(",")}], not [$keyCol] ($root)")
+    }
+    val schema = tableSchemaAt(spark, root, snap)
+    schema.foreach { s =>
+      require(naturalLong(s, Seq(keyCol)),
+        s"range reads need a natural integral key; $keyCol is " +
+          s"${s(keyCol).dataType} — its recorded intervals live in the hash domain")
+    }
+    // paths + intervals only — the bloom column is never read
+    val stats = Snapshots.fileStatsAt(spark, root, snap, withBlooms = false)
+    val hit = stats.filter(s => s.maxKey >= lo && s.minKey < hi).map(_.path)
+    val base =
+      if (hit.nonEmpty) schema match {
+        case Some(s) => spark.read.schema(s).parquet(hit: _*)
+        case None => spark.read.parquet(hit: _*)
+      }
+      // zero intersecting files: parquet needs >= 1 path for a schema —
+      // read the full list under a contradictory filter (scans nothing)
+      else readSnapshot(spark, root, snap).filter(lit(false))
+    val ranged = base.filter(col(keyCol) >= lo && col(keyCol) < hi)
+    morDeletesAt(spark, root, snap) match {
+      case Some(dels) => ranged.join(dels, dels.columns.toIndexedSeq, "left_anti")
+      case None => ranged
+    }
+  }
+
   private def readSnapshot(spark: SparkSession, root: String,
                            snap: Snapshots.Snapshot): DataFrame = {
     val files = Snapshots.dataFilesAt(spark, root, snap)

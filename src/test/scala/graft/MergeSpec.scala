@@ -580,6 +580,48 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("range reads open only interval-hit files across a COW+MOR chain") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("rangeread")
+    commitBase(root) // ids 0,2,...,198 over ~8 range-disjoint files
+    Merge.merge(spark, root,
+      changes((51L, "gap", Merge.UpsertOp), (100L, "upd", Merge.UpsertOp)), "m1")
+    Merge.deleteMor(spark, root, Seq(54L).toDF("doc_id"), "mor1")
+
+    val all = Merge.readCurrent(spark, root)
+    val want = all.filter(col("doc_id") >= 40L && col("doc_id") < 80L)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val ranged = Merge.readCurrentRange(spark, root, 40L, 80L)
+    val got = ranged.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got == want, "range read diverged from filter-on-full-read")
+    assert(got(51L) == "gap" && !got.contains(54L),
+      "range read must see the COW insert and honor the MOR delete")
+
+    // the pruning proof: the ranged plan's scan holds a strict subset
+    // of the table's files (catalog-sized planning, not a table scan)
+    val total = Snapshots.fileStats(spark, root).size
+    val opened = ranged.inputFiles
+      .count(f => !f.contains("/deletes/")) // the MOR sidecar is not table data
+    assert(opened > 0 && opened < total,
+      s"expected a pruned scan, opened $opened of $total files")
+
+    // an empty slice still returns a schema'd empty frame
+    assert(Merge.readCurrentRange(spark, root, 1000L, 2000L).isEmpty)
+    // key-shape guard: a string-keyed table rejects range reads
+    val rootStr = tmpRoot("rangestr")
+    val base = (0L until 40L).map(i => (s"k$i", s"t$i")).toDF("key", "text")
+    Snapshots.commit(spark, rootStr, "base",
+      statsFor = p => Merge.statsWithBlooms(spark, p, Seq("key"))) { p =>
+      base.coalesce(2).write.parquet(p)
+    }
+    Merge.merge(spark, rootStr,
+      Seq(("k1", "x", Merge.UpsertOp)).toDF("key", "text", "op"), "m1", Seq("key"))
+    intercept[IllegalArgumentException] {
+      Merge.readCurrentRange(spark, rootStr, 0L, 10L, "key")
+    }
+  }
+
   test("the chunked bloom probe prunes exactly like the fused single-broadcast probe") {
     // past the broadcast budget the probe splits into interval-probe →
     // per-chunk bloom-refine; force one-bloom-per-chunk at toy size
