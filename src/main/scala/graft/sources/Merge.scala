@@ -629,6 +629,48 @@ object Merge {
     }
   }
 
+  /** Catalog-pruned POINT-LOOKUP read: fetch exactly the rows whose
+    * key appears in `keys` (a frame over the key columns), opening
+    * only the files the interval+bloom catalog cannot prove
+    * key-free — the same executor-side probe the copy-on-write merge
+    * plans its rewrites with ([[probeTouched]]), now paying off on
+    * the READ side. This is the "fetch these 10⁴ documents by id"
+    * shape (GDPR extracts, feature backfills): at 100 TB it is a
+    * catalog probe plus a scan of the hit files, never a table scan.
+    * Works for ANY key shape — hashed canonical keys probe the hash
+    * domain (collisions cost opening a redundant file, never
+    * correctness: the final semi-join is on the real key columns) —
+    * and the deletion sidecar applies as everywhere else. */
+  def readCurrentKeys(spark: SparkSession, root: String, keys: DataFrame): DataFrame = {
+    val snap = Snapshots.current(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val keyCols = keys.columns.toIndexedSeq
+    recordedKeyCols(spark, root).foreach { rec =>
+      require(rec == keyCols,
+        s"this table is merged on [${rec.mkString(",")}], not " +
+          s"[${keyCols.mkString(",")}] — the catalog lives in that key's " +
+          s"canonical domain ($root)")
+    }
+    val stats = Snapshots.fileStatsAt(spark, root, snap)
+    require(stats.nonEmpty,
+      s"point reads need a stats-carrying snapshot (commit the base with statsFor) at $root")
+    val canonical = canonicalCol(keys.schema, keyCols)
+    val hitIdx = probeTouched(spark, keys.select(canonical.as("k")), stats)
+    val hit = stats.zipWithIndex.collect { case (s, i) if hitIdx(i) => s.path }
+    val schema = tableSchemaAt(spark, root, snap)
+    val base =
+      if (hit.nonEmpty) schema match {
+        case Some(s) => spark.read.schema(s).parquet(hit: _*)
+        case None => spark.read.parquet(hit: _*)
+      }
+      else readSnapshot(spark, root, snap).filter(lit(false))
+    val matched = base.join(keys.distinct(), keyCols, "left_semi")
+    morDeletesAt(spark, root, snap) match {
+      case Some(dels) => matched.join(dels, dels.columns.toIndexedSeq, "left_anti")
+      case None => matched
+    }
+  }
+
   private def readSnapshot(spark: SparkSession, root: String,
                            snap: Snapshots.Snapshot): DataFrame = {
     val files = Snapshots.dataFilesAt(spark, root, snap)

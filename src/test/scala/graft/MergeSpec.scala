@@ -622,6 +622,52 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("point-lookup reads open only bloom-hit files, both key shapes") {
+    val s = spark
+    import s.implicits._
+    // natural long key over the COW+MOR chain
+    val root = tmpRoot("pointread")
+    commitBase(root)
+    Merge.merge(spark, root,
+      changes((51L, "gap", Merge.UpsertOp)), "m1")
+    Merge.deleteMor(spark, root, Seq(100L).toDF("doc_id"), "mor1")
+    val got = Merge.readCurrentKeys(spark, root,
+      Seq(0L, 51L, 100L, 777L).toDF("doc_id"))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // 0 exists, 51 is the COW insert, 100 is MOR-deleted, 777 absent
+    assert(got.keySet == Set(0L, 51L) && got(51L) == "gap",
+      s"point read returned ${got.keySet}")
+    val opened = Merge.readCurrentKeys(spark, root, Seq(0L, 51L).toDF("doc_id"))
+      .inputFiles.count(f => !f.contains("/deletes/"))
+    val total = Snapshots.fileStats(spark, root).size
+    assert(opened > 0 && opened < total,
+      s"expected a bloom-pruned scan, opened $opened of $total files")
+    // a gap key NOT in the table opens nothing the blooms can refute:
+    // id 53 lies inside an interval but in no file — bloom-pruned read
+    assert(Merge.readCurrentKeys(spark, root, Seq(53L).toDF("doc_id")).isEmpty)
+
+    // string (hashed-canonical) key: ranges are meaningless but point
+    // probes work through the hash-domain blooms
+    val rootStr = tmpRoot("pointstr")
+    val base = (0L until 60L).map(i => (s"k$i", s"t$i")).toDF("key", "text")
+    Snapshots.commit(spark, rootStr, "base",
+      statsFor = p => Merge.statsWithBlooms(spark, p, Seq("key"))) { p =>
+      base.withColumn("__gk", xxhash64(col("key").cast("string")))
+        .repartitionByRange(4, col("__gk")).sortWithinPartitions(col("__gk"))
+        .drop("__gk").write.parquet(p)
+    }
+    Merge.merge(spark, rootStr,
+      Seq(("k7", "v2", Merge.UpsertOp)).toDF("key", "text", "op"), "m1", Seq("key"))
+    val gotStr = Merge.readCurrentKeys(spark, rootStr,
+      Seq("k7", "k20", "nope").toDF("key"))
+      .select("key", "text").as[(String, String)].collect().toMap
+    assert(gotStr == Map("k7" -> "v2", "k20" -> "t20"))
+    // key-shape guard: probing with the wrong column fails fast
+    intercept[IllegalArgumentException] {
+      Merge.readCurrentKeys(spark, rootStr, Seq(1L).toDF("doc_id"))
+    }
+  }
+
   test("the chunked bloom probe prunes exactly like the fused single-broadcast probe") {
     // past the broadcast budget the probe splits into interval-probe →
     // per-chunk bloom-refine; force one-bloom-per-chunk at toy size
