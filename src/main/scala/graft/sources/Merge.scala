@@ -585,6 +585,123 @@ object Merge {
     readSnapshot(spark, root, snap)
   }
 
+  /** CHANGE DATA FEED computed from the snapshot catalog: row-level
+    * changes between two committed versions as the table schema plus
+    * `_change_type` ∈ insert | delete | update_preimage |
+    * update_postimage. The scan is catalog-pruned (the Iceberg
+    * changelog-scan idea): data files are immutable, so a file BOTH
+    * versions reference cannot contribute a change — only the
+    * versions' symmetric-difference files are read, plus a
+    * bloom-pruned point lookup over shared files for keys whose
+    * MOR-deletion status flipped between the sidecars. Cost is
+    * O(files touched between the versions), never O(table); a row
+    * carried verbatim through a copy-on-write rewrite of its file is
+    * content-compared (null-safe) and NOT emitted. An OPTIMIZE
+    * between the versions makes every file differ, so the scan
+    * degrades gracefully to table-sized while the output stays the
+    * true (typically empty) diff — the same contract as a changelog
+    * scan over a rewrite in Iceberg. Requires a merge-maintained
+    * table: the stamped `#keycols` is the row identity the diff
+    * joins on. */
+  def changesBetween(spark: SparkSession, root: String,
+                     fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    def resolve(v: Int) = Snapshots.at(spark, root, v).getOrElse(
+      throw new IllegalStateException(
+        s"version $v of $root was never committed or has been expired"))
+    val fromSnap = resolve(fromVersion)
+    val toSnap = resolve(toVersion)
+    val keyCols = Snapshots.extrasAt(spark, root, toSnap).get(KeyColsKey)
+      .map(_.split(',').toIndexedSeq).getOrElse(
+        throw new IllegalArgumentException(
+          s"changesBetween needs a merge-maintained table (no key stamp) at $root"))
+
+    val fromStats = Snapshots.fileStatsAt(spark, root, fromSnap)
+    val toStats = Snapshots.fileStatsAt(spark, root, toSnap)
+    require(fromStats.nonEmpty && toStats.nonEmpty,
+      s"changesBetween needs stats-carrying snapshots at $root")
+    val shared = fromStats.map(_.path).toSet intersect toStats.map(_.path).toSet
+    val fromSchema = tableSchemaAt(spark, root, fromSnap)
+    val toSchema = tableSchemaAt(spark, root, toSnap)
+    val d1 = morDeletesAt(spark, root, fromSnap)
+    val d2 = morDeletesAt(spark, root, toSnap)
+
+    def readSome(paths: Seq[String], schema: Option[StructType],
+                 snap: Snapshots.Snapshot): DataFrame =
+      if (paths.nonEmpty) schema match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+      // no files on this side: a schema'd empty frame that references
+      // NO files (a filter(false) over the snapshot would still list
+      // every file in the plan's inputFiles — the pruning receipt the
+      // spec pins would lie)
+      else {
+        val sch = schema.getOrElse(readSnapshot(spark, root, snap).schema)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      }
+    def antiDels(df: DataFrame, dels: Option[DataFrame]): DataFrame = dels match {
+      case Some(d) => df.join(d, d.columns.toIndexedSeq, "left_anti")
+      case None => df
+    }
+
+    // keys whose sidecar status FLIPPED: the only way a SHARED file's
+    // rows can differ between the versions (set-except both ways)
+    val deltaKeys: Option[DataFrame] = (d1, d2) match {
+      case (None, None) => None
+      case _ =>
+        val a = d1.getOrElse(d2.get.filter(lit(false)))
+        val b = d2.getOrElse(d1.get.filter(lit(false)))
+        Some(b.except(a).union(a.except(b)))
+    }
+    val sharedRows: DataFrame = deltaKeys match {
+      case Some(dk) if shared.nonEmpty =>
+        // bloom-pruned point lookup over ONLY the shared files
+        val sharedStats = toStats.filter(s => shared(s.path))
+        val canonical = canonicalCol(dk.schema, keyCols)
+        val hitIdx = probeTouched(spark, dk.select(canonical.as("k")), sharedStats)
+        val hit = sharedStats.zipWithIndex.collect { case (s, i) if hitIdx(i) => s.path }
+        readSome(hit, toSchema, toSnap).join(dk, keyCols, "left_semi")
+      case _ => readSome(Nil, toSchema, toSnap)
+    }
+
+    val oldSide = antiDels(
+      readSome(fromStats.map(_.path).filterNot(shared), fromSchema, fromSnap), d1)
+      .unionByName(antiDels(sharedRows, d1), allowMissingColumns = true)
+    val newSide = antiDels(
+      readSome(toStats.map(_.path).filterNot(shared), toSchema, toSnap), d2)
+      .unionByName(antiDels(sharedRows, d2), allowMissingColumns = true)
+
+    // full-outer diff on the row identity; non-key content compared
+    // null-safe so a carried-verbatim row in a rewritten file drops out
+    val allCols = (newSide.columns ++
+      oldSide.columns.filterNot(newSide.columns.contains)).toIndexedSeq
+    val dataCols = allCols.filterNot(keyCols.contains)
+    def pad(df: DataFrame): DataFrame =
+      allCols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+    val o = pad(oldSide)
+      .select(allCols.map(c => col(c).as(s"${c}__o")) :+ lit(true).as("__po"): _*)
+    val n = pad(newSide)
+      .select(allCols.map(c => col(c).as(s"${c}__n")) :+ lit(true).as("__pn"): _*)
+    val j = o.join(n,
+      keyCols.map(k => o(s"${k}__o") === n(s"${k}__n")).reduce(_ && _), "full_outer")
+    val hasO = coalesce(col("__po"), lit(false))
+    val hasN = coalesce(col("__pn"), lit(false))
+    val differs = dataCols.map(c => !(col(s"${c}__o") <=> col(s"${c}__n")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def proj(df: DataFrame, sfx: String, ct: String): DataFrame =
+      df.select(allCols.map(c => col(s"${c}__$sfx").as(c)) :+
+        lit(ct).as("_change_type"): _*)
+    val upd = j.filter(hasO && hasN && differs)
+    proj(j.filter(!hasO && hasN), "n", "insert")
+      .unionByName(proj(j.filter(hasO && !hasN), "o", "delete"))
+      .unionByName(proj(upd, "o", "update_preimage"))
+      .unionByName(proj(upd, "n", "update_postimage"))
+  }
+
   /** Catalog-PRUNED read of a key range over the current snapshot:
     * only files whose manifest-recorded interval intersects [lo, hi)
     * are opened — the read-time half of the commit-time stats
@@ -595,7 +712,12 @@ object Merge {
     * scan. Natural single-long keys only — a hashed canonical key
     * tiles the hash domain, where a RANGE of the real key is
     * meaningless (point probes on hashed keys go through the bloom
-    * path instead, [[probeTouched]]'s machinery at write time). */
+    * path instead, [[probeTouched]]'s machinery at write time).
+    * `keyCol` must be the column the snapshot's stats were recorded
+    * on: merge-family commits stamp it (`#keycols`) and the stamp is
+    * verified here, but a bare [[Snapshots.commit]] base records no
+    * stamp — there the caller owns the contract (same trust model as
+    * [[Compaction.skippingScan]]'s doc_id convention). */
   def readCurrentRange(spark: SparkSession, root: String,
                        lo: Long, hi: Long,
                        keyCol: String = "doc_id"): DataFrame = {
@@ -613,6 +735,11 @@ object Merge {
     }
     // paths + intervals only — the bloom column is never read
     val stats = Snapshots.fileStatsAt(spark, root, snap, withBlooms = false)
+    // same guard as deleteMor/readCurrentKeys: on a stats-less
+    // snapshot, "no interval intersects" would silently read an
+    // empty table instead of admitting the catalog can't prune
+    require(stats.nonEmpty,
+      s"range reads need a stats-carrying snapshot (commit the base with statsFor) at $root")
     val hit = stats.filter(s => s.maxKey >= lo && s.minKey < hi).map(_.path)
     val base =
       if (hit.nonEmpty) schema match {
@@ -664,7 +791,9 @@ object Merge {
         case None => spark.read.parquet(hit: _*)
       }
       else readSnapshot(spark, root, snap).filter(lit(false))
-    val matched = base.join(keys.distinct(), keyCols, "left_semi")
+    // left_semi ignores right-side duplicates by definition — no
+    // distinct() pre-pass (it would add a full shuffle of the keys)
+    val matched = base.join(keys, keyCols, "left_semi")
     morDeletesAt(spark, root, snap) match {
       case Some(dels) => matched.join(dels, dels.columns.toIndexedSeq, "left_anti")
       case None => matched

@@ -608,6 +608,16 @@ class MergeSpec extends SparkSpec {
 
     // an empty slice still returns a schema'd empty frame
     assert(Merge.readCurrentRange(spark, root, 1000L, 2000L).isEmpty)
+    // a stats-less snapshot fails fast instead of "pruning" everything
+    // to a silently-empty read (the deleteMor guard, on the read side)
+    val rootNoStats = tmpRoot("rangenostats")
+    Snapshots.commit(spark, rootNoStats, "base") { p =>
+      (0L until 10L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(p)
+    }
+    intercept[IllegalArgumentException] {
+      Merge.readCurrentRange(spark, rootNoStats, 0L, 5L)
+    }
     // key-shape guard: a string-keyed table rejects range reads
     val rootStr = tmpRoot("rangestr")
     val base = (0L until 40L).map(i => (s"k$i", s"t$i")).toDF("key", "text")
@@ -619,6 +629,93 @@ class MergeSpec extends SparkSpec {
       Seq(("k1", "x", Merge.UpsertOp)).toDF("key", "text", "op"), "m1", Seq("key"))
     intercept[IllegalArgumentException] {
       Merge.readCurrentRange(spark, rootStr, 0L, 10L, "key")
+    }
+  }
+
+  test("change data feed: catalog-pruned row-level diff between versions") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("cdf")
+    commitBase(root) // v1: ids 0,2,...,198
+    Merge.merge(spark, root, changes(
+      (51L, "gap", Merge.UpsertOp),   // insert (odd id, interval gap)
+      (100L, "upd", Merge.UpsertOp),  // update
+      (2L, "", Merge.DeleteOp)), "m1") // COW delete
+    Merge.deleteMor(spark, root, Seq(54L).toDF("doc_id"), "mor1") // v3
+
+    // v1 -> v2: exactly the three changed keys — the ~30 rows carried
+    // verbatim through the rewritten files must NOT appear
+    val c12 = Merge.changesBetween(spark, root, 1, 2)
+    val m12 = c12.select("doc_id", "_change_type").as[(Long, String)]
+      .collect().toSet
+    assert(m12 == Set((51L, "insert"), (2L, "delete"),
+      (100L, "update_preimage"), (100L, "update_postimage")), s"got $m12")
+    assert(c12.filter(col("_change_type") === "update_postimage")
+      .select("text").as[String].head() == "upd")
+    // the pruning receipt: only non-shared files are referenced
+    def norm(p: String) = new Path(p).toUri.getPath
+    val v1Files = Snapshots.fileStatsAt(spark, root,
+      Snapshots.at(spark, root, 1).get).map(s => norm(s.path)).toSet
+    val v2Files = Snapshots.fileStatsAt(spark, root,
+      Snapshots.at(spark, root, 2).get).map(s => norm(s.path)).toSet
+    val changedFiles = (v1Files union v2Files) -- (v1Files intersect v2Files)
+    val opened12 = c12.inputFiles.filterNot(_.contains("/deletes/"))
+      .map(norm).toSet
+    assert(opened12.nonEmpty && opened12.subsetOf(changedFiles),
+      s"CDF must only reference the versions' differing files " +
+        s"(opened ${opened12.size}, changed ${changedFiles.size}, " +
+        s"total ${(v1Files union v2Files).size})")
+
+    // v2 -> v3 is a pure sidecar flip: one MOR delete, discovered via
+    // the bloom-pruned point lookup over SHARED files
+    val c23 = Merge.changesBetween(spark, root, 2, 3)
+    val m23 = c23.select("doc_id", "_change_type").as[(Long, String)]
+      .collect().toSet
+    assert(m23 == Set((54L, "delete")), s"got $m23")
+    val opened23 = c23.inputFiles.filterNot(_.contains("/deletes/"))
+      .map(norm).toSet
+    assert(opened23.size < v2Files.size,
+      s"sidecar-flip CDF must point-prune the shared files, opened ${opened23.size}")
+
+    // v1 -> v3 composes both; parity with the naive readAt diff
+    val c13 = Merge.changesBetween(spark, root, 1, 3)
+    val m13 = c13.select("doc_id", "_change_type").as[(Long, String)]
+      .collect().toSet
+    assert(m13 == Set((51L, "insert"), (2L, "delete"), (54L, "delete"),
+      (100L, "update_preimage"), (100L, "update_postimage")), s"got $m13")
+    val oldT = Merge.readAt(spark, root, 1).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val newT = Merge.readAt(spark, root, 3).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val naive =
+      (newT.keySet -- oldT.keySet).map((_, "insert")) ++
+        (oldT.keySet -- newT.keySet).map((_, "delete")) ++
+        (newT.keySet intersect oldT.keySet).filter(k => newT(k) != oldT(k))
+          .flatMap(k => Seq((k, "update_preimage"), (k, "update_postimage")))
+    assert(m13 == naive, "CDF diverged from the naive full-table diff")
+
+    // same version: an empty, schema'd feed
+    val c22 = Merge.changesBetween(spark, root, 2, 2)
+    assert(c22.isEmpty && c22.columns.contains("_change_type"))
+
+    // schema evolution mid-chain: the preimage null-fills the column
+    // the postimage introduced
+    val rootEv = tmpRoot("cdfevolve")
+    commitBase(rootEv)
+    Merge.merge(spark, rootEv,
+      Seq((10L, "t2", "en", Merge.UpsertOp)).toDF("doc_id", "text", "lang", "op"),
+      "m1")
+    val ev = Merge.changesBetween(spark, rootEv, 1, 2)
+      .select("doc_id", "_change_type", "lang").as[(Long, String, Option[String])]
+      .collect().toSet
+    assert(ev == Set((10L, "update_preimage", None),
+      (10L, "update_postimage", Some("en"))), s"got $ev")
+
+    // a table no merge ever stamped has no row identity to diff on
+    val rootPlain = tmpRoot("cdfplain")
+    commitBase(rootPlain)
+    intercept[IllegalArgumentException] {
+      Merge.changesBetween(spark, rootPlain, 1, 1)
     }
   }
 
