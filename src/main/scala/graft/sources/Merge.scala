@@ -75,6 +75,20 @@ object Merge {
   private val DeletesDir = "deletes"
   private val SchemaKey = "schema"
   private val KeyColsKey = "keycols"
+  private val ChangesKey = "changes"
+  private val ChangesDir = "changes"
+
+  /** When `spark.graft.merge.changeFeed` is true, every merge-family
+    * commit LOGS its row-level changes (the [[rowDiff]] shape plus a
+    * `_commit_version` column) as a parquet sidecar inside the
+    * version dir — Delta's `_change_data` idea. [[changeFeed]] then
+    * serves per-commit changes from the log where present and falls
+    * back to the computed [[changesBetween]] where not; the log makes
+    * the feed O(changed rows) to read instead of O(touched files) to
+    * recompute, which is what a downstream incremental consumer polls
+    * every few minutes at 100 TB. */
+  private def changeFeedEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.merge.changeFeed").exists(_.toBoolean)
 
   // ---- canonical merge key ------------------------------------------
 
@@ -342,24 +356,31 @@ object Merge {
 
     val upserts = changes.filter(col("op") === UpsertOp).drop("op")
     val changeKeys = changes.select(keyCols.map(col): _*).distinct()
-    val merged = {
-      val base =
-        if (touched.isEmpty) spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
-        else {
-          // the raw touched bytes may still hold rows a merge-on-read
-          // delete removed logically — apply the list before merging so
-          // the rewrite materializes those deletions for its files
-          val raw = readFiles(touched.map(_._1.path))
-          priorDels.fold(raw)(d => raw.join(d, keyCols, "left_anti"))
-        }
-      // delete-and-replace: every change key's old row goes (an
-      // anti-join against the batch frame — AQE broadcasts a small
-      // batch, shuffles a huge one; no driver key list either way),
-      // upserts come back, by name, null-filling across the widening
-      base.join(changeKeys, keyCols, "left_anti")
-        .unionByName(upserts, allowMissingColumns = true)
-    }
+    val base =
+      if (touched.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+      else {
+        // the raw touched bytes may still hold rows a merge-on-read
+        // delete removed logically — apply the list before merging so
+        // the rewrite materializes those deletions for its files
+        val raw = readFiles(touched.map(_._1.path))
+        priorDels.fold(raw)(d => raw.join(d, keyCols, "left_anti"))
+      }
+    // delete-and-replace: every change key's old row goes (an
+    // anti-join against the batch frame — AQE broadcasts a small
+    // batch, shuffles a huge one; no driver key list either way),
+    // upserts come back, by name, null-filling across the widening
+    val merged = base.join(changeKeys, keyCols, "left_anti")
+      .unionByName(upserts, allowMissingColumns = true)
+
+    // write-time change log: what this commit DID to the batch's
+    // keys, batch-sized by construction (old rows of the batch keys
+    // vs the upserts — an upsert replaying identical content logs
+    // nothing, so a replayed batch's log is empty, not doubled)
+    val feed: Option[DataFrame] =
+      if (!changeFeedEnabled(spark)) None
+      else Some(rowDiff(base.join(changeKeys, keyCols, "left_semi"), upserts, keyCols)
+        .withColumn("_commit_version", lit(cur.version + 1)))
 
     // size the rewrite by the touched bytes (catalog-sized listing),
     // same bin-pack target as compaction; inserts are batch-noise
@@ -380,12 +401,16 @@ object Merge {
     Snapshots.commit(spark, root, fingerprint,
       statsFor = p => statsWithBlooms(spark, p, keyCols),
       carry = relativize(root, carried.map(_._1)),
-      extras = schemaExtras(merged.schema, keyCols, hasRemaining),
+      extras = schemaExtras(merged.schema, keyCols, hasRemaining) ++
+        (if (feed.isDefined) Seq(ChangesKey -> ChangesDir) else Nil),
       retryOnConflict = Some(false),
       expectedParent = Some(cur.version)) { path =>
       writeRangeSorted(merged, keyCols, nFiles, path)
       if (hasRemaining)
         remainingDels.get.write.parquet(new Path(path, DeletesDir).toString)
+      // inside the staged dir: the log publishes atomically with the
+      // version, or not at all — exactly-once with the commit itself
+      feed.foreach(_.write.parquet(new Path(path, ChangesDir).toString))
     }
   }
 
@@ -548,18 +573,44 @@ object Merge {
       require(rec.split(',').toSeq == delCols,
         s"this table is merged on [$rec], not [${delCols.mkString(",")}] ($root)")
     }
-    val merged = morDeletesAt(spark, root, cur) match {
+    val priorDels = morDeletesAt(spark, root, cur)
+    val merged = priorDels match {
       case Some(prior) => prior.unionByName(delKeys).distinct()
       case None => delKeys.distinct()
     }
     val schema = tableSchemaAt(spark, root, cur).getOrElse(
       spark.read.parquet(stats.head.path).schema)
+    // write-time change log: the delete PREIMAGES, recovered with a
+    // bloom-pruned point lookup over only the files that can hold the
+    // batch's keys (the O(hit files) scan is the price of a logged
+    // feed; an unlogged MOR delete stays O(batch) with no data read).
+    // Keys already on the prior deletion list were invisible before
+    // this commit and log nothing — a replayed batch's log is empty.
+    val feed: Option[DataFrame] =
+      if (!changeFeedEnabled(spark)) None
+      else {
+        val canonical = canonicalCol(delKeys.schema, delCols)
+        val hitIdx = probeTouched(spark, delKeys.select(canonical.as("k")), stats)
+        val hit = stats.zipWithIndex.collect { case (s, i) if hitIdx(i) => s.path }
+        val visible =
+          if (hit.isEmpty) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else {
+            val rows = spark.read.schema(schema).parquet(hit: _*)
+              .join(delKeys, delCols, "left_semi")
+            priorDels.fold(rows)(d => rows.join(d, delCols, "left_anti"))
+          }
+        Some(visible.withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(cur.version + 1)))
+      }
     Snapshots.commit(spark, root, fingerprint,
       carry = relativize(root, stats),
-      extras = schemaExtras(schema, delCols, hasDels = true),
+      extras = schemaExtras(schema, delCols, hasDels = true) ++
+        (if (feed.isDefined) Seq(ChangesKey -> ChangesDir) else Nil),
       retryOnConflict = Some(false),
       expectedParent = Some(cur.version)) { p =>
       merged.write.parquet(new Path(p, DeletesDir).toString)
+      feed.foreach(_.write.parquet(new Path(p, ChangesDir).toString))
     }
   }
 
@@ -674,8 +725,100 @@ object Merge {
       readSome(toStats.map(_.path).filterNot(shared), toSchema, toSnap), d2)
       .unionByName(antiDels(sharedRows, d2), allowMissingColumns = true)
 
-    // full-outer diff on the row identity; non-key content compared
-    // null-safe so a carried-verbatim row in a rewritten file drops out
+    rowDiff(oldSide, newSide, keyCols)
+  }
+
+  /** The change log version `version` committed, if the commit was
+    * made with `spark.graft.merge.changeFeed=true` and retention
+    * still keeps the version (the log lives inside the version dir,
+    * so it expires with it). Schema: table columns at that commit
+    * plus `_change_type` and `_commit_version`. */
+  def loggedChangesAt(spark: SparkSession, root: String,
+                      version: Int): Option[DataFrame] =
+    for {
+      snap <- Snapshots.at(spark, root, version)
+      rel <- Snapshots.extrasAt(spark, root, snap).get(ChangesKey)
+    } yield spark.read.parquet(
+      topLevelFiles(spark, new Path(snap.dataPath, rel).toString): _*)
+
+  /** PER-COMMIT change feed over (fromVersion, toVersion]: each
+    * version's row-level changes tagged `_commit_version` — the
+    * Delta `table_changes` contract, where a row inserted in one
+    * commit and deleted in a later one appears in BOTH (contrast
+    * [[changesBetween]], the NET endpoint diff, where it cancels).
+    * Serves the write-time log where a commit recorded one and falls
+    * back to the computed catalog-pruned diff where it didn't, so a
+    * feed over a mixed chain is still exact. */
+  def changeFeed(spark: SparkSession, root: String,
+                 fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val parts = ((fromVersion + 1) to toVersion).map { v =>
+      loggedChangesAt(spark, root, v).getOrElse(
+        changesBetween(spark, root, v - 1, v)
+          .withColumn("_commit_version", lit(v)))
+    }
+    if (parts.isEmpty)
+      changesBetween(spark, root, toVersion, toVersion)
+        .withColumn("_commit_version", lit(toVersion))
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Relay committed change logs into a flat feed directory a plain
+    * file-source STREAM can watch. Manifest-driven and idempotent:
+    * only versions a published manifest names are relayed (never the
+    * parked dir of a commit that lost its publish race), each exactly
+    * once (staged under a hidden `.tmp_` name, made visible with ONE
+    * directory rename — a crashed relay re-stages, a concurrent
+    * relay loses the rename benignly). Returns how many versions this
+    * call published. The feed dir is the streaming boundary Delta
+    * solves with a log-driven source: a raw glob over the table's
+    * own version dirs would race killed/losing writers. */
+  def publishChangeFeed(spark: SparkSession, root: String,
+                        feedDir: String): Int = {
+    val f = Snapshots.fs(spark, feedDir)
+    f.mkdirs(new Path(feedDir))
+    var published = 0
+    Snapshots.current(spark, root).foreach { c =>
+      for (v <- 1 to c.version) {
+        val dst = new Path(feedDir, f"v$v%09d")
+        if (!f.exists(dst)) loggedChangesAt(spark, root, v).foreach { df =>
+          val tmp = new Path(feedDir, f".tmp_v$v%09d")
+          if (f.exists(tmp)) f.delete(tmp, true)
+          df.write.parquet(tmp.toString)
+          if (f.rename(tmp, dst)) published += 1
+          else f.delete(tmp, true) // a concurrent relay won — done is done
+        }
+      }
+    }
+    published
+  }
+
+  /** A streaming frame over a [[publishChangeFeed]] feed dir: the
+    * standard file source discovers each relayed version's parquet
+    * as it appears (hidden `.tmp_` staging is filtered by Spark's
+    * file index, so readers only ever see fully-renamed versions).
+    * Downstream is ordinary Structured Streaming — watermark, window,
+    * foreachBatch into the next table. */
+  def streamChangeFeed(spark: SparkSession, root: String,
+                       feedDir: String): DataFrame = {
+    val sch = tableSchema(spark, root).getOrElse(throw new IllegalStateException(
+      s"no merge-recorded schema at $root — stream after the first merge commit"))
+      .add("_change_type", StringType).add("_commit_version", IntegerType)
+    spark.readStream.schema(sch)
+      .option("recursiveFileLookup", "true")
+      .parquet(feedDir)
+  }
+
+  /** Full-outer diff of two row sets on the key identity: keys only
+    * in `newSide` → insert, only in `oldSide` → delete, in both with
+    * any non-key column differing (null-safe) → an
+    * update_preimage/update_postimage pair; identical rows vanish.
+    * Sides may carry different column sets (schema evolution) — the
+    * missing side null-fills. The engine behind both the computed
+    * [[changesBetween]] and the write-time change log. */
+  private def rowDiff(oldSide: DataFrame, newSide: DataFrame,
+                      keyCols: Seq[String]): DataFrame = {
     val allCols = (newSide.columns ++
       oldSide.columns.filterNot(newSide.columns.contains)).toIndexedSeq
     val dataCols = allCols.filterNot(keyCols.contains)

@@ -366,11 +366,18 @@ object Snapshots {
       // lost the manifest race: version `next` belongs to another
       // writer (whose header names ITS data dir, not ours)
       f.delete(tmp, false)
-      if (!canRetry) throw new CommitConflict(root, next,
-        s"snapshot commit on $root lost the publish race for version " +
-          s"$next: the table advanced past the parent this write was " +
-          "derived from — re-read the current snapshot and re-derive " +
-          "(carry/extras-bearing commits are not content-idempotent)")
+      if (!canRetry) {
+        // this writer's data dir was never referenced by any published
+        // manifest (the winner's header names ITS dir) — reclaim it
+        // now instead of leaving a parked orphan for the age-gated
+        // sweep; the caller re-derives from scratch
+        f.delete(dataPath, true)
+        throw new CommitConflict(root, next,
+          s"snapshot commit on $root lost the publish race for version " +
+            s"$next: the table advanced past the parent this write was " +
+            "derived from — re-read the current snapshot and re-derive " +
+            "(carry/extras-bearing commits are not content-idempotent)")
+      }
       next += 1
     }
     throw new IllegalStateException("unreachable")

@@ -719,6 +719,76 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("write-time change log equals the computed diff and feeds a file-source stream") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("cdflog")
+    spark.conf.set("spark.graft.merge.changeFeed", "true")
+    try {
+      commitBase(root) // v1: plain base, no log
+      Merge.merge(spark, root, changes(
+        (51L, "gap", Merge.UpsertOp),
+        (100L, "upd", Merge.UpsertOp),
+        (0L, s"doc 0 ${"x" * 64}", Merge.UpsertOp), // content-identical upsert
+        (2L, "", Merge.DeleteOp)), "m1") // v2
+      Merge.deleteMor(spark, root,
+        Seq(54L, 999L).toDF("doc_id"), "mor1") // v3; 999 absent → no preimage
+
+      // the log is exactly what the catalog-pruned computed diff says
+      for (v <- 2 to 3) {
+        val logged = Merge.loggedChangesAt(spark, root, v).get
+          .select("doc_id", "_change_type", "text")
+          .as[(Long, String, String)].collect().toSet
+        val computed = Merge.changesBetween(spark, root, v - 1, v)
+          .select("doc_id", "_change_type", "text")
+          .as[(Long, String, String)].collect().toSet
+        assert(logged == computed, s"v$v: logged $logged != computed $computed")
+      }
+      // replaying identical content logs nothing (id 0), and an
+      // absent delete key logs no preimage (id 999)
+      val v2log = Merge.loggedChangesAt(spark, root, 2).get
+      assert(v2log.filter(col("doc_id").isin(0L, 999L)).isEmpty)
+
+      // the per-commit feed stitches logs with their commit version
+      val want = Set(
+        (51L, "insert", 2), (2L, "delete", 2),
+        (100L, "update_preimage", 2), (100L, "update_postimage", 2),
+        (54L, "delete", 3))
+      val feed = Merge.changeFeed(spark, root, 1, 3)
+        .select("doc_id", "_change_type", "_commit_version")
+        .as[(Long, String, Int)].collect().toSet
+      assert(feed == want, s"got $feed")
+
+      // manifest-driven relay: idempotent, exactly the logged versions
+      val feedDir = tmpRoot("cdffeed")
+      assert(Merge.publishChangeFeed(spark, root, feedDir) == 2)
+      assert(Merge.publishChangeFeed(spark, root, feedDir) == 0)
+
+      // a plain file-source stream over the relayed feed sees it all
+      val q = Merge.streamChangeFeed(spark, root, feedDir)
+        .writeStream.format("memory").queryName("cdf_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val streamed = spark.sql(
+        "select doc_id, _change_type, _commit_version from cdf_stream")
+        .as[(Long, String, Int)].collect().toSet
+      assert(streamed == want, s"streamed $streamed")
+
+      // a later merge relays incrementally; a fresh stream catches up
+      Merge.merge(spark, root, changes((51L, "gap2", Merge.UpsertOp)), "m2") // v4
+      assert(Merge.publishChangeFeed(spark, root, feedDir) == 1)
+      val q2 = Merge.streamChangeFeed(spark, root, feedDir)
+        .writeStream.format("memory").queryName("cdf_stream2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q2.awaitTermination(120000)
+      val streamed2 = spark.sql(
+        "select doc_id, _change_type, _commit_version from cdf_stream2")
+        .as[(Long, String, Int)].collect().toSet
+      assert(streamed2 == want + ((51L, "update_preimage", 4)) +
+        ((51L, "update_postimage", 4)), s"streamed2 $streamed2")
+    } finally spark.conf.unset("spark.graft.merge.changeFeed")
+  }
+
   test("point-lookup reads open only bloom-hit files, both key shapes") {
     val s = spark
     import s.implicits._
