@@ -719,6 +719,55 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("changesBetween cost tracks the change, not the table") {
+    val s = spark
+    import s.implicits._
+    // same 1-key change against a 1x and a 5x table: the pruned diff
+    // must open the SAME number of data files on both (deterministic
+    // receipt); wall-clock vs the naive exceptAll full diff is the
+    // info-line receipt
+    def build(rows: Long, files: Int): String = {
+      val root = tmpRoot(s"cdfscale$files")
+      val df = (0L until rows).map(i => (i, s"doc $i ${"x" * 64}"))
+        .toDF("doc_id", "text")
+      Snapshots.commit(spark, root, "base",
+        statsFor = p => Merge.statsWithBlooms(spark, p)) { p =>
+        df.repartitionByRange(files, col("doc_id"))
+          .sortWithinPartitions(col("doc_id")).write.parquet(p)
+      }
+      Merge.merge(spark, root, changes((7L, "changed", Merge.UpsertOp)), "m1")
+      root
+    }
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e6)
+    }
+    def openedData(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.count(f => !f.contains("/deletes/"))
+
+    val small = build(40000L, 20)
+    val big = build(200000L, 100)
+    // rep 1 warms the session; rep 2 is the steady measurement
+    for (_ <- 1 to 2) Merge.changesBetween(spark, small, 1, 2).count()
+    val (cS, tS) = timed(Merge.changesBetween(spark, small, 1, 2).count())
+    val (cB, tB) = timed(Merge.changesBetween(spark, big, 1, 2).count())
+    assert(cS == 2 && cB == 2) // one update pair each
+    val oS = openedData(Merge.changesBetween(spark, small, 1, 2))
+    val oB = openedData(Merge.changesBetween(spark, big, 1, 2))
+    assert(oS == oB && oB <= 4,
+      s"a 1-key diff must open the same few files at any table size " +
+        s"(small=$oS big=$oB)")
+    def naive(root: String): Long = {
+      val a = Merge.readAt(spark, root, 1); val b = Merge.readAt(spark, root, 2)
+      b.exceptAll(a).count() + a.exceptAll(b).count()
+    }
+    naive(small) // warm
+    val (_, nS) = timed(naive(small))
+    val (_, nB) = timed(naive(big))
+    info(f"pruned diff: 1x $tS%.0f ms, 5x $tB%.0f ms; " +
+      f"naive full diff: 1x $nS%.0f ms, 5x $nB%.0f ms")
+  }
+
   test("write-time change log equals the computed diff and feeds a file-source stream") {
     val s = spark
     import s.implicits._
