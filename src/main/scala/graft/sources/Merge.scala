@@ -77,6 +77,12 @@ object Merge {
   private val KeyColsKey = "keycols"
   private val ChangesKey = "changes"
   private val ChangesDir = "changes"
+  /** [[ChangesKey]] sentinel for a commit that provably changed no
+    * rows (OPTIMIZE, an empty batch): the feed reads it as an empty
+    * log without computing a diff — which also keeps [[changeFeed]]
+    * resolvable across an OPTIMIZE, whose retention sweep expires
+    * the parent version the computed fallback would need. */
+  private val NoChanges = "-"
 
   /** When `spark.graft.merge.changeFeed` is true, every merge-family
     * commit LOGS its row-level changes (the [[rowDiff]] shape plus a
@@ -340,7 +346,8 @@ object Merge {
       beforeCommit()
       return Snapshots.commit(spark, root, fingerprint,
         carry = relativize(root, stats),
-        extras = schemaExtras(baseSchema, keyCols, hasDels),
+        extras = schemaExtras(baseSchema, keyCols, hasDels) :+
+          (ChangesKey -> NoChanges), // empty batch: no rows changed
         retryOnConflict = Some(false),
         expectedParent = Some(cur.version)) { p =>
         priorDels.foreach(d =>
@@ -738,8 +745,17 @@ object Merge {
     for {
       snap <- Snapshots.at(spark, root, version)
       rel <- Snapshots.extrasAt(spark, root, snap).get(ChangesKey)
-    } yield spark.read.parquet(
-      topLevelFiles(spark, new Path(snap.dataPath, rel).toString): _*)
+    } yield
+      if (rel == NoChanges) {
+        // a provably row-preserving commit: an empty, schema'd log
+        // that references no files and computes no diff
+        val sch = tableSchemaAt(spark, root, snap)
+          .getOrElse(readSnapshot(spark, root, snap).schema)
+          .add("_change_type", StringType).add("_commit_version", IntegerType)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      } else spark.read.parquet(
+        topLevelFiles(spark, new Path(snap.dataPath, rel).toString): _*)
 
   /** PER-COMMIT change feed over (fromVersion, toVersion]: each
     * version's row-level changes tagged `_commit_version` — the
@@ -980,7 +996,8 @@ object Merge {
     // skipping precision
     val snap = Snapshots.commit(spark, vroot, s"opt:${cur.fingerprint}",
       statsFor = p => statsWithBlooms(spark, p, keyCols),
-      extras = schemaExtras(df.schema, keyCols, hasDels = false),
+      extras = schemaExtras(df.schema, keyCols, hasDels = false) :+
+        (ChangesKey -> NoChanges), // row-preserving by construction
       retryOnConflict = Some(false),
       expectedParent = Some(cur.version)) { p =>
       // normalize bounds as longs (Int-typed dims are the common

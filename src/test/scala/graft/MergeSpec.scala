@@ -528,7 +528,8 @@ class MergeSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val rnd = new scala.util.Random(42)
-    for (trial <- 0 until 3; hashKeys <- Seq(false, true)) {
+    spark.conf.set("spark.graft.merge.changeFeed", "true")
+    try for (trial <- 0 until 3; hashKeys <- Seq(false, true)) {
       val root = tmpRoot(s"prop${trial}_$hashKeys")
       val n = 80 + rnd.nextInt(80)
       // string key exercises the hash-canonical path; long the natural
@@ -542,6 +543,7 @@ class MergeSpec extends SparkSpec {
       // model: the expected surviving (id -> text) map
       var model = (0L until n.toLong).map(i => i -> s"txt$i").toMap
       for (b <- 1 to 4) {
+        val prevModel = model
         val ops = (0 until 15).map { _ =>
           val id = rnd.nextInt(n * 3 / 2).toLong // some absent / insert ids
           if (rnd.nextBoolean()) (id, s"v$b-$id", Merge.UpsertOp)
@@ -571,13 +573,42 @@ class MergeSpec extends SparkSpec {
           s"trial=$trial hash=$hashKeys batch=$b: table diverged from replay " +
             s"(missing=${(model.keySet -- got.keySet).take(5)}, " +
             s"extra=${(got.keySet -- model.keySet).take(5)})")
+
+        // CDF pin (trial 0 keeps runtime bounded): the per-commit
+        // change set derived from the model must equal BOTH the
+        // computed diff and the write-time log
+        if (trial == 0) {
+          val wantChanges: Set[(Long, String, String)] =
+            (prevModel.keySet ++ model.keySet).flatMap { i =>
+              (prevModel.get(i), model.get(i)) match {
+                case (None, Some(t)) => Seq((i, "insert", t))
+                case (Some(t), None) => Seq((i, "delete", t))
+                case (Some(a), Some(bT)) if a != bT =>
+                  Seq((i, "update_preimage", a), (i, "update_postimage", bT))
+                case _ => Seq.empty
+              }
+            }
+          val v = b + 1 // base is v1
+          val computed = Merge.changesBetween(spark, root, v - 1, v)
+            .select("id", "_change_type", "text")
+            .as[(Long, String, String)].collect().toSet
+          assert(computed == wantChanges,
+            s"trial=$trial hash=$hashKeys v$v: computed CDF diverged " +
+              s"(missing=${(wantChanges -- computed).take(3)}, " +
+              s"extra=${(computed -- wantChanges).take(3)})")
+          val logged = Merge.loggedChangesAt(spark, root, v).get
+            .select("id", "_change_type", "text")
+            .as[(Long, String, String)].collect().toSet
+          assert(logged == wantChanges,
+            s"trial=$trial hash=$hashKeys v$v: logged CDF diverged")
+        }
       }
       // OPTIMIZE never changes rows
       Merge.optimize(spark, root, keyCols)
       val opt = Merge.readCurrent(spark, root)
         .select("id", "text").as[(Long, String)].collect().toMap
       assert(opt == model, s"OPTIMIZE changed rows (trial=$trial hash=$hashKeys)")
-    }
+    } finally spark.conf.unset("spark.graft.merge.changeFeed")
   }
 
   test("range reads open only interval-hit files across a COW+MOR chain") {
@@ -835,6 +866,20 @@ class MergeSpec extends SparkSpec {
         .as[(Long, String, Int)].collect().toSet
       assert(streamed2 == want + ((51L, "update_preimage", 4)) +
         ((51L, "update_postimage", 4)), s"streamed2 $streamed2")
+
+      // an empty batch stamps a no-change log: the feed reads it as
+      // empty without computing anything
+      Merge.merge(spark, root, changes(), "m3") // v5, carry-all
+      val v5log = Merge.loggedChangesAt(spark, root, 5).get
+      assert(v5log.isEmpty && v5log.inputFiles.isEmpty)
+      // OPTIMIZE is row-preserving and stamps the same sentinel —
+      // crucial because its retention sweep EXPIRES the parent the
+      // computed fallback would need
+      Merge.optimize(spark, root) // v6, expires v1..v5
+      assert(Snapshots.at(spark, root, 5).isEmpty, "optimize should expire v5")
+      val optLog = Merge.loggedChangesAt(spark, root, 6).get
+      assert(optLog.isEmpty && optLog.inputFiles.isEmpty)
+      assert(Merge.changeFeed(spark, root, 5, 6).isEmpty)
     } finally spark.conf.unset("spark.graft.merge.changeFeed")
   }
 
