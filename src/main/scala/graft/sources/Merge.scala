@@ -587,6 +587,13 @@ object Merge {
     }
     val schema = tableSchemaAt(spark, root, cur).getOrElse(
       spark.read.parquet(stats.head.path).schema)
+    // same parity check as merge(): a string-typed batch against a
+    // long-keyed table would canonicalize to the hash domain and
+    // probe long-domain stats — random hits, silently missing
+    // preimages in the logged feed (and a type-coerced anti-join)
+    require(naturalLong(schema, delCols) == naturalLong(delKeys.schema, delCols),
+      s"batch key type ${delCols.map(c => delKeys.schema(c).dataType).mkString(",")} " +
+        s"does not match the table's key shape for $delCols at $root")
     // write-time change log: the delete PREIMAGES, recovered with a
     // bloom-pruned point lookup over only the files that can hold the
     // batch's keys (the O(hit files) scan is the price of a logged
@@ -660,7 +667,12 @@ object Merge {
     * true (typically empty) diff — the same contract as a changelog
     * scan over a rewrite in Iceberg. Requires a merge-maintained
     * table: the stamped `#keycols` is the row identity the diff
-    * joins on. */
+    * joins on. NULL-keyed rows have no row identity and are not
+    * tracked — they ride through rewrites as carried data
+    * (merge-contract, see the object doc) and are excluded from both
+    * sides here, exactly as the write-time log can never match them;
+    * without the exclusion a rewritten file's null-keyed rows would
+    * surface as phantom delete+insert pairs. */
   def changesBetween(spark: SparkSession, root: String,
                      fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion <= toVersion,
@@ -725,12 +737,15 @@ object Merge {
       case _ => readSome(Nil, toSchema, toSnap)
     }
 
+    val keyed = keyCols.map(col(_).isNotNull).reduce(_ && _)
     val oldSide = antiDels(
       readSome(fromStats.map(_.path).filterNot(shared), fromSchema, fromSnap), d1)
       .unionByName(antiDels(sharedRows, d1), allowMissingColumns = true)
+      .filter(keyed)
     val newSide = antiDels(
       readSome(toStats.map(_.path).filterNot(shared), toSchema, toSnap), d2)
       .unionByName(antiDels(sharedRows, d2), allowMissingColumns = true)
+      .filter(keyed)
 
     rowDiff(oldSide, newSide, keyCols)
   }
@@ -774,9 +789,15 @@ object Merge {
         changesBetween(spark, root, v - 1, v)
           .withColumn("_commit_version", lit(v)))
     }
-    if (parts.isEmpty)
-      changesBetween(spark, root, toVersion, toVersion)
-        .withColumn("_commit_version", lit(toVersion))
+    if (parts.isEmpty) {
+      // an empty (from, to] range: a schema'd empty frame, without
+      // resolving any snapshot (toVersion may legitimately be expired)
+      val sch = tableSchema(spark, root).getOrElse(throw new IllegalStateException(
+        s"changeFeed needs a merge-maintained table (no recorded schema) at $root"))
+        .add("_change_type", StringType).add("_commit_version", IntegerType)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    }
     else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -793,17 +814,37 @@ object Merge {
   def publishChangeFeed(spark: SparkSession, root: String,
                         feedDir: String): Int = {
     val f = Snapshots.fs(spark, feedDir)
-    f.mkdirs(new Path(feedDir))
+    val fd = new Path(feedDir)
+    f.mkdirs(fd)
+    // ONE listing decides what is already done — a poll's cost tracks
+    // the NEW versions, not the chain length (a version with nothing
+    // to relay gets an empty marker dir so it is never re-visited;
+    // the file source reads nothing from an empty dir)
+    val done: Set[Int] = f.listStatus(fd).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt).toSet
     var published = 0
     Snapshots.current(spark, root).foreach { c =>
-      for (v <- 1 to c.version) {
+      for (v <- 1 to c.version if !done(v)) {
         val dst = new Path(feedDir, f"v$v%09d")
-        if (!f.exists(dst)) loggedChangesAt(spark, root, v).foreach { df =>
-          val tmp = new Path(feedDir, f".tmp_v$v%09d")
-          if (f.exists(tmp)) f.delete(tmp, true)
-          df.write.parquet(tmp.toString)
-          if (f.rename(tmp, dst)) published += 1
-          else f.delete(tmp, true) // a concurrent relay won — done is done
+        loggedChangesAt(spark, root, v) match {
+          case Some(df) =>
+            // UNIQUE staging per relayer: a shared tmp name would let
+            // two concurrent relays delete each other's in-flight
+            // write and publish an interleaved dir
+            val tmp = new Path(feedDir, f".tmp_v$v%09d" +
+              s"_${java.util.UUID.randomUUID().toString.take(8)}")
+            df.write.parquet(tmp.toString)
+            if (!f.exists(dst) && f.rename(tmp, dst)) {
+              // Hadoop local rename NESTS into a dst that appeared
+              // between the check and the rename (and still returns
+              // true) — detect, clean our bytes out, concede the race
+              val nested = new Path(dst, tmp.getName)
+              if (f.exists(nested)) f.delete(nested, true)
+              else published += 1
+            } else f.delete(tmp, true) // a concurrent relay won
+          case None => f.mkdirs(dst) // nothing logged: mark done
         }
       }
     }

@@ -314,6 +314,9 @@ object Snapshots {
     def line(s: FileStat): String =
       s"\n${s.path}\t${s.minKey}\t${s.maxKey}\t${s.nRows}" +
         (if (s.bloom.nonEmpty) s"\t${s.bloom}" else "")
+    // a checkpoint sidecar THIS commit writes (vs a reused parent
+    // sidecar, which a lost race must never touch)
+    var freshCp: Option[Path] = None
     val (cpRef: Option[String], deltaLines: Seq[String]) =
       if (allStats.isEmpty || allStats.size < checkpointThreshold(spark))
         (None, allStats.map(line))
@@ -343,6 +346,7 @@ object Snapshots {
           case None =>
             val name = s"cp_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.parquet"
             writeCheckpoint(spark, new Path(mdir, name), allStats)
+            freshCp = Some(new Path(mdir, name))
             (Some(name), Seq.empty)
         }
       }
@@ -370,8 +374,15 @@ object Snapshots {
         // this writer's data dir was never referenced by any published
         // manifest (the winner's header names ITS dir) — reclaim it
         // now instead of leaving a parked orphan for the age-gated
-        // sweep; the caller re-derives from scratch
-        f.delete(dataPath, true)
+        // sweep; the caller re-derives from scratch. ONLY safe for a
+        // unique-suffixed dir: a pretty `v{N}` name is a rename target
+        // a concurrent committer can NEST its staged bytes into (the
+        // lines-283-289 window), so deleting it recursively could eat
+        // that writer's data mid-flight — pretty-named losers stay for
+        // the age-gated sweep. A checkpoint sidecar THIS commit wrote
+        // is always exclusively ours and goes either way.
+        if (dataDir.contains('_')) f.delete(dataPath, true)
+        freshCp.foreach(f.delete(_, false))
         throw new CommitConflict(root, next,
           s"snapshot commit on $root lost the publish race for version " +
             s"$next: the table advanced past the parent this write was " +

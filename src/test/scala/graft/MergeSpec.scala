@@ -476,6 +476,16 @@ class MergeSpec extends SparkSpec {
       "null-keyed rows must survive a rewrite of their file")
     assert(cur.filter(col("doc_id") === 0L).select("text").head().getString(0) == "rewritten")
 
+    // null-keyed rows have no row identity: the rewrite of their file
+    // must NOT surface them as phantom delete+insert pairs in the
+    // change feed (they're excluded from both sides, like the
+    // write-time log which can never key-match them)
+    val cdf = Merge.changesBetween(spark, root, 1, 2)
+    assert(cdf.filter(col("doc_id").isNull).isEmpty,
+      "null-keyed carried rows must not appear in the diff")
+    assert(cdf.select("doc_id", "_change_type").as[(Long, String)]
+      .collect().toSet == Set((0L, "update_preimage"), (0L, "update_postimage")))
+
     // a batch whose key SHAPE disagrees with the table's (string vs
     // integral) would probe the wrong canonical domain — fail fast
     val bad = Seq(("0", "sneaky", Merge.UpsertOp)).toDF("doc_id", "text", "op")
@@ -483,6 +493,12 @@ class MergeSpec extends SparkSpec {
       Merge.merge(spark, root, bad, "bad")
     }
     assert(ex.getMessage.contains("key type"), ex.getMessage)
+    // deleteMor enforces the same parity (its logged-feed probe would
+    // otherwise canonicalize into the wrong domain silently)
+    val exMor = intercept[IllegalArgumentException] {
+      Merge.deleteMor(spark, root, Seq("7").toDF("doc_id"), "badmor")
+    }
+    assert(exMor.getMessage.contains("key type"), exMor.getMessage)
   }
 
   test("a concurrent commit between read and publish is a conflict, and mergeRetrying re-derives") {
@@ -880,6 +896,10 @@ class MergeSpec extends SparkSpec {
       val optLog = Merge.loggedChangesAt(spark, root, 6).get
       assert(optLog.isEmpty && optLog.inputFiles.isEmpty)
       assert(Merge.changeFeed(spark, root, 5, 6).isEmpty)
+      // an empty (from, to] range is schema'd-empty without resolving
+      // any snapshot — even one retention already expired
+      val empty55 = Merge.changeFeed(spark, root, 5, 5)
+      assert(empty55.isEmpty && empty55.columns.contains("_change_type"))
     } finally spark.conf.unset("spark.graft.merge.changeFeed")
   }
 
