@@ -195,4 +195,43 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(again.count() == 1 &&
       again.select("text").head().getString(0) == "one v2")
   }
+
+  test("CDC in, change feed out: replayed micro-batches log no duplicate feed entries") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_smerge_cdf").toString
+    spark.conf.set("spark.graft.merge.changeFeed", "true")
+    try {
+      def batchDf(rows: (Long, String, Long, String)*) =
+        rows.toDF("doc_id", "text", "version", "op")
+          .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .select("doc_id", "lang", "source", "n_chars", "text", "version", "op")
+      StreamingQueries.applyMergeBatch(
+        batchDf((1L, "one", 0L, "I"), (2L, "two", 0L, "I")), root, 0L) // v1 bootstrap
+      StreamingQueries.applyMergeBatch(
+        batchDf((1L, "one v2", 1L, "U"), (2L, "", 1L, "D")), root, 1L) // v2: update+delete
+      // at-least-once replays: the exactly-once writer must also keep
+      // the CHANGE LOG exactly-once (a re-merge would double it)
+      StreamingQueries.applyMergeBatch(
+        batchDf((1L, "one v2", 1L, "U"), (2L, "", 1L, "D")), root, 1L)
+      StreamingQueries.applyMergeBatch(
+        batchDf((1L, "one", 0L, "I"), (2L, "two", 0L, "I")), root, 0L)
+      StreamingQueries.applyMergeBatch(
+        batchDf((3L, "three", 2L, "U")), root, 2L) // v3: insert
+      val feedDir = java.nio.file.Files.createTempDirectory("graft_smerge_feed").toString
+      assert(graft.sources.Merge.publishChangeFeed(spark, root, feedDir) == 2)
+      val q = graft.sources.Merge.streamChangeFeed(spark, root, feedDir)
+        .writeStream.format("memory").queryName("cdc_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val out = spark.sql(
+        "select doc_id, _change_type, _commit_version from cdc_out")
+        .as[(Long, String, Int)].collect()
+      assert(out.length == out.toSet.size, "feed must hold no duplicates")
+      assert(out.toSet == Set(
+        (1L, "update_preimage", 2), (1L, "update_postimage", 2),
+        (2L, "delete", 2), (3L, "insert", 3)), s"got ${out.toSet}")
+    } finally spark.conf.unset("spark.graft.merge.changeFeed")
+  }
 }
