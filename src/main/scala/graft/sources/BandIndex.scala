@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.Caches.CheckpointSyntax
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.MinHashLsh
@@ -110,5 +111,112 @@ object BandIndex {
     val batch = all.filter(
       col("doc_id") >= graft.operators.IncrementalIngest.frontierId(all))
     MinHashLsh.incrementalCandidates(idx, batch, mergeHint = true)
+  }
+
+  // ---- change-feed-maintained index -----------------------------------
+
+  /** A band index maintained INCREMENTALLY from a merge table's
+    * change feed ([[Merge.changeFeed]]) — the dedup index of a
+    * CONTINUOUSLY-MAINTAINED corpus, closing the loop between the
+    * storage layer and the LSH pillar. Inserts and update-postimages
+    * APPEND new-generation band rows into the bucketed table (an
+    * insertInto keeps the bucket spec, so the index is still never
+    * shuffled at probe time); deletes and update-preimages append
+    * doc-id TOMBSTONES to a parquet sidecar, masked at probe time by
+    * a change-sized (broadcast) anti-join — the merge-on-read
+    * discipline applied to the index itself. Maintenance cost is
+    * O(changed docs); the index is never rebuilt. A REPLAYED feed
+    * span appends duplicate band rows — candidates stay correct (the
+    * probe's pair set is distinct) at redundant-row cost; feed the
+    * index from an exactly-once consumer (the relay/stream path) or
+    * run [[compactMaintained]]. */
+  def buildMaintained(spark: SparkSession, corpus: DataFrame,
+                      name: String): (String, String) = {
+    val t = s"graft_band_live_${tag(name)}"
+    val tombDir = s"${sys.props("java.io.tmpdir")}/graft_band_tomb_${tag(name)}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Snapshots.fs(spark, tombDir)
+      .delete(new org.apache.hadoop.fs.Path(tombDir), true)
+    val buckets = bucketsFor(corpus.count())
+    MinHashLsh.bands(corpus)
+      .select(col("band"), col("band_key"), col("doc_id"), lit(0L).as("gen"))
+      .repartition(buckets, col("band"), col("band_key"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
+      .saveAsTable(t)
+    (t, tombDir)
+  }
+
+  /** Apply one change-feed span to a maintained index. Per changed
+    * doc only its LATEST state in the span matters: one tombstone at
+    * the max commit version kills every older generation (strict <,
+    * so rows this call appends at that version survive), and bands
+    * are appended only when the last change leaves the doc alive. */
+  def applyChangeFeed(spark: SparkSession, table: String, tombDir: String,
+                      feed: DataFrame): Unit = {
+    // aliased aggregate: `latest` derives FROM `feed`, so joining on
+    // same-named columns would hit self-join attribute ambiguity
+    val latest = feed
+      .select(col("doc_id").as("d"), col("_commit_version").cast("long").as("v"))
+      .groupBy("d").agg(max("v").as("gen"))
+    val lastRows = feed.join(latest,
+      feed("doc_id") === col("d") &&
+        feed("_commit_version").cast("long") === col("gen"))
+      .select(col("doc_id"), col("text"), col("_change_type"), col("gen"))
+    val adds = lastRows
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+    MinHashLsh.bands(adds.select("doc_id", "text"))
+      .join(adds.select(col("doc_id"), col("gen")), Seq("doc_id"))
+      .select(col("band"), col("band_key"), col("doc_id"), col("gen"))
+      .write.insertInto(table)
+    latest.select(col("d").as("doc_id"), col("gen"))
+      .write.mode("append").parquet(tombDir)
+  }
+
+  /** The index's LIVE rows: every generation a tombstone has not
+    * superseded. The tombstone side is change-sized — AQE broadcasts
+    * it, and a broadcast anti-join preserves the bucketed scan's
+    * partitioning, so the probe keeps its zero-exchange-on-index
+    * plan. */
+  def liveBands(spark: SparkSession, table: String, tombDir: String): DataFrame = {
+    val idx = spark.table(table)
+    val f = Snapshots.fs(spark, tombDir)
+    if (!f.exists(new org.apache.hadoop.fs.Path(tombDir))) idx
+    else {
+      val tombs = spark.read.parquet(tombDir)
+        .groupBy(col("doc_id").as("t_doc")).agg(max("gen").as("t_gen"))
+      idx.join(tombs,
+        idx("doc_id") === tombs("t_doc") && idx("gen") < tombs("t_gen"),
+        "left_anti")
+    }
+  }
+
+  /** Probe a maintained index with an arriving batch — identical
+    * semantics to [[incrementalPairsBucketed]]'s probe, over the
+    * tombstone-masked live rows. */
+  def probeMaintained(spark: SparkSession, table: String, tombDir: String,
+                      batch: DataFrame): DataFrame =
+    MinHashLsh.incrementalCandidates(
+      liveBands(spark, table, tombDir).select("band", "band_key", "doc_id"),
+      batch, mergeHint = true)
+
+  /** The maintained index's OPTIMIZE: fold tombstones into a rewrite
+    * (live rows only, generation reset, bucket count re-sized to the
+    * surviving corpus) and clear the sidecar. */
+  def compactMaintained(spark: SparkSession, table: String,
+                        tombDir: String): Unit = {
+    // materialize (lineage-truncated) before the overwrite drops the
+    // table the rows come from
+    val live = liveBands(spark, table, tombDir)
+      .select(col("band"), col("band_key"), col("doc_id"), lit(0L).as("gen"))
+      .graftCheckpoint()
+    val buckets = bucketsFor(live.select("doc_id").distinct().count())
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    live.repartition(buckets, col("band"), col("band_key"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
+      .saveAsTable(table)
+    Snapshots.fs(spark, tombDir)
+      .delete(new org.apache.hadoop.fs.Path(tombDir), true)
   }
 }

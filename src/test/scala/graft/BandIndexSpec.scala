@@ -75,4 +75,108 @@ class BandIndexSpec extends SparkSpec {
     assert(bucketed.exceptAll(flat).isEmpty && flat.exceptAll(bucketed).isEmpty,
       "the index layout must not change the candidate set")
   }
+
+  test("change-feed-maintained index equals a fresh rebuild at every step") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.{Merge, Snapshots}
+    spark.conf.set("spark.graft.merge.changeFeed", "true")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_bandfeed").toString
+      val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+        .select("doc_id", "text").filter(col("doc_id") < 120)
+      Snapshots.commit(spark, root, "base",
+        statsFor = p => Merge.statsWithBlooms(spark, p)) { p =>
+        docs.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+          .write.parquet(p)
+      } // v1
+      val (t, tomb) = BandIndex.buildMaintained(spark,
+        Merge.readCurrent(spark, root).select("doc_id", "text"), root)
+      // exceptAll is positional — align the fresh rebuild's column
+      // order to the index layout's
+      def freshBands = MinHashLsh.bands(
+        Merge.readCurrent(spark, root).select("doc_id", "text"))
+        .select("band", "band_key", "doc_id")
+      def liveB = BandIndex.liveBands(spark, t, tomb)
+        .select("band", "band_key", "doc_id")
+      def assertSame(tagS: String): Unit =
+        assert(liveB.exceptAll(freshBands).isEmpty &&
+          freshBands.exceptAll(liveB).isEmpty,
+          s"$tagS: maintained index diverged from a fresh rebuild")
+
+      // v2: an update (doc 5 becomes doc 7's near-dup) and an insert
+      val d7text = docs.filter(col("doc_id") === 7L)
+        .select("text").head().getString(0)
+      Merge.merge(spark, root,
+        Seq((5L, d7text, Merge.UpsertOp), (5000L, d7text, Merge.UpsertOp))
+          .toDF("doc_id", "text", "op"), "m1")
+      BandIndex.applyChangeFeed(spark, t, tomb,
+        Merge.changeFeed(spark, root, 1, 2))
+      assertSame("after update+insert")
+
+      // v3: a COW delete and a re-update of the fresh doc
+      Merge.merge(spark, root,
+        Seq((7L, "", Merge.DeleteOp),
+          (5000L, "completely different text with its own shingles", Merge.UpsertOp))
+          .toDF("doc_id", "text", "op"), "m2")
+      BandIndex.applyChangeFeed(spark, t, tomb,
+        Merge.changeFeed(spark, root, 2, 3))
+      assertSame("after delete+re-update")
+      assert(liveB.filter(col("doc_id") === 7L).isEmpty,
+        "a deleted doc's bands must be tombstoned out")
+
+      // probe equivalence against the from-scratch index of the
+      // CURRENT corpus
+      val batch = spark.read.parquet(s"$Sf0001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(col("doc_id") >= 120L && col("doc_id") < 160L)
+      val viaMaintained = BandIndex.probeMaintained(spark, t, tomb, batch)
+      val viaFresh = MinHashLsh.incrementalCandidates(freshBands, batch)
+      assert(viaMaintained.exceptAll(viaFresh).isEmpty &&
+        viaFresh.exceptAll(viaMaintained).isEmpty,
+        "maintained-index probe diverged from the fresh-index probe")
+
+      // the tombstone mask must not cost the index its layout: the
+      // probe's index side still carries NO Exchange (the tombstone
+      // anti-join broadcasts and preserves the bucketed partitioning)
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        def hasLiveScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p.collectLeaves().exists {
+            case f: FileSourceScanExec =>
+              f.tableIdentifier.exists(_.table.startsWith("graft_band_live"))
+            case _ => false
+          }
+        val plan = BandIndex.probeMaintained(spark, t, tomb, batch)
+          .queryExecution.executedPlan
+        val smjs = plan.collect { case j: SortMergeJoinExec => j }
+        val idxJoin = smjs.find(j => hasLiveScan(j.left) || hasLiveScan(j.right))
+          .getOrElse(fail(s"no sort-merge join over the live index in:\n$plan"))
+        val idxSide = if (hasLiveScan(idxJoin.left)) idxJoin.left else idxJoin.right
+        // the broadcast BUILD side may shuffle (the tombstone agg is
+        // change-sized); the INDEX lineage itself must not
+        def indexShuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+          p match {
+            case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike =>
+              Seq.empty
+            case e: ShuffleExchangeLike =>
+              e.nodeName +: p.children.flatMap(indexShuffles)
+            case _ => p.children.flatMap(indexShuffles)
+          }
+        assert(indexShuffles(idxSide).isEmpty,
+          s"the tombstone-masked index lineage must not shuffle, was:\n$idxSide")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+
+      // compaction folds tombstones in and changes nothing observable
+      BandIndex.compactMaintained(spark, t, tomb)
+      assertSame("after compaction")
+      assert(!Snapshots.fs(spark, tomb)
+        .exists(new org.apache.hadoop.fs.Path(tomb)),
+        "compaction must clear the tombstone sidecar")
+      val postCompact = BandIndex.probeMaintained(spark, t, tomb, batch)
+      assert(postCompact.exceptAll(viaFresh).isEmpty &&
+        viaFresh.exceptAll(postCompact).isEmpty)
+    } finally spark.conf.unset("spark.graft.merge.changeFeed")
+  }
 }
