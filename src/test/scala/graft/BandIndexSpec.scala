@@ -76,6 +76,38 @@ class BandIndexSpec extends SparkSpec {
       "the index layout must not change the candidate set")
   }
 
+  test("maintained-index upkeep costs the change, not the corpus") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.{BandIndex => BI}
+    def corpus(n: Long) = (0L until n)
+      .map(i => (i, s"document number $i carries words w${i % 97} w${i % 31} " +
+        s"and a long enough tail for shingles to mean something"))
+      .toDF("doc_id", "text")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e6)
+    }
+    val feedBatch = Seq(
+      (5L, "a fresh text for doc five after its upstream edit", "update_postimage", 2),
+      (5L, "document number 5 carries words w5 w5 and a long enough tail", "update_preimage", 2),
+      (999999L, "a brand new arrival with text of its own", "insert", 2))
+      .toDF("doc_id", "text", "_change_type", "_commit_version")
+
+    val (tS, tombS) = BI.buildMaintained(spark, corpus(20000), "scale1x")
+    val (tB, tombB) = BI.buildMaintained(spark, corpus(100000), "scale5x")
+    // warm the apply path once, then measure steady upkeep
+    BI.applyChangeFeed(spark, tS, tombS, feedBatch)
+    val (_, aS) = timed(BI.applyChangeFeed(spark, tS, tombS, feedBatch))
+    val (_, aB) = timed(BI.applyChangeFeed(spark, tB, tombB, feedBatch))
+    val (_, rS) = timed(BI.buildMaintained(spark, corpus(20000), "scale1xr"))
+    val (_, rB) = timed(BI.buildMaintained(spark, corpus(100000), "scale5xr"))
+    info(f"apply same feed: 1x $aS%.0f ms, 5x $aB%.0f ms; " +
+      f"full rebuild: 1x $rS%.0f ms, 5x $rB%.0f ms")
+    assert(aB < rB,
+      f"upkeep ($aB%.0f ms) must beat a rebuild ($rB%.0f ms) at the 5x corpus")
+  }
+
   test("change-feed-maintained index equals a fresh rebuild at every step") {
     val s = spark
     import s.implicits._
