@@ -118,18 +118,24 @@ object BandIndex {
   /** A band index maintained INCREMENTALLY from a merge table's
     * change feed ([[Merge.changeFeed]]) — the dedup index of a
     * CONTINUOUSLY-MAINTAINED corpus, closing the loop between the
-    * storage layer and the LSH pillar. Inserts and update-postimages
-    * APPEND new-generation band rows into the bucketed table (an
-    * insertInto keeps the bucket spec, so the index is still never
-    * shuffled at probe time); deletes and update-preimages append
-    * doc-id TOMBSTONES to a parquet sidecar, masked at probe time by
-    * a change-sized (broadcast) anti-join — the merge-on-read
-    * discipline applied to the index itself. Maintenance cost is
-    * O(changed docs); the index is never rebuilt. A REPLAYED feed
-    * span appends duplicate band rows — candidates stay correct (the
-    * probe's pair set is distinct) at redundant-row cost; feed the
-    * index from an exactly-once consumer (the relay/stream path) or
-    * run [[compactMaintained]]. */
+    * storage layer and the LSH pillar. Per feed span, EVERY changed
+    * doc gets a TOMBSTONE (doc_id, max commit version in the span) in
+    * a parquet sidecar, and docs whose last change leaves them alive
+    * get their new bands APPENDED at that version (insertInto keeps
+    * the bucket spec, so the index is still never shuffled at probe
+    * time). The probe masks superseded generations with a
+    * change-sized broadcast anti-join on strict gen-< — the
+    * merge-on-read discipline applied to the index itself. Note the
+    * tombstone is NOT delete-only: the all-changed-docs tombstone at
+    * max version plus strict < is what makes supersession,
+    * re-insert-after-delete and replays compose (an appended row at
+    * the tombstone's own version survives; anything older dies).
+    * Maintenance cost is O(changed docs); the index is never rebuilt.
+    * A REPLAYED span only re-appends rows that are either superseded
+    * (masked by the surviving tombstones — [[compactMaintained]]
+    * keeps them for exactly this reason) or content-identical
+    * duplicates (the probe's pair set is distinct), so candidates
+    * stay correct at redundant-row cost. */
   def buildMaintained(spark: SparkSession, corpus: DataFrame,
                       name: String): (String, String) = {
     val t = s"graft_band_live_${tag(name)}"
@@ -137,21 +143,28 @@ object BandIndex {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     Snapshots.fs(spark, tombDir)
       .delete(new org.apache.hadoop.fs.Path(tombDir), true)
-    val buckets = bucketsFor(corpus.count())
-    MinHashLsh.bands(corpus)
-      .select(col("band"), col("band_key"), col("doc_id"), lit(0L).as("gen"))
-      .repartition(buckets, col("band"), col("band_key"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
-      .saveAsTable(t)
+    writeBucketedIndex(
+      MinHashLsh.bands(corpus)
+        .select(col("band"), col("band_key"), col("doc_id"), lit(0L).as("gen")),
+      t, bucketsFor(corpus.count()))
     (t, tombDir)
   }
 
+  /** The one bucketed-index write recipe — three call sites must stay
+    * in lockstep or the zero-exchange probe property silently breaks
+    * for indexes built via the drifted path. */
+  private def writeBucketedIndex(df: DataFrame, table: String,
+                                 buckets: Int): Unit =
+    df.repartition(buckets, col("band"), col("band_key"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
+      .saveAsTable(table)
+
   /** Apply one change-feed span to a maintained index. Per changed
-    * doc only its LATEST state in the span matters: one tombstone at
-    * the max commit version kills every older generation (strict <,
-    * so rows this call appends at that version survive), and bands
-    * are appended only when the last change leaves the doc alive. */
+    * doc only its LATEST state in the span matters — the span is
+    * collapsed by an aliased argmax, MATERIALIZED once (the two
+    * writes below must see the same collapse, and a computed-CDF
+    * span re-derived per action would double the upkeep cost). */
   def applyChangeFeed(spark: SparkSession, table: String, tombDir: String,
                       feed: DataFrame): Unit = {
     // aliased aggregate: `latest` derives FROM `feed`, so joining on
@@ -163,13 +176,16 @@ object BandIndex {
       feed("doc_id") === col("d") &&
         feed("_commit_version").cast("long") === col("gen"))
       .select(col("doc_id"), col("text"), col("_change_type"), col("gen"))
+      .graftCheckpoint()
     val adds = lastRows
       .filter(col("_change_type").isin("insert", "update_postimage"))
     MinHashLsh.bands(adds.select("doc_id", "text"))
       .join(adds.select(col("doc_id"), col("gen")), Seq("doc_id"))
       .select(col("band"), col("band_key"), col("doc_id"), col("gen"))
       .write.insertInto(table)
-    latest.select(col("d").as("doc_id"), col("gen"))
+    // one tombstone per changed doc (update rows appear twice in
+    // lastRows — pre+post at the same version — hence the distinct)
+    lastRows.select(col("doc_id"), col("gen")).distinct()
       .write.mode("append").parquet(tombDir)
   }
 
@@ -200,23 +216,45 @@ object BandIndex {
       liveBands(spark, table, tombDir).select("band", "band_key", "doc_id"),
       batch, mergeHint = true)
 
-  /** The maintained index's OPTIMIZE: fold tombstones into a rewrite
-    * (live rows only, generation reset, bucket count re-sized to the
-    * surviving corpus) and clear the sidecar. */
+  /** The maintained index's OPTIMIZE: drop dead generations from the
+    * table and fold the tombstone sidecar to one max-version row per
+    * doc. GENERATIONS AND TOMBSTONES ARE PRESERVED — both steps are
+    * pure compactions that change nothing liveBands observes, so a
+    * crash anywhere leaves a correct index, and a feed span REPLAYED
+    * after compaction still finds the tombstones that mask its stale
+    * appends (resetting gens to 0 and clearing the sidecar would
+    * instead let a replay resurrect a superseded text). The table
+    * swap is staged: write to a sibling name, drop, rename — the only
+    * crash window leaves the staged table recoverable by name, never
+    * a lost index. Single maintainer, like every maintenance rewrite
+    * here. */
   def compactMaintained(spark: SparkSession, table: String,
                         tombDir: String): Unit = {
-    // materialize (lineage-truncated) before the overwrite drops the
+    // materialize (lineage-truncated) before the swap drops the
     // table the rows come from
     val live = liveBands(spark, table, tombDir)
-      .select(col("band"), col("band_key"), col("doc_id"), lit(0L).as("gen"))
+      .select(col("band"), col("band_key"), col("doc_id"), col("gen"))
       .graftCheckpoint()
     val buckets = bucketsFor(live.select("doc_id").distinct().count())
+    val staged = s"${table}_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $staged")
+    writeBucketedIndex(live, staged, buckets)
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    live.repartition(buckets, col("band"), col("band_key"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
-      .saveAsTable(table)
-    Snapshots.fs(spark, tombDir)
-      .delete(new org.apache.hadoop.fs.Path(tombDir), true)
+    spark.sql(s"ALTER TABLE $staged RENAME TO $table")
+    // sidecar fold: semantics-identical (liveBands takes the per-doc
+    // max anyway) — swap via a hidden sibling + one rename
+    val f = Snapshots.fs(spark, tombDir)
+    val tombPath = new org.apache.hadoop.fs.Path(tombDir)
+    if (f.exists(tombPath)) {
+      val folded = spark.read.parquet(tombDir)
+        .groupBy("doc_id").agg(max("gen").as("gen"))
+        .graftCheckpoint()
+      val tmp = new org.apache.hadoop.fs.Path(s"$tombDir._folding")
+      f.delete(tmp, true)
+      folded.coalesce(1).write.parquet(tmp.toString)
+      f.delete(tombPath, true)
+      if (!f.rename(tmp, tombPath))
+        throw new IllegalStateException(s"tombstone fold swap failed at $tombDir")
+    }
   }
 }

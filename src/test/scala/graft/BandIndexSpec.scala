@@ -200,15 +200,30 @@ class BandIndexSpec extends SparkSpec {
           s"the tombstone-masked index lineage must not shuffle, was:\n$idxSide")
       } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
 
-      // compaction folds tombstones in and changes nothing observable
+      // compaction drops dead generations and folds the sidecar to
+      // one row per doc — and changes nothing observable
       BandIndex.compactMaintained(spark, t, tomb)
       assertSame("after compaction")
-      assert(!Snapshots.fs(spark, tomb)
-        .exists(new org.apache.hadoop.fs.Path(tomb)),
-        "compaction must clear the tombstone sidecar")
+      val folded = spark.read.parquet(tomb)
+      assert(folded.count() == folded.select("doc_id").distinct().count(),
+        "compaction must fold tombstones to one max-version row per doc")
       val postCompact = BandIndex.probeMaintained(spark, t, tomb, batch)
       assert(postCompact.exceptAll(viaFresh).isEmpty &&
         viaFresh.exceptAll(postCompact).isEmpty)
+
+      // a span REPLAYED after compaction must not resurrect stale
+      // bands: the kept tombstones mask its superseded appends, and
+      // the only possible additions are duplicates of current content
+      BandIndex.applyChangeFeed(spark, t, tomb,
+        Merge.changeFeed(spark, root, 1, 2))
+      val liveD = liveB.distinct()
+      val freshD = freshBands.distinct()
+      assert(liveD.exceptAll(freshD).isEmpty && freshD.exceptAll(liveD).isEmpty,
+        "replay after compaction resurrected stale bands")
+      val postReplay = BandIndex.probeMaintained(spark, t, tomb, batch)
+      assert(postReplay.exceptAll(viaFresh).isEmpty &&
+        viaFresh.exceptAll(postReplay).isEmpty,
+        "replay after compaction changed the candidate set")
     } finally spark.conf.unset("spark.graft.merge.changeFeed")
   }
 }
