@@ -513,6 +513,47 @@ object CorpusStats {
           .as("mean_tokens"))
   }
 
+  /** Per-(source, lang) corpus COMPOSITION (docs, tokens, chars) —
+    * the dashboard slice whose aggregates are all ABELIAN (counts and
+    * sums, no min/max/distinct), which is exactly what makes it
+    * incrementally maintainable from a change feed
+    * ([[compositionApplyFeed]]). */
+  def compositionOf(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"), col("n_chars"),
+        size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+
+  /** INCREMENTAL VIEW MAINTENANCE over the change feed: absorb one
+    * feed span ([[graft.sources.Merge.changeFeed]] output over a
+    * documents-shaped table) into a maintained [[compositionOf]]
+    * state with O(changed docs) work — postimages and inserts count
+    * +1, preimages and deletes −1, so an update that MOVES a doc
+    * between (source, lang) groups debits the old group and credits
+    * the new one with no special casing. Groups whose live count
+    * reaches zero drop out (their sums are exactly zero too — the
+    * arithmetic is integer throughout). At 100 TB this is the
+    * difference between a dataset card that rescans the corpus per
+    * release and one a feed poll keeps current. */
+  def compositionApplyFeed(state: DataFrame, feed: DataFrame): DataFrame = {
+    val signed = feed.select(col("source"), col("lang"), col("n_chars"),
+      size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"),
+      when(col("_change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L).as("sgn"))
+    val delta = signed.groupBy("source", "lang")
+      .agg(sum(col("sgn")).as("n_docs"),
+        sum(col("sgn") * col("n_tokens")).as("total_tokens"),
+        sum(col("sgn") * col("n_chars")).as("total_chars"))
+    state.unionByName(delta)
+      .groupBy("source", "lang")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"),
+        sum(col("total_chars")).as("total_chars"))
+      .filter(col("n_docs") > 0)
+  }
+
   /** One-row corpus MANIFEST: the dataset-card numbers (doc/source/
     * language counts, token and char mass, length extremes) a corpus
     * release ships with. Single global aggregate with map-side

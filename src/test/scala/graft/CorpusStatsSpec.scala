@@ -374,4 +374,58 @@ class CorpusStatsSpec extends SparkSpec {
     assert(stats("text").isNullAt(4) && stats("text").isNullAt(5))
     assert(stats("lang").getLong(3) < n) // categorical: ndv << rows
   }
+
+  test("composition view maintained from the change feed equals a recompute at every step") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.{Merge, Snapshots}
+    spark.conf.set("spark.graft.merge.changeFeed", "true")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+      def row(id: Long, src: String, lang: String, text: String) =
+        (id, src, lang, text.length.toLong, text)
+      val base = Seq(
+        row(1L, "web", "en", "alpha beta gamma"),
+        row(2L, "web", "en", "delta epsilon"),
+        row(3L, "web", "de", "zeta eta theta iota"),
+        row(4L, "books", "en", "kappa lambda"))
+        .toDF("doc_id", "source", "lang", "n_chars", "text")
+      Snapshots.commit(spark, root, "base",
+        statsFor = p => Merge.statsWithBlooms(spark, p)) { p =>
+        base.coalesce(2).write.parquet(p)
+      } // v1
+      var state = CorpusStats.compositionOf(Merge.readCurrent(spark, root))
+
+      def check(tagS: String): Unit = {
+        val fresh = CorpusStats.compositionOf(Merge.readCurrent(spark, root))
+        assert(state.exceptAll(fresh).isEmpty && fresh.exceptAll(state).isEmpty,
+          s"$tagS: maintained composition diverged from recompute " +
+            s"(state=${state.collect().mkString(",")} " +
+            s"fresh=${fresh.collect().mkString(",")})")
+      }
+
+      // v2: an update that MOVES doc 3 to (web, en) — debit (web, de)
+      // to zero and credit (web, en) — plus an insert in a new group
+      Merge.merge(spark, root, Seq(
+        (3L, "web", "en", 9L, "mu nu xi.", Merge.UpsertOp),
+        (9L, "wiki", "fr", 11L, "omicron pi.", Merge.UpsertOp))
+        .toDF("doc_id", "source", "lang", "n_chars", "text", "op"), "m1")
+      state = CorpusStats.compositionApplyFeed(state,
+        Merge.changeFeed(spark, root, 1, 2))
+      check("after group-moving update + insert")
+      assert(state.filter(col("lang") === "de").isEmpty,
+        "a group whose last doc moved away must drop out")
+
+      // v3: a COW delete and a token-count-changing in-place update
+      Merge.merge(spark, root, Seq(
+        (4L, "books", "en", 0L, "", Merge.DeleteOp),
+        (2L, "web", "en", 21L, "rho sigma tau upsilon", Merge.UpsertOp))
+        .toDF("doc_id", "source", "lang", "n_chars", "text", "op"), "m2")
+      state = CorpusStats.compositionApplyFeed(state,
+        Merge.changeFeed(spark, root, 2, 3))
+      check("after delete + in-place update")
+      assert(state.filter(col("source") === "books").isEmpty,
+        "a group whose last doc was deleted must drop out")
+    } finally spark.conf.unset("spark.graft.merge.changeFeed")
+  }
 }
