@@ -274,6 +274,74 @@ object EmbeddingSim {
     * work — nothing else is read), argmin of ||v - c||^2 via the
     * (c2 - 2 q·c) ordering, plus the TRUE squared distance (for the
     * drift gate: |v|^2 + key). */
+  /** Apply one change-feed span (over an embeddings-shaped merge
+    * table, key `vec_id`) to an incremental IVF index — the
+    * [[graft.sources.BandIndex]] maintenance pattern on the ANN
+    * pillar. Adds (inserts + update-postimages, collapsed to each
+    * vector's LATEST state in the span) are centroid-assigned and
+    * written as the span's own `ingest_batch = max commit version`
+    * partition — dynamic partition overwrite makes a REPLAYED span
+    * rewrite its own partition instead of duplicating it. Every
+    * changed vec_id gets a (vec_id, gen) tombstone; the probe masks
+    * index rows with `ingest_batch < gen`, so superseded and deleted
+    * vectors drop out while same-span adds survive (strict <, the
+    * band-index discipline). Returns the same drift gate as
+    * [[ivfAppend]] — a feed full of far-from-centroid vectors still
+    * says refit. */
+  def ivfApplyChangeFeed(feed: DataFrame, modelDir: String, indexDir: String,
+                         tombDir: String): IvfAppendResult = {
+    val spark = feed.sparkSession
+    val model = IvfModel.load(spark, modelDir)
+    val latest = feed
+      .select(col("vec_id").as("v"), col("_commit_version").cast("long").as("cv"))
+      .groupBy("v").agg(max("cv").as("gen"))
+    val lastRows = feed.join(latest,
+      feed("vec_id") === col("v") &&
+        feed("_commit_version").cast("long") === col("gen"))
+      .select(col("vec_id"), col("embedding"), col("_change_type"), col("gen"))
+      .graftCheckpoint()
+    val adds = lastRows
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+    val assigned = assignCells(
+      adds.select(col("vec_id"), col("embedding")), model).graftCheckpoint()
+    assigned.join(adds.select(col("vec_id"), col("gen")), Seq("vec_id"))
+      .withColumn("ingest_batch", col("gen")).drop("gen")
+      .select(col("cell"), col("vec_id"), col("embedding"), col("d2"),
+        col("ingest_batch"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(indexDir)
+    lastRows.select(col("vec_id"), col("gen")).distinct()
+      .write.mode("append").parquet(tombDir)
+    val stats = assigned.agg(count(lit(1)), avg(col("d2"))).head()
+    val n = stats.getLong(0)
+    val meanD2 = if (n == 0) 0.0 else stats.getDouble(1)
+    IvfAppendResult(n, meanD2,
+      model.meanD2 > 0 && n > 0 && meanD2 > IvfDriftFactor * model.meanD2)
+  }
+
+  /** [[ivfProbeIndex]] over a feed-maintained index: identical probe,
+    * with the tombstone mask applied to the cell table first (the
+    * tombstone side is change-sized — broadcast anti-join). */
+  def ivfProbeMaintained(queries: DataFrame, modelDir: String, indexDir: String,
+                         tombDir: String, k: Int = 3,
+                         nProbe: Int = DefaultNProbe): DataFrame = {
+    val spark = queries.sparkSession
+    val f = graft.sources.Snapshots.fs(spark, tombDir)
+    val raw = spark.read.parquet(indexDir)
+    val live =
+      if (!f.exists(new org.apache.hadoop.fs.Path(tombDir))) raw
+      else {
+        val tombs = spark.read.parquet(tombDir)
+          .groupBy(col("vec_id").as("t_vec")).agg(max("gen").as("t_gen"))
+        raw.join(tombs,
+          raw("vec_id") === tombs("t_vec") && raw("ingest_batch") < tombs("t_gen"),
+          "left_anti")
+      }
+    probeCells(queries, IvfModel.load(spark, modelDir), live, k, nProbe)
+  }
+
   private def assignCells(emb: DataFrame, model: IvfModel): DataFrame = {
     val centroids = emb.sparkSession.createDataFrame(
       model.centroids).toDF("cell", "centroid", "c2")
@@ -358,7 +426,15 @@ object EmbeddingSim {
   def ivfProbeIndex(queries: DataFrame, modelDir: String, indexDir: String,
                     k: Int = 3, nProbe: Int = DefaultNProbe): DataFrame = {
     val spark = queries.sparkSession
-    val model = IvfModel.load(spark, modelDir)
+    probeCells(queries, IvfModel.load(spark, modelDir),
+      spark.read.parquet(indexDir), k, nProbe)
+  }
+
+  /** The probe over an explicit cell table — shared by the plain and
+    * the tombstone-masked (feed-maintained) index paths. */
+  private def probeCells(queries: DataFrame, model: IvfModel,
+                         cellTable: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
     val centroids = spark.createDataFrame(model.centroids).toDF("cell", "centroid", "c2")
     val probeW = Window.partitionBy("vec_id").orderBy(col("d2key"), col("cell"))
     val probes = queries.select(col("vec_id"), col("embedding"))
@@ -367,7 +443,7 @@ object EmbeddingSim {
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= math.max(nProbe, 1))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
-    val index = spark.read.parquet(indexDir)
+    val index = cellTable
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
     val scored = probes
       .join(index, Seq("cell"))

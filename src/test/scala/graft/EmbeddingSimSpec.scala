@@ -96,4 +96,73 @@ class EmbeddingSimSpec extends SparkSpec {
     // singleton label: deviation is exactly zero
     assert(rows((1L, 1L)) == ((5L, 0L)))
   }
+
+  test("feed-maintained IVF index probes like a rebuild under the same quantizer") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.{Merge, Snapshots}
+    spark.conf.set("spark.graft.merge.changeFeed", "true")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_ivffeed")
+      val root = base.resolve("table").toString
+      val modelDir = base.resolve("model").toString
+      val indexDir = base.resolve("index").toString
+      val tombDir = base.resolve("tomb").toString
+      val freshDir = base.resolve("fresh").toString
+
+      val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val corpus = emb.filter(col("vec_id") < 400L)
+      Snapshots.commit(spark, root, "base",
+        statsFor = p => Merge.statsWithBlooms(spark, p, Seq("vec_id"))) { p =>
+        corpus.repartitionByRange(4, col("vec_id"))
+          .sortWithinPartitions("vec_id").write.parquet(p)
+      } // v1
+      EmbeddingSim.ivfIndexBuild(corpus, modelDir, indexDir)
+
+      def vec(id: Long): Seq[Float] = emb.filter(col("vec_id") === id)
+        .select("embedding").head().getSeq[Float](0)
+      // v2: move vec 5 onto vec 50's embedding, insert a new vector
+      Merge.merge(spark, root,
+        Seq((5L, vec(50L), Merge.UpsertOp), (9999L, vec(7L), Merge.UpsertOp))
+          .toDF("vec_id", "embedding", "op"), "m1", Seq("vec_id"))
+      EmbeddingSim.ivfApplyChangeFeed(
+        Merge.changeFeed(spark, root, 1, 2), modelDir, indexDir, tombDir)
+      // v3: a COW delete and a re-update of the fresh vector
+      Merge.merge(spark, root,
+        Seq((11L, Seq.empty[Float], Merge.DeleteOp),
+          (9999L, vec(90L), Merge.UpsertOp))
+          .toDF("vec_id", "embedding", "op"), "m2", Seq("vec_id"))
+      EmbeddingSim.ivfApplyChangeFeed(
+        Merge.changeFeed(spark, root, 2, 3), modelDir, indexDir, tombDir)
+
+      // the reference: a from-scratch cell table of the CURRENT rows
+      // under the SAME persisted quantizer
+      EmbeddingSim.ivfIndexBuild(
+        Merge.readCurrent(spark, root), modelDir, freshDir)
+      val queries = emb.filter(col("vec_id") >= 400L && col("vec_id") < 430L)
+      // collected-set compare (exceptAll over two window-ranked
+      // frames with shared lineage trips a Catalyst binding bug);
+      // cosine is bit-identical on both paths by construction
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val maintained = rows(EmbeddingSim.ivfProbeMaintained(
+        queries, modelDir, indexDir, tombDir))
+      val rebuilt = rows(EmbeddingSim.ivfProbeIndex(queries, modelDir, freshDir))
+      assert(maintained == rebuilt,
+        s"feed-maintained IVF probe diverged from the same-model rebuild " +
+          s"(m-r=${(maintained -- rebuilt).take(3)} r-m=${(rebuilt -- maintained).take(3)})")
+      assert(!maintained.exists(_._2 == 11L),
+        "a deleted vector must not surface as a neighbor")
+
+      // replaying an old span rewrites its own ingest_batch partition
+      // (dynamic overwrite) — the probe must not change
+      EmbeddingSim.ivfApplyChangeFeed(
+        Merge.changeFeed(spark, root, 1, 2), modelDir, indexDir, tombDir)
+      val replayed = rows(EmbeddingSim.ivfProbeMaintained(
+        queries, modelDir, indexDir, tombDir))
+      assert(replayed == rebuilt, "a replayed span changed the maintained probe")
+    } finally spark.conf.unset("spark.graft.merge.changeFeed")
+  }
 }
