@@ -533,11 +533,21 @@ object CorpusStats {
     * +1, preimages and deletes −1, so an update that MOVES a doc
     * between (source, lang) groups debits the old group and credits
     * the new one with no special casing. Groups whose live count
-    * reaches zero drop out (their sums are exactly zero too — the
-    * arithmetic is integer throughout). At 100 TB this is the
-    * difference between a dataset card that rescans the corpus per
-    * release and one a feed poll keeps current. */
+    * reaches exactly zero drop out (their sums are exactly zero too —
+    * the arithmetic is integer throughout). CONTRACT: spans must be
+    * applied exactly once and in order — the abelian arithmetic has
+    * no replay defense (unlike the tombstoned index consumers), so
+    * the caller feeds this from the exactly-once relay/stream path.
+    * A contract violation is VISIBLE, not hidden: a double-applied
+    * delete drives a group's count negative and the row is kept
+    * (only `== 0` rows drop), so any dashboard or recompute-compare
+    * flags it. The result is lineage-truncated per call — a polling
+    * loop reassigning its state would otherwise accrete one union +
+    * aggregation per poll until plan analysis dominates. At 100 TB
+    * this is the difference between a dataset card that rescans the
+    * corpus per release and one a feed poll keeps current. */
   def compositionApplyFeed(state: DataFrame, feed: DataFrame): DataFrame = {
+    import graft.Caches.CheckpointSyntax
     val signed = feed.select(col("source"), col("lang"), col("n_chars"),
       size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"),
       when(col("_change_type").isin("insert", "update_postimage"), 1L)
@@ -551,7 +561,8 @@ object CorpusStats {
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_tokens")).as("total_tokens"),
         sum(col("total_chars")).as("total_chars"))
-      .filter(col("n_docs") > 0)
+      .filter(col("n_docs") =!= 0)
+      .graftCheckpoint()
   }
 
   /** One-row corpus MANIFEST: the dataset-card numbers (doc/source/

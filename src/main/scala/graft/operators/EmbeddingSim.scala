@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Caches.CheckpointSyntax
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -269,25 +269,21 @@ object EmbeddingSim {
     ivfProbe(emb, model, k, nProbe)
   }
 
-  /** Nearest-centroid assignment of each vector under a prebuilt
-    * quantizer: one broadcast join against the centroids (batch-sized
-    * work — nothing else is read), argmin of ||v - c||^2 via the
-    * (c2 - 2 q·c) ordering, plus the TRUE squared distance (for the
-    * drift gate: |v|^2 + key). */
   /** Apply one change-feed span (over an embeddings-shaped merge
     * table, key `vec_id`) to an incremental IVF index — the
     * [[graft.sources.BandIndex]] maintenance pattern on the ANN
     * pillar. Adds (inserts + update-postimages, collapsed to each
     * vector's LATEST state in the span) are centroid-assigned and
-    * written as the span's own `ingest_batch = max commit version`
-    * partition — dynamic partition overwrite makes a REPLAYED span
-    * rewrite its own partition instead of duplicating it. Every
-    * changed vec_id gets a (vec_id, gen) tombstone; the probe masks
-    * index rows with `ingest_batch < gen`, so superseded and deleted
-    * vectors drop out while same-span adds survive (strict <, the
-    * band-index discipline). Returns the same drift gate as
-    * [[ivfAppend]] — a feed full of far-from-centroid vectors still
-    * says refit. */
+    * land under `ingest_batch = that vector's latest commit version`
+    * — one partition PER DISTINCT VERSION in the span, not per span —
+    * via dynamic partition overwrite, so a REPLAYED span rewrites the
+    * same partitions instead of duplicating them. Every changed
+    * vec_id gets a (vec_id, gen) tombstone; the probe masks index
+    * rows with `ingest_batch < gen`, so superseded and deleted
+    * vectors drop out while same-version adds survive (strict <, the
+    * band-index discipline). [[ivfCompactMaintained]] bounds the
+    * tombstone sidecar. Returns the same drift gate as [[ivfAppend]]
+    * — a feed full of far-from-centroid vectors still says refit. */
   def ivfApplyChangeFeed(feed: DataFrame, modelDir: String, indexDir: String,
                          tombDir: String): IvfAppendResult = {
     val spark = feed.sparkSession
@@ -321,25 +317,68 @@ object EmbeddingSim {
       model.meanD2 > 0 && n > 0 && meanD2 > IvfDriftFactor * model.meanD2)
   }
 
+  /** The feed-maintained index's LIVE rows: every generation no
+    * tombstone supersedes (the tombstone side is folded to its
+    * per-vector max and broadcast — change-sized between
+    * compactions). */
+  private def liveCells(spark: SparkSession, indexDir: String,
+                        tombDir: String): DataFrame = {
+    val f = graft.sources.Snapshots.fs(spark, tombDir)
+    val raw = spark.read.parquet(indexDir)
+    if (!f.exists(new org.apache.hadoop.fs.Path(tombDir))) raw
+    else {
+      val tombs = spark.read.parquet(tombDir)
+        .groupBy(col("vec_id").as("t_vec")).agg(max("gen").as("t_gen"))
+      raw.join(tombs,
+        raw("vec_id") === tombs("t_vec") && raw("ingest_batch") < tombs("t_gen"),
+        "left_anti")
+    }
+  }
+
   /** [[ivfProbeIndex]] over a feed-maintained index: identical probe,
-    * with the tombstone mask applied to the cell table first (the
-    * tombstone side is change-sized — broadcast anti-join). */
+    * over the tombstone-masked live cells. */
   def ivfProbeMaintained(queries: DataFrame, modelDir: String, indexDir: String,
                          tombDir: String, k: Int = 3,
                          nProbe: Int = DefaultNProbe): DataFrame = {
     val spark = queries.sparkSession
-    val f = graft.sources.Snapshots.fs(spark, tombDir)
-    val raw = spark.read.parquet(indexDir)
-    val live =
-      if (!f.exists(new org.apache.hadoop.fs.Path(tombDir))) raw
-      else {
-        val tombs = spark.read.parquet(tombDir)
-          .groupBy(col("vec_id").as("t_vec")).agg(max("gen").as("t_gen"))
-        raw.join(tombs,
-          raw("vec_id") === tombs("t_vec") && raw("ingest_batch") < tombs("t_gen"),
-          "left_anti")
-      }
-    probeCells(queries, IvfModel.load(spark, modelDir), live, k, nProbe)
+    probeCells(queries, IvfModel.load(spark, modelDir),
+      liveCells(spark, indexDir, tombDir), k, nProbe)
+  }
+
+  /** The maintained IVF index's OPTIMIZE — the
+    * [[graft.sources.BandIndex.compactMaintained]] discipline: drop
+    * dead generations from the cell table and fold the tombstone
+    * sidecar to one max-version row per vector. Generations and
+    * tombstones are PRESERVED (a span replayed after compaction still
+    * finds the tombstones that mask its stale partitions), both steps
+    * change nothing [[ivfProbeMaintained]] observes, and each dir
+    * swap stages to a hidden sibling + one rename. Without this the
+    * sidecar grows with total historical change volume and the probe
+    * mask stops being change-sized. Single maintainer. */
+  def ivfCompactMaintained(spark: SparkSession, indexDir: String,
+                           tombDir: String): Unit = {
+    import graft.Caches.CheckpointSyntax
+    val f = graft.sources.Snapshots.fs(spark, indexDir)
+    val live = liveCells(spark, indexDir, tombDir).graftCheckpoint()
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val idxTmp = new org.apache.hadoop.fs.Path(s"$indexDir._compacting")
+    f.delete(idxTmp, true)
+    live.write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(idxTmp.toString)
+    f.delete(idxPath, true)
+    if (!f.rename(idxTmp, idxPath))
+      throw new IllegalStateException(s"cell-table compaction swap failed at $indexDir")
+    val tombPath = new org.apache.hadoop.fs.Path(tombDir)
+    if (f.exists(tombPath)) {
+      val folded = spark.read.parquet(tombDir)
+        .groupBy("vec_id").agg(max("gen").as("gen")).graftCheckpoint()
+      val tmp = new org.apache.hadoop.fs.Path(s"$tombDir._folding")
+      f.delete(tmp, true)
+      folded.coalesce(1).write.parquet(tmp.toString)
+      f.delete(tombPath, true)
+      if (!f.rename(tmp, tombPath))
+        throw new IllegalStateException(s"tombstone fold swap failed at $tombDir")
+    }
   }
 
   private def assignCells(emb: DataFrame, model: IvfModel): DataFrame = {

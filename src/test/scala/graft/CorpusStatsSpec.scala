@@ -426,6 +426,16 @@ class CorpusStatsSpec extends SparkSpec {
       check("after delete + in-place update")
       assert(state.filter(col("source") === "books").isEmpty,
         "a group whose last doc was deleted must drop out")
+
+      // the exactly-once contract is enforced by the feed path, not
+      // the arithmetic — but a violation must be VISIBLE: a
+      // double-applied span drives the deleted group NEGATIVE and the
+      // row is kept, never silently dropped
+      val corrupted = CorpusStats.compositionApplyFeed(state,
+        Merge.changeFeed(spark, root, 2, 3))
+      assert(corrupted.filter(col("source") === "books")
+        .select("n_docs").head().getLong(0) == -1L,
+        "a double-applied delete must surface as a negative count")
     } finally spark.conf.unset("spark.graft.merge.changeFeed")
   }
 }

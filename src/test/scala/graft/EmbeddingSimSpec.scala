@@ -163,6 +163,22 @@ class EmbeddingSimSpec extends SparkSpec {
       val replayed = rows(EmbeddingSim.ivfProbeMaintained(
         queries, modelDir, indexDir, tombDir))
       assert(replayed == rebuilt, "a replayed span changed the maintained probe")
+
+      // compaction drops dead generations, folds tombstones to one
+      // row per vector, and changes nothing the probe observes —
+      // including under a post-compaction replay
+      EmbeddingSim.ivfCompactMaintained(spark, indexDir, tombDir)
+      val folded = spark.read.parquet(tombDir)
+      assert(folded.count() == folded.select("vec_id").distinct().count(),
+        "compaction must fold tombstones to one max-version row per vector")
+      assert(rows(EmbeddingSim.ivfProbeMaintained(
+        queries, modelDir, indexDir, tombDir)) == rebuilt,
+        "compaction changed the maintained probe")
+      EmbeddingSim.ivfApplyChangeFeed(
+        Merge.changeFeed(spark, root, 1, 2), modelDir, indexDir, tombDir)
+      assert(rows(EmbeddingSim.ivfProbeMaintained(
+        queries, modelDir, indexDir, tombDir)) == rebuilt,
+        "a span replayed after compaction resurrected stale vectors")
     } finally spark.conf.unset("spark.graft.merge.changeFeed")
   }
 }
