@@ -283,7 +283,19 @@ object EmbeddingSim {
     * vectors drop out while same-version adds survive (strict <, the
     * band-index discipline). [[ivfCompactMaintained]] bounds the
     * tombstone sidecar. Returns the same drift gate as [[ivfAppend]]
-    * — a feed full of far-from-centroid vectors still says refit. */
+    * — a feed full of far-from-centroid vectors still says refit.
+    *
+    * CONTRACT — AT-LEAST-ONCE, REPLAY ON FAILURE: the cell-table
+    * write and the tombstone append are two writes with no shared
+    * commit point. A crash between them leaves the span's adds live
+    * while superseded/deleted vectors stay unmasked — a probe in that
+    * window can return a deleted vector, which for ANN is a WRONG
+    * answer, not a safely-verifiable extra (contrast the band index's
+    * fail-open candidates). The caller MUST therefore re-apply the
+    * span after any failure before serving probes: replay is safe by
+    * construction (dynamic partition overwrite rewrites the same
+    * version partitions; duplicate tombstone rows fold under the
+    * per-vector max) and restores exactness. */
   def ivfApplyChangeFeed(feed: DataFrame, modelDir: String, indexDir: String,
                          tombDir: String): IvfAppendResult = {
     val spark = feed.sparkSession
@@ -350,11 +362,16 @@ object EmbeddingSim {
     * dead generations from the cell table and fold the tombstone
     * sidecar to one max-version row per vector. Generations and
     * tombstones are PRESERVED (a span replayed after compaction still
-    * finds the tombstones that mask its stale partitions), both steps
-    * change nothing [[ivfProbeMaintained]] observes, and each dir
-    * swap stages to a hidden sibling + one rename. Without this the
-    * sidecar grows with total historical change volume and the probe
-    * mask stops being change-sized. Single maintainer. */
+    * finds the tombstones that mask its stale partitions), and both
+    * steps change nothing [[ivfProbeMaintained]] observes. Each swap
+    * renames the OLD dir ASIDE before the staged one takes the
+    * published path and only then deletes it (r10 advice): a crash at
+    * any point leaves every row recoverable BY NAME (`._old` /
+    * `._compacting` siblings), never a deleted index whose only copy
+    * hides under a work path; a concurrent probe's unavailable window
+    * shrinks to two renames. Without this compaction the sidecar
+    * grows with total historical change volume and the probe mask
+    * stops being change-sized. Single maintainer. */
   def ivfCompactMaintained(spark: SparkSession, indexDir: String,
                            tombDir: String): Unit = {
     import graft.Caches.CheckpointSyntax
@@ -362,22 +379,30 @@ object EmbeddingSim {
     val live = liveCells(spark, indexDir, tombDir).graftCheckpoint()
     val idxPath = new org.apache.hadoop.fs.Path(indexDir)
     val idxTmp = new org.apache.hadoop.fs.Path(s"$indexDir._compacting")
+    val idxOld = new org.apache.hadoop.fs.Path(s"$indexDir._old")
     f.delete(idxTmp, true)
+    f.delete(idxOld, true)
     live.write.option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(idxTmp.toString)
-    f.delete(idxPath, true)
+    if (!f.rename(idxPath, idxOld))
+      throw new IllegalStateException(s"cell-table aside-rename failed at $indexDir")
     if (!f.rename(idxTmp, idxPath))
       throw new IllegalStateException(s"cell-table compaction swap failed at $indexDir")
+    f.delete(idxOld, true)
     val tombPath = new org.apache.hadoop.fs.Path(tombDir)
     if (f.exists(tombPath)) {
       val folded = spark.read.parquet(tombDir)
         .groupBy("vec_id").agg(max("gen").as("gen")).graftCheckpoint()
       val tmp = new org.apache.hadoop.fs.Path(s"$tombDir._folding")
+      val aside = new org.apache.hadoop.fs.Path(s"$tombDir._old")
       f.delete(tmp, true)
+      f.delete(aside, true)
       folded.coalesce(1).write.parquet(tmp.toString)
-      f.delete(tombPath, true)
+      if (!f.rename(tombPath, aside))
+        throw new IllegalStateException(s"tombstone aside-rename failed at $tombDir")
       if (!f.rename(tmp, tombPath))
         throw new IllegalStateException(s"tombstone fold swap failed at $tombDir")
+      f.delete(aside, true)
     }
   }
 

@@ -135,11 +135,21 @@ object BandIndex {
     * (masked by the surviving tombstones — [[compactMaintained]]
     * keeps them for exactly this reason) or content-identical
     * duplicates (the probe's pair set is distinct), so candidates
-    * stay correct at redundant-row cost. */
+    * stay correct at redundant-row cost.
+    *
+    * The tombstone sidecar is CORRECTNESS-BEARING (losing it would
+    * silently resurrect superseded and deleted docs' bands), so it
+    * co-locates with the index table under the session warehouse by
+    * default — never a sweepable tmpdir; `sidecarDir` overrides for
+    * callers that manage their own durable location (r10 advice). */
   def buildMaintained(spark: SparkSession, corpus: DataFrame,
-                      name: String): (String, String) = {
+                      name: String,
+                      sidecarDir: Option[String] = None): (String, String) = {
     val t = s"graft_band_live_${tag(name)}"
-    val tombDir = s"${sys.props("java.io.tmpdir")}/graft_band_tomb_${tag(name)}"
+    val tombDir = sidecarDir.getOrElse {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      s"${wh.stripSuffix("/")}/graft_band_tomb_${tag(name)}"
+    }
     spark.sql(s"DROP TABLE IF EXISTS $t")
     Snapshots.fs(spark, tombDir)
       .delete(new org.apache.hadoop.fs.Path(tombDir), true)
@@ -164,7 +174,21 @@ object BandIndex {
     * doc only its LATEST state in the span matters — the span is
     * collapsed by an aliased argmax, MATERIALIZED once (the two
     * writes below must see the same collapse, and a computed-CDF
-    * span re-derived per action would double the upkeep cost). */
+    * span re-derived per action would double the upkeep cost).
+    *
+    * CONTRACT — AT-LEAST-ONCE, REPLAY ON FAILURE: the band append and
+    * the tombstone append are two writes with no shared commit point,
+    * and the order is DELIBERATE — bands first. A crash between them
+    * leaves new bands live while stale generations stay unmasked, so
+    * the probe serves EXTRA candidates (a superseded text keeps
+    * surfacing) but never drops one — fail-open for candidate
+    * generation, where downstream exact-Jaccard verification filters
+    * the extras; the reverse order would mask old generations before
+    * their replacements exist and silently LOSE candidates. A caller
+    * that observes a failure must re-apply the same span: replay is
+    * safe by construction (see the class doc — surviving tombstones
+    * mask re-appended stale rows, duplicates are distinct-folded),
+    * and it restores exactness. */
   def applyChangeFeed(spark: SparkSession, table: String, tombDir: String,
                       feed: DataFrame): Unit = {
     // aliased aggregate: `latest` derives FROM `feed`, so joining on
@@ -219,14 +243,17 @@ object BandIndex {
   /** The maintained index's OPTIMIZE: drop dead generations from the
     * table and fold the tombstone sidecar to one max-version row per
     * doc. GENERATIONS AND TOMBSTONES ARE PRESERVED — both steps are
-    * pure compactions that change nothing liveBands observes, so a
-    * crash anywhere leaves a correct index, and a feed span REPLAYED
-    * after compaction still finds the tombstones that mask its stale
-    * appends (resetting gens to 0 and clearing the sidecar would
-    * instead let a replay resurrect a superseded text). The table
-    * swap is staged: write to a sibling name, drop, rename — the only
-    * crash window leaves the staged table recoverable by name, never
-    * a lost index. Single maintainer, like every maintenance rewrite
+    * pure compactions that change nothing liveBands observes, and a
+    * feed span REPLAYED after compaction still finds the tombstones
+    * that mask its stale appends (resetting gens to 0 and clearing
+    * the sidecar would instead let a replay resurrect a superseded
+    * text). Both swaps rename the OLD artifact ASIDE before the
+    * staged one takes the published name and only then delete it
+    * (r10 advice): a crash at any point leaves every row recoverable
+    * BY NAME (`…_old` / `…_compacting` siblings), never a deleted
+    * index with its sole copy under a hidden path; the unavailable
+    * window for a concurrent probe shrinks to two renames, not a
+    * rewrite. Single maintainer, like every maintenance rewrite
     * here. */
   def compactMaintained(spark: SparkSession, table: String,
                         tombDir: String): Unit = {
@@ -237,12 +264,15 @@ object BandIndex {
       .graftCheckpoint()
     val buckets = bucketsFor(live.select("doc_id").distinct().count())
     val staged = s"${table}_compacting"
+    val old = s"${table}_old"
     spark.sql(s"DROP TABLE IF EXISTS $staged")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
     writeBucketedIndex(live, staged, buckets)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $staged RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
     // sidecar fold: semantics-identical (liveBands takes the per-doc
-    // max anyway) — swap via a hidden sibling + one rename
+    // max anyway) — same rename-aside discipline
     val f = Snapshots.fs(spark, tombDir)
     val tombPath = new org.apache.hadoop.fs.Path(tombDir)
     if (f.exists(tombPath)) {
@@ -250,11 +280,15 @@ object BandIndex {
         .groupBy("doc_id").agg(max("gen").as("gen"))
         .graftCheckpoint()
       val tmp = new org.apache.hadoop.fs.Path(s"$tombDir._folding")
+      val aside = new org.apache.hadoop.fs.Path(s"$tombDir._old")
       f.delete(tmp, true)
+      f.delete(aside, true)
       folded.coalesce(1).write.parquet(tmp.toString)
-      f.delete(tombPath, true)
+      if (!f.rename(tombPath, aside))
+        throw new IllegalStateException(s"tombstone aside-rename failed at $tombDir")
       if (!f.rename(tmp, tombPath))
         throw new IllegalStateException(s"tombstone fold swap failed at $tombDir")
+      f.delete(aside, true)
     }
   }
 }

@@ -810,7 +810,18 @@ object Merge {
     * relay loses the rename benignly). Returns how many versions this
     * call published. The feed dir is the streaming boundary Delta
     * solves with a log-driven source: a raw glob over the table's
-    * own version dirs would race killed/losing writers. */
+    * own version dirs would race killed/losing writers.
+    *
+    * COMPLETENESS (r10): a key-stamped version with NO write-time log
+    * (a writer session that forgot `changeFeed=true`) relays the
+    * COMPUTED [[changesBetween]] diff instead of being silently
+    * skipped — the batch [[changeFeed]] and the streamed feed serve
+    * the same rows over any mixed chain. A key-stamped version whose
+    * parent retention already expired cannot be computed and THROWS
+    * naming the version (Delta's `table_changes` contract: error,
+    * never an invisible gap). Only commits that genuinely carry no
+    * changes get the empty done-marker: the pre-merge base load (the
+    * initial table is not a change) and retention-expired versions. */
   def publishChangeFeed(spark: SparkSession, root: String,
                         feedDir: String): Int = {
     val f = Snapshots.fs(spark, feedDir)
@@ -819,36 +830,124 @@ object Merge {
     // ONE listing decides what is already done — a poll's cost tracks
     // the NEW versions, not the chain length (a version with nothing
     // to relay gets an empty marker dir so it is never re-visited;
-    // the file source reads nothing from an empty dir)
+    // the file source reads nothing from an empty dir). Versions below
+    // the retention floor ([[expireFeed]]) are done by definition —
+    // re-relaying them would re-deliver old changes to the stream.
+    val floor = feedFloor(spark, feedDir)
     val done: Set[Int] = f.listStatus(fd).iterator
       .map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toInt).toSet
     var published = 0
     Snapshots.current(spark, root).foreach { c =>
-      for (v <- 1 to c.version if !done(v)) {
+      for (v <- math.max(1, floor) to c.version if !done(v)) {
         val dst = new Path(feedDir, f"v$v%09d")
-        loggedChangesAt(spark, root, v) match {
-          case Some(df) =>
-            // UNIQUE staging per relayer: a shared tmp name would let
-            // two concurrent relays delete each other's in-flight
-            // write and publish an interleaved dir
-            val tmp = new Path(feedDir, f".tmp_v$v%09d" +
-              s"_${java.util.UUID.randomUUID().toString.take(8)}")
-            df.write.parquet(tmp.toString)
-            if (!f.exists(dst) && f.rename(tmp, dst)) {
-              // Hadoop local rename NESTS into a dst that appeared
-              // between the check and the rename (and still returns
-              // true) — detect, clean our bytes out, concede the race
-              val nested = new Path(dst, tmp.getName)
-              if (f.exists(nested)) f.delete(nested, true)
-              else published += 1
-            } else f.delete(tmp, true) // a concurrent relay won
-          case None => f.mkdirs(dst) // nothing logged: mark done
+        feedChangesFor(spark, root, v) match {
+          case Some(df) => if (publishOne(f, feedDir, dst, df)) published += 1
+          case None => f.mkdirs(dst) // nothing to relay: mark done
         }
       }
     }
     published
+  }
+
+  /** The rows the relay must publish for version `v`: the write-time
+    * log where the commit recorded one; the computed per-commit diff
+    * for a key-stamped commit that didn't (throwing when its parent
+    * is expired — a silent gap is never an option); None for commits
+    * with nothing to relay (the v1 base load, never-stamped commits,
+    * retention-expired versions). */
+  private def feedChangesFor(spark: SparkSession, root: String,
+                             v: Int): Option[DataFrame] =
+    loggedChangesAt(spark, root, v).orElse {
+      Snapshots.at(spark, root, v).flatMap { snap =>
+        if (v == 1 || !Snapshots.extrasAt(spark, root, snap).contains(KeyColsKey))
+          None
+        else if (Snapshots.at(spark, root, v - 1).isEmpty)
+          throw new IllegalStateException(
+            s"cannot relay version $v of $root: the commit logged no changes " +
+              s"and parent version ${v - 1} has been retention-expired — " +
+              "relaying would silently drop its changes from the feed")
+        else Some(changesBetween(spark, root, v - 1, v)
+          .withColumn("_commit_version", lit(v)))
+      }
+    }
+
+  /** Stage `df` under a hidden unique name and publish it at `dst`
+    * with one rename; true iff THIS call made the version visible. */
+  private def publishOne(f: org.apache.hadoop.fs.FileSystem, feedDir: String,
+                         dst: Path, df: DataFrame): Boolean = {
+    // UNIQUE staging per relayer: a shared tmp name would let two
+    // concurrent relays delete each other's in-flight write and
+    // publish an interleaved dir
+    val tmp = new Path(feedDir,
+      s".tmp_${dst.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.parquet(tmp.toString)
+    if (!f.exists(dst) && f.rename(tmp, dst)) {
+      // Hadoop local rename NESTS into a dst that appeared between
+      // the check and the rename (and still returns true) — detect,
+      // clean our bytes out, concede the race
+      val nested = new Path(dst, tmp.getName)
+      if (f.exists(nested)) { f.delete(nested, true); false }
+      else true
+    } else { f.delete(tmp, true); false } // a concurrent relay won
+  }
+
+  /** The feed dir's retention floor: versions below it were expired
+    * and must never be re-relayed. Hidden marker file, so the file
+    * source never reads it. */
+  private val FeedFloorFile = "_expired_below"
+
+  private def feedFloor(spark: SparkSession, feedDir: String): Int = {
+    val f = Snapshots.fs(spark, feedDir)
+    val p = new Path(feedDir, FeedFloorFile)
+    if (!f.exists(p)) 1
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** FEED RETENTION — [[Snapshots.expire]] for the relay dir: delete
+    * relayed version dirs older than the newest `keepVersions`,
+    * recording the surviving floor in a hidden marker FIRST so a
+    * later [[publishChangeFeed]] never re-relays what retention
+    * removed (re-publication would re-deliver old changes to a
+    * file-source consumer — breaking exactly-once — and silently
+    * regrow the dir; a crash between marker and deletes just leaves
+    * dirs the next expire re-sweeps). Without this the dir grows one
+    * version forever and every consumer poll pays an ever-growing
+    * listing. Interaction with a live file-source consumer: the
+    * source tracks seen files by path and re-lists per batch, so
+    * already-processed files simply stop appearing — but a stream
+    * that had NOT yet read an expired version has lost it, so
+    * retention must trail the slowest consumer (the Kafka-retention
+    * contract; a NEW stream over the survivors reads exactly the
+    * surviving suffix). Returns how many version dirs were deleted. */
+  def expireFeed(spark: SparkSession, feedDir: String,
+                 keepVersions: Int): Int = {
+    require(keepVersions >= 0, s"keepVersions must be >= 0, got $keepVersions")
+    val f = Snapshots.fs(spark, feedDir)
+    val fd = new Path(feedDir)
+    if (!f.exists(fd)) return 0
+    val versions = f.listStatus(fd).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt).toSeq.sorted
+    val survivors = versions.takeRight(keepVersions)
+    if (survivors.size == versions.size) return 0
+    val floor = math.max(feedFloor(spark, feedDir),
+      if (survivors.nonEmpty) survivors.head else versions.max + 1)
+    val tmpF = new Path(feedDir, s".$FeedFloorFile.tmp")
+    val out = f.create(tmpF, true)
+    out.write(floor.toString.getBytes("UTF-8")); out.close()
+    f.delete(new Path(feedDir, FeedFloorFile), false)
+    if (!f.rename(tmpF, new Path(feedDir, FeedFloorFile)))
+      throw new IllegalStateException(s"feed floor publish failed at $feedDir")
+    val expired = versions.filter(_ < floor)
+    expired.foreach(v => f.delete(new Path(feedDir, f"v$v%09d"), true))
+    expired.size
   }
 
   /** A streaming frame over a [[publishChangeFeed]] feed dir: the

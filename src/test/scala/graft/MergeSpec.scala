@@ -1040,4 +1040,89 @@ class MergeSpec extends SparkSpec {
     assert(viaStorage.exceptAll(expected).isEmpty &&
       expected.exceptAll(viaStorage).isEmpty)
   }
+
+  test("relay covers a MIXED logged/unlogged chain; unlogged versions relay the computed diff") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("mixedrelay")
+    commitBase(root) // v1: plain base — not key-stamped, nothing to relay
+    // v2 WITHOUT the change-feed conf: no write-time log
+    Merge.merge(spark, root, changes(
+      (51L, "gap", Merge.UpsertOp), (2L, "", Merge.DeleteOp)), "m1")
+    // v3 WITH it: logged
+    spark.conf.set("spark.graft.merge.changeFeed", "true")
+    try Merge.merge(spark, root, changes((100L, "upd", Merge.UpsertOp)), "m2")
+    finally spark.conf.unset("spark.graft.merge.changeFeed")
+    assert(Merge.loggedChangesAt(spark, root, 2).isEmpty, "v2 must be unlogged")
+    assert(Merge.loggedChangesAt(spark, root, 3).isDefined, "v3 must be logged")
+
+    val feedDir = tmpRoot("mixedfeed")
+    // BOTH versions publish — the unlogged one as the computed diff
+    assert(Merge.publishChangeFeed(spark, root, feedDir) == 2)
+    assert(Merge.publishChangeFeed(spark, root, feedDir) == 0, "relay is idempotent")
+    val q = Merge.streamChangeFeed(spark, root, feedDir)
+      .writeStream.format("memory").queryName("mixed_cdf")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "select doc_id, _change_type, _commit_version from mixed_cdf")
+      .as[(Long, String, Int)].collect().toSet
+    val want = Set(
+      (51L, "insert", 2), (2L, "delete", 2),
+      (100L, "update_preimage", 3), (100L, "update_postimage", 3))
+    assert(streamed == want, s"mixed-chain stream incomplete: $streamed")
+
+    // an unlogged version whose PARENT is expired cannot be computed:
+    // the relay must THROW naming the version, never mark it done
+    val root2 = tmpRoot("expiredrelay")
+    commitBase(root2)
+    Merge.merge(spark, root2, changes((0L, "a", Merge.UpsertOp)), "m1") // v2 unlogged
+    Merge.merge(spark, root2, changes((0L, "b", Merge.UpsertOp)), "m2") // v3 unlogged
+    Snapshots.expire(spark, root2, keepVersions = 1) // v1, v2 gone
+    val feedDir2 = tmpRoot("expiredfeed")
+    val ex = intercept[IllegalStateException] {
+      Merge.publishChangeFeed(spark, root2, feedDir2)
+    }
+    assert(ex.getMessage.contains("version 3") || ex.getMessage.contains("version 2"),
+      s"error must name the unrelayable version: ${ex.getMessage}")
+  }
+
+  test("expireFeed bounds the relay dir and never lets expired versions re-publish") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("feedret")
+    spark.conf.set("spark.graft.merge.changeFeed", "true")
+    try {
+      commitBase(root)
+      for (b <- 1 to 4)
+        Merge.merge(spark, root, changes((0L, s"rev$b", Merge.UpsertOp)), s"m$b")
+      val feedDir = tmpRoot("feedretdir")
+      assert(Merge.publishChangeFeed(spark, root, feedDir) == 4) // v2..v5
+      // keep the newest 2 relayed versions (v4, v5)
+      assert(Merge.expireFeed(spark, feedDir, keepVersions = 2) == 3) // v1 marker + v2 + v3
+      val f = Snapshots.fs(spark, feedDir)
+      val left = f.listStatus(new Path(feedDir)).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit)).sorted
+      assert(left.toSeq == Seq("v000000004", "v000000005"), s"survivors: ${left.toSeq}")
+      // a later relay poll must NOT resurrect the expired versions
+      assert(Merge.publishChangeFeed(spark, root, feedDir) == 0)
+      // a NEW stream over the survivors reads exactly the surviving suffix
+      val q = Merge.streamChangeFeed(spark, root, feedDir)
+        .writeStream.format("memory").queryName("feedret_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val got = spark.sql(
+        "select doc_id, _change_type, _commit_version from feedret_stream")
+        .as[(Long, String, Int)].collect().toSet
+      assert(got == Set(
+        (0L, "update_preimage", 4), (0L, "update_postimage", 4),
+        (0L, "update_preimage", 5), (0L, "update_postimage", 5)), s"got $got")
+      // a fresh commit still relays after retention
+      Merge.merge(spark, root, changes((0L, "rev5", Merge.UpsertOp)), "m5") // v6
+      assert(Merge.publishChangeFeed(spark, root, feedDir) == 1)
+      // expiring everything floors above the max version
+      assert(Merge.expireFeed(spark, feedDir, keepVersions = 0) == 3)
+      assert(Merge.publishChangeFeed(spark, root, feedDir) == 0)
+    } finally spark.conf.unset("spark.graft.merge.changeFeed")
+  }
 }
