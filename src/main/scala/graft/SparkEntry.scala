@@ -499,6 +499,23 @@ object SparkEntry {
     // column the table never had — the merge widens the manifest
     // schema and CARRIED files null-fill it at read, unrewritten
     "merge_evolve" -> ((s, d) => graft.sources.Merge.mergeEvolveScan(s, d)),
+    // CHANGE DATA FEED (r10): the per-commit table_changes contract
+    // over a MIXED chain — one commit unlogged (served from the
+    // computed catalog-pruned diff), two logged (served from the
+    // write-time sidecar); the oracle rebuilds every commit's diff
+    // from the batch definitions
+    "change_feed" -> ((s, d) => graft.sources.Merge.changeFeedScan(s, d)),
+    // the NET endpoint diff over the same chain: intermediates that
+    // cancel across commits must NOT appear (the semantics that
+    // separates changesBetween from the feed)
+    "changes_between" -> ((s, d) => graft.sources.Merge.changesBetweenScan(s, d)),
+    // the feed consumed the production way: relay dir → plain
+    // file-source stream → checkpointed parquet sink; the relay
+    // publishes the computed diff for the unlogged commit (r10
+    // completeness fix) — same oracle as change_feed, the transport
+    // must never change the rows
+    "stream_change_feed" -> ((s, d) =>
+      graft.sources.Merge.streamChangeFeedScan(s, d)),
     // the reference's NATIVE line format through the DataSource V2
     // connector: id\t escaped-text lines, newline-aligned byte splits
     // (64 KB here so even sf0.001 scans in parallel), doc_id filter
@@ -672,6 +689,10 @@ object SparkEntry {
     "snapshot_at" -> Sql.mergeScan,
     "merge_string_key" -> Sql.mergeScan,
     "merge_evolve" -> Sql.mergeEvolve,
+    "change_feed" -> Sql.changeFeedScan,
+    "changes_between" -> Sql.changesBetweenScan,
+    // the streamed transport serves the same rows as the batch feed
+    "stream_change_feed" -> Sql.changeFeedScan,
     "skipping_scan" -> Sql.skippingScan,
     "csv_roundtrip" -> Sql.docsIdentity,
     "jsonl_roundtrip" -> Sql.docsIdentity,

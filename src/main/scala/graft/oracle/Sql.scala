@@ -2453,6 +2453,72 @@ WHERE rr <= $HybridTopK""")
       sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
     FROM m3 GROUP BY lang, source"""
 
+  /** Shared band CTEs for the change-data-feed replays: the CDF
+    * chain's four change bands plus the insert set, all off the raw
+    * table with the registered queries' own integer band arithmetic
+    * (graft.sources.Merge.band). */
+  private val cdfBandCtes: String =
+    """WITH mx AS (SELECT max(doc_id) AS mi FROM documents),
+    b1013 AS (SELECT doc_id, lang, source, n_chars FROM documents, mx
+              WHERE doc_id >= (mi+1)*10//100 AND doc_id < (mi+1)*13//100),
+    b4042 AS (SELECT doc_id, lang, source, n_chars FROM documents, mx
+              WHERE doc_id >= (mi+1)*40//100 AND doc_id < (mi+1)*42//100),
+    b2022 AS (SELECT doc_id, lang, source, n_chars FROM documents, mx
+              WHERE doc_id >= (mi+1)*20//100 AND doc_id < (mi+1)*22//100),
+    b7072 AS (SELECT doc_id, lang, source, n_chars FROM documents, mx
+              WHERE doc_id >= (mi+1)*70//100 AND doc_id < (mi+1)*72//100),
+    ins AS (SELECT mi + i AS doc_id, 'new' AS lang, 'merge' AS source,
+                   length('merged doc ' || i)::BIGINT AS n_chars
+            FROM mx, range(1, 101) t(i))"""
+
+  /** PER-COMMIT change-data-feed replay over the CDF chain
+    * (base → batch1 UNLOGGED → batch2 logged → batch3 logged): each
+    * commit's row-level diff rebuilt from the batch definitions —
+    * commit 2 applies batch 1 to the base, commit 3 applies batch 2
+    * to the post-batch-1 state, commit 4 applies batch 3 to the
+    * post-batch-2 state (so its [40,42) delete preimages carry the
+    * 'zz' intermediate lang and its [20,22) update hops rev2→rev3).
+    * The engine serves v2 from the computed catalog-pruned diff and
+    * v3/v4 from the write-time log; both paths must replay this. */
+  val changeFeedScan: String =
+    s"""$cdfBandCtes,
+    f AS (
+      SELECT 2 AS commit_version, 'delete' AS change_type,
+             lang, source, n_chars, doc_id FROM b1013
+      UNION ALL SELECT 2, 'update_preimage', lang, source, n_chars, doc_id FROM b4042
+      UNION ALL SELECT 2, 'update_postimage', 'zz', source, n_chars, doc_id FROM b4042
+      UNION ALL SELECT 2, 'insert', lang, source, n_chars, doc_id FROM ins
+      UNION ALL SELECT 3, 'delete', lang, source, n_chars, doc_id FROM b7072
+      UNION ALL SELECT 3, 'update_preimage', lang, source, n_chars, doc_id FROM b2022
+      UNION ALL SELECT 3, 'update_postimage', lang, 'rev2', n_chars, doc_id FROM b2022
+      UNION ALL SELECT 4, 'delete', 'zz', source, n_chars, doc_id FROM b4042
+      UNION ALL SELECT 4, 'update_preimage', lang, 'rev2', n_chars, doc_id FROM b2022
+      UNION ALL SELECT 4, 'update_postimage', lang, 'rev3', n_chars, doc_id FROM b2022
+    )
+    SELECT commit_version::BIGINT AS commit_version, change_type, lang, source,
+      count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+      sum(doc_id)::BIGINT AS sum_ids
+    FROM f GROUP BY 1, 2, 3, 4"""
+
+  /** NET endpoint diff replay (changesBetween v1→v4): the 'zz'
+    * intermediate of [40,42) cancels to a plain delete of the
+    * ORIGINAL preimage, and [20,22)'s 'rev2' hop cancels to one
+    * original→rev3 update pair — exactly where the net diff must
+    * disagree with the per-commit feed. */
+  val changesBetweenScan: String =
+    s"""$cdfBandCtes,
+    f AS (
+      SELECT 'delete' AS change_type, lang, source, n_chars, doc_id FROM b1013
+      UNION ALL SELECT 'delete', lang, source, n_chars, doc_id FROM b4042
+      UNION ALL SELECT 'delete', lang, source, n_chars, doc_id FROM b7072
+      UNION ALL SELECT 'update_preimage', lang, source, n_chars, doc_id FROM b2022
+      UNION ALL SELECT 'update_postimage', lang, 'rev3', n_chars, doc_id FROM b2022
+      UNION ALL SELECT 'insert', lang, source, n_chars, doc_id FROM ins
+    )
+    SELECT change_type, lang, source, count(*)::BIGINT AS n_docs,
+      sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
+    FROM f GROUP BY 1, 2, 3"""
+
   /** Continuous storage-merge replay: the streamed CDC feed
     * (ChangeData.versionedFeed — v1 %7 upsert, v2 %11 upsert, v3 %13
     * delete, highest version wins) applied through the copy-on-write

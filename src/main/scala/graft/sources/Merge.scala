@@ -1230,6 +1230,123 @@ object Merge {
           .withColumn("op", lit(UpsertOp)))
   }
 
+  /** Batch 3 (the CDF chain only) — built from the current table like
+    * batch 2: DELETE the [40%,42%) band batch 1 re-languaged, and
+    * re-source [20%,22%) again to 'rev3'. Chosen so the NET endpoint
+    * diff and the per-commit feed genuinely disagree: the net diff
+    * surfaces [40,42) as plain deletes of their ORIGINAL preimages
+    * (the 'zz' intermediate cancels) and [20,22) as one update pair
+    * whose 'rev2' intermediate cancels, while the feed sees every
+    * intermediate tagged with its commit. */
+  def changeBatch3(spark: SparkSession, dir: String, vroot: String): DataFrame = {
+    val mi = maxDocId(spark, dir)
+    val cur = readCurrent(spark, vroot)
+    cur.filter(inBand(col("doc_id"), band(mi, 40, 42)))
+      .withColumn("op", lit(DeleteOp))
+      .unionByName(
+        cur.filter(inBand(col("doc_id"), band(mi, 20, 22)))
+          .withColumn("source", lit("rev3"))
+          .withColumn("op", lit(UpsertOp)))
+  }
+
+  /** Run `body` with the write-time change log enabled, restoring the
+    * caller's conf after. */
+  private def withChangeFeed[A](spark: SparkSession)(body: => A): A = {
+    val prior = spark.conf.getOption("spark.graft.merge.changeFeed")
+    spark.conf.set("spark.graft.merge.changeFeed", "true")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.graft.merge.changeFeed", v)
+      case None => spark.conf.unset("spark.graft.merge.changeFeed")
+    }
+  }
+
+  /** The MIXED logged/computed chain the CDF queries read: base (v1),
+    * batch 1 committed WITHOUT the change log (v2 — the feed must
+    * fall back to the computed catalog-pruned diff), batches 2 and 3
+    * committed WITH it (v3, v4 — served from the write-time log).
+    * Same [[Snapshots.ensure]]-style idempotence as [[ensureChain]];
+    * the relay feed dir and its stream sink are derived state of this
+    * chain, wiped together on rebuild. */
+  def ensureCdfChain(spark: SparkSession, dir: String): String = {
+    val src = s"$dir/documents.parquet"
+    val fp = Snapshots.fingerprint(spark, src)
+    val vroot = s"${root(dir)}/chaincdf"
+    val want = s"$BatchFormat-cdf:$fp"
+    if (!Snapshots.current(spark, vroot).exists(_.fingerprint == want)) {
+      val f = Snapshots.fs(spark, vroot)
+      f.delete(new Path(vroot), true)
+      Seq("feed", "feedsink", "feedcp").foreach(sfx =>
+        f.delete(new Path(s"${vroot}_$sfx"), true))
+      Snapshots.commit(spark, vroot, s"base:$fp",
+        statsFor = p => statsWithBlooms(spark, p)) { p =>
+        Compaction.compactDir(spark, src, p, "doc_id")
+      }
+      merge(spark, vroot, changeBatch1(spark, dir), s"m1:$fp") // v2: unlogged
+      withChangeFeed(spark) {
+        merge(spark, vroot, changeBatch2(spark, dir, vroot), s"m2:$fp") // v3
+        merge(spark, vroot, changeBatch3(spark, dir, vroot), want) // v4
+      }
+    }
+    vroot
+  }
+
+  /** The registered CDF aggregate: per (commit, change type, lang,
+    * source) counts/sums — compact, hash-stable, and every change
+    * row contributes, so a single wrong or missing feed row flips
+    * the oracle hash. */
+  private def feedStats(feed: DataFrame, withVersion: Boolean): DataFrame = {
+    val keys =
+      (if (withVersion)
+        Seq(col("_commit_version").cast("long").as("commit_version"))
+      else Nil) ++
+        Seq(col("_change_type").as("change_type"), col("lang"), col("source"))
+    feed.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("doc_id")).cast("long").as("sum_ids"))
+  }
+
+  /** q:`change_feed` — the PER-COMMIT feed over the mixed chain:
+    * v2 computed (no log was written), v3/v4 from the write-time log,
+    * stitched by [[changeFeed]]; the oracle rebuilds each commit's
+    * diff from the batch definitions, so a logged/computed divergence
+    * or a missing intermediate fails the hash. */
+  def changeFeedScan(spark: SparkSession, dir: String): DataFrame =
+    feedStats(changeFeed(spark, ensureCdfChain(spark, dir), 1, 4),
+      withVersion = true)
+
+  /** q:`changes_between` — the NET endpoint diff over the same chain:
+    * rows that cancel across commits ([40,42) insert-then-delete of
+    * the 'zz' intermediate, [20,22)'s 'rev2' hop) must NOT appear,
+    * which is exactly where this differs from q:`change_feed`. */
+  def changesBetweenScan(spark: SparkSession, dir: String): DataFrame =
+    feedStats(changesBetween(spark, ensureCdfChain(spark, dir), 1, 4),
+      withVersion = false)
+
+  /** q:`stream_change_feed` — the same per-commit feed consumed the
+    * production way: [[publishChangeFeed]] relays every version into
+    * the feed dir (v2 has no log, so the relay publishes the computed
+    * diff — the r10 completeness fix on the registered surface), a
+    * plain file-source STREAM discovers the relayed versions, and a
+    * checkpointed parquet sink lands them exactly-once (a bench rep
+    * resumes the checkpoint, finds nothing new, re-reads the same
+    * committed output). Shares q:`change_feed`'s oracle: the
+    * transport must never change the rows. */
+  def streamChangeFeedScan(spark: SparkSession, dir: String): DataFrame = {
+    val vroot = ensureCdfChain(spark, dir)
+    val feedDir = s"${vroot}_feed"
+    publishChangeFeed(spark, vroot, feedDir)
+    val sink = s"${vroot}_feedsink"
+    val q = streamChangeFeed(spark, vroot, feedDir)
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", s"${vroot}_feedcp")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    feedStats(spark.read.parquet(sink), withVersion = true)
+  }
+
   /** Base v1 + the given number of merge batches, rebuilt only when
     * the source fingerprint (or chain depth) changed — the
     * [[Snapshots.ensure]] idempotence discipline, keyed on the final
