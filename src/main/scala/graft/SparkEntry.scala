@@ -70,6 +70,14 @@ object SparkEntry {
     // the bucketed probe (flat path applies the cap per query)
     "incremental_capped" -> ((s, d) =>
       graft.sources.BandIndex.incrementalPairsCapped(s, d)),
+    // the index MAINTAINED from a merge table's change feed (r10):
+    // built on a deliberately-divergent base, repaired purely by
+    // applyChangeFeed over the chain's CDF span (inserts, latest-wins
+    // update collapse, deletes), probed with the arriving batch —
+    // must be indistinguishable from the from-scratch incremental
+    // probe, so it shares incremental_pairs' oracle verbatim
+    "maintained_band_probe" -> ((s, d) =>
+      graft.sources.BandIndex.maintainedProbePairs(s, d)),
     "similar_pairs" -> ((s, d) => MinHashLsh.similarPairs(docs(s, d))),
     "pairs_symmetric" -> ((s, d) => MinHashLsh.pairsSymmetric(docs(s, d))),
     "minhash_estimate" -> ((s, d) => MinHashLsh.estimatedPairs(docs(s, d))),
@@ -609,6 +617,9 @@ object SparkEntry {
     "collision_counts" -> Sql.collisionCounts,
     "incremental_pairs" -> Sql.incrementalPairs,
     "incremental_pairs_bucketed" -> Sql.incrementalPairs,
+    // the feed-maintained index must converge to the from-scratch
+    // corpus index — one oracle for all three probe forms
+    "maintained_band_probe" -> Sql.incrementalPairs,
     "incremental_capped" ->
       Sql.incrementalPairsIndexCapped(graft.sources.BandIndex.DefaultMaxBucket),
     "ingest_filter" -> Sql.ingestFilter,

@@ -146,10 +146,7 @@ object BandIndex {
                       name: String,
                       sidecarDir: Option[String] = None): (String, String) = {
     val t = s"graft_band_live_${tag(name)}"
-    val tombDir = sidecarDir.getOrElse {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      s"${wh.stripSuffix("/")}/graft_band_tomb_${tag(name)}"
-    }
+    val tombDir = sidecarDir.getOrElse(defaultSidecarDir(spark, name))
     spark.sql(s"DROP TABLE IF EXISTS $t")
     Snapshots.fs(spark, tombDir)
       .delete(new org.apache.hadoop.fs.Path(tombDir), true)
@@ -158,6 +155,15 @@ object BandIndex {
         .select(col("band"), col("band_key"), col("doc_id"), lit(0L).as("gen")),
       t, bucketsFor(corpus.count()))
     (t, tombDir)
+  }
+
+  /** Where a maintained index's tombstone sidecar lives by default:
+    * next to the table under the session warehouse (durable — a
+    * correctness-bearing sidecar must never ride a sweepable
+    * tmpdir). */
+  private def defaultSidecarDir(spark: SparkSession, name: String): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    s"${wh.stripSuffix("/")}/graft_band_tomb_${tag(name)}"
   }
 
   /** The one bucketed-index write recipe — three call sites must stay
@@ -290,5 +296,89 @@ object BandIndex {
         throw new IllegalStateException(s"tombstone fold swap failed at $tombDir")
       f.delete(aside, true)
     }
+  }
+
+  // ---- registered maintained-index fixture ---------------------------
+
+  /** The merge chain q:`maintained_band_probe` maintains its index
+    * from: a table bootstrapped DIVERGENT from the incremental-dedup
+    * corpus — the doc_id%11==3 band missing, the %11==5 band carrying
+    * STALE text, and some batch-range ids (%13==2) present that must
+    * not be — then brought to the TRUE corpus state by two logged CDC
+    * batches. Batch 1 inserts the missing band, hops the stale band
+    * through an INTERMEDIATE text (only the latest-wins collapse can
+    * index the right one) and deletes the extras; batch 2 lands the
+    * stale band at its true text. */
+  private def ensureBandFeedChain(spark: SparkSession, dir: String,
+                                  want: String): String = {
+    val vroot = s"${sys.props("java.io.tmpdir")}/graft_bandfeed_${tag(dir)}"
+    if (!Snapshots.current(spark, vroot).exists(_.fingerprint == want)) {
+      Snapshots.fs(spark, vroot)
+        .delete(new org.apache.hadoop.fs.Path(vroot), true)
+      val all = spark.read.parquet(s"$dir/documents.parquet")
+      val f = graft.operators.IncrementalIngest.frontierId(all)
+      val corpus = all.filter(col("doc_id") < f)
+      val missing = corpus.filter(col("doc_id") % 11 === 3)
+      val stale = corpus.filter(col("doc_id") % 11 === 5)
+      val extra = all.filter(col("doc_id") >= f && col("doc_id") % 13 === 2)
+      val base = corpus.filter(col("doc_id") % 11 =!= 3)
+        .withColumn("text", when(col("doc_id") % 11 === 5,
+          concat(lit("STALE "), col("text"))).otherwise(col("text")))
+        .unionByName(extra)
+      Snapshots.commit(spark, vroot, s"base:$want",
+        statsFor = p => Merge.statsWithBlooms(spark, p)) { p =>
+        base.repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions(col("doc_id")).write.parquet(p)
+      }
+      Merge.withChangeFeed(spark) {
+        Merge.merge(spark, vroot,
+          missing.withColumn("op", lit(Merge.UpsertOp))
+            .unionByName(stale
+              .withColumn("text", concat(lit("MID "), col("text")))
+              .withColumn("op", lit(Merge.UpsertOp)))
+            .unionByName(extra.withColumn("op", lit(Merge.DeleteOp))),
+          s"b1:$want") // v2
+        Merge.merge(spark, vroot,
+          stale.withColumn("op", lit(Merge.UpsertOp)), want) // v3
+      }
+    }
+    vroot
+  }
+
+  /** q:`maintained_band_probe` — the storage → change-feed → index
+    * loop on the registered surface: the maintained index is built on
+    * the divergent base above, repaired PURELY by [[applyChangeFeed]]
+    * over the chain's [[Merge.changeFeed]] span, and probed with the
+    * arriving batch. The probe must be indistinguishable from the
+    * from-scratch incremental probe — q:`incremental_pairs`' oracle,
+    * shared verbatim — so a missed insert, an un-collapsed update, an
+    * unmasked stale generation or an undeleted extra doc each flips
+    * the hash. Build + apply are fingerprint-guarded (the ensure
+    * discipline); steady-state invocations pay only the probe. */
+  def maintainedProbePairs(spark: SparkSession, dir: String): DataFrame = {
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = all.filter(
+      col("doc_id") >= graft.operators.IncrementalIngest.frontierId(all))
+    val name = s"reg_${tag(dir)}"
+    val table = s"graft_band_live_${tag(name)}"
+    val tombDir = defaultSidecarDir(spark, name)
+    val want =
+      s"bandfeed1:${Snapshots.fingerprint(spark, s"$dir/documents.parquet")}"
+    val fs = Snapshots.fs(spark, tombDir)
+    val marker = new org.apache.hadoop.fs.Path(s"$tombDir._applied")
+    val applied = fs.exists(marker) && {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim == want
+      finally in.close()
+    }
+    if (!applied || !spark.catalog.tableExists(table)) {
+      val vroot = ensureBandFeedChain(spark, dir, want)
+      fs.delete(marker, false)
+      val (t, tomb) = buildMaintained(spark, Merge.readAt(spark, vroot, 1), name)
+      applyChangeFeed(spark, t, tomb, Merge.changeFeed(spark, vroot, 1, 3))
+      val out = fs.create(marker, true)
+      out.write(want.getBytes("UTF-8")); out.close()
+    }
+    probeMaintained(spark, table, tombDir, batch)
   }
 }

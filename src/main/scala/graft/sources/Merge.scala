@@ -1251,7 +1251,7 @@ object Merge {
 
   /** Run `body` with the write-time change log enabled, restoring the
     * caller's conf after. */
-  private def withChangeFeed[A](spark: SparkSession)(body: => A): A = {
+  private[sources] def withChangeFeed[A](spark: SparkSession)(body: => A): A = {
     val prior = spark.conf.getOption("spark.graft.merge.changeFeed")
     spark.conf.set("spark.graft.merge.changeFeed", "true")
     try body
