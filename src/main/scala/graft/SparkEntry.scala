@@ -129,6 +129,12 @@ object SparkEntry {
     "source_quality" -> ((s, d) => CorpusStats.sourceQuality(docs(s, d))),
     // one-row dataset-card manifest
     "corpus_manifest" -> ((s, d) => CorpusStats.corpusManifest(docs(s, d))),
+    // incremental view maintenance from the change feed (r10): the
+    // base composition maintained to the chain's final state purely
+    // by abelian debit/credit over the feed; oracle recomputes on the
+    // final state — including the updated-then-deleted band whose
+    // groups must drop at exactly zero
+    "composition_view" -> ((s, d) => CorpusStats.compositionView(s, d)),
     // ANALYZE: per-column row/null/exact-ndv/min/max catalog stats
     // in one pass (CBO, skew advisor, and skipping-index feedstock)
     "table_stats" -> ((s, d) => CorpusStats.tableStats(docs(s, d))),
@@ -573,6 +579,7 @@ object SparkEntry {
     "shard_write" -> Sql.shardAssign,
     "shard_read" -> Sql.shardRead,
     "corpus_manifest" -> Sql.corpusManifest,
+    "composition_view" -> Sql.compositionView,
     "table_stats" -> Sql.tableStats,
     "skew_report" -> Sql.skewReport,
     "group_keep_best" -> Sql.nearDupGroupsKeepBest,

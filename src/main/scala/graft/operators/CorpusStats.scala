@@ -565,6 +565,23 @@ object CorpusStats {
       .graftCheckpoint()
   }
 
+  /** q:`composition_view` — incremental view maintenance on the
+    * registered surface: the composition of the CDF chain's BASE
+    * state, maintained to the final (v4) state PURELY by
+    * [[compositionApplyFeed]] over the chain's change feed. The
+    * oracle recomputes the composition on the final state, so a wrong
+    * debit/credit flips the hash — and the [40%,42%) band (updated to
+    * lang 'zz' at v2, deleted at v4) pins the drop-at-exactly-zero
+    * arithmetic: its (source,'zz') groups must vanish, not linger as
+    * zeros or go negative. */
+  def compositionView(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    val vroot = graft.sources.Merge.ensureCdfChain(spark, dir)
+    val base = graft.sources.Merge.readAt(spark, vroot, 1)
+    compositionApplyFeed(compositionOf(base),
+      graft.sources.Merge.changeFeed(spark, vroot, 1, 4))
+  }
+
   /** One-row corpus MANIFEST: the dataset-card numbers (doc/source/
     * language counts, token and char mass, length extremes) a corpus
     * release ships with. Single global aggregate with map-side

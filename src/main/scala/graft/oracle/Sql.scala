@@ -2519,6 +2519,47 @@ WHERE rr <= $HybridTopK""")
       sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
     FROM f GROUP BY 1, 2, 3"""
 
+  /** Incremental composition-view replay: the maintained view must
+    * equal the composition RECOMPUTED on the CDF chain's final state
+    * (batch 1, then batch 2, then batch 3 stacked as CTE rewrites —
+    * text rides through so token counts replay; updates never touch
+    * text). Groups the feed drove to exactly zero (the [40,42) 'zz'
+    * band, updated in then deleted) are absent here, which is the
+    * drop-at-zero arithmetic the query pins. */
+  val compositionView: String =
+    """WITH mx AS (SELECT max(doc_id) AS mi FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN doc_id >= (mi+1)*40//100 AND doc_id < (mi+1)*42//100
+             THEN 'zz' ELSE lang END AS lang,
+        source, n_chars, text
+      FROM documents, mx
+      WHERE NOT (doc_id >= (mi+1)*10//100 AND doc_id < (mi+1)*13//100)
+      UNION ALL
+      SELECT mi + i, 'new', 'merge', length('merged doc ' || i),
+             'merged doc ' || i
+      FROM mx, range(1, 101) t(i)
+    ),
+    m2 AS (
+      SELECT m.doc_id, m.lang,
+        CASE WHEN m.doc_id >= (mi+1)*20//100 AND m.doc_id < (mi+1)*22//100
+             THEN 'rev2' ELSE m.source END AS source, m.n_chars, m.text
+      FROM m, mx
+      WHERE NOT (m.doc_id >= (mi+1)*70//100 AND m.doc_id < (mi+1)*72//100)
+    ),
+    m3 AS (
+      SELECT m2.doc_id, m2.lang,
+        CASE WHEN m2.doc_id >= (mi+1)*20//100 AND m2.doc_id < (mi+1)*22//100
+             THEN 'rev3' ELSE m2.source END AS source, m2.n_chars, m2.text
+      FROM m2, mx
+      WHERE NOT (m2.doc_id >= (mi+1)*40//100 AND m2.doc_id < (mi+1)*42//100)
+    )
+    SELECT source, lang, count(*)::BIGINT AS n_docs,
+      sum(len(list_filter(string_split(text, ' '), tk -> tk <> '')))::BIGINT
+        AS total_tokens,
+      sum(n_chars)::BIGINT AS total_chars
+    FROM m3 GROUP BY source, lang"""
+
   /** Continuous storage-merge replay: the streamed CDC feed
     * (ChangeData.versionedFeed — v1 %7 upsert, v2 %11 upsert, v3 %13
     * delete, highest version wins) applied through the copy-on-write
