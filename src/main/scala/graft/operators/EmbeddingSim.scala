@@ -406,6 +406,49 @@ object EmbeddingSim {
     }
   }
 
+  /** Ensure the feed-maintained IVF fixture the ann_recall gate's
+    * fourth floor bit probes: quantizer + cell table built on the 90%
+    * slice (vec_id % 10 != 0), then ONE change-feed span applied —
+    * inserts of the held-out tenth at v1, deletes of the %10==5 band
+    * at v2 — so the probe serves vectors the fit never saw and must
+    * NOT serve the deleted band. Dirs are keyed by the input's data
+    * signature and the build is marker-guarded (steady state pays
+    * only the probe); the marker lives INSIDE the tombstone dir, so a
+    * swept sidecar can never masquerade as applied (the whole tree is
+    * a derived, rebuildable cache — the durable-sidecar rule applies
+    * to long-lived indexes, not fixtures). Returns (modelDir,
+    * indexDir, tombDir). */
+  def ensureMaintainedIvf(emb: DataFrame): (String, String, String) = {
+    val spark = emb.sparkSession
+    val sig = graft.Caches.dataSignature(emb)
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sig))
+    val baseDir = s"${sys.props("java.io.tmpdir")}/graft_ivf_maint_$tag"
+    val (modelDir, indexDir, tombDir) =
+      (s"$baseDir/model", s"$baseDir/index", s"$baseDir/tomb")
+    val f = graft.sources.Snapshots.fs(spark, baseDir)
+    val marker = new org.apache.hadoop.fs.Path(s"$tombDir/_applied")
+    val applied = f.exists(marker) && {
+      val in = f.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString == sig
+      finally in.close()
+    }
+    if (!applied) {
+      f.delete(new org.apache.hadoop.fs.Path(baseDir), true)
+      ivfIndexBuild(emb.filter(col("vec_id") % 10 =!= 0), modelDir, indexDir)
+      val feed = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"),
+          lit("insert").as("_change_type"), lit(1).as("_commit_version"))
+        .unionByName(emb.filter(col("vec_id") % 10 === 5)
+          .select(col("vec_id"), col("embedding"),
+            lit("delete").as("_change_type"), lit(2).as("_commit_version")))
+      ivfApplyChangeFeed(feed, modelDir, indexDir, tombDir)
+      val out = f.create(marker, true)
+      out.write(sig.getBytes("UTF-8")); out.close()
+    }
+    (modelDir, indexDir, tombDir)
+  }
+
   private def assignCells(emb: DataFrame, model: IvfModel): DataFrame = {
     val centroids = emb.sparkSession.createDataFrame(
       model.centroids).toDF("cell", "centroid", "c2")

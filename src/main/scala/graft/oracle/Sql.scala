@@ -758,9 +758,12 @@ WHERE rn = 1""")
     * emits 0 when it dips below the floor, which fails this hash
     * check. Floors interpolate the SAME constants the gate uses. */
   val annRecall: String = {
-    import graft.operators.AnnRecall.{IvfFloorPct, MlFloorPct, MlPairsFloorPct}
+    import graft.operators.AnnRecall.{IvfFloorPct, IvfMaintainedFloorPct,
+      MlFloorPct, MlPairsFloorPct}
     s"""SELECT 'ivf' AS family, CAST($IvfFloorPct AS BIGINT) AS floor_pct,
       CAST(1 AS BIGINT) AS meets_floor
+    UNION ALL
+    SELECT 'ivf_maintained', CAST($IvfMaintainedFloorPct AS BIGINT), CAST(1 AS BIGINT)
     UNION ALL
     SELECT 'ml_minhash', CAST($MlFloorPct AS BIGINT), CAST(1 AS BIGINT)
     UNION ALL
