@@ -1041,6 +1041,66 @@ class MergeSpec extends SparkSpec {
       expected.exceptAll(viaStorage).isEmpty)
   }
 
+  test("feed read cost at a 50-commit chain depth: logged, computed, mixed (BENCH_SCALE r10_cdf_depth)") {
+    val s = spark
+    import s.implicits._
+    val depth = 50
+    // logEvery: 1 = every commit logs its changes, 0 = none (the feed
+    // computes every diff), 2 = every other (the mixed chain)
+    def buildChain(name: String, logEvery: Int): String = {
+      val root = tmpRoot(name)
+      Snapshots.commit(spark, root, "base",
+        statsFor = p => Merge.statsWithBlooms(spark, p)) { p =>
+        (0L until 40L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+          .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+          .write.parquet(p)
+      }
+      for (b <- 1 to depth) {
+        if (logEvery > 0 && b % logEvery == 0)
+          spark.conf.set("spark.graft.merge.changeFeed", "true")
+        else spark.conf.unset("spark.graft.merge.changeFeed")
+        Merge.merge(spark, root,
+          changes(((b % 40).toLong, s"v$b", Merge.UpsertOp)), s"m$b")
+      }
+      spark.conf.unset("spark.graft.merge.changeFeed")
+      root
+    }
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body
+      (a, (System.nanoTime() - t0) / 1e6)
+    }
+    val logged = buildChain("depth_logged", 1)
+    val computed = buildChain("depth_computed", 0)
+    val mixed = buildChain("depth_mixed", 2)
+    def feedCount(root: String): Long =
+      Merge.changeFeed(spark, root, 1, depth + 1).count()
+    // steady-state: first run warms plan/session paths, second is timed
+    feedCount(logged); feedCount(computed); feedCount(mixed)
+    val (nL, tL) = timed(feedCount(logged))
+    val (nC, tC) = timed(feedCount(computed))
+    val (nM, tM) = timed(feedCount(mixed))
+    assert(nL == nC && nC == nM,
+      s"the three transports must serve the same rows: $nL/$nC/$nM")
+    assert(nL == 2L * depth, s"one update pair per commit expected, got $nL")
+    // relay: the cold 50-version publish, then the incremental poll
+    // after ONE new commit — poll cost must track the new versions
+    val feedDir = tmpRoot("depth_feeddir")
+    val (pubN, tCold) = timed(Merge.publishChangeFeed(spark, logged, feedDir))
+    assert(pubN == depth)
+    spark.conf.set("spark.graft.merge.changeFeed", "true")
+    try Merge.merge(spark, logged, changes((0L, "tip", Merge.UpsertOp)), "tip")
+    finally spark.conf.unset("spark.graft.merge.changeFeed")
+    val (pub1, tPoll) = timed(Merge.publishChangeFeed(spark, logged, feedDir))
+    assert(pub1 == 1)
+    assert(tPoll < tCold,
+      f"an incremental poll ($tPoll%.0f ms) must cost less than the cold " +
+        f"$depth-version relay ($tCold%.0f ms)")
+    System.err.println(
+      f"[scale] r10_cdf_depth: depth=$depth rows=$nL logged=$tL%.0f ms " +
+        f"computed=$tC%.0f ms mixed=$tM%.0f ms relay_cold=$tCold%.0f ms " +
+        f"relay_poll1=$tPoll%.0f ms")
+  }
+
   test("relay covers a MIXED logged/unlogged chain; unlogged versions relay the computed diff") {
     val s = spark
     import s.implicits._
