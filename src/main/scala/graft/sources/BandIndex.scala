@@ -166,15 +166,30 @@ object BandIndex {
     s"${wh.stripSuffix("/")}/graft_band_tomb_${tag(name)}"
   }
 
+  /** The in-memory catalog is per-SESSION but the warehouse dir is
+    * not: a managed-table location left behind by a previous JVM
+    * blocks saveAsTable with LOCATION_ALREADY_EXISTS. Clear the stale
+    * dir iff this session's catalog holds no live table by that name
+    * (a live table's location is never touched — overwrite semantics
+    * own it). */
+  private def clearStaleLocation(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      Snapshots.fs(spark, wh).delete(new org.apache.hadoop.fs.Path(
+        s"$wh/${table.toLowerCase(java.util.Locale.ROOT)}"), true)
+    }
+
   /** The one bucketed-index write recipe — three call sites must stay
     * in lockstep or the zero-exchange probe property silently breaks
     * for indexes built via the drifted path. */
   private def writeBucketedIndex(df: DataFrame, table: String,
-                                 buckets: Int): Unit =
+                                 buckets: Int): Unit = {
+    clearStaleLocation(df.sparkSession, table)
     df.repartition(buckets, col("band"), col("band_key"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "band", "band_key").sortBy("band", "band_key")
       .saveAsTable(table)
+  }
 
   /** Apply one change-feed span to a maintained index. Per changed
     * doc only its LATEST state in the span matters — the span is
@@ -273,6 +288,7 @@ object BandIndex {
     val old = s"${table}_old"
     spark.sql(s"DROP TABLE IF EXISTS $staged")
     spark.sql(s"DROP TABLE IF EXISTS $old")
+    clearStaleLocation(spark, old) // a crashed prior session's leftover
     writeBucketedIndex(live, staged, buckets)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $staged RENAME TO $table")
