@@ -79,9 +79,26 @@ object AnnRecall {
     val spark = emb.sparkSession
     import spark.implicits._
     // --- embedding domain: IVF vs brute-force cosine, same k, same
-    // query set (vec_id % 100 == 0 — cosineTopK's definition) ---
-    val exactE = EmbeddingSim.cosineTopK(emb, K)
-      .select("query_id", "neighbor_id").graftCheckpoint()
+    // query set (vec_id % 100 == 0 — cosineTopK's definition). The
+    // query×corpus cosine matrix is scored ONCE and materialized:
+    // both exact baselines (full corpus for the ivf family; live
+    // corpus, %10==5 removed, for the maintained family) are windows
+    // over the same frame — identical selection to cosineTopK (same
+    // tie order), one brute-force pass instead of two. ---
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        EmbeddingSim.cosine(col("q_emb"), col("n_emb")).as("cosine"))
+      .graftCheckpoint()
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    def topK(df: DataFrame): DataFrame =
+      df.withColumn("rank", row_number().over(we))
+        .filter(col("rank") <= K).select("query_id", "neighbor_id")
+    val exactE = topK(scored).graftCheckpoint()
     val ivf = EmbeddingSim.ivfTopK(emb, K).select("query_id", "neighbor_id")
     val eTot = exactE.count()
     val ivfHits = exactE.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
@@ -119,8 +136,8 @@ object AnnRecall {
     // (vec_id % 100 == 0, none deleted), same k. The tombstone mask
     // is part of what's gated: a deleted vector the probe still
     // serves displaces true neighbors and drops recall. ---
-    val exactM = EmbeddingSim.cosineTopK(emb.filter(col("vec_id") % 10 =!= 5), K)
-      .select("query_id", "neighbor_id").graftCheckpoint()
+    val exactM = topK(scored.filter(col("neighbor_id") % 10 =!= 5))
+      .graftCheckpoint()
     val (mModel, mIndex, mTomb) = EmbeddingSim.ensureMaintainedIvf(emb)
     val maint = EmbeddingSim.ivfProbeMaintained(
       emb.filter(col("vec_id") % 100 === 0), mModel, mIndex, mTomb, K)
