@@ -873,6 +873,42 @@ object Merge {
       }
     }
 
+  /** BATCH-read a relayed feed dir over (fromVersion, toVersion] as
+    * ONE parquet load — the depth-proof read path. [[changeFeed]]
+    * stitches one sub-plan per version (always available, but its
+    * plan-analysis cost grows with depth: BENCH_SCALE `r10_cdf_depth`
+    * measures ~88 ms/version logged and ~224 ms/version computed); a
+    * relayed dir needs none of that — the rows already carry
+    * `_commit_version`, so a depth-N read is one file listing + one
+    * scan, O(1) plan cost at any depth. Requires every version in the
+    * range to be relayed ([[publishChangeFeed]]) and unexpired
+    * ([[expireFeed]]); a missing dir THROWS rather than silently
+    * serving a gap (an empty done-marker dir is a relayed empty
+    * version and reads as such). Schema-evolution-safe: parquet
+    * resolves by name under the current recorded table schema, so
+    * versions logged before a widening null-fill the added columns. */
+  def readChangeFeed(spark: SparkSession, root: String, feedDir: String,
+                     fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val f = Snapshots.fs(spark, feedDir)
+    val floor = feedFloor(spark, feedDir)
+    val sch = tableSchema(spark, root).getOrElse(throw new IllegalStateException(
+      s"readChangeFeed needs a merge-maintained table (no recorded schema) at $root"))
+      .add("_change_type", StringType).add("_commit_version", IntegerType)
+    val dirs = ((fromVersion + 1) to toVersion).map { v =>
+      require(v >= floor,
+        s"version $v of the feed at $feedDir has been retention-expired")
+      val p = new Path(feedDir, f"v$v%09d")
+      require(f.exists(p),
+        s"version $v has not been relayed to $feedDir — run publishChangeFeed first")
+      p.toString
+    }
+    if (dirs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    else spark.read.schema(sch).parquet(dirs: _*)
+  }
+
   /** Stage `df` under a hidden unique name and publish it at `dst`
     * with one rename; true iff THIS call made the version visible. */
   private def publishOne(f: org.apache.hadoop.fs.FileSystem, feedDir: String,

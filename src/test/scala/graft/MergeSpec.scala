@@ -1095,10 +1095,33 @@ class MergeSpec extends SparkSpec {
     assert(tPoll < tCold,
       f"an incremental poll ($tPoll%.0f ms) must cost less than the cold " +
         f"$depth-version relay ($tCold%.0f ms)")
+    // the BATCH read off the relayed dir: one parquet load, O(1) plan
+    // cost at any depth — must serve exactly the union path's rows
+    Merge.readChangeFeed(spark, logged, feedDir, 1, depth + 1).count() // warm
+    val (nR, tR) = timed(
+      Merge.readChangeFeed(spark, logged, feedDir, 1, depth + 1).count())
+    assert(nR == nL, s"relay batch read diverged from the union path: $nR vs $nL")
+    assert(tR < tL,
+      f"the one-scan relay read ($tR%.0f ms) must beat the per-version " +
+        f"union ($tL%.0f ms) at depth $depth")
+    // gaps throw, never silently truncate: version depth+3 exists on
+    // the table (the poll test's tip was depth+2, already relayed)
+    // but was never relayed
+    spark.conf.set("spark.graft.merge.changeFeed", "true")
+    try Merge.merge(spark, logged, changes((1L, "tip2", Merge.UpsertOp)), "tip2")
+    finally spark.conf.unset("spark.graft.merge.changeFeed")
+    intercept[IllegalArgumentException] {
+      Merge.readChangeFeed(spark, logged, feedDir, 1, depth + 3)
+    }
+    // expired versions throw too
+    Merge.expireFeed(spark, feedDir, keepVersions = 5)
+    intercept[IllegalArgumentException] {
+      Merge.readChangeFeed(spark, logged, feedDir, 1, depth + 1)
+    }
     System.err.println(
       f"[scale] r10_cdf_depth: depth=$depth rows=$nL logged=$tL%.0f ms " +
-        f"computed=$tC%.0f ms mixed=$tM%.0f ms relay_cold=$tCold%.0f ms " +
-        f"relay_poll1=$tPoll%.0f ms")
+        f"computed=$tC%.0f ms mixed=$tM%.0f ms relay_batch_read=$tR%.0f ms " +
+        f"relay_cold=$tCold%.0f ms relay_poll1=$tPoll%.0f ms")
   }
 
   test("relay covers a MIXED logged/unlogged chain; unlogged versions relay the computed diff") {
