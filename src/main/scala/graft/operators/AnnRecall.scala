@@ -79,20 +79,13 @@ object AnnRecall {
     val spark = emb.sparkSession
     import spark.implicits._
     // --- embedding domain: IVF vs brute-force cosine, same k, same
-    // query set (vec_id % 100 == 0 — cosineTopK's definition). The
-    // query×corpus cosine matrix is scored ONCE and materialized:
+    // query set. The query×corpus cosine matrix is the SHARED
+    // EmbeddingSim.cosineScored (the exact frame cosineTopK ranks
+    // over — one definition, no drift), scored once and materialized:
     // both exact baselines (full corpus for the ivf family; live
     // corpus, %10==5 removed, for the maintained family) are windows
-    // over the same frame — identical selection to cosineTopK (same
-    // tie order), one brute-force pass instead of two. ---
-    val queries = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = emb
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        EmbeddingSim.cosine(col("q_emb"), col("n_emb")).as("cosine"))
-      .graftCheckpoint()
+    // over it — one brute-force pass instead of two. ---
+    val scored = EmbeddingSim.cosineScored(emb).graftCheckpoint()
     val we = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     def topK(df: DataFrame): DataFrame =

@@ -63,18 +63,26 @@ object EmbeddingSim {
       array_min(col("embedding")).as("min_val"),
       expr("array_position(embedding, array_max(embedding))").as("idx_of_max"))
 
+  /** The query×corpus cosine matrix every brute-force baseline ranks
+    * over: queries = vec_id % 100 == 0 (broadcast, self excluded),
+    * one (query_id, neighbor_id, cosine) row per pair. Shared by
+    * [[cosineTopK]] and the recall gate's exact baselines so the
+    * query-set definition and tie inputs can never drift apart. */
+  private[operators] def cosineScored(emb: DataFrame): DataFrame = {
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cosine"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (vec_id % 100
     * == 0), the k nearest other vectors by cosine. Query set is
     * broadcast; ranking window is per-query (tiny partitions). */
   def cosineTopK(emb: DataFrame, k: Int = 5): DataFrame = {
-    val queries = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_emb"), col("n_emb")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    cosineScored(emb).withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
@@ -402,21 +410,7 @@ object EmbeddingSim {
     if (!f.rename(idxTmp, idxPath))
       throw new IllegalStateException(s"cell-table compaction swap failed at $indexDir")
     f.delete(idxOld, true)
-    val tombPath = new org.apache.hadoop.fs.Path(tombDir)
-    if (f.exists(tombPath)) {
-      val folded = spark.read.parquet(tombDir)
-        .groupBy("vec_id").agg(max("gen").as("gen")).graftCheckpoint()
-      val tmp = new org.apache.hadoop.fs.Path(s"$tombDir._folding")
-      val aside = new org.apache.hadoop.fs.Path(s"$tombDir._old")
-      f.delete(tmp, true)
-      f.delete(aside, true)
-      folded.coalesce(1).write.parquet(tmp.toString)
-      if (!f.rename(tombPath, aside))
-        throw new IllegalStateException(s"tombstone aside-rename failed at $tombDir")
-      if (!f.rename(tmp, tombPath))
-        throw new IllegalStateException(s"tombstone fold swap failed at $tombDir")
-      f.delete(aside, true)
-    }
+    graft.sources.Sidecars.foldTombstones(spark, tombDir, "vec_id")
   }
 
   /** Ensure the feed-maintained IVF fixture the ann_recall gate's
@@ -440,12 +434,14 @@ object EmbeddingSim {
     val (modelDir, indexDir, tombDir) =
       (s"$baseDir/model", s"$baseDir/index", s"$baseDir/tomb")
     val f = graft.sources.Snapshots.fs(spark, baseDir)
-    val marker = new org.apache.hadoop.fs.Path(s"$tombDir/_applied")
-    val applied = f.exists(marker) && {
-      val in = f.open(marker)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString == sig
-      finally in.close()
-    }
+    val marker = s"$tombDir/_applied"
+    // the guard must be symmetric: a tmp sweep can remove entries
+    // INDIVIDUALLY, so a surviving marker with a swept model/index
+    // must read as not-applied too, not just the reverse
+    val applied =
+      f.exists(new org.apache.hadoop.fs.Path(modelDir)) &&
+        f.exists(new org.apache.hadoop.fs.Path(indexDir)) &&
+        graft.sources.Sidecars.readMarker(spark, marker).contains(sig)
     if (!applied) {
       f.delete(new org.apache.hadoop.fs.Path(baseDir), true)
       ivfIndexBuild(emb.filter(col("vec_id") % 10 =!= 0), modelDir, indexDir)
@@ -456,8 +452,7 @@ object EmbeddingSim {
           .select(col("vec_id"), col("embedding"),
             lit("delete").as("_change_type"), lit(2).as("_commit_version")))
       ivfApplyChangeFeed(feed, modelDir, indexDir, tombDir)
-      val out = f.create(marker, true)
-      out.write(sig.getBytes("UTF-8")); out.close()
+      graft.sources.Sidecars.writeMarker(spark, marker, sig)
     }
     (modelDir, indexDir, tombDir)
   }

@@ -294,24 +294,8 @@ object BandIndex {
     spark.sql(s"ALTER TABLE $staged RENAME TO $table")
     spark.sql(s"DROP TABLE $old")
     // sidecar fold: semantics-identical (liveBands takes the per-doc
-    // max anyway) — same rename-aside discipline
-    val f = Snapshots.fs(spark, tombDir)
-    val tombPath = new org.apache.hadoop.fs.Path(tombDir)
-    if (f.exists(tombPath)) {
-      val folded = spark.read.parquet(tombDir)
-        .groupBy("doc_id").agg(max("gen").as("gen"))
-        .graftCheckpoint()
-      val tmp = new org.apache.hadoop.fs.Path(s"$tombDir._folding")
-      val aside = new org.apache.hadoop.fs.Path(s"$tombDir._old")
-      f.delete(tmp, true)
-      f.delete(aside, true)
-      folded.coalesce(1).write.parquet(tmp.toString)
-      if (!f.rename(tombPath, aside))
-        throw new IllegalStateException(s"tombstone aside-rename failed at $tombDir")
-      if (!f.rename(tmp, tombPath))
-        throw new IllegalStateException(s"tombstone fold swap failed at $tombDir")
-      f.delete(aside, true)
-    }
+    // max anyway) — the shared rename-aside discipline
+    Sidecars.foldTombstones(spark, tombDir, "doc_id")
   }
 
   // ---- registered maintained-index fixture ---------------------------
@@ -380,20 +364,15 @@ object BandIndex {
     val tombDir = defaultSidecarDir(spark, name)
     val want =
       s"bandfeed1:${Snapshots.fingerprint(spark, s"$dir/documents.parquet")}"
-    val fs = Snapshots.fs(spark, tombDir)
-    val marker = new org.apache.hadoop.fs.Path(s"$tombDir._applied")
-    val applied = fs.exists(marker) && {
-      val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim == want
-      finally in.close()
-    }
+    val marker = s"$tombDir._applied"
+    val applied = Sidecars.readMarker(spark, marker).contains(want)
     if (!applied || !spark.catalog.tableExists(table)) {
       val vroot = ensureBandFeedChain(spark, dir, want)
-      fs.delete(marker, false)
+      Snapshots.fs(spark, marker)
+        .delete(new org.apache.hadoop.fs.Path(marker), false)
       val (t, tomb) = buildMaintained(spark, Merge.readAt(spark, vroot, 1), name)
       applyChangeFeed(spark, t, tomb, Merge.changeFeed(spark, vroot, 1, 3))
-      val out = fs.create(marker, true)
-      out.write(want.getBytes("UTF-8")); out.close()
+      Sidecars.writeMarker(spark, marker, want)
     }
     probeMaintained(spark, table, tombDir, batch)
   }

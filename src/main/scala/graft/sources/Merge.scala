@@ -839,15 +839,27 @@ object Merge {
       .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toInt).toSet
     var published = 0
+    var floorAdvance = floor
     Snapshots.current(spark, root).foreach { c =>
       for (v <- math.max(1, floor) to c.version if !done(v)) {
         val dst = new Path(feedDir, f"v$v%09d")
         feedChangesFor(spark, root, v) match {
           case Some(df) => if (publishOne(f, feedDir, dst, df)) published += 1
-          case None => f.mkdirs(dst) // nothing to relay: mark done
+          case None =>
+            if (Snapshots.at(spark, root, v).isEmpty)
+              // TABLE retention already dropped this version (and any
+              // log inside it) before it was ever relayed: the feed
+              // genuinely STARTS after it. Record that as the
+              // retention floor — observable truncation (readChangeFeed
+              // throws below the floor) — never a fake "relayed empty"
+              // marker that would read as no-changes. Snapshots.expire
+              // keeps a version SUFFIX, so the floor advance is sound.
+              floorAdvance = math.max(floorAdvance, v + 1)
+            else f.mkdirs(dst) // v1 base / never-stamped: nothing to relay
         }
       }
     }
+    if (floorAdvance > floor) writeFeedFloor(spark, feedDir, floorAdvance)
     published
   }
 
@@ -930,19 +942,43 @@ object Merge {
   }
 
   /** The feed dir's retention floor: versions below it were expired
-    * and must never be re-relayed. Hidden marker file, so the file
-    * source never reads it. */
+    * (or pre-dated the feed entirely) and must never be re-relayed.
+    * Hidden marker file, so the file source never reads it. */
   private val FeedFloorFile = "_expired_below"
+  private def feedFloorTmp = s".$FeedFloorFile.tmp"
 
+  /** The floor is the MAX over the marker and its staging sibling:
+    * floors only ever grow, so whichever write a crash interrupted,
+    * the surviving candidate(s) bound it from below — a crash between
+    * [[writeFeedFloor]]'s delete and rename must not reset the floor
+    * to 1 and let a relay re-deliver expired versions. */
   private def feedFloor(spark: SparkSession, feedDir: String): Int = {
     val f = Snapshots.fs(spark, feedDir)
-    val p = new Path(feedDir, FeedFloorFile)
-    if (!f.exists(p)) 1
-    else {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
-    }
+    def readInt(p: Path): Option[Int] =
+      if (!f.exists(p)) None
+      else try {
+        val in = f.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+        finally in.close()
+      } catch { case _: NumberFormatException => None } // mid-write torn tmp
+    (readInt(new Path(feedDir, FeedFloorFile)) ++
+      readInt(new Path(feedDir, feedFloorTmp)) ++ Seq(1)).max
+  }
+
+  /** Publish a new (monotonically larger) floor: stage to the hidden
+    * tmp, delete the old marker, rename in. Every crash point leaves
+    * at least one candidate [[feedFloor]] reads. Single maintainer,
+    * like every retention sweep here. */
+  private def writeFeedFloor(spark: SparkSession, feedDir: String,
+                             floor: Int): Unit = {
+    val f = Snapshots.fs(spark, feedDir)
+    val tmp = new Path(feedDir, feedFloorTmp)
+    val main = new Path(feedDir, FeedFloorFile)
+    val out = f.create(tmp, true)
+    out.write(floor.toString.getBytes("UTF-8")); out.close()
+    f.delete(main, false)
+    if (!f.rename(tmp, main))
+      throw new IllegalStateException(s"feed floor publish failed at $feedDir")
   }
 
   /** FEED RETENTION — [[Snapshots.expire]] for the relay dir: delete
@@ -975,12 +1011,10 @@ object Merge {
     if (survivors.size == versions.size) return 0
     val floor = math.max(feedFloor(spark, feedDir),
       if (survivors.nonEmpty) survivors.head else versions.max + 1)
-    val tmpF = new Path(feedDir, s".$FeedFloorFile.tmp")
-    val out = f.create(tmpF, true)
-    out.write(floor.toString.getBytes("UTF-8")); out.close()
-    f.delete(new Path(feedDir, FeedFloorFile), false)
-    if (!f.rename(tmpF, new Path(feedDir, FeedFloorFile)))
-      throw new IllegalStateException(s"feed floor publish failed at $feedDir")
+    // floor FIRST (crash-safe: feedFloor reads the staging candidate
+    // too), then the deletes — a crash mid-sweep leaves extra dirs a
+    // later expire re-sweeps, never a re-relayable gap
+    writeFeedFloor(spark, feedDir, floor)
     val expired = versions.filter(_ < floor)
     expired.foreach(v => f.delete(new Path(feedDir, f"v$v%09d"), true))
     expired.size

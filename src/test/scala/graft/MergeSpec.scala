@@ -1170,6 +1170,36 @@ class MergeSpec extends SparkSpec {
       s"error must name the unrelayable version: ${ex.getMessage}")
   }
 
+  test("table-expired versions advance the feed floor — observable truncation, never fake-empty markers") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("expfloor")
+    spark.conf.set("spark.graft.merge.changeFeed", "true")
+    try {
+      commitBase(root) // v1
+      for (b <- 1 to 5)
+        Merge.merge(spark, root, changes((0L, s"r$b", Merge.UpsertOp)), s"m$b") // v2..v6, all logged
+      Snapshots.expire(spark, root, keepVersions = 2) // keep v5, v6 — logs of v2..v4 gone WITH their dirs
+      val feedDir = tmpRoot("expfloordir")
+      // first relay AFTER table retention: only the live suffix is
+      // relayable; the expired prefix becomes the FLOOR (the feed
+      // explicitly starts at v5), never "relayed empty" markers that
+      // would read as no-change versions
+      assert(Merge.publishChangeFeed(spark, root, feedDir) == 2)
+      val f = Snapshots.fs(spark, feedDir)
+      val dirs = f.listStatus(new Path(feedDir)).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit)).sorted
+      assert(dirs.toSeq == Seq("v000000005", "v000000006"),
+        s"expired versions must not leave done-markers: ${dirs.toSeq}")
+      // the surviving range batch-reads; the truncated range THROWS
+      assert(Merge.readChangeFeed(spark, root, feedDir, 4, 6).count() == 4L)
+      intercept[IllegalArgumentException] {
+        Merge.readChangeFeed(spark, root, feedDir, 1, 6)
+      }
+      assert(Merge.publishChangeFeed(spark, root, feedDir) == 0, "floor persisted")
+    } finally spark.conf.unset("spark.graft.merge.changeFeed")
+  }
+
   test("expireFeed bounds the relay dir and never lets expired versions re-publish") {
     val s = spark
     import s.implicits._
@@ -1189,6 +1219,14 @@ class MergeSpec extends SparkSpec {
       assert(left.toSeq == Seq("v000000004", "v000000005"), s"survivors: ${left.toSeq}")
       // a later relay poll must NOT resurrect the expired versions
       assert(Merge.publishChangeFeed(spark, root, feedDir) == 0)
+      // a crash between writeFeedFloor's delete and rename leaves
+      // only the hidden staging candidate — the floor must STILL hold
+      // (a reset to 1 would re-relay v2/v3 from their live logs and
+      // re-deliver them to every consumer)
+      assert(f.rename(new Path(feedDir, "_expired_below"),
+        new Path(feedDir, "._expired_below.tmp")), "simulate the torn state")
+      assert(Merge.publishChangeFeed(spark, root, feedDir) == 0,
+        "a torn floor write must not reset the floor")
       // a NEW stream over the survivors reads exactly the surviving suffix
       val q = Merge.streamChangeFeed(spark, root, feedDir)
         .writeStream.format("memory").queryName("feedret_stream")
