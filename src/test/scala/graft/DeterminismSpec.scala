@@ -20,7 +20,9 @@ class DeterminismSpec extends SparkSpec {
     "unigram_score",      // integer shuffle arithmetic LM score
     "shard_assign",       // two-phase cumsum must not depend on merge order
     "skew_report",        // distributed top-k heads + rank tie-break
-    "table_stats")        // multi-count_distinct expand merge
+    "table_stats",        // multi-count_distinct expand merge
+    "change_feed",        // per-commit diff: full-outer rowDiff joins + sums
+    "composition_view")   // feed debit/credit folded into integer sums
 
   private def run(name: String, parts: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
