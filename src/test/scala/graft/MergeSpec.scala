@@ -1154,6 +1154,13 @@ class MergeSpec extends SparkSpec {
       (51L, "insert", 2), (2L, "delete", 2),
       (100L, "update_preimage", 3), (100L, "update_postimage", 3))
     assert(streamed == want, s"mixed-chain stream incomplete: $streamed")
+    // the batch relay read serves the same rows — INCLUDING reading
+    // straight through v1's empty done-marker dir (a range spanning a
+    // nothing-to-relay version must not throw or phantom rows)
+    val batchRead = Merge.readChangeFeed(spark, root, feedDir, 0, 3)
+      .select("doc_id", "_change_type", "_commit_version")
+      .as[(Long, String, Int)].collect().toSet
+    assert(batchRead == want, s"batch relay read diverged: $batchRead")
 
     // an unlogged version whose PARENT is expired cannot be computed:
     // the relay must THROW naming the version, never mark it done
