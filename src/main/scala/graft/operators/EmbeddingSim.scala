@@ -358,6 +358,10 @@ object EmbeddingSim {
                         tombDir: String): DataFrame = {
     val f = graft.sources.Snapshots.fs(spark, tombDir)
     val raw = spark.read.parquet(indexDir)
+    // self-heal a crashed fold's parked sidecar before treating a
+    // missing dir as "no tombstones" (the band-index discipline)
+    if (!f.exists(new org.apache.hadoop.fs.Path(tombDir)))
+      graft.sources.Sidecars.recoverTombstones(spark, tombDir)
     if (!f.exists(new org.apache.hadoop.fs.Path(tombDir))) raw
     else {
       val tombs = spark.read.parquet(tombDir)

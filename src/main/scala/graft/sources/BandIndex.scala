@@ -145,7 +145,7 @@ object BandIndex {
   def buildMaintained(spark: SparkSession, corpus: DataFrame,
                       name: String,
                       sidecarDir: Option[String] = None): (String, String) = {
-    val t = s"graft_band_live_${tag(name)}"
+    val t = liveTableFor(name)
     val tombDir = sidecarDir.getOrElse(defaultSidecarDir(spark, name))
     spark.sql(s"DROP TABLE IF EXISTS $t")
     Snapshots.fs(spark, tombDir)
@@ -156,6 +156,13 @@ object BandIndex {
       t, bucketsFor(corpus.count()))
     (t, tombDir)
   }
+
+  /** The one place a maintained index's TABLE name is derived — the
+    * build and every later probe must resolve the same name or a
+    * fingerprint-guarded skip path would silently probe a stale
+    * table. */
+  private def liveTableFor(name: String): String =
+    s"graft_band_live_${tag(name)}"
 
   /** Where a maintained index's tombstone sidecar lives by default:
     * next to the table under the session warehouse (durable — a
@@ -242,6 +249,11 @@ object BandIndex {
   def liveBands(spark: SparkSession, table: String, tombDir: String): DataFrame = {
     val idx = spark.table(table)
     val f = Snapshots.fs(spark, tombDir)
+    // a missing sidecar is only "no tombstones" if no crashed fold
+    // parked it under a work name — reading through that state would
+    // silently resurrect deleted docs' bands (self-heals, r10 review)
+    if (!f.exists(new org.apache.hadoop.fs.Path(tombDir)))
+      Sidecars.recoverTombstones(spark, tombDir)
     if (!f.exists(new org.apache.hadoop.fs.Path(tombDir))) idx
     else {
       val tombs = spark.read.parquet(tombDir)
@@ -360,7 +372,7 @@ object BandIndex {
     val batch = all.filter(
       col("doc_id") >= graft.operators.IncrementalIngest.frontierId(all))
     val name = s"reg_${tag(dir)}"
-    val table = s"graft_band_live_${tag(name)}"
+    val table = liveTableFor(name)
     val tombDir = defaultSidecarDir(spark, name)
     val want =
       s"bandfeed1:${Snapshots.fingerprint(spark, s"$dir/documents.parquet")}"

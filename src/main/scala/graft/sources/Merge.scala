@@ -383,11 +383,21 @@ object Merge {
     // write-time change log: what this commit DID to the batch's
     // keys, batch-sized by construction (old rows of the batch keys
     // vs the upserts — an upsert replaying identical content logs
-    // nothing, so a replayed batch's log is empty, not doubled)
+    // nothing, so a replayed batch's log is empty, not doubled).
+    // NULL-keyed upsert rows are excluded to match changesBetween's
+    // contract exactly (no row identity → not tracked): rowDiff's
+    // full-outer join can never match them, so they would log as
+    // phantom re-'insert's on EVERY replay and the logged and
+    // computed feeds would diverge (r10 review)
     val feed: Option[DataFrame] =
       if (!changeFeedEnabled(spark)) None
-      else Some(rowDiff(base.join(changeKeys, keyCols, "left_semi"), upserts, keyCols)
-        .withColumn("_commit_version", lit(cur.version + 1)))
+      else {
+        val keyedUpserts = upserts.filter(
+          keyCols.map(col(_).isNotNull).reduce(_ && _))
+        Some(rowDiff(base.join(changeKeys, keyCols, "left_semi"),
+            keyedUpserts, keyCols)
+          .withColumn("_commit_version", lit(cur.version + 1)))
+      }
 
     // size the rewrite by the touched bytes (catalog-sized listing),
     // same bin-pack target as compaction; inserts are batch-noise
@@ -820,8 +830,17 @@ object Merge {
     * parent retention already expired cannot be computed and THROWS
     * naming the version (Delta's `table_changes` contract: error,
     * never an invisible gap). Only commits that genuinely carry no
-    * changes get the empty done-marker: the pre-merge base load (the
-    * initial table is not a change) and retention-expired versions. */
+    * changes get the empty done-marker — the pre-merge base load (the
+    * initial table is not a change). A version TABLE retention
+    * dropped before it was ever relayed advances the feed's retention
+    * FLOOR instead: observable truncation for batch readers
+    * ([[readChangeFeed]] throws below the floor), never a fake
+    * relayed-empty marker. The one boundary the transports share: a
+    * plain file-source STREAM has no floor awareness — it simply
+    * never sees the lost version's files — so, exactly like
+    * [[expireFeed]], table retention must trail the relay cadence
+    * (and the slowest consumer); run the relay at least as often as
+    * [[Snapshots.expire]]. */
   def publishChangeFeed(spark: SparkSession, root: String,
                         feedDir: String): Int = {
     val f = Snapshots.fs(spark, feedDir)
@@ -953,14 +972,11 @@ object Merge {
     * [[writeFeedFloor]]'s delete and rename must not reset the floor
     * to 1 and let a relay re-deliver expired versions. */
   private def feedFloor(spark: SparkSession, feedDir: String): Int = {
-    val f = Snapshots.fs(spark, feedDir)
+    // the shared marker reader (Sidecars), with a torn-tmp guard: a
+    // mid-write candidate that doesn't parse is simply not a bound
     def readInt(p: Path): Option[Int] =
-      if (!f.exists(p)) None
-      else try {
-        val in = f.open(p)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-        finally in.close()
-      } catch { case _: NumberFormatException => None } // mid-write torn tmp
+      Sidecars.readMarker(spark, p.toString)
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
     (readInt(new Path(feedDir, FeedFloorFile)) ++
       readInt(new Path(feedDir, feedFloorTmp)) ++ Seq(1)).max
   }
@@ -974,8 +990,7 @@ object Merge {
     val f = Snapshots.fs(spark, feedDir)
     val tmp = new Path(feedDir, feedFloorTmp)
     val main = new Path(feedDir, FeedFloorFile)
-    val out = f.create(tmp, true)
-    out.write(floor.toString.getBytes("UTF-8")); out.close()
+    Sidecars.writeMarker(spark, tmp.toString, floor.toString)
     f.delete(main, false)
     if (!f.rename(tmp, main))
       throw new IllegalStateException(s"feed floor publish failed at $feedDir")
@@ -1198,6 +1213,15 @@ object Merge {
                writeOptions: Map[String, String] = Map.empty): Snapshots.Snapshot = {
     val cur = Snapshots.current(spark, vroot).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $vroot"))
+    // the same key-stamp invariant merge() and deleteMor() enforce:
+    // OPTIMIZE re-records stats/blooms AND the #keycols stamp, so a
+    // mismatched key here would silently re-home the table into a
+    // different canonical domain and row identity (r10 review)
+    Snapshots.extrasAt(spark, vroot, cur).get(KeyColsKey).foreach { rec =>
+      require(rec.split(',').toSeq == keyCols,
+        s"this table is merged on [$rec], not [${keyCols.mkString(",")}] — " +
+          s"OPTIMIZE must keep the table's merge key ($vroot)")
+    }
     val df = readCurrent(spark, vroot)
     // statsWithBlooms, not bare footerStats: the consolidated files
     // are carried by every later merge, and a bloom-less carry

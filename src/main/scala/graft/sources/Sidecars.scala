@@ -30,7 +30,34 @@ object Sidecars {
   def writeMarker(spark: SparkSession, path: String, value: String): Unit = {
     val f = Snapshots.fs(spark, path)
     val out = f.create(new Path(path), true)
-    out.write(value.getBytes("UTF-8")); out.close()
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Heal a fold interrupted between its two renames: the ONLY state
+    * with the published dir missing is "original parked at `._old`,
+    * completed fold staged at `._folding`" (the fold stages fully
+    * before any rename; the aside is deleted only after the staged
+    * dir took the published name). Prefer the completed fold —
+    * semantics-identical and already paid for. Returns true when a
+    * recovery happened. Idempotent; a racing second recoverer loses
+    * its rename benignly (the dir exists afterwards either way). */
+  def recoverTombstones(spark: SparkSession, tombDir: String): Boolean = {
+    val f = Snapshots.fs(spark, tombDir)
+    val tombPath = new Path(tombDir)
+    if (f.exists(tombPath)) return false
+    val tmp = new Path(s"$tombDir._folding")
+    val aside = new Path(s"$tombDir._old")
+    if (f.exists(tmp) && f.exists(aside)) {
+      if (f.rename(tmp, tombPath) || f.exists(tombPath)) {
+        f.delete(aside, true); true
+      } else throw new IllegalStateException(
+        s"crashed-fold recovery rename failed at $tombDir")
+    } else if (f.exists(aside)) {
+      // staged copy lost (manual cleanup?) — the original still has a name
+      if (f.rename(aside, tombPath) || f.exists(tombPath)) true
+      else throw new IllegalStateException(
+        s"crashed-fold recovery rename failed at $tombDir")
+    } else false // genuinely no sidecar (nothing ever tombstoned)
   }
 
   /** Fold a (keyCol, gen) tombstone sidecar to one max-gen row per
@@ -38,25 +65,33 @@ object Sidecars {
     * read — and swap it in with the rename-ASIDE discipline: stage
     * the folded copy, move the old dir to a visible `._old` sibling,
     * rename the staged one in, then delete the old. A crash at any
-    * point leaves the tombstones recoverable BY NAME. The swap
-    * replaces the dir WHOLESALE — foreign files (e.g. a fixture
-    * marker parked inside) do not survive a fold; markers guard
-    * rebuildable state and tolerate that by design. No-op when the
-    * sidecar doesn't exist. Single maintainer. */
+    * point leaves the tombstones recoverable BY NAME, and both this
+    * fold and the live-row readers ([[recoverTombstones]]) self-heal
+    * the crashed-swap state instead of reading an absent sidecar as
+    * "no tombstones" (which would silently resurrect deleted rows).
+    * The write is bin-packed from the RAW sidecar's bytes (an upper
+    * bound on the fold) — a corpus-sized tombstone set folds in
+    * parallel, never through one task. The swap replaces the dir
+    * WHOLESALE — foreign files (e.g. a fixture marker parked inside)
+    * do not survive a fold; markers guard rebuildable state and
+    * tolerate that by design. No-op when the sidecar doesn't exist.
+    * Single maintainer. */
   def foldTombstones(spark: SparkSession, tombDir: String,
                      keyCol: String): Unit = {
     import graft.Caches.CheckpointSyntax
+    recoverTombstones(spark, tombDir)
     val f = Snapshots.fs(spark, tombDir)
     val tombPath = new Path(tombDir)
     if (!f.exists(tombPath)) return
-    val folded = spark.read.parquet(tombDir)
-      .groupBy(keyCol).agg(max("gen").as("gen"))
+    val raw = spark.read.parquet(tombDir)
+    val nFiles = Compaction.binPackFileCount(spark, raw)
+    val folded = raw.groupBy(keyCol).agg(max("gen").as("gen"))
       .graftCheckpoint()
     val tmp = new Path(s"$tombDir._folding")
     val aside = new Path(s"$tombDir._old")
     f.delete(tmp, true)
     f.delete(aside, true)
-    folded.coalesce(1).write.parquet(tmp.toString)
+    folded.repartition(nFiles).write.parquet(tmp.toString)
     if (!f.rename(tombPath, aside))
       throw new IllegalStateException(s"tombstone aside-rename failed at $tombDir")
     if (!f.rename(tmp, tombPath))

@@ -1177,6 +1177,55 @@ class MergeSpec extends SparkSpec {
       s"error must name the unrelayable version: ${ex.getMessage}")
   }
 
+  test("null-keyed upsert rows never enter the logged feed; OPTIMIZE enforces the key stamp") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("nullfeed")
+    spark.conf.set("spark.graft.merge.changeFeed", "true")
+    try {
+      commitBase(root)
+      // one real change + one NULL-keyed upsert (no row identity —
+      // rides along as carried data, must NOT be tracked by the feed)
+      val batch = Seq((Option(51L), "gap", Merge.UpsertOp),
+        (Option.empty[Long], "keyless", Merge.UpsertOp))
+        .toDF("doc_id", "text", "op")
+      Merge.merge(spark, root, batch, "m1") // v2
+      val logged = Merge.loggedChangesAt(spark, root, 2).get
+      assert(logged.filter(col("doc_id").isNull).isEmpty,
+        "a null-keyed row has no identity — it must not log")
+      val computed = Merge.changesBetween(spark, root, 1, 2)
+        .select("doc_id", "_change_type", "text")
+        .as[(Option[Long], String, String)].collect().toSet
+      val loggedSet = logged.select("doc_id", "_change_type", "text")
+        .as[(Option[Long], String, String)].collect().toSet
+      assert(loggedSet == computed, s"logged $loggedSet != computed $computed")
+      // the keyless row still physically landed (the merge contract)
+      assert(Merge.readCurrent(spark, root)
+        .filter(col("text") === "keyless").count() == 1)
+      // a REPLAYED identical batch logs nothing — including no
+      // phantom re-insert of the keyless row
+      Merge.merge(spark, root, batch, "m1-replay") // v3
+      assert(Merge.loggedChangesAt(spark, root, 3).get.isEmpty)
+    } finally spark.conf.unset("spark.graft.merge.changeFeed")
+
+    // OPTIMIZE must keep the table's merge key: re-stamping a
+    // string-keyed table onto doc_id would re-home its catalog into
+    // a different canonical domain and row identity
+    val rootStr = tmpRoot("optkey")
+    val base = (0L until 40L).map(i => (s"k$i", i, s"t$i")).toDF("key", "doc_id", "text")
+    Snapshots.commit(spark, rootStr, "base",
+      statsFor = p => Merge.statsWithBlooms(spark, p, Seq("key"))) { p =>
+      base.coalesce(2).write.parquet(p)
+    }
+    Merge.merge(spark, rootStr,
+      Seq(("k1", 1L, "x", Merge.UpsertOp)).toDF("key", "doc_id", "text", "op"),
+      "m1", Seq("key"))
+    intercept[IllegalArgumentException] {
+      Merge.optimize(spark, rootStr) // default doc_id != stamped [key]
+    }
+    Merge.optimize(spark, rootStr, Seq("key")) // the stamped key passes
+  }
+
   test("table-expired versions advance the feed floor — observable truncation, never fake-empty markers") {
     val s = spark
     import s.implicits._

@@ -42,6 +42,39 @@ class SidecarsSpec extends SparkSpec {
     Sidecars.foldTombstones(spark, s"$dir-never-written", "doc_id")
   }
 
+  test("a fold crashed between its renames self-heals; deleted keys stay masked") {
+    val s = spark
+    import s.implicits._
+    val dir = s"${tmp("crash")}/tomb"
+    val f = Snapshots.fs(spark, dir)
+    // fabricate the ONLY missing-dir crash state the fold sequence
+    // can produce: original parked at ._old, completed fold at
+    // ._folding, published name absent
+    Seq((1L, 1L), (1L, 3L), (2L, 2L)).toDF("doc_id", "gen")
+      .write.parquet(s"$dir._old")
+    Seq((1L, 3L), (2L, 2L)).toDF("doc_id", "gen")
+      .write.parquet(s"$dir._folding")
+    assert(!f.exists(new Path(dir)))
+    // a reader-side recovery restores the completed fold under the
+    // published name — reading "no tombstones" here would resurrect
+    // every deleted key
+    assert(Sidecars.recoverTombstones(spark, dir))
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet ==
+      Set((1L, 3L), (2L, 2L)))
+    assert(!f.exists(new Path(s"$dir._old")) &&
+      !f.exists(new Path(s"$dir._folding")),
+      "recovery must consume the work dirs")
+    assert(!Sidecars.recoverTombstones(spark, dir), "idempotent once healed")
+    // aside-only variant (staged copy lost): the original still heals
+    val dir2 = s"${tmp("crash2")}/tomb"
+    Seq((9L, 9L)).toDF("doc_id", "gen").write.parquet(s"$dir2._old")
+    assert(Sidecars.recoverTombstones(spark, dir2))
+    assert(spark.read.parquet(dir2).as[(Long, Long)].collect().toSet ==
+      Set((9L, 9L)))
+    // truly absent sidecar: no recovery, no error
+    assert(!Sidecars.recoverTombstones(spark, s"$dir2-never"))
+  }
+
   test("markers round-trip, overwrite, and read None when absent") {
     val p = s"${tmp("marker")}/m"
     assert(Sidecars.readMarker(spark, p).isEmpty)
