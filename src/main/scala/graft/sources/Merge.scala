@@ -836,11 +836,21 @@ object Merge {
     * FLOOR instead: observable truncation for batch readers
     * ([[readChangeFeed]] throws below the floor), never a fake
     * relayed-empty marker. The one boundary the transports share: a
-    * plain file-source STREAM has no floor awareness — it simply
-    * never sees the lost version's files — so, exactly like
-    * [[expireFeed]], table retention must trail the relay cadence
-    * (and the slowest consumer); run the relay at least as often as
-    * [[Snapshots.expire]]. */
+    * plain file-source STREAM has no floor awareness by default — it
+    * simply never sees the lost version's files (opt into the
+    * fail-fast check via [[streamChangeFeed]]'s `startAfterVersion`)
+    * — so, exactly like [[expireFeed]], table retention must trail
+    * the relay cadence (and the slowest consumer); run the relay at
+    * least as often as [[Snapshots.expire]].
+    *
+    * MAINTAINERS (r10 advice): relay and [[expireFeed]] MUST run as
+    * ONE maintainer (or mutually excluded) — they write the same dir,
+    * and an expire overlapping a relay could otherwise delete a
+    * version the relay is about to re-publish from its entry-time
+    * done-set. The floor is defensively RE-CHECKED before each
+    * version publishes, which shrinks that window to a single
+    * publish call — a hardening, not a substitute for the
+    * single-maintainer contract. */
   def publishChangeFeed(spark: SparkSession, root: String,
                         feedDir: String): Int = {
     val f = Snapshots.fs(spark, feedDir)
@@ -861,20 +871,30 @@ object Merge {
     var floorAdvance = floor
     Snapshots.current(spark, root).foreach { c =>
       for (v <- math.max(1, floor) to c.version if !done(v)) {
-        val dst = new Path(feedDir, f"v$v%09d")
-        feedChangesFor(spark, root, v) match {
-          case Some(df) => if (publishOne(f, feedDir, dst, df)) published += 1
-          case None =>
-            if (Snapshots.at(spark, root, v).isEmpty)
-              // TABLE retention already dropped this version (and any
-              // log inside it) before it was ever relayed: the feed
-              // genuinely STARTS after it. Record that as the
-              // retention floor — observable truncation (readChangeFeed
-              // throws below the floor) — never a fake "relayed empty"
-              // marker that would read as no-changes. Snapshots.expire
-              // keeps a version SUFFIX, so the floor advance is sound.
-              floorAdvance = math.max(floorAdvance, v + 1)
-            else f.mkdirs(dst) // v1 base / never-stamped: nothing to relay
+        // RE-CHECK the floor per undone version (r10 advice): relay
+        // and [[expireFeed]] should be one maintainer, but nothing
+        // structurally excludes them overlapping — an expire that
+        // advanced the floor mid-relay must not see this relay
+        // re-publish (and re-deliver) the versions it just removed.
+        // Cost: two marker reads per NOT-yet-relayed version only —
+        // a steady poll's done-set skips them all.
+        floorAdvance = math.max(floorAdvance, feedFloor(spark, feedDir))
+        if (v >= floorAdvance) {
+          val dst = new Path(feedDir, f"v$v%09d")
+          feedChangesFor(spark, root, v) match {
+            case Some(df) => if (publishOne(f, feedDir, dst, df)) published += 1
+            case None =>
+              if (Snapshots.at(spark, root, v).isEmpty)
+                // TABLE retention already dropped this version (and any
+                // log inside it) before it was ever relayed: the feed
+                // genuinely STARTS after it. Record that as the
+                // retention floor — observable truncation (readChangeFeed
+                // throws below the floor) — never a fake "relayed empty"
+                // marker that would read as no-changes. Snapshots.expire
+                // keeps a version SUFFIX, so the floor advance is sound.
+                floorAdvance = math.max(floorAdvance, v + 1)
+              else f.mkdirs(dst) // the v1 base load: nothing to relay
+          }
         }
       }
     }
@@ -886,14 +906,26 @@ object Merge {
     * log where the commit recorded one; the computed per-commit diff
     * for a key-stamped commit that didn't (throwing when its parent
     * is expired — a silent gap is never an option); None for commits
-    * with nothing to relay (the v1 base load, never-stamped commits,
-    * retention-expired versions). */
+    * with nothing to relay (the v1 base load, retention-expired
+    * versions). An UNSTAMPED v>1 commit — a bare [[Snapshots.commit]]
+    * interleaved into the chain — THROWS (r10 advice): it may have
+    * changed data, and the batch [[changeFeed]] throws for the same
+    * version (from [[changesBetween]]'s key-stamp requirement), so an
+    * empty done-marker here would make the two transports diverge on
+    * exactly the commits whose changes nobody computed. */
   private def feedChangesFor(spark: SparkSession, root: String,
                              v: Int): Option[DataFrame] =
     loggedChangesAt(spark, root, v).orElse {
       Snapshots.at(spark, root, v).flatMap { snap =>
-        if (v == 1 || !Snapshots.extrasAt(spark, root, snap).contains(KeyColsKey))
-          None
+        if (v == 1) None
+        else if (!Snapshots.extrasAt(spark, root, snap).contains(KeyColsKey))
+          throw new IllegalStateException(
+            s"cannot relay version $v of $root: the commit is not " +
+              "merge-written (no key stamp) and logged no changes, so its " +
+              "row-level diff is uncomputable — the batch changeFeed throws " +
+              "for the same version; interleave only merge-family commits " +
+              "(or commits made with spark.graft.merge.changeFeed=true) " +
+              "into a relayed chain")
         else if (Snapshots.at(spark, root, v - 1).isEmpty)
           throw new IllegalStateException(
             s"cannot relay version $v of $root: the commit logged no changes " +
@@ -970,15 +1002,31 @@ object Merge {
     * floors only ever grow, so whichever write a crash interrupted,
     * the surviving candidate(s) bound it from below — a crash between
     * [[writeFeedFloor]]'s delete and rename must not reset the floor
-    * to 1 and let a relay re-deliver expired versions. */
+    * to 1 and let a relay re-deliver expired versions.
+    *
+    * READ RACE (r10 advice): a reader whose two exists-checks straddle
+    * a concurrent [[writeFeedFloor]]'s delete→rename window could see
+    * NEITHER file (main already deleted, tmp already renamed) and
+    * resolve floor = 1. Both-miss therefore RE-READS the main marker:
+    * the writer stages tmp before deleting main, so main-miss implies
+    * tmp existed, and tmp-miss implies the rename completed — the
+    * re-read observes the published marker. Bounded retries cover a
+    * second writer round starting in between (single-maintainer for
+    * WRITES, so in practice one re-read suffices). */
   private def feedFloor(spark: SparkSession, feedDir: String): Int = {
     // the shared marker reader (Sidecars), with a torn-tmp guard: a
     // mid-write candidate that doesn't parse is simply not a bound
     def readInt(p: Path): Option[Int] =
       Sidecars.readMarker(spark, p.toString)
         .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
-    (readInt(new Path(feedDir, FeedFloorFile)) ++
-      readInt(new Path(feedDir, feedFloorTmp)) ++ Seq(1)).max
+    val main = new Path(feedDir, FeedFloorFile)
+    val first =
+      (readInt(main) ++ readInt(new Path(feedDir, feedFloorTmp))).toSeq
+    val vals =
+      if (first.nonEmpty) first
+      else Iterator.continually(readInt(main).toSeq).take(2)
+        .find(_.nonEmpty).getOrElse(Nil)
+    (vals :+ 1).max
   }
 
   /** Publish a new (monotonically larger) floor: stage to the hidden
@@ -1040,9 +1088,34 @@ object Merge {
     * as it appears (hidden `.tmp_` staging is filtered by Spark's
     * file index, so readers only ever see fully-renamed versions).
     * Downstream is ordinary Structured Streaming — watermark, window,
-    * foreachBatch into the next table. */
+    * foreachBatch into the next table.
+    *
+    * FLOOR AWARENESS (r10 verdict item 5): a plain file source simply
+    * never sees files [[expireFeed]] removed, so a NEW stream started
+    * over a truncated feed silently reads only the surviving suffix —
+    * the Kafka-retention contract. `startAfterVersion` makes that
+    * explicit: a caller who needs every change AFTER version `v`
+    * passes `Some(v)` and this FAILS FAST when the feed's retention
+    * floor has already passed v+1, instead of serving a gapped feed.
+    * CHECKPOINT INTERACTION: the check runs at frame CONSTRUCTION —
+    * an EXISTING checkpointed stream that already processed the
+    * now-expired versions should resume with `None` (its checkpoint,
+    * not the directory listing, is its position; the source tracks
+    * seen files and simply stops listing the removed ones). Use
+    * `Some(v)` exactly when starting a NEW checkpoint that must
+    * replay from v+1. */
   def streamChangeFeed(spark: SparkSession, root: String,
-                       feedDir: String): DataFrame = {
+                       feedDir: String,
+                       startAfterVersion: Option[Int] = None): DataFrame = {
+    startAfterVersion.foreach { from =>
+      val floor = feedFloor(spark, feedDir)
+      require(from + 1 >= floor,
+        s"a new stream starting after version $from needs version " +
+          s"${from + 1} onward, but the feed at $feedDir has been " +
+          s"retention-expired below version $floor (expireFeed) — the " +
+          "missing prefix is unrecoverable from this feed; rebuild the " +
+          "consumer from a current snapshot plus the surviving suffix")
+    }
     val sch = tableSchema(spark, root).getOrElse(throw new IllegalStateException(
       s"no merge-recorded schema at $root — stream after the first merge commit"))
       .add("_change_type", StringType).add("_commit_version", IntegerType)
@@ -1432,7 +1505,10 @@ object Merge {
     val feedDir = s"${vroot}_feed"
     publishChangeFeed(spark, vroot, feedDir)
     val sink = s"${vroot}_feedsink"
-    val q = streamChangeFeed(spark, vroot, feedDir)
+    // startAfterVersion=Some(1): this consumer needs every change
+    // after the base — the registered query exercises the fail-fast
+    // floor check (trivially satisfied here; the feed never expires)
+    val q = streamChangeFeed(spark, vroot, feedDir, startAfterVersion = Some(1))
       .writeStream.format("parquet")
       .option("path", sink)
       .option("checkpointLocation", s"${vroot}_feedcp")
