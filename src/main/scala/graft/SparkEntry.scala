@@ -513,6 +513,14 @@ object SparkEntry {
     // column the table never had — the merge widens the manifest
     // schema and CARRIED files null-fill it at read, unrewritten
     "merge_evolve" -> ((s, d) => graft.sources.Merge.mergeEvolveScan(s, d)),
+    // CATALOG-PRUNED READS (r11): the payoff side of the commit-time
+    // stats/bloom investment, on the hash gate at last — a RANGE read
+    // opening only interval-hit files, and the "fetch these docs by
+    // id" POINT lookup probing interval+bloom (GDPR extracts, feature
+    // backfills); both must be indistinguishable from filtering the
+    // full merged table
+    "merge_range_read" -> ((s, d) => graft.sources.Merge.mergeRangeReadScan(s, d)),
+    "merge_point_read" -> ((s, d) => graft.sources.Merge.mergePointReadScan(s, d)),
     // CHANGE DATA FEED (r10): the per-commit table_changes contract
     // over a MIXED chain — one commit unlogged (served from the
     // computed catalog-pruned diff), two logged (served from the
@@ -530,6 +538,11 @@ object SparkEntry {
     // must never change the rows
     "stream_change_feed" -> ((s, d) =>
       graft.sources.Merge.streamChangeFeedScan(s, d)),
+    // the consumer CATCH-UP read (r11): the relayed feed dir batch-read
+    // as ONE parquet load over (1, 4] — O(1) plan cost at any depth
+    // (BENCH_SCALE r10_cdf_depth) — same oracle as change_feed: the
+    // transport must never change the rows
+    "feed_batch_read" -> ((s, d) => graft.sources.Merge.feedBatchReadScan(s, d)),
     // the reference's NATIVE line format through the DataSource V2
     // connector: id\t escaped-text lines, newline-aligned byte splits
     // (64 KB here so even sf0.001 scans in parallel), doc_id filter
@@ -707,10 +720,14 @@ object SparkEntry {
     "snapshot_at" -> Sql.mergeScan,
     "merge_string_key" -> Sql.mergeScan,
     "merge_evolve" -> Sql.mergeEvolve,
+    "merge_range_read" -> Sql.mergeRangeRead,
+    "merge_point_read" -> Sql.mergePointRead,
     "change_feed" -> Sql.changeFeedScan,
     "changes_between" -> Sql.changesBetweenScan,
-    // the streamed transport serves the same rows as the batch feed
+    // the streamed and batch-relay transports serve the same rows as
+    // the stitched batch feed
     "stream_change_feed" -> Sql.changeFeedScan,
+    "feed_batch_read" -> Sql.changeFeedScan,
     "skipping_scan" -> Sql.skippingScan,
     "csv_roundtrip" -> Sql.docsIdentity,
     "jsonl_roundtrip" -> Sql.docsIdentity,

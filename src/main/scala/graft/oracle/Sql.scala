@@ -2399,6 +2399,66 @@ WHERE rr <= $HybridTopK""")
       sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
     FROM m2 GROUP BY lang, source"""
 
+  /** Catalog-pruned RANGE read replay: the two-batch merged table
+    * filtered to the [5%, 45%) doc_id band — the engine opens only
+    * interval-hit files, but the RESULT is a plain range predicate
+    * over the merged state (mergeIncremental's CTE stack). */
+  val mergeRangeRead: String =
+    """WITH mx AS (SELECT max(doc_id) AS mi FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN doc_id >= (mi+1)*40//100 AND doc_id < (mi+1)*42//100
+             THEN 'zz' ELSE lang END AS lang,
+        source, n_chars
+      FROM documents, mx
+      WHERE NOT (doc_id >= (mi+1)*10//100 AND doc_id < (mi+1)*13//100)
+      UNION ALL
+      SELECT mi + i, 'new', 'merge', length('merged doc ' || i)
+      FROM mx, range(1, 101) t(i)
+    ),
+    m2 AS (
+      SELECT m.doc_id, m.lang,
+        CASE WHEN m.doc_id >= (mi+1)*20//100 AND m.doc_id < (mi+1)*22//100
+             THEN 'rev2' ELSE m.source END AS source, m.n_chars
+      FROM m, mx
+      WHERE NOT (m.doc_id >= (mi+1)*70//100 AND m.doc_id < (mi+1)*72//100)
+    )
+    SELECT lang, source, count(*)::BIGINT AS n_docs,
+      sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
+    FROM m2, mx
+    WHERE doc_id >= (mi+1)*5//100 AND doc_id < (mi+1)*45//100
+    GROUP BY lang, source"""
+
+  /** Catalog-pruned POINT-LOOKUP replay: the same merged state
+    * filtered to the doc_id ≡ 0 (mod 97) congruence class — the key
+    * frame the engine probes is a superset of the class (it stops at
+    * mi+199; inserts stop at mi+100), so the semi-join equals the
+    * plain modulus predicate. */
+  val mergePointRead: String =
+    """WITH mx AS (SELECT max(doc_id) AS mi FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN doc_id >= (mi+1)*40//100 AND doc_id < (mi+1)*42//100
+             THEN 'zz' ELSE lang END AS lang,
+        source, n_chars
+      FROM documents, mx
+      WHERE NOT (doc_id >= (mi+1)*10//100 AND doc_id < (mi+1)*13//100)
+      UNION ALL
+      SELECT mi + i, 'new', 'merge', length('merged doc ' || i)
+      FROM mx, range(1, 101) t(i)
+    ),
+    m2 AS (
+      SELECT m.doc_id, m.lang,
+        CASE WHEN m.doc_id >= (mi+1)*20//100 AND m.doc_id < (mi+1)*22//100
+             THEN 'rev2' ELSE m.source END AS source, m.n_chars
+      FROM m, mx
+      WHERE NOT (m.doc_id >= (mi+1)*70//100 AND m.doc_id < (mi+1)*72//100)
+    )
+    SELECT lang, source, count(*)::BIGINT AS n_docs,
+      sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
+    FROM m2 WHERE doc_id % 97 = 0
+    GROUP BY lang, source"""
+
   /** Schema-evolution replay: batch 2's upserts (the re-sourced
     * [20%,22%) band) carry a `rev = 2` column the table never had;
     * every other surviving row null-fills it. Identical CTE stack to

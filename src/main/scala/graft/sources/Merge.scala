@@ -1577,6 +1577,50 @@ object Merge {
     scanStats(readAt(spark, vroot, 2))
   }
 
+  /** q:`merge_range_read` — the catalog-pruned RANGE read over the
+    * two-batch chain: only files whose manifest interval intersects
+    * the [5%, 45%) doc_id band open ([[readCurrentRange]]), and the
+    * result must be indistinguishable from filtering the full merged
+    * table — the band deliberately covers the deleted [10,13) band
+    * (must be absent), the re-languaged [40,42) and the re-sourced
+    * [20,22) (must carry their post-merge values). Shares
+    * [[mergeIncrementalScan]]'s CTE replay plus the range predicate. */
+  def mergeRangeReadScan(spark: SparkSession, dir: String): DataFrame = {
+    val vroot = ensureChain(spark, dir, 2)
+    val b = band(maxDocId(spark, dir), 5, 45)
+    scanStats(readCurrentRange(spark, vroot, b._1, b._2))
+  }
+
+  /** q:`merge_point_read` — the catalog-pruned POINT-LOOKUP read
+    * (the "fetch these documents by id" GDPR/backfill shape): probe
+    * the chain's interval+bloom catalog with every doc_id ≡ 0
+    * (mod 97) up to past the insert band ([[readCurrentKeys]]); keys
+    * that hit deleted rows must return nothing, keys landing on
+    * batch-1 inserts must return them. Oracle: the merged table
+    * filtered to the same congruence class. */
+  def mergePointReadScan(spark: SparkSession, dir: String): DataFrame = {
+    val vroot = ensureChain(spark, dir, 2)
+    val mi = maxDocId(spark, dir)
+    // multiples of 97 in [0, mi+200): a superset of the merged
+    // table's ids in the class (inserts stop at mi+100), so the
+    // semi-join result is exactly the oracle's `doc_id % 97 = 0`
+    val keys = spark.range(0, mi + 200, 97).select(col("id").as("doc_id"))
+    scanStats(readCurrentKeys(spark, vroot, keys))
+  }
+
+  /** q:`feed_batch_read` — the consumer-CATCH-UP read off the relayed
+    * feed dir: [[readChangeFeed]] serves the whole (1, 4] range as ONE
+    * parquet load (O(1) plan cost at any depth — the depth-50 receipt
+    * in BENCH_SCALE `r10_cdf_depth`), and the rows must be exactly the
+    * per-commit feed's — q:`change_feed`'s oracle, shared verbatim:
+    * the transport must never change the rows. */
+  def feedBatchReadScan(spark: SparkSession, dir: String): DataFrame = {
+    val vroot = ensureCdfChain(spark, dir)
+    val feedDir = s"${vroot}_feed"
+    publishChangeFeed(spark, vroot, feedDir)
+    feedStats(readChangeFeed(spark, vroot, feedDir, 1, 4), withVersion = true)
+  }
+
   /** The same batch-1 chain keyed on a STRING surrogate key
     * (`'d' || doc_id`) — the composite/string-key path: canonical
     * 64-bit hash for stats/blooms/layout, exact string equality for
