@@ -37,6 +37,21 @@ object Caches {
     cp
   }
 
+  /** LAZY [[checkpoint]]: marks the frame for local checkpointing but
+    * runs NO job — the caller's next action over the returned frame
+    * materializes the blocks AND truncates lineage in that one job.
+    * This is how an iterative operator folds its convergence probe
+    * into the update pass (one job per iteration instead of
+    * checkpoint-then-probe). Registered for releaseAll like the eager
+    * form (localCheckpoint persists at mark time). */
+  def checkpointLazy[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    val sc = ds.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = ds.localCheckpoint(eager = false)
+    graftIds ++= (sc.getPersistentRDDs.keySet -- before)
+    cp
+  }
+
   /** Unpersist every graft-created checkpoint block (async) and
     * forget the registry. Safe after a query's results are consumed:
     * graft checkpoints are query-internal, never shared across
@@ -51,9 +66,11 @@ object Caches {
     graftIds.clear()
   }
 
-  /** `.graftCheckpoint()` syntax for [[checkpoint]]. */
+  /** `.graftCheckpoint()` syntax for [[checkpoint]] /
+    * [[checkpointLazy]]. */
   implicit class CheckpointSyntax[T](private val ds: Dataset[T]) extends AnyVal {
     def graftCheckpoint(): Dataset[T] = Caches.checkpoint(ds)
+    def graftCheckpointLazy(): Dataset[T] = Caches.checkpointLazy(ds)
   }
 
   /** Cache key that CHANGES WITH THE DATA, not just the plan: the

@@ -75,8 +75,12 @@ object Dedup {
     * propagation on the verified-pair graph. Returns
     * (doc_id, group_id) for every doc in some similar pair; group_id
     * is the minimum doc_id reachable. Converges in O(diameter)
-    * iterations; each iteration is one join + aggregate (no driver
-    * data movement beyond an empty-diff check). */
+    * iterations at ONE Spark job each: the improvement flag rides the
+    * update row and a lazy checkpoint defers materialization to the
+    * 1-row max-aggregate, so the convergence probe, the lineage
+    * truncation and the update are a single action (r10 verdict: the
+    * old separate join-based probe doubled per-iteration scheduling
+    * overhead, which multiplies under a contended driver). */
   def nearDupGroups(spark: SparkSession, docs: DataFrame,
                     k: Int = Config.K,
                     threshold: Double = Config.Threshold,
@@ -100,15 +104,17 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "id_r"), Seq("id_r"))
         .groupBy(col("id_l").as("doc_id"))
         .agg(min(col("group_id")).as("nbr_min"))
+      val better = coalesce(col("nbr_min"), col("group_id")) < col("group_id")
       val updated = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
-        .graftCheckpoint()
-      val changed = updated.as("u")
-        .join(labels.as("o"), Seq("doc_id"))
-        .filter(col("u.group_id") =!= col("o.group_id"))
-        .limit(1).count()
-      labels = updated
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"),
+          better.cast("int").as("chg"))
+        .graftCheckpointLazy()
+      // ONE job: materializes the checkpoint blocks (next iteration's
+      // input) AND answers "did any label improve" — max over the
+      // per-row flag, no second join/probe action
+      val changed = updated.agg(coalesce(max(col("chg")), lit(0))).head().getInt(0)
+      labels = updated.drop("chg")
       converged = changed == 0
       iter += 1
     }
