@@ -77,6 +77,40 @@ object EmbeddingSim {
         cosine(col("q_emb"), col("n_emb")).as("cosine"))
   }
 
+  /** Session-scoped cache of the MATERIALIZED [[cosineScored]] matrix,
+    * keyed by the input's data signature — the recall gate's exact
+    * baselines are deterministic for a fixed corpus, so a second
+    * evaluation in the same session (the second bench rep, a repeated
+    * gate run) serves the scored matrix from executor storage instead
+    * of re-running the brute-force pass (r10 verdict item 4). The
+    * entries deliberately do NOT register with Caches.releaseAll — a
+    * cross-query cache must survive the between-queries release — so
+    * the LRU bound (2 entries, each queries×corpus ≈ 1% of n² rows of
+    * three scalars) is what caps the pinned storage; eviction
+    * unpersists. The registered cosine_topk query keeps the UNCACHED
+    * path: its bench time must measure the serve cost, not a cache. */
+  private val MaxScoredCacheEntries = 2
+  private val scoredCache =
+    new java.util.LinkedHashMap[String, DataFrame](4, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        if (size() > MaxScoredCacheEntries) {
+          e.getValue.unpersist(blocking = false); true
+        } else false
+    }
+
+  private[operators] def cosineScoredCached(emb: DataFrame): DataFrame = {
+    val key = graft.Caches.dataSignature(emb)
+    scoredCache.synchronized {
+      Option(scoredCache.get(key)).getOrElse {
+        val df = cosineScored(emb)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        scoredCache.put(key, df)
+        df
+      }
+    }
+  }
+
   /** Brute-force cosine top-k: for each query vector (vec_id % 100
     * == 0), the k nearest other vectors by cosine. Query set is
     * broadcast; ranking window is per-query (tiny partitions). */
