@@ -181,4 +181,56 @@ class EmbeddingSimSpec extends SparkSpec {
         "a span replayed after compaction resurrected stale vectors")
     } finally spark.conf.unset("spark.graft.merge.changeFeed")
   }
+
+  test("maintained-IVF upkeep costs the change, not the corpus (BENCH_SCALE r11_maintained_ivf)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic synthetic embeddings, generated EXECUTOR-side
+    // (dim 16; component j of vector i = ((i*31 + j*7) mod 101)/101)
+    def corpus(n: Long) = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), " +
+        "j -> cast(pmod(id * 31 + j * 7, 101) / 101.0 as float))")
+        .as("embedding"))
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e6)
+    }
+    def vec(seed: Int): Seq[Float] =
+      (0 until 16).map(j => ((seed * 13 + j * 5) % 101) / 101f)
+    // the SAME 3-row feed span at both corpus sizes — one update
+    // pair, one insert (the r9_maintained_index protocol)
+    val feed = Seq(
+      (5L, vec(50), "update_postimage", 2),
+      (5L, vec(5), "update_preimage", 2),
+      (999999L, vec(7), "insert", 2))
+      .toDF("vec_id", "embedding", "_change_type", "_commit_version")
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfscale")
+    def dirs(tag: String) =
+      (s"$base/${tag}_model", s"$base/${tag}_index", s"$base/${tag}_tomb")
+    val (mS, iS, tS) = dirs("x1"); val (mB, iB, tB) = dirs("x5")
+    EmbeddingSim.ivfIndexBuild(corpus(20000), mS, iS)
+    EmbeddingSim.ivfIndexBuild(corpus(100000), mB, iB)
+    // warm the apply path once, then measure steady upkeep: a
+    // change-sized span collapse + one dynamic-partition write + a
+    // tombstone append, independent of the cell table's size
+    EmbeddingSim.ivfApplyChangeFeed(feed, mS, iS, tS)
+    val (_, aS) = timed(EmbeddingSim.ivfApplyChangeFeed(feed, mS, iS, tS))
+    val (_, aB) = timed(EmbeddingSim.ivfApplyChangeFeed(feed, mB, iB, tB))
+    // the alternative: a full rebuild (quantizer refit + corpus-wide
+    // cell assignment) — O(corpus) by construction
+    val (mSr, iSr, _) = dirs("x1r"); val (mBr, iBr, _) = dirs("x5r")
+    val (_, rS) = timed(EmbeddingSim.ivfIndexBuild(corpus(20000), mSr, iSr))
+    val (_, rB) = timed(EmbeddingSim.ivfIndexBuild(corpus(100000), mBr, iBr))
+    System.err.println(
+      f"[scale] r11_maintained_ivf: apply same feed: 1x $aS%.0f ms, " +
+        f"5x $aB%.0f ms; full rebuild: 1x $rS%.0f ms, 5x $rB%.0f ms")
+    assert(aB < rB,
+      f"upkeep ($aB%.0f ms) must beat a rebuild ($rB%.0f ms) at the 5x corpus")
+    // and the maintained index still probes correctly after the span
+    val probe = EmbeddingSim.ivfProbeMaintained(
+      corpus(20000).filter(col("vec_id") < 3), mS, iS, tS, k = 2)
+    assert(probe.count() == 6, "3 queries x k=2 expected")
+  }
 }
