@@ -876,10 +876,14 @@ object Merge {
         // structurally excludes them overlapping — an expire that
         // advanced the floor mid-relay must not see this relay
         // re-publish (and re-deliver) the versions it just removed.
-        // Cost: two marker reads per NOT-yet-relayed version only —
-        // a steady poll's done-set skips them all.
-        floorAdvance = math.max(floorAdvance, feedFloor(spark, feedDir))
-        if (v >= floorAdvance) {
+        // Kept SEPARATE from floorAdvance (the table-retention-driven
+        // advance this relay itself must publish): an observed
+        // concurrent floor is already durable and must not trigger a
+        // redundant end-of-relay rewrite. Cost: marker reads per
+        // NOT-yet-relayed version only — a steady poll's done-set
+        // skips them all.
+        val liveFloor = feedFloor(spark, feedDir)
+        if (v >= math.max(liveFloor, floorAdvance)) {
           val dst = new Path(feedDir, f"v$v%09d")
           feedChangesFor(spark, root, v) match {
             case Some(df) => if (publishOne(f, feedDir, dst, df)) published += 1
