@@ -109,9 +109,23 @@ object AnnRecall {
     }
   }
 
+  /** (total, hits) of `exact` rows recovered by `approx` on `keys` in
+    * ONE action: left-join against the deduplicated approximate keys
+    * and aggregate count + hit-sum together (r11 — the two-count form
+    * doubled the gate's per-family scheduling rounds; 8 jobs → 4). */
+  private def recallCounts(exact: DataFrame, approx: DataFrame,
+                           keys: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+    val hitSide = approx.select(keys.map(col): _*).distinct()
+      .withColumn("__hit", lit(1))
+    val row = exact.join(hitSide, keys, "left")
+      .agg(count(lit(1)), sum(coalesce(col("__hit"), lit(0)))).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
   /** One integer row per ANN family: (family, floor_pct,
-    * meets_floor). Counts are driver-side scalars (bounded: two
-    * count() aggregates per family); the corpus never leaves the
+    * meets_floor). Counts are driver-side scalars (bounded: one
+    * join+aggregate per family); the corpus never leaves the
     * executors. */
   def recallGate(emb: DataFrame, docs: DataFrame): DataFrame = {
     val spark = emb.sparkSession
@@ -148,9 +162,8 @@ object AnnRecall {
     val exactE = timed("exact_cosine")(
       cachedExact("exact_cosine", emb)(topK(scored)))
     val ivf = EmbeddingSim.ivfTopK(emb, K).select("query_id", "neighbor_id")
-    val eTot = exactE.count()
-    val ivfHits = timed("ivf_serve")(
-      exactE.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count())
+    val (eTot, ivfHits) = timed("ivf_serve")(
+      recallCounts(exactE, ivf, Seq("query_id", "neighbor_id")))
     // --- text domain: MLlib minhash ANN vs exact shingle-set
     // Jaccard top-k on the same input slice and query set ---
     val d500 = docs.filter(col("doc_id") < 500)
@@ -172,17 +185,15 @@ object AnnRecall {
         .select("query_id", "neighbor_id")
     })
     val ml = graft.ml.MlMinHash.annTopK(d500).select("query_id", "neighbor_id")
-    val tTot = exactT.count()
-    val mlHits = timed("ml_ann_serve")(
-      exactT.join(ml, Seq("query_id", "neighbor_id"), "left_semi").count())
+    val (tTot, mlHits) = timed("ml_ann_serve")(
+      recallCounts(exactT, ml, Seq("query_id", "neighbor_id")))
     // --- pairs domain: MLlib AND-OR banded similarity join vs the
     // exact verified pairs, same slice (both emit id_l < id_r) ---
     val exactP = timed("exact_pairs")(cachedExact("exact_pairs", d500)(
       MinHashLsh.similarPairs(d500).select("id_l", "id_r")))
     val mlP = graft.ml.MlMinHash.pairsBanded(d500).select("id_l", "id_r")
-    val pTot = exactP.count()
-    val pHits = timed("ml_pairs_serve")(
-      exactP.join(mlP, Seq("id_l", "id_r"), "left_semi").count())
+    val (pTot, pHits) = timed("ml_pairs_serve")(
+      recallCounts(exactP, mlP, Seq("id_l", "id_r")))
     // --- maintained-index domain (r10): the FEED-MAINTAINED IVF
     // (held-out tenth inserted, %10==5 band deleted, one span) vs
     // brute-force cosine over the live corpus — same queries
@@ -196,9 +207,8 @@ object AnnRecall {
     val maint = EmbeddingSim.ivfProbeMaintained(
       emb.filter(col("vec_id") % 100 === 0), mModel, mIndex, mTomb, K)
       .select("query_id", "neighbor_id")
-    val mTot = exactM.count()
-    val mHits = timed("maintained_serve")(
-      exactM.join(maint, Seq("query_id", "neighbor_id"), "left_semi").count())
+    val (mTot, mHits) = timed("maintained_serve")(
+      recallCounts(exactM, maint, Seq("query_id", "neighbor_id")))
     def pct(hits: Long, total: Long): Long =
       if (total == 0) 100L else hits * 100L / total
     if (sys.env.contains("GRAFT_RECALL_DEBUG"))
