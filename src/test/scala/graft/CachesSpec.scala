@@ -41,4 +41,30 @@ class CachesSpec extends SparkSpec {
   test("a second releaseAll after the registry is drained is a no-op") {
     Caches.releaseAll(spark) // must not throw with an empty registry
   }
+
+  test("checkpointLazy runs no job at mark time, materializes+truncates on the first action, and releases") {
+    val s = spark
+    import s.implicits._
+    val sc = s.sparkContext
+    val jobsBefore = sc.statusTracker.getJobIdsForGroup(null).length
+    val lazyCp = Caches.checkpointLazy(
+      (1L to 20L).toDF("id").selectExpr("id", "id * 2 as twice"))
+    assert(sc.statusTracker.getJobIdsForGroup(null).length == jobsBefore,
+      "marking a lazy checkpoint must not run a job")
+    // the first action materializes the blocks AND answers the query
+    // in the same job — the one-job-per-iteration contract
+    // nearDupGroups' convergence fold relies on
+    assert(lazyCp.agg(org.apache.spark.sql.functions.sum("twice"))
+      .head().getLong(0) == 420L)
+    // a second action serves from the persisted blocks
+    assert(lazyCp.count() == 20)
+    // and the blocks are graft-registered: releaseAll frees them
+    val before = sc.getPersistentRDDs.size
+    Caches.releaseAll(s)
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (sc.getPersistentRDDs.size >= before && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(sc.getPersistentRDDs.size < before,
+      "lazy checkpoint blocks must be releasable like eager ones")
+  }
 }
