@@ -72,15 +72,30 @@ object Dedup {
   }
 
   /** Connected near-dup components via iterative min-label
-    * propagation on the verified-pair graph. Returns
-    * (doc_id, group_id) for every doc in some similar pair; group_id
-    * is the minimum doc_id reachable. Converges in O(diameter)
-    * iterations at ONE Spark job each: the improvement flag rides the
-    * update row and a lazy checkpoint defers materialization to the
-    * 1-row max-aggregate, so the convergence probe, the lineage
-    * truncation and the update are a single action (r10 verdict: the
-    * old separate join-based probe doubled per-iteration scheduling
-    * overhead, which multiplies under a contended driver). */
+    * propagation PLUS pointer jumping on the verified-pair graph.
+    * Returns (doc_id, group_id) for every doc in some similar pair;
+    * group_id is the minimum doc_id reachable.
+    *
+    * Each iteration takes the min over three label sources — my own,
+    * my neighbors' (one-hop propagation), and MY LABEL'S label (the
+    * hash-to-min shortcut: labels form a pointer forest toward the
+    * component min, and following two pointers at once doubles the
+    * shortcut length per round) — so convergence is O(log diameter)
+    * iterations, not O(diameter): an adversarial chain-shaped
+    * component (overlapping boilerplate runs produce exactly these)
+    * converges in a handful of rounds where plain propagation needs
+    * one per hop (r10 verdict's large-star/small-star suggestion,
+    * realized as the cheaper jump term — one extra tiny self-join per
+    * iteration, no new aggregation). The fixpoint is unchanged: it
+    * still satisfies the plain per-edge min condition, which forces
+    * the component minimum, and the DuckDB recursive-CTE oracle pins
+    * it. Runs at ONE Spark job per iteration: the improvement flag
+    * rides the update row and a lazy checkpoint defers
+    * materialization to the 1-row max-aggregate, so the convergence
+    * probe, the lineage truncation and the update are a single action
+    * (the old separate join-based probe doubled per-iteration
+    * scheduling overhead, which multiplies under a contended
+    * driver). */
   def nearDupGroups(spark: SparkSession, docs: DataFrame,
                     k: Int = Config.K,
                     threshold: Double = Config.Threshold,
@@ -104,11 +119,19 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "id_r"), Seq("id_r"))
         .groupBy(col("id_l").as("doc_id"))
         .agg(min(col("group_id")).as("nbr_min"))
-      val better = coalesce(col("nbr_min"), col("group_id")) < col("group_id")
+      // my label's label: every group_id is some member's doc_id, so
+      // the lookup is a self-join of the tiny label table (left +
+      // coalesce purely defensively)
+      val jump = labels.select(col("doc_id").as("group_id"),
+        col("group_id").as("jump_min"))
       val updated = labels.join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"),
-          better.cast("int").as("chg"))
+        .join(jump, Seq("group_id"), "left")
+        .select(col("doc_id"), col("group_id").as("old_gid"),
+          least(col("group_id"),
+            coalesce(col("nbr_min"), col("group_id")),
+            coalesce(col("jump_min"), col("group_id"))).as("group_id"))
+        .select(col("doc_id"), col("group_id"),
+          (col("group_id") < col("old_gid")).cast("int").as("chg"))
         .graftCheckpointLazy()
       // ONE job: materializes the checkpoint blocks (next iteration's
       // input) AND answers "did any label improve" — max over the
@@ -119,8 +142,9 @@ object Dedup {
       iter += 1
     }
     if (!converged)
-      // a component with diameter > maxIter would get a silently
-      // split clustering — surface it loudly
+      // a component with log-diameter > maxIter would get a silently
+      // split clustering — surface it loudly (with the jump term that
+      // takes a diameter around 2^40, so this is a true invariant)
       throw new IllegalStateException(
         s"nearDupGroups did not converge in $maxIter iterations; " +
           "raise maxIter (component diameter exceeds it)")

@@ -49,6 +49,35 @@ class DedupSpec extends SparkSpec {
     assert(!groups.contains(4L))
   }
 
+  test("adversarial 42-doc chain: pointer jumping converges a path deeper than maxIter hops") {
+    // doc i = 15 consecutive 66-char blocks from a sliding window, so
+    // consecutive docs share 14 of 16 blocks (J ≈ 14/16 = 0.875 ≥ 0.8)
+    // while docs two apart share 13 of 17 (J ≈ 0.765 < 0.8) — a TRUE
+    // 41-hop path: plain one-hop min propagation needs 42 rounds
+    // (> maxIter = 40 — the pre-r11 loop THREW on this input); the
+    // hash-to-min jump term converges it in O(log 41) rounds.
+    def block(j: Int): String =
+      (0 until 66).map { p =>
+        val h = scala.util.hashing.MurmurHash3.productHash((j, p))
+        ('a' + ((h & 0x7fffffff) % 26)).toChar
+      }.mkString
+    val n = 42
+    val docs = docsDf((0 until n).map { i =>
+      i.toLong -> (i until i + 15).map(block).mkString(" ")
+    }: _*)
+    // pin the path shape first: the verified pairs are EXACTLY the 41
+    // consecutive links (deterministic: the minhash family is seeded)
+    val pairs = graft.operators.MinHashLsh.similarPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until (n - 1).toLong).map(i => (i, i + 1)).toSet
+    assert(pairs == want,
+      s"chain shape broken: extra=${(pairs -- want).take(5)} missing=${(want -- pairs).take(5)}")
+    val groups = Dedup.nearDupGroups(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size == n && groups.values.forall(_ == 0L),
+      s"the whole chain must collapse to group 0: ${groups.toSeq.sortBy(_._1).take(6)}...")
+  }
+
   test("group keep-best: exactly one survivor per component — its richest member") {
     val d = docsDf(
       // one transitive chain 1~2~3; doc 3 has the most tokens
