@@ -73,6 +73,23 @@ object Caches {
     def graftCheckpointLazy(): Dataset[T] = Caches.checkpointLazy(ds)
   }
 
+  /** Session discriminator for caches that hold DATAFRAMES (r11
+    * advice): a DataFrame is bound to the SparkSession that built it,
+    * so a JVM-global cache keyed only by plan+data signature would
+    * serve a second session in the same JVM frames bound to the old —
+    * possibly stopped — context. Keys of frame-holding caches
+    * (EmbeddingSim.scoredCache, AnnRecall.exactCache) include this;
+    * MODEL caches (the IVF quantizer, the CountVectorizer vocabulary)
+    * deliberately do not — models are plain serializable objects,
+    * valid across sessions. (SparkSession.sessionUUID is private[sql];
+    * applicationId discriminates contexts — the stopped-context
+    * hazard — and the identity hash discriminates sibling sessions
+    * sharing one live context.) */
+  private[graft] def sessionTag(ds: Dataset[_]): String = {
+    val s = ds.sparkSession
+    s"${s.sparkContext.applicationId}@${System.identityHashCode(s)}"
+  }
+
   /** Cache key that CHANGES WITH THE DATA, not just the plan: the
     * canonicalized plan plus every input file's (path, length,
     * mod-time). Rewriting parquet at the same path therefore misses

@@ -192,12 +192,21 @@ object MlMinHash {
     * survivors. The natural API for "top-k neighbors of THIS doc"
     * (approxSimilarityJoin is the corpus × corpus form). Query keys
     * here are every `queryEvery`-th doc, probed in a driver loop —
-    * that is the API's intended per-request shape, not a data-scale
-    * loop (requests are O(#queries), the corpus is never collected).
-    * Rows-only check: MLlib's internal hash family is not
-    * SQL-replayable. */
+    * the API's intended per-request shape — and the set is CAPPED at
+    * `maxQueries` (the lowest doc_ids, deterministic): without the
+    * cap the collect is corpus/`queryEvery` rows and GROWS with the
+    * data (r11 verdict), making a driver-memory bottleneck out of a
+    * registered query. With it, the driver holds O(maxQueries x
+    * vector) bytes at any corpus size — a constant-sized request
+    * batch; a corpus-scale batch probe belongs to
+    * approxSimilarityJoin / [[pairsBanded]], which stay executor-side
+    * end to end. Rows-only check: MLlib's internal hash family is not
+    * SQL-replayable; quality is gated by AnnRecall's ml_minhash floor
+    * bit (whose doc_id < 500 slice yields 5 queries — under the cap,
+    * so the gate's query set is unchanged). */
   def annTopK(docs: DataFrame, k: Int = Config.K, numNeighbors: Int = 3,
-              numHashTables: Int = 5, queryEvery: Long = 100): DataFrame = {
+              numHashTables: Int = 5, queryEvery: Long = 100,
+              maxQueries: Int = 64): DataFrame = {
     val rawSets = Shingling.shingleSets(docs, k)
     val sets = rawSets.coalesce(4).graftCheckpoint()
     val vecs = cvFitCached(sets, rawSets, k).transform(sets)
@@ -207,7 +216,10 @@ object MlMinHash {
       .setNumHashTables(numHashTables)
       .setSeed(Config.Seed)
       .fit(vecs)
-    val queries = vecs.filter(col("doc_id") % queryEvery === 0).collect()
+    // TakeOrderedAndProject: the top-maxQueries selection runs
+    // executor-side; only the capped batch lands on the driver
+    val queries = vecs.filter(col("doc_id") % queryEvery === 0)
+      .orderBy(col("doc_id")).limit(maxQueries).collect()
     // no query keys (e.g. no doc_id divisible by queryEvery): an empty
     // result with the output schema, not a reduce() throw
     if (queries.isEmpty)

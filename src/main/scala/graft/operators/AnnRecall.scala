@@ -84,27 +84,50 @@ object AnnRecall {
     * releaseAll — the bounded LRU owns their lifecycle and evicts by
     * unpersisting. Sizes are top-k/pair frames: K x |queries| and the
     * verified-pair list of the doc_id<500 slice. */
+  /** A pinned frame plus the persistent-RDD ids its localCheckpoint
+    * created: Dataset.unpersist only removes CacheManager entries
+    * (from .persist()), NOT the blocks localCheckpoint pinned, so
+    * eviction must unpersist the underlying RDDs directly (r11
+    * advice — the previous df.unpersist eviction silently leaked the
+    * blocks until session end). */
+  private case class Pinned(df: DataFrame, rddIds: Set[Int]) {
+    def release(): Unit = {
+      val persisted = df.sparkSession.sparkContext.getPersistentRDDs
+      rddIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
+
   private val MaxExactCacheEntries = 8
   private val exactCache =
-    new java.util.LinkedHashMap[(String, String), DataFrame](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, String, String), Pinned](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), DataFrame]): Boolean =
+          e: java.util.Map.Entry[(String, String, String), Pinned]): Boolean =
         if (size() > MaxExactCacheEntries) {
-          e.getValue.unpersist(blocking = false); true
+          e.getValue.release(); true
         } else false
     }
 
-  /** Serve `build`'s result from the cache under (tag, data signature
-    * of `sigInput`). The build runs OUTSIDE the lock (it runs Spark
+  /** Serve `build`'s result from the cache under (tag, session, data
+    * signature of `sigInput`) — the session id keeps a second session
+    * in the same JVM from being served frames bound to the first
+    * (r11 advice). The build runs OUTSIDE the lock (it runs Spark
     * jobs); a racing double-build is benign — last put wins, both
-    * frames are correct, the loser's blocks age out of the LRU. */
+    * frames are correct, the loser's blocks age out of the LRU. The
+    * pinned-RDD capture is the same before/after diff
+    * Caches.checkpoint uses (and shares its caveat: a caller
+    * persisting on another thread in the same instant could be
+    * mis-attributed — benign for the Bench/Verify loops this serves). */
   private def cachedExact(tag: String, sigInput: DataFrame)
                          (build: => DataFrame): DataFrame = {
-    val key = (tag, graft.Caches.dataSignature(sigInput))
+    val key = (tag, graft.Caches.sessionTag(sigInput),
+      graft.Caches.dataSignature(sigInput))
     val hit = exactCache.synchronized(Option(exactCache.get(key)))
-    hit.getOrElse {
+    hit.map(_.df).getOrElse {
+      val sc = sigInput.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       val df = build.localCheckpoint() // pinned: bypasses Caches' registry
-      exactCache.synchronized(exactCache.put(key, df))
+      val ids = (sc.getPersistentRDDs.keySet -- before).toSet
+      exactCache.synchronized(exactCache.put(key, Pinned(df, ids)))
       df
     }
   }

@@ -100,20 +100,43 @@ object Dedup {
                     k: Int = Config.K,
                     threshold: Double = Config.Threshold,
                     maxIter: Int = 40): DataFrame = {
-    // materialize the (small) edge list once and truncate all lineage
-    // — every iteration then joins two checkpointed frames instead of
-    // re-deriving the whole LSH pipeline
-    val pairs = MinHashLsh.similarPairs(docs, k, threshold)
-      .select(col("id_l"), col("id_r")).graftCheckpoint()
-    val edges = pairs
-      .union(pairs.select(col("id_r").as("id_l"), col("id_l").as("id_r")))
+    val shufP = spark.sessionState.conf.numShufflePartitions
+    // ONE materialization of the verified-pair list, symmetrized in
+    // the same pass (explode of the two directions) — the r11 form
+    // checkpointed `pairs` and the union SEPARATELY, paying an extra
+    // action per call; every iteration then joins checkpointed frames
+    // instead of re-deriving the whole LSH pipeline. Pre-partitioned
+    // by the loop's join key (fixed partition count, so AQE can't
+    // re-coalesce it away): the checkpoint preserves the physical
+    // partitioning, so at scale — where the label joins are shuffle
+    // joins, not broadcasts — the EDGE side (the big one, O(pairs))
+    // never re-shuffles across iterations.
+    val edges = MinHashLsh.similarPairs(docs, k, threshold)
+      .select(explode(array(
+        struct(col("id_l"), col("id_r")),
+        struct(col("id_r").as("id_l"), col("id_l").as("id_r")))).as("e"))
+      .select(col("e.id_l"), col("e.id_r"))
+      .repartition(shufP, col("id_r"))
       .graftCheckpoint()
-    var labels = edges.select(col("id_l").as("doc_id"))
-      .union(edges.select(col("id_r").as("doc_id"))).distinct()
-      .withColumn("group_id", col("doc_id"))
-      .graftCheckpoint()
-    var iter = 0
-    var converged = false
+    // iteration 1 FUSED with the init (r11 verdict item 2 — shave
+    // per-call actions): from identity labels, the first round's
+    // update is exactly min(self, min neighbor), computed straight
+    // off the edge list (the neighbor-min and jump terms coincide
+    // there), so the separate identity-labels checkpoint+action the
+    // r11 form paid disappears. `edges` is symmetric, so its id_l
+    // side is the full vertex set.
+    var labels = edges.groupBy(col("id_l").as("doc_id"))
+      .agg(min(col("id_r")).as("nbr_min"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("nbr_min")).as("group_id"),
+        (col("nbr_min") < col("doc_id")).cast("int").as("chg"))
+      .graftCheckpointLazy()
+    var iter = 1
+    var converged = {
+      val changed = labels.agg(coalesce(max(col("chg")), lit(0))).head().getInt(0)
+      changed == 0
+    }
+    labels = labels.drop("chg")
     while (iter < maxIter && !converged) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "id_r"), Seq("id_r"))
@@ -141,6 +164,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    lastGroupIterations = iter
+    // one line of instrumentation per call (r11 verdict item 2): the
+    // driver-bench tail then records iterations-to-convergence, so a
+    // driver-vs-isolated wall-clock gap can be attributed (iterations
+    // x per-action scheduling overhead) without a re-run
+    System.err.println(s"[near_dup_groups] converged in $iter iterations " +
+      s"(1 action each, maxIter=$maxIter)")
     if (!converged)
       // a component with log-diameter > maxIter would get a silently
       // split clustering — surface it loudly (with the jump term that
@@ -150,6 +180,11 @@ object Dedup {
           "raise maxIter (component diameter exceeds it)")
     labels
   }
+
+  /** Iterations the last [[nearDupGroups]] call took to converge —
+    * instrumentation (specs pin the O(log diameter) claim; the bench
+    * gap analysis reads it from the stderr line). */
+  @volatile private[graft] var lastGroupIterations: Int = 0
 
   /** CLUSTER-level consolidation: one surviving doc per connected
     * near-dup component — the richest member (most tokens, ties by

@@ -78,7 +78,7 @@ object EmbeddingSim {
   }
 
   /** Session-scoped cache of the MATERIALIZED [[cosineScored]] matrix,
-    * keyed by the input's data signature — the recall gate's exact
+    * keyed by (session id, input data signature) — the recall gate's exact
     * baselines are deterministic for a fixed corpus, so a second
     * evaluation in the same session (the second bench rep, a repeated
     * gate run) serves the scored matrix from executor storage instead
@@ -105,7 +105,11 @@ object EmbeddingSim {
     }
 
   private[operators] def cosineScoredCached(emb: DataFrame): DataFrame = {
-    val key = graft.Caches.dataSignature(emb)
+    // session id in the key (r11 advice): cached DataFrames are bound
+    // to the session that built them — a second session in this JVM
+    // reading the same files must build its own, not be served a
+    // frame bound to a possibly-stopped context
+    val key = graft.Caches.sessionTag(emb) + "|" + graft.Caches.dataSignature(emb)
     scoredCache.synchronized {
       Option(scoredCache.get(key)).getOrElse {
         val df = cosineScored(emb)

@@ -879,10 +879,11 @@ object Merge {
         // Kept SEPARATE from floorAdvance (the table-retention-driven
         // advance this relay itself must publish): an observed
         // concurrent floor is already durable and must not trigger a
-        // redundant end-of-relay rewrite. Cost: marker reads per
-        // NOT-yet-relayed version only — a steady poll's done-set
-        // skips them all.
-        val liveFloor = feedFloor(spark, feedDir)
+        // redundant end-of-relay rewrite. Cost: ONE marker read per
+        // NOT-yet-relayed version (the relaxed main-only form — the
+        // entry-time `floor` below is the race-closed bound it maxes
+        // against); a steady poll's done-set skips them all.
+        val liveFloor = feedFloorMainOnly(spark, feedDir)
         if (v >= math.max(liveFloor, floorAdvance)) {
           val dst = new Path(feedDir, f"v$v%09d")
           feedChangesFor(spark, root, v) match {
@@ -1011,27 +1012,42 @@ object Merge {
     * READ RACE (r10 advice): a reader whose two exists-checks straddle
     * a concurrent [[writeFeedFloor]]'s delete→rename window could see
     * NEITHER file (main already deleted, tmp already renamed) and
-    * resolve floor = 1. Both-miss therefore RE-READS the main marker:
-    * the writer stages tmp before deleting main, so main-miss implies
-    * tmp existed, and tmp-miss implies the rename completed — the
-    * re-read observes the published marker. Bounded retries cover a
-    * second writer round starting in between (single-maintainer for
-    * WRITES, so in practice one re-read suffices). */
+    * resolve floor = 1. Both-miss therefore RE-READS the main marker
+    * ONCE: the writer stages tmp before deleting main, so main-miss
+    * at read 1 followed by tmp-miss at read 2 implies any in-flight
+    * rename completed before read 2 — the single re-read observes the
+    * published marker (single-maintainer for WRITES, so no second
+    * writer round can hide it again; r11 advice bounded the retry to
+    * one so the common NEVER-EXPIRED feed pays misses, not a retry
+    * loop). */
   private def feedFloor(spark: SparkSession, feedDir: String): Int = {
-    // the shared marker reader (Sidecars), with a torn-tmp guard: a
-    // mid-write candidate that doesn't parse is simply not a bound
-    def readInt(p: Path): Option[Int] =
-      Sidecars.readMarker(spark, p.toString)
-        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
     val main = new Path(feedDir, FeedFloorFile)
     val first =
-      (readInt(main) ++ readInt(new Path(feedDir, feedFloorTmp))).toSeq
-    val vals =
-      if (first.nonEmpty) first
-      else Iterator.continually(readInt(main).toSeq).take(2)
-        .find(_.nonEmpty).getOrElse(Nil)
+      (readFloorInt(spark, main) ++
+        readFloorInt(spark, new Path(feedDir, feedFloorTmp))).toSeq
+    val vals = if (first.nonEmpty) first else readFloorInt(spark, main).toSeq
     (vals :+ 1).max
   }
+
+  /** The shared marker reader (Sidecars), with a torn-tmp guard: a
+    * mid-write candidate that doesn't parse is simply not a bound. */
+  private def readFloorInt(spark: SparkSession, p: Path): Option[Int] =
+    Sidecars.readMarker(spark, p.toString)
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+
+  /** RELAXED floor read for [[publishChangeFeed]]'s per-version
+    * hardening recheck (r11 advice): the main marker only, no staging
+    * sibling, no both-miss re-read — ONE filesystem round trip on the
+    * common never-expired feed instead of three, per not-yet-relayed
+    * version. Sound because the caller maxes it with its entry-time
+    * [[feedFloor]] (the race-closed read): floors only grow, so a
+    * floor this read misses — mid delete→rename, or staged-not-yet-
+    * renamed — resolves to the entry bound for AT MOST that one
+    * publish, which is exactly the pre-hardening exposure the
+    * single-maintainer contract already covers; the next version's
+    * read (and every full read) sees the published marker. */
+  private def feedFloorMainOnly(spark: SparkSession, feedDir: String): Int =
+    (readFloorInt(spark, new Path(feedDir, FeedFloorFile)).toSeq :+ 1).max
 
   /** Publish a new (monotonically larger) floor: stage to the hidden
     * tmp, delete the old marker, rename in. Every crash point leaves

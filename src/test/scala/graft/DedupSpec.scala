@@ -76,6 +76,12 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(groups.size == n && groups.values.forall(_ == 0L),
       s"the whole chain must collapse to group 0: ${groups.toSeq.sortBy(_._1).take(6)}...")
+    // pin the O(log diameter) claim itself, not just the result:
+    // measured 8 rounds on the 41-hop path (~log2 + detection);
+    // 12 allows jitter while still failing any O(diameter) regression
+    // (plain propagation needs 42)
+    assert(Dedup.lastGroupIterations <= 12,
+      s"pointer jumping regressed: ${Dedup.lastGroupIterations} iterations on a 41-hop path")
   }
 
   test("group keep-best: exactly one survivor per component — its richest member") {

@@ -1090,24 +1090,36 @@ class MergeSpec extends SparkSpec {
     spark.conf.set("spark.graft.merge.changeFeed", "true")
     try Merge.merge(spark, logged, changes((0L, "tip", Merge.UpsertOp)), "tip")
     finally spark.conf.unset("spark.graft.merge.changeFeed")
-    val (pub1, tPoll) = timed(Merge.publishChangeFeed(spark, logged, feedDir))
+    val (pub1, tPoll1) = timed(Merge.publishChangeFeed(spark, logged, feedDir))
     assert(pub1 == 1)
-    // timing asserts are RATIO-gated (r10 advice): the measured margin
-    // is ~50x at depth 50, so 3x slack catches a real O(depth)
-    // regression while tolerating a contended CI machine; the logged
-    // [scale] line below carries the real numbers
-    assert(tPoll < tCold * 3,
-      f"an incremental poll ($tPoll%.0f ms) must not approach the cold " +
-        f"$depth-version relay ($tCold%.0f ms)")
+    // timing asserts are RATIO-gated with the slack INVERTED (r11
+    // advice): the fast path must BEAT the slow one by 3x, so a poll
+    // that degrades to the cold-relay cost (the O(depth) regression
+    // this gate exists to catch) fails. The measured margin is ~50x
+    // at depth 50. The FAST side is min-of-3 (reps 2-3 are steady
+    // no-new-version polls — same listing + done-set + floor-read
+    // scan, minus one O(1) publish): a single fast measurement under
+    // a fully-contended suite run can absorb seconds of scheduler
+    // noise and flip a 20x real margin, while the SLOW side only ever
+    // gets slower under contention, which is the conservative
+    // direction for this gate.
+    val tPoll = Seq(tPoll1,
+      timed(Merge.publishChangeFeed(spark, logged, feedDir))._2,
+      timed(Merge.publishChangeFeed(spark, logged, feedDir))._2).min
+    assert(tPoll * 3 < tCold,
+      f"an incremental poll ($tPoll%.0f ms) must beat the cold " +
+        f"$depth-version relay ($tCold%.0f ms) by 3x")
     // the BATCH read off the relayed dir: one parquet load, O(1) plan
     // cost at any depth — must serve exactly the union path's rows
     Merge.readChangeFeed(spark, logged, feedDir, 1, depth + 1).count() // warm
-    val (nR, tR) = timed(
-      Merge.readChangeFeed(spark, logged, feedDir, 1, depth + 1).count())
+    val reads = (1 to 3).map(_ => timed(
+      Merge.readChangeFeed(spark, logged, feedDir, 1, depth + 1).count()))
+    val nR = reads.head._1
+    val tR = reads.map(_._2).min
     assert(nR == nL, s"relay batch read diverged from the union path: $nR vs $nL")
-    assert(tR < tL * 3,
-      f"the one-scan relay read ($tR%.0f ms) must not approach 3x the " +
-        f"per-version union ($tL%.0f ms) at depth $depth")
+    assert(tR * 3 < tL,
+      f"the one-scan relay read ($tR%.0f ms) must beat the " +
+        f"per-version union ($tL%.0f ms) by 3x at depth $depth")
     // gaps throw, never silently truncate: version depth+3 exists on
     // the table (the poll test's tip was depth+2, already relayed)
     // but was never relayed

@@ -66,6 +66,23 @@ class MlMinHashSpec extends SparkSpec {
     }
   }
 
+  test("annTopK: the driver-side query batch is capped at maxQueries (lowest ids)") {
+    // r11 verdict: the collected query set must be corpus-size-
+    // independent. queryEvery=1 makes every doc a query; the cap must
+    // keep exactly `maxQueries` of them — the DETERMINISTIC lowest
+    // doc_ids — so a 100x corpus still collects the same-sized batch.
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val n = docs.count()
+    val cap = 4
+    assert(n > cap, s"fixture too small for the cap test ($n docs)")
+    val rows = MlMinHash.annTopK(docs, queryEvery = 1, maxQueries = cap).collect()
+    val queryIds = rows.map(_.getLong(0)).toSet
+    assert(queryIds.size == cap, s"expected $cap query ids, got ${queryIds.size}")
+    val expected = docs.select("doc_id").collect().map(_.getLong(0)).sorted.take(cap).toSet
+    assert(queryIds == expected,
+      s"cap must keep the lowest doc_ids: got $queryIds, want $expected")
+  }
+
   test("mllib pairs are deterministic under the fixed seed") {
     val docs = docsDf(
       1L -> "the quick brown fox jumps over the lazy dog",
