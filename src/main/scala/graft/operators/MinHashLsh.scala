@@ -347,14 +347,21 @@ object MinHashLsh {
     // against the multi-million-pair stream at all, and no DISTINCT
     // until the prefiltered survivors
     val bandsWithSig = bandsCarryingSig(base, maxBucket, bands, rowsPerBand)
+    // right side's key columns RENAMED (not disambiguated-by-dataset):
+    // same-name same-exprId keys in a self-join condition construct a
+    // trivially-true predicate first and rely on the analyzer's
+    // self-join disambiguation to re-point it — correct, but it WARNs
+    // on every run; distinct names make the equi-keys unambiguous at
+    // construction (identical physical plan)
     val bl = bandsWithSig.select(col("band"), col("band_key"),
       col("doc_id").as("id_l"), col("sig").as("sig_l"))
-    val br = bandsWithSig.select(col("band"), col("band_key"),
+    val br = bandsWithSig.select(col("band").as("band_r"),
+      col("band_key").as("band_key_r"),
       col("doc_id").as("id_r"), col("sig").as("sig_r"))
     // materialized: consumed twice below (survivor ids + verify join)
     // — without this the band self-join would execute per consumer
     val prefiltered = bl.join(br,
-        bl("band") === br("band") && bl("band_key") === br("band_key") &&
+        col("band") === col("band_r") && col("band_key") === col("band_key_r") &&
           col("id_l") < col("id_r") &&
           PortableHash.agreeCount(col("sig_l"), col("sig_r")) >=
             Config.estPrefilterMinCount(threshold))
@@ -408,10 +415,14 @@ object MinHashLsh {
     val b = bandsCarryingSig(signatures(docs, k), maxBucket = None)
     val bl = b.select(col("band"), col("band_key"),
       col("doc_id").as("id_l"), col("sig").as("sig_l"))
-    val br = b.select(col("band"), col("band_key"),
+    // renamed right-side keys: see prefilteredWithSets — avoids the
+    // trivially-true-predicate WARN of a same-name self-join condition
+    val br = b.select(col("band").as("band_r"),
+      col("band_key").as("band_key_r"),
       col("doc_id").as("id_r"), col("sig").as("sig_r"))
     val eq = PortableHash.agreeCount(col("sig_l"), col("sig_r"))
-    bl.join(br, bl("band") === br("band") && bl("band_key") === br("band_key") &&
+    bl.join(br, col("band") === col("band_r") &&
+        col("band_key") === col("band_key_r") &&
         col("id_l") < col("id_r"))
       .select(col("id_l"), col("id_r"),
         (eq.cast("double") / lit(Config.NumHashes)).as("est_jaccard"))
