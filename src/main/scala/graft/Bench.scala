@@ -37,18 +37,116 @@ object Bench {
     Caches.releaseAll(spark)
   }
 
+  /** CONTENTION CANARY (r12 verdict): a fixed, data-independent
+    * CPU + scheduler microbenchmark timed through the run, so a hot
+    * machine window is self-labeling in the artifact instead of
+    * needing forensic reconstruction against an isolated baseline
+    * (BENCH_r12 was 590 s vs 161 s isolated for identical code — the
+    * adjudication took a per-query cross-join with BENCH_ISOLATED).
+    * 32 Mrows of codegen'd xxhash64+sum over 32 even partitions:
+    * pure arithmetic, no I/O, no shuffle — its wall-time moves ONLY
+    * with CPU steal and scheduler latency, the two contention modes
+    * that hit bench queries. ~0.1 s clean, so sampling every
+    * [[CanaryEveryN]] queries adds < 2 s to a ~160 s run. */
+  private val CanaryEveryN = 20
+  private def canaryOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // bit_xor, not sum: summing 32M full-range hashes overflows long
+    // under ANSI arithmetic (Spark 4 default)
+    spark.range(0L, 32L * 1024 * 1024, 1L, 32)
+      .selectExpr("bit_xor(xxhash64(id))").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Per-query min-of-reps from a prior bench artifact (our own JSON,
+    * hand-parsed — no JSON dep in the build): the `"queries":{…}`
+    * object is scalar name→sec pairs. Missing/unreadable file, a file
+    * without the section, or — when `sfDir` is given — an artifact
+    * recorded at a DIFFERENT scale factor all yield an empty map
+    * (retry gate simply off): sf0.1 baselines against a 1M-doc scale
+    * corpus would flag every query an outlier and re-run the whole
+    * suite once for nothing. */
+  private[graft] def loadBaseline(path: String,
+                                  sfDir: Option[String] = None): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      val sfOk = sfDir.forall { want =>
+        """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == want)
+      }
+      if (!sfOk) Map.empty
+      else """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
+        """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(m.group(1))
+          .map(g => g.group(1) -> g.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+
+  /** Retry gate (r12 verdict): a query is an OUTLIER worth one extra
+    * rep iff its min-of-reps exceeds 3× its isolated baseline AND the
+    * excess is non-trivial in absolute terms (0.3 s — 3× of a 50 ms
+    * query is measurement noise, not contention). */
+  private val RetryFactor = 3.0
+  private val RetryAbsFloorSec = 0.3
+  private[graft] def isOutlier(minSec: Double, baselineSec: Double): Boolean =
+    minSec > RetryFactor * baselineSec && minSec - baselineSec > RetryAbsFloorSec
+
+  /** Aggregated executor-side resource counters for one query rep —
+    * the memory-behavior half of a scale receipt (r12 verdict item 3:
+    * wall-clock exponents alone don't show whether a query is about
+    * to fall off a memory cliff). Shuffle write is the cross-stage
+    * data volume; spill (memory + disk) is the pressure signal — a
+    * query whose spill grows faster than its input won't survive a
+    * 100× scale-up; peak execution memory is max over tasks, the
+    * per-task high-water mark that must fit an executor. */
+  private[graft] case class RepMetrics(shuffleWriteBytes: Long, spillBytes: Long,
+                                       peakTaskMemBytes: Long)
+
+  /** Task-end accumulator behind [[RepMetrics]]. Events post async —
+    * callers drain the listener bus before snapshotting so a query's
+    * last tasks aren't credited to the next query. */
+  private class MetricsListener extends org.apache.spark.scheduler.SparkListener {
+    private val shuffle = new java.util.concurrent.atomic.AtomicLong
+    private val spill = new java.util.concurrent.atomic.AtomicLong
+    private val peak = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peak.getAndAccumulate(m.peakExecutionMemory, math.max(_: Long, _: Long))
+      }
+    }
+    def snapshotAndReset(sc: org.apache.spark.SparkContext): RepMetrics = {
+      org.apache.spark.sql.graft.Bridge.drainListenerBus(sc)
+      RepMetrics(shuffle.getAndSet(0L), spill.getAndSet(0L), peak.getAndSet(0L))
+    }
+  }
+
   /** The stdout-budgeted summary line. `reps_in` must name the ACTUAL
     * per-rep record file (SPARK_GRAFT_BENCH_OUT when set) — a reader
     * following the pointer from a captured tail has to land on the
-    * file this run wrote, not a hardcoded default (r5 advice). */
+    * file this run wrote, not a hardcoded default (r5 advice). The
+    * canary min/max land here too: a tail-only reader must be able to
+    * tell a contended run from a clean one without the full file. */
   private[graft] def compactLine(total: Double, kept: Seq[(String, Double)],
                                  totalQueries: Int, sfDir: String,
-                                 outFile: String): String = {
+                                 outFile: String,
+                                 canary: Seq[(Int, Double)] = Nil,
+                                 retried: Int = 0): String = {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qsKept = kept.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsKept,"queries_total":$totalQueries,"queries_omitted":${totalQueries - kept.size},"sf":"$sfDir","reps_in":"$outFile"}"""
+    val canaryPart =
+      if (canary.isEmpty) ""
+      else {
+        val ts = canary.map(_._2)
+        s""","canary_min":${fmt(ts.min)},"canary_max":${fmt(ts.max)},"retried":$retried"""
+      }
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsKept,"queries_total":$totalQueries,"queries_omitted":${totalQueries - kept.size},"sf":"$sfDir","reps_in":"$outFile"$canaryPart}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -77,6 +175,8 @@ object Bench {
     // attributed to the map's first entry). The reported total is the
     // sum of per-query times, so warmup is excluded from the metric.
     spark.range(1000).selectExpr("sum(id)").collect()
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     warmup(spark, sfDir)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     // optional comma-joined query-name filter (iteration aid, same as Verify)
@@ -88,26 +188,49 @@ object Bench {
     // round over round (r6 measured tfidf_top_terms 0.9 s clean vs
     // 5.6 s after an order shuffle). Alphabetical is arbitrary but
     // STABLE under insertion.
+    // isolated min-of-reps baseline for the retry gate (committed
+    // artifact of the PREVIOUS round's isolated protocol; overridable,
+    // absent → gate off)
+    val baseline = loadBaseline(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BASELINE", "BENCH_ISOLATED_r12.json"), Some(sfDir))
+    val canarySamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    canarySamples += ((0, canaryOnce(spark)))
+    var done = 0
+    val retriedNames = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      try {
-        // count() alone lets Catalyst prune unreferenced Project expressions,
-        // so projection-only queries would never run the work being timed;
-        // hashing every output column forces full evaluation while still
-        // returning a single row to the driver (bit_xor: no ANSI overflow).
+      def oneRep(): (Double, RepMetrics) = {
+        // count() alone lets Catalyst prune unreferenced Project
+        // expressions, so projection-only queries would never run the
+        // work being timed; hashing every output column forces full
+        // evaluation while still returning a single row to the driver
+        // (bit_xor: no ANSI overflow).
+        metrics.snapshotAndReset(spark.sparkContext) // clear pre-query residue
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)")).collect()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val m = metrics.snapshotAndReset(spark.sparkContext)
+        // each rep re-invokes fn and re-checkpoints — release the
+        // blocks so rep N+1 (and every later query) starts clean
+        releaseCaches(spark)
+        (dt, m)
+      }
+      val r = try {
         // Steady-state timing: best of `reps` runs — the first run of a
-        // query pays its one-time plan compilation + codegen.
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          val df = fn(spark, sfDir)
-          df.select(xxhash64(df.columns.map(col): _*).as("h"))
-            .agg(expr("bit_xor(h)")).collect()
-          val dt = (System.nanoTime() - t0) / 1e9
-          // each rep re-invokes fn and re-checkpoints — release the
-          // blocks so rep N+1 (and every later query) starts clean
-          releaseCaches(spark)
-          dt
+        // query pays its one-time plan compilation + codegen. If the
+        // best rep is still an outlier vs the isolated baseline, a
+        // contention burst likely hit EVERY rep (they run back to
+        // back) — grant ONE extra rep and keep the overall min; the
+        // artifact records which queries needed it.
+        var times = (1 to reps).map(_ => oneRep())
+        baseline.get(name).foreach { b =>
+          if (isOutlier(times.map(_._1).min, b)) {
+            retriedNames += name
+            times = times :+ oneRep()
+          }
         }
         name -> times
       } catch {
@@ -115,22 +238,39 @@ object Bench {
           // a broken query must NOT masquerade as a fast one
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           releaseCaches(spark)
-          name -> Seq(-1.0)
+          name -> Seq((-1.0, RepMetrics(0L, 0L, 0L)))
       }
+      done += 1
+      if (done % CanaryEveryN == 0) canarySamples += ((done, canaryOnce(spark)))
+      r
     }
+    if (canarySamples.last._1 != done) canarySamples += ((done, canaryOnce(spark)))
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v.min) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v.map(_._1).min) }
       .mkString("{", ",", "}")
     // raw per-rep times (run order): lets a reader separate noise from a
     // real regression without re-running — headline stays min-of-reps
     val repsJson = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]")
+      s"\"" + k + "\":" + v.map(t => fmt(t._1)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
+    // resource counters of the MIN-TIME rep (the one the headline
+    // reports): shuffle volume + spill pressure + per-task peak memory
+    def mb(bytes: Long): String = fmt(bytes / (1024.0 * 1024.0))
+    val metricsJson = results.map { case (k, v) =>
+      val m = v.minBy(_._1)._2
+      s"\"" + k + "\":" +
+        s"""{"shuffle_mb":${mb(m.shuffleWriteBytes)},"spill_mb":${mb(m.spillBytes)},"peak_task_mem_mb":${mb(m.peakTaskMemBytes)}}"""
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2.map(_._1).min).sum else 0.0
+    // canary trace: [queries_completed, sec] pairs in run order — a
+    // reader aligns contention windows with the queries they hit
+    val canaryJson = canarySamples
+      .map { case (n, t) => s"[$n,${fmt(t)}]" }.mkString("[", ",", "]")
+    val retriedJson = retriedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$repsJson,"metrics":$metricsJson,"canary":$canaryJson,"retried":$retriedJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
@@ -142,12 +282,14 @@ object Bench {
     // fastest until it fits, and say how many were dropped. The full map
     // (incl. per-rep times) is always in `outFile`.
     val stdoutBudget = 1800
-    val bySlowest = results.toSeq.map { case (k, v) => (k, v.min) }.sortBy(-_._2)
+    val bySlowest = results.toSeq.map { case (k, v) => (k, v.map(_._1).min) }.sortBy(-_._2)
     var kept = bySlowest
-    var jsonCompact = compactLine(total, kept, results.size, sfDir, outFile)
+    var jsonCompact = compactLine(total, kept, results.size, sfDir, outFile,
+      canarySamples.toSeq, retriedNames.size)
     while (jsonCompact.length > stdoutBudget && kept.nonEmpty) {
       kept = kept.dropRight(1)
-      jsonCompact = compactLine(total, kept, results.size, sfDir, outFile)
+      jsonCompact = compactLine(total, kept, results.size, sfDir, outFile,
+        canarySamples.toSeq, retriedNames.size)
     }
     println(jsonCompact)
     spark.stop()

@@ -91,9 +91,19 @@ object AnnRecall {
     * advice — the previous df.unpersist eviction silently leaked the
     * blocks until session end). */
   private case class Pinned(df: DataFrame, rddIds: Set[Int]) {
+    /** Stopped-context-safe (r12 advice): with session-tagged keys an
+      * entry can outlive its SparkSession and only leave at capacity
+      * eviction — release then runs against a stopped context, and an
+      * exception inside removeEldestEntry would propagate out of the
+      * LIVE session's put() and fail its query. A stopped context has
+      * already torn its block manager down, so skipping is correct,
+      * and the Try absorbs the stop-racing window. */
     def release(): Unit = {
-      val persisted = df.sparkSession.sparkContext.getPersistentRDDs
-      rddIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+      val sc = df.sparkSession.sparkContext
+      if (!sc.isStopped) scala.util.Try {
+        val persisted = sc.getPersistentRDDs
+        rddIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+      }
     }
   }
 
@@ -111,8 +121,12 @@ object AnnRecall {
     * signature of `sigInput`) — the session id keeps a second session
     * in the same JVM from being served frames bound to the first
     * (r11 advice). The build runs OUTSIDE the lock (it runs Spark
-    * jobs); a racing double-build is benign — last put wins, both
-    * frames are correct, the loser's blocks age out of the LRU. The
+    * jobs); a racing double-build is benign for correctness — both
+    * frames are correct — and FIRST put wins (r12 advice): the loser
+    * releases its never-handed-out Pinned immediately and serves the
+    * cached frame, because a replacement put would orphan the loser's
+    * localCheckpoint blocks (removeEldestEntry never fires on
+    * replacement, so they'd leak until session end). The
     * pinned-RDD capture is the same before/after diff
     * Caches.checkpoint uses (and shares its caveat: a caller
     * persisting on another thread in the same instant could be
@@ -127,8 +141,13 @@ object AnnRecall {
       val before = sc.getPersistentRDDs.keySet
       val df = build.localCheckpoint() // pinned: bypasses Caches' registry
       val ids = (sc.getPersistentRDDs.keySet -- before).toSet
-      exactCache.synchronized(exactCache.put(key, Pinned(df, ids)))
-      df
+      val built = Pinned(df, ids)
+      exactCache.synchronized {
+        Option(exactCache.get(key)) match {
+          case Some(winner) => built.release(); winner.df
+          case None => exactCache.put(key, built); df
+        }
+      }
     }
   }
 

@@ -95,12 +95,18 @@ object EmbeddingSim {
     * results identical by canonicalized-plan equality). That is the
     * intended session economics, same as any user cache. */
   private val MaxScoredCacheEntries = 2
+  /** Eviction is stopped-context-safe (r12 advice): a dead session's
+    * entry lingers until capacity eviction, and unpersist against its
+    * stopped context would throw INSIDE the live session's put(). */
+  private def safeUnpersist(df: DataFrame): Unit =
+    if (!df.sparkSession.sparkContext.isStopped)
+      scala.util.Try(df.unpersist(blocking = false))
   private val scoredCache =
     new java.util.LinkedHashMap[String, DataFrame](4, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, DataFrame]): Boolean =
         if (size() > MaxScoredCacheEntries) {
-          e.getValue.unpersist(blocking = false); true
+          safeUnpersist(e.getValue); true
         } else false
     }
 
@@ -109,9 +115,17 @@ object EmbeddingSim {
     // to the session that built them — a second session in this JVM
     // reading the same files must build its own, not be served a
     // frame bound to a possibly-stopped context
-    val key = graft.Caches.sessionTag(emb) + "|" + graft.Caches.dataSignature(emb)
+    val tag = graft.Caches.sessionTag(emb)
+    val key = tag + "|" + graft.Caches.dataSignature(emb)
     scoredCache.synchronized {
       Option(scoredCache.get(key)).getOrElse {
+        // miss: purge OTHER sessions' entries first (r12 advice) —
+        // with session-tagged keys a stale entry can never hit again,
+        // yet at capacity 2 it would evict THIS session's still-hot
+        // matrix on the next distinct-signature insert
+        val stale = scoredCache.keySet.toArray(Array.empty[String])
+          .filterNot(_.startsWith(tag + "|"))
+        stale.foreach { k => safeUnpersist(scoredCache.get(k)); scoredCache.remove(k) }
         val df = cosineScored(emb)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         scoredCache.put(key, df)

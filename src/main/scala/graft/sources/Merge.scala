@@ -1012,20 +1012,25 @@ object Merge {
     * READ RACE (r10 advice): a reader whose two exists-checks straddle
     * a concurrent [[writeFeedFloor]]'s delete→rename window could see
     * NEITHER file (main already deleted, tmp already renamed) and
-    * resolve floor = 1. Both-miss therefore RE-READS the main marker
-    * ONCE: the writer stages tmp before deleting main, so main-miss
-    * at read 1 followed by tmp-miss at read 2 implies any in-flight
-    * rename completed before read 2 — the single re-read observes the
-    * published marker (single-maintainer for WRITES, so no second
-    * writer round can hide it again; r11 advice bounded the retry to
-    * one so the common NEVER-EXPIRED feed pays misses, not a retry
-    * loop). */
+    * resolve floor = 1. Both-miss therefore RE-READS BOTH markers ONCE
+    * (r12 advice — a main-only re-read left a window across two
+    * back-to-back writer rounds: round N's rename completes before the
+    * first tmp read, round N+1's delete lands before the re-read, and
+    * main-only misses again). Checking both closes it without a retry
+    * loop: the writer always stages the new tmp BEFORE deleting main,
+    * so at the instant the re-read runs either main is published
+    * (re-read of main hits) or the round that deleted it has its tmp
+    * staged (re-read of tmp hits) — with a single maintainer there is
+    * no interleaving that hides both at once; r11 advice bounded the
+    * retry to one so the common NEVER-EXPIRED feed pays misses, not a
+    * retry loop. */
   private def feedFloor(spark: SparkSession, feedDir: String): Int = {
     val main = new Path(feedDir, FeedFloorFile)
-    val first =
-      (readFloorInt(spark, main) ++
-        readFloorInt(spark, new Path(feedDir, feedFloorTmp))).toSeq
-    val vals = if (first.nonEmpty) first else readFloorInt(spark, main).toSeq
+    val tmp = new Path(feedDir, feedFloorTmp)
+    val first = (readFloorInt(spark, main) ++ readFloorInt(spark, tmp)).toSeq
+    val vals =
+      if (first.nonEmpty) first
+      else (readFloorInt(spark, main) ++ readFloorInt(spark, tmp)).toSeq
     (vals :+ 1).max
   }
 
@@ -1533,7 +1538,12 @@ object Merge {
       .option("path", sink)
       .option("checkpointLocation", s"${vroot}_feedcp")
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    // capture is OPPORTUNISTIC here: this checkpoint survives the JVM
+    // (it lives under the table root), so a re-run that finds nothing
+    // new has no last batch to record — the audit treats this query's
+    // stream digest as optional for exactly that reason
+    try { q.processAllAvailable(); graft.PlanCapture.record("graft_stream_change_feed", q) }
+    finally q.stop()
     feedStats(spark.read.parquet(sink), withVersion = true)
   }
 

@@ -88,6 +88,13 @@ object StreamingQueries {
     * until JVM exit (a few MB of harness parquet under tmpdir). */
   private val feedCache = scala.collection.concurrent.TrieMap.empty[String, Path]
 
+  /** Drop every cached landing directory so the NEXT run of each query
+    * writes a fresh feed (and fresh checkpoint for the file-sink
+    * queries) and therefore genuinely streams its micro-batches —
+    * PlanAuditSpec needs a real last-batch execution to digest, which
+    * a checkpoint-resumed query onto an exhausted feed never has. */
+  private[graft] def resetFeedDirs(): Unit = feedCache.clear()
+
   private def cachedFeedRoot(key: String)(build: Path => Unit): Path =
     feedCache.getOrElseUpdate(key, {
       val root = Files.createTempDirectory("graft_feed_")
@@ -131,7 +138,8 @@ object StreamingQueries {
     withStatePartitions(spark, stateParts) {
       val q = transform(widen(stream, stateParts)).writeStream
         .format("memory").queryName(name).outputMode(outputMode).start()
-      try q.processAllAvailable() finally { q.stop(); unloadStateStores() }
+      try { q.processAllAvailable(); graft.PlanCapture.record(name, q) }
+      finally { q.stop(); unloadStateStores() }
     }
     spark.table(name)
   }
@@ -157,7 +165,8 @@ object StreamingQueries {
     withStatePartitions(spark) {
       val q = transform(widen(src("a", feedA.schema), 8), widen(src("b", feedB.schema), 8))
         .writeStream.format("memory").queryName(name).outputMode("append").start()
-      try q.processAllAvailable() finally { q.stop(); unloadStateStores() }
+      try { q.processAllAvailable(); graft.PlanCapture.record(name, q) }
+      finally { q.stop(); unloadStateStores() }
     }
     spark.table(name)
   }
@@ -504,7 +513,8 @@ object StreamingQueries {
         applyMergeBatch(batch, tableRoot, batchId)
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try { q.processAllAvailable(); graft.PlanCapture.record("graft_stream_merge", q) }
+    finally q.stop()
     graft.sources.Merge.readCurrent(spark, tableRoot)
       .select("doc_id", "lang", "source", "n_chars", "text")
   }
@@ -578,7 +588,8 @@ object StreamingQueries {
       .option("path", root.resolve("out").toString)
       .option("checkpointLocation", root.resolve("cp").toString)
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try { q.processAllAvailable(); graft.PlanCapture.record("graft_stream_to_parquet", q) }
+    finally q.stop()
     spark.read.parquet(root.resolve("out").toString)
       .select("doc_id", "n_tokens", "n_distinct_tokens", "chars_no_space",
         "avg_token_len")

@@ -85,6 +85,27 @@ object Bridge {
   def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 
+  /** The FINAL micro-batch's executed physical plan of a streaming
+    * query, as a string — None before any batch ran (e.g. a
+    * checkpointed query that resumed and found nothing new).
+    * StreamExecution internals are private[sql]; bridged so
+    * PlanAuditSpec can digest the streaming surface with the same
+    * shuffle/cartesian gate as the batch queries (r12 verdict). */
+  def lastExecutedPlan(q: org.apache.spark.sql.streaming.StreamingQuery): Option[String] =
+    q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        Option(w.streamingQuery.lastExecution).map(_.executedPlan.toString)
+      case _ => None
+    }
+
+  /** Block until the listener bus has delivered every queued event
+    * (private[spark] — bridged for Bench's per-query metrics
+    * attribution: task-end events post asynchronously, so a snapshot
+    * taken right after collect() would credit this query's last tasks
+    * to the next one). */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Register graft_polyhash on an EXISTING session (the
     * spark.sql.extensions route only applies at session creation). */
   def registerPolyHash(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -70,20 +70,29 @@ def gen_documents(con, src, out, factor, vocab_size):
     ls_keys = list(langsrc.index)
     ls_p = langsrc.values
     vocab, freq = make_vocab(vocab_size)
+    # million-doc scalability (r13): rng.choice with p= recomputes the
+    # cumulative distribution per call (O(V) each — 10^10 ops at 1M
+    # docs); precompute the CDFs once and sample via searchsorted, the
+    # identical inverse-CDF draw in O(n log V)
+    vocab_cdf = np.cumsum(freq)
+    ls_cdf = np.cumsum(ls_p)
 
     ids, texts, langs, sources = [], [], [], []
-    gen_words = {}
+    prev_words = None  # only doc did-1 is ever consulted — a dict of
+    # every doc's word list is O(corpus) driver memory (tens of GB at 1M)
     for did in range(n0 * factor):
         rng = np.random.default_rng((did * 2654435761 + 42) % 2**32)
-        if did % 20 == 19 and (did - 1) in gen_words:
-            base = gen_words[did - 1]
-            ws = [w if rng.random() >= 0.05 else vocab[rng.choice(len(vocab), p=freq)]
-                  for w in base]
+        if did % 20 == 19 and prev_words is not None:
+            base = prev_words
+            repl = rng.random(len(base))
+            picks = np.searchsorted(vocab_cdf, rng.random(len(base)))
+            ws = [w if repl[i] >= 0.05 else vocab[picks[i]]
+                  for i, w in enumerate(base)]
         else:
             n = int(rng.choice(lengths))
-            ws = list(vocab[rng.choice(len(vocab), size=n, p=freq)])
-        gen_words[did] = ws
-        li, si = ls_keys[rng.choice(len(ls_keys), p=ls_p)]
+            ws = list(vocab[np.searchsorted(vocab_cdf, rng.random(n))])
+        prev_words = ws
+        li, si = ls_keys[int(np.searchsorted(ls_cdf, rng.random()))]
         ids.append(did)
         texts.append(" ".join(ws))
         langs.append(li)
