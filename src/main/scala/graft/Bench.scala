@@ -6,7 +6,17 @@ object Bench {
   private def releaseCaches(spark: SparkSession): Unit =
     Caches.releaseAll(spark)
 
-  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+  /** `only` = the SPARK_GRAFT_ONLY selection: the model prewarms are
+    * corpus-sized fits (CountVectorizer vocabulary, KMeans quantizer)
+    * that only the ML/ANN families consume — a filtered run over other
+    * queries must not pay minutes of irrelevant warmup at scale
+    * corpora (the 500k-doc headline chain spent longer in prewarmFit
+    * than in its own queries). Full runs (`only` empty) prewarm
+    * everything, as before. */
+  private def warmup(spark: SparkSession, sfDir: String,
+                     only: Option[Set[String]]): Unit = {
+    def selected(prefixes: String*): Boolean =
+      only.forall(sel => sel.exists(n => prefixes.exists(n.startsWith)))
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, count, lit, row_number}
     val o = spark.read.parquet(s"$sfDir/orders.parquet").limit(2000)
@@ -24,16 +34,20 @@ object Bench {
     // pre-fit the MLlib vocabulary (driver-collected, session-cached):
     // the corpus frame must be built EXACTLY like SparkEntry's docs()
     // so the cache signature matches what the queries look up
-    graft.ml.MlMinHash.prewarmFit(
-      graft.operators.Par.widen(spark.read.parquet(s"$sfDir/documents.parquet")))
+    if (selected("ml_", "ann_recall"))
+      graft.ml.MlMinHash.prewarmFit(
+        graft.operators.Par.widen(spark.read.parquet(s"$sfDir/documents.parquet")))
     // pre-fit the IVF quantizer the same way (r9 verdict: the un-pre-
     // warmed KMeans fit was ann_ivf_topk's whole driver-run regression)
     // and pre-build the maintained-IVF fixture ann_recall probes (a
     // marker-guarded no-op when its artifact is already current)
-    val emb = graft.operators.Par.widen(
-      spark.read.parquet(s"$sfDir/embeddings.parquet"))
-    graft.operators.EmbeddingSim.prewarmFit(emb)
-    graft.operators.EmbeddingSim.ensureMaintainedIvf(emb)
+    if (selected("ann_", "ml_ann")) {
+      val emb = graft.operators.Par.widen(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      graft.operators.EmbeddingSim.prewarmFit(emb)
+      if (selected("ann_recall", "ann_ivf"))
+        graft.operators.EmbeddingSim.ensureMaintainedIvf(emb)
+    }
     Caches.releaseAll(spark)
   }
 
@@ -160,6 +174,15 @@ object Bench {
       // events.parquet carries TIMESTAMP(NANOS) — surface as long ns
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // single-JVM harness: driver and "executor" share the process, so
+      // heartbeat failure detection adds no safety — but a saturated
+      // 32-thread scale run CAN starve the heartbeat thread past the
+      // 120 s default, and the receiver then kills the only executor
+      // mid-query (observed at 500k docs: "Removing executor driver
+      // with no recent heartbeats: 127773 ms"). Widen both timeouts;
+      // a real cluster deployment would keep the defaults.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       // per-doc set/signature frames are O(#docs) while candidate-pair
       // streams are O(#pairs): let Catalyst broadcast the former when
       // stats allow instead of shuffling array payloads pair-wise
@@ -177,11 +200,11 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
-    warmup(spark, sfDir)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     // optional comma-joined query-name filter (iteration aid, same as Verify)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    warmup(spark, sfDir, only)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     // SORTED run order: queries is a hash Map, so adding a query used
     // to reshuffle the whole run order — and which neighbor pays a
     // JVM/cache warm-up effect — making per-query times incomparable
@@ -197,9 +220,10 @@ object Bench {
     canarySamples += ((0, canaryOnce(spark)))
     var done = 0
     val retriedNames = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val totalToRun = toRun.size
+    val results = toRun.map { case (name, fn) =>
       def oneRep(): (Double, RepMetrics) = {
         // count() alone lets Catalyst prune unreferenced Project
         // expressions, so projection-only queries would never run the
@@ -241,7 +265,12 @@ object Bench {
           name -> Seq((-1.0, RepMetrics(0L, 0L, 0L)))
       }
       done += 1
-      if (done % CanaryEveryN == 0) canarySamples += ((done, canaryOnce(spark)))
+      // small (filtered) runs sample after EVERY query: a 7-query scale
+      // run with only start/end samples let a mid-run CPU-steal burst
+      // inflate one query 26x invisibly (factor-50 receipt, r13) — the
+      // per-query cost of ~0.1 s only matters when there are hundreds
+      val everyN = if (totalToRun <= 40) 1 else CanaryEveryN
+      if (done % everyN == 0) canarySamples += ((done, canaryOnce(spark)))
       r
     }
     if (canarySamples.last._1 != done) canarySamples += ((done, canaryOnce(spark)))

@@ -110,7 +110,12 @@ object EmbeddingSim {
         } else false
     }
 
-  private[operators] def cosineScoredCached(emb: DataFrame): DataFrame = {
+  /** Test window into the cache's key set (the purge discipline is
+    * asserted by spec, not just documented). */
+  private[graft] def scoredCacheKeys: Seq[String] =
+    scoredCache.synchronized(scoredCache.keySet.toArray(Array.empty[String]).toSeq)
+
+  private[graft] def cosineScoredCached(emb: DataFrame): DataFrame = {
     // session id in the key (r11 advice): cached DataFrames are bound
     // to the session that built them — a second session in this JVM
     // reading the same files must build its own, not be served a

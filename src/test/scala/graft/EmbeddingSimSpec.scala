@@ -10,6 +10,28 @@ class EmbeddingSimSpec extends SparkSpec {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("scoredCache keeps one live entry per session and purges foreign-session entries on a miss") {
+    val emb1 = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    EmbeddingSim.cosineScoredCached(emb1)
+    val tag1 = Caches.sessionTag(emb1)
+    assert(EmbeddingSim.scoredCacheKeys.exists(_.startsWith(tag1 + "|")))
+    // a sibling session's miss must purge the other session's entry
+    // (r12 advice: at capacity 2, a dead session's stale entry would
+    // otherwise evict the live session's still-hot matrix)
+    val s2 = spark.newSession()
+    val emb2 = s2.read.parquet(s"$Sf0001/embeddings.parquet")
+    EmbeddingSim.cosineScoredCached(emb2)
+    val tag2 = Caches.sessionTag(emb2)
+    val keys = EmbeddingSim.scoredCacheKeys
+    assert(tag1 != tag2)
+    assert(keys.forall(_.startsWith(tag2 + "|")) && keys.size == 1,
+      s"expected only the $tag2 entry, got $keys")
+    // and the original session's next miss purges the sibling's in turn
+    EmbeddingSim.cosineScoredCached(emb1)
+    val back = EmbeddingSim.scoredCacheKeys
+    assert(back.forall(_.startsWith(tag1 + "|")) && back.size == 1)
+  }
+
   test("norms: dim and squared L2") {
     val r = EmbeddingSim.norms(embDf(1L -> Seq(3f, 4f))).collect().head
     assert(r.getLong(1) == 2 && r.getDouble(2) == 25.0)

@@ -30,14 +30,17 @@ sbt -batch compile > /dev/null
 
 for f in "$LO" "$HI"; do
   out="/tmp/graft_scale_${TAG}_${f}.json"
-  echo "[bench_scale] factor $f -> $out" >&2
+  log="/tmp/graft_scale_${TAG}_${f}.sbt.log"
+  echo "[bench_scale] factor $f -> $out (sbt log: $log)" >&2
+  # sbt prints runMain failures to STDOUT — keep it in a log, never
+  # /dev/null, or an aborted run is indistinguishable from a hang
   SPARK_GRAFT_SF_DIR="/tmp/graft_real$f" \
     SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
     SPARK_GRAFT_REPS="${SPARK_GRAFT_REPS:-2}" \
     SPARK_GRAFT_ONLY="$HEADLINE" \
     SPARK_GRAFT_BENCH_OUT="$out" \
     SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-96g}" \
-    sbt -batch "runMain graft.Bench" > /dev/null
+    sbt -batch "runMain graft.Bench" > "$log" 2>&1
 done
 
 python3 tools/merge_scale.py "BENCH_SCALE_${TAG}.json" "$LO" "$HI" \
