@@ -52,17 +52,27 @@ object Caches {
     cp
   }
 
-  /** Unpersist every graft-created checkpoint block (async) and
-    * forget the registry. Safe after a query's results are consumed:
-    * graft checkpoints are query-internal, never shared across
-    * queries. NOTE a DataFrame previously RETURNED by a graft
-    * operator may hold one of these checkpoints in its lineage —
-    * re-collecting it after release throws (localCheckpoint truncates
-    * lineage, so the blocks are unrecoverable); release between
-    * queries, not between uses of one result. */
+  /** Unpersist every graft-created checkpoint block and forget the
+    * registry. Safe after a query's results are consumed: graft
+    * checkpoints are query-internal, never shared across queries.
+    * NOTE a DataFrame previously RETURNED by a graft operator may
+    * hold one of these checkpoints in its lineage — re-collecting it
+    * after release throws (localCheckpoint truncates lineage, so the
+    * blocks are unrecoverable); release between queries, not between
+    * uses of one result.
+    *
+    * BLOCKING (r13): the async form let tens of GB of stale blocks
+    * linger in the unified memory pool between queries at scale
+    * corpora; the NEXT query's memory acquisitions then paid a
+    * single-threaded eviction storm inside the memory manager
+    * (observed: a broadcast hash-relation build pinning one core for
+    * minutes while 31 executors idled — dedup_keep_best 692 s chained
+    * vs 26 s solo at 250k docs, identical shuffle/peak-mem bytes).
+    * Waiting for removal here costs the RELEASING query milliseconds
+    * and buys the next query a clean pool. */
   def releaseAll(spark: SparkSession): Unit = synchronized {
     val persisted = spark.sparkContext.getPersistentRDDs
-    graftIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+    graftIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = true)))
     graftIds.clear()
   }
 
