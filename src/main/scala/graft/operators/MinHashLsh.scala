@@ -309,9 +309,15 @@ object MinHashLsh {
     val inter = PortableHash.sortedIntersectCount(col("l.hset"), col("r.hset"))
     val jac = inter.cast("double") /
       (size(col("l.hset")) + size(col("r.hset")) - inter)
+    // merge-hinted (r13): the set frame carries ~8 bytes per input
+    // CHAR (the hset array), but its size estimate descends from the
+    // compressed parquet scan — at 250k-1M docs the planner statically
+    // broadcast it (GBs collected through one driver thread while 31
+    // executors idled; BENCH_SCALE_r13_partial.json). Broadcast is for
+    // provably-BOUNDED sides only; corpus-payload sides sort-merge.
     prefiltered
-      .join(sets.as("l"), col("id_l") === col("l.doc_id"))
-      .join(sets.as("r"), col("id_r") === col("r.doc_id"))
+      .join(sets.as("l").hint("merge"), col("id_l") === col("l.doc_id"))
+      .join(sets.as("r").hint("merge"), col("id_r") === col("r.doc_id"))
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), col("jaccard"))
@@ -359,8 +365,13 @@ object MinHashLsh {
       col("band_key").as("band_key_r"),
       col("doc_id").as("id_r"), col("sig").as("sig_r"))
     // materialized: consumed twice below (survivor ids + verify join)
-    // — without this the band self-join would execute per consumer
-    val prefiltered = bl.join(br,
+    // — without this the band self-join would execute per consumer.
+    // merge-hinted (r13): both sides carry the 60-long sig array, so
+    // the exploded frame is GBs at mid-scale while its estimate (from
+    // the compressed parquet scan under the checkpoint) stays under
+    // the broadcast threshold — a statically-planned broadcast here
+    // collects the whole banded corpus through one driver thread
+    val prefiltered = bl.hint("merge").join(br.hint("merge"),
         col("band") === col("band_r") && col("band_key") === col("band_key_r") &&
           col("id_l") < col("id_r") &&
           PortableHash.agreeCount(col("sig_l"), col("sig_r")) >=
@@ -395,8 +406,10 @@ object MinHashLsh {
       .union(p.select(col("id_r").as("id_a"), col("id_l").as("id_b")))
     val texts = docs.select(col("doc_id"), col("text"))
     both
-      .join(texts.as("ta"), col("id_a") === col("ta.doc_id"))
-      .join(texts.as("tb"), col("id_b") === col("tb.doc_id"))
+      // merge-hinted: the text side is the raw corpus — broadcast is
+      // for provably-bounded sides only (r13, see prefilteredWithSets)
+      .join(texts.as("ta").hint("merge"), col("id_a") === col("ta.doc_id"))
+      .join(texts.as("tb").hint("merge"), col("id_b") === col("tb.doc_id"))
       .select(col("id_a"), col("id_b"),
         col("ta.text").as("text_a"), col("tb.text").as("text_b"))
   }
@@ -421,7 +434,9 @@ object MinHashLsh {
       col("band_key").as("band_key_r"),
       col("doc_id").as("id_r"), col("sig").as("sig_r"))
     val eq = PortableHash.agreeCount(col("sig_l"), col("sig_r"))
-    bl.join(br, col("band") === col("band_r") &&
+    // merge-hinted: same corpus-payload self-join shape as
+    // prefilteredWithSets (sig arrays on both sides)
+    bl.hint("merge").join(br.hint("merge"), col("band") === col("band_r") &&
         col("band_key") === col("band_key_r") &&
         col("id_l") < col("id_r"))
       .select(col("id_l"), col("id_r"),
