@@ -115,7 +115,8 @@ object Bench {
     * 100× scale-up; peak execution memory is max over tasks, the
     * per-task high-water mark that must fit an executor. */
   private[graft] case class RepMetrics(shuffleWriteBytes: Long, spillBytes: Long,
-                                       peakTaskMemBytes: Long)
+                                       peakTaskMemBytes: Long,
+                                       bcastAfterBytes: Long = 0L)
 
   /** Task-end accumulator behind [[RepMetrics]]. Events post async —
     * callers drain the listener bus before snapshotting so a query's
@@ -240,7 +241,11 @@ object Bench {
         // each rep re-invokes fn and re-checkpoints — release the
         // blocks so rep N+1 (and every later query) starts clean
         releaseCaches(spark)
-        (dt, m)
+        // broadcast residue AFTER release: bounded over a chained run
+        // is the receipt that r13's accumulation defect stays fixed
+        val bcast = org.apache.spark.sql.graft.Bridge
+          .broadcastBlockStats(spark.sparkContext)._2
+        (dt, m.copy(bcastAfterBytes = bcast))
       }
       val r = try {
         // Steady-state timing: best of `reps` runs — the first run of a
@@ -290,7 +295,7 @@ object Bench {
     val metricsJson = results.map { case (k, v) =>
       val m = v.minBy(_._1)._2
       s"\"" + k + "\":" +
-        s"""{"shuffle_mb":${mb(m.shuffleWriteBytes)},"spill_mb":${mb(m.spillBytes)},"peak_task_mem_mb":${mb(m.peakTaskMemBytes)}}"""
+        s"""{"shuffle_mb":${mb(m.shuffleWriteBytes)},"spill_mb":${mb(m.spillBytes)},"peak_task_mem_mb":${mb(m.peakTaskMemBytes)},"bcast_after_mb":${mb(m.bcastAfterBytes)}}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.map(_._1).min).sum else 0.0
     // canary trace: [queries_completed, sec] pairs in run order — a

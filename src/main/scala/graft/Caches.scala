@@ -74,6 +74,68 @@ object Caches {
     val persisted = spark.sparkContext.getPersistentRDDs
     graftIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = true)))
     graftIds.clear()
+    reclaimBroadcasts(spark.sparkContext)
+  }
+
+  /** Broadcast residue above this total is worth a full GC at release
+    * time; below it, releaseAll's broadcast pass is a single (cheap)
+    * block-manager scan. 256 MB: at sf0.1 a whole query's broadcasts
+    * are a few MB — the pass stays free; at scale corpora one
+    * estimate-trap relation alone exceeds it. */
+  private val ReclaimThresholdBytes: Long =
+    sys.env.get("GRAFT_BCAST_RECLAIM_MB").map(_.toLong * 1024 * 1024)
+      .getOrElse(256L * 1024 * 1024)
+
+  /** Between-query broadcast hygiene (r13 scale diagnosis, layer 2).
+    *
+    * SQL broadcast relations are registered with ContextCleaner via
+    * weak references: their blocks leave the unified pool only after
+    * a GC proves the driver-side Broadcast object unreachable. A
+    * chained run (bench loop, notebook, query service) therefore
+    * accumulates every prior query's broadcast blocks until the pool
+    * fills, and the NEXT query's broadcast build then pays a
+    * single-threaded eviction storm inside the memory manager
+    * (measured at 250k docs: dedup_keep_best 692 s chained vs 26 s
+    * solo, one broadcast-exchange thread RUNNABLE 180 s+ while 31/32
+    * cores parked). The fix keeps the cleaner's safety contract —
+    * only UNREFERENCED broadcasts die (a session-cached model holding
+    * a live Broadcast keeps its blocks) — but stops waiting for an
+    * organic GC that a 96 GB heap may not run for minutes: when
+    * residue exceeds [[ReclaimThresholdBytes]], trigger the GC
+    * ourselves and wait (bounded) for the cleaner to drain, so the
+    * next query starts against a clean pool.
+    *
+    * Returns (blocks before, blocks after). No-ops below threshold
+    * and honors a hard deadline — with `-XX:+DisableExplicitGC` this
+    * degrades to the pre-r14 behavior (residue waits for an organic
+    * GC), never worse. */
+  private[graft] def reclaimBroadcasts(sc: org.apache.spark.SparkContext,
+                                       minBytes: Long = ReclaimThresholdBytes,
+                                       timeoutMs: Long = 5000): (Int, Int) = {
+    import org.apache.spark.sql.graft.Bridge
+    val (count0, bytes0) = Bridge.broadcastBlockStats(sc)
+    if (bytes0 < minBytes || count0 == 0) return (count0, count0)
+    System.gc()
+    val deadline = System.currentTimeMillis + timeoutMs
+    var cur = count0
+    var curBytes = bytes0
+    var lastChange = System.currentTimeMillis
+    var gcs = 1
+    // quiesce: stop when the store is (near-)empty, stable for 600 ms,
+    // or the deadline passes — the cleaner thread removes blocks one
+    // broadcast at a time, so progress shows up incrementally
+    while (System.currentTimeMillis < deadline && curBytes >= minBytes
+           && System.currentTimeMillis - lastChange < 600) {
+      Thread.sleep(50)
+      val (n, b) = Bridge.broadcastBlockStats(sc)
+      if (n != cur || b != curBytes) { cur = n; curBytes = b; lastChange = System.currentTimeMillis }
+      else if (gcs < 2 && System.currentTimeMillis - lastChange > 250) {
+        // one retry: the first gc can race the cleaner's registration
+        // of the final reference-queue batch
+        System.gc(); gcs += 1
+      }
+    }
+    (count0, cur)
   }
 
   /** `.graftCheckpoint()` syntax for [[checkpoint]] /

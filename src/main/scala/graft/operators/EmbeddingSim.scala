@@ -124,12 +124,20 @@ object EmbeddingSim {
     val key = tag + "|" + graft.Caches.dataSignature(emb)
     scoredCache.synchronized {
       Option(scoredCache.get(key)).getOrElse {
-        // miss: purge OTHER sessions' entries first (r12 advice) —
-        // with session-tagged keys a stale entry can never hit again,
-        // yet at capacity 2 it would evict THIS session's still-hot
-        // matrix on the next distinct-signature insert
-        val stale = scoredCache.keySet.toArray(Array.empty[String])
-          .filterNot(_.startsWith(tag + "|"))
+        // miss: purge DEAD sessions' entries first (r12 advice, r13
+        // refinement) — an entry whose context is stopped can never
+        // hit again, yet at capacity 2 it would evict THIS session's
+        // still-hot matrix on the next distinct-signature insert.
+        // LIVE sibling sessions' entries stay (r13 advice): evicting
+        // them would make two alternating live sessions thrash the
+        // cache into full recompute+persist on every call; the
+        // capacity-2 LRU already arbitrates between live owners.
+        val stale = scoredCache.entrySet.toArray(
+            Array.empty[java.util.Map.Entry[String, DataFrame]])
+          .filter { e =>
+            !e.getKey.startsWith(tag + "|") &&
+              e.getValue.sparkSession.sparkContext.isStopped
+          }.map(_.getKey)
         stale.foreach { k => safeUnpersist(scoredCache.get(k)); scoredCache.remove(k) }
         val df = cosineScored(emb)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

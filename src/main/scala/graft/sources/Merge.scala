@@ -1012,25 +1012,36 @@ object Merge {
     * READ RACE (r10 advice): a reader whose two exists-checks straddle
     * a concurrent [[writeFeedFloor]]'s delete→rename window could see
     * NEITHER file (main already deleted, tmp already renamed) and
-    * resolve floor = 1. Both-miss therefore RE-READS BOTH markers ONCE
-    * (r12 advice — a main-only re-read left a window across two
-    * back-to-back writer rounds: round N's rename completes before the
-    * first tmp read, round N+1's delete lands before the re-read, and
-    * main-only misses again). Checking both closes it without a retry
-    * loop: the writer always stages the new tmp BEFORE deleting main,
-    * so at the instant the re-read runs either main is published
-    * (re-read of main hits) or the round that deleted it has its tmp
-    * staged (re-read of tmp hits) — with a single maintainer there is
-    * no interleaving that hides both at once; r11 advice bounded the
-    * retry to one so the common NEVER-EXPIRED feed pays misses, not a
-    * retry loop. */
+    * resolve floor = 1. Both-miss therefore re-reads both markers up
+    * to TWO more times, the final pass tmp-FIRST (r12 advice closed
+    * the main-only re-read's two-round window; r13 advice: even a
+    * both-marker re-read is not atomic — round N+1 can delete main
+    * after the main re-read and rename tmp before the tmp re-read).
+    * This NARROWS the window — a double miss now requires each
+    * re-read pair to straddle a FRESH writer round, i.e. three
+    * back-to-back retention sweeps interleaved exactly against three
+    * paired reads — it does not close it: no finite sequence of
+    * non-atomic reads can, and full closure needs an atomic read
+    * (e.g. a rename-only marker protocol with no delete window).
+    * Bounded retries keep the common NEVER-EXPIRED feed at two cheap
+    * misses, not a retry loop; the single-maintainer contract makes
+    * the residual interleaving a crash-frequency event, and a floor
+    * resolved low re-delivers already-expired versions (duplicate
+    * delivery, the feed's documented at-least-once edge) rather than
+    * losing data. */
   private def feedFloor(spark: SparkSession, feedDir: String): Int = {
     val main = new Path(feedDir, FeedFloorFile)
     val tmp = new Path(feedDir, feedFloorTmp)
-    val first = (readFloorInt(spark, main) ++ readFloorInt(spark, tmp)).toSeq
+    def readPair(tmpFirst: Boolean): Seq[Int] =
+      if (tmpFirst) (readFloorInt(spark, tmp) ++ readFloorInt(spark, main)).toSeq
+      else (readFloorInt(spark, main) ++ readFloorInt(spark, tmp)).toSeq
+    val first = readPair(false)
     val vals =
       if (first.nonEmpty) first
-      else (readFloorInt(spark, main) ++ readFloorInt(spark, tmp)).toSeq
+      else {
+        val second = readPair(false)
+        if (second.nonEmpty) second else readPair(true)
+      }
     (vals :+ 1).max
   }
 

@@ -98,6 +98,33 @@ object Bridge {
       case _ => None
     }
 
+  /** (count, bytes) of broadcast blocks resident in THIS JVM's block
+    * manager — in local mode, the only store. BlockManager's
+    * block-enumeration API is private[spark]; bridged for
+    * [[graft.Caches]]' between-query broadcast hygiene (r13 scale
+    * diagnosis layer 2): SQL broadcast-exchange relations die only
+    * via ContextCleaner GC, so a chained run accumulates GB-scale
+    * broadcast blocks in the unified pool and later queries' memory
+    * acquisitions grind through single-threaded eviction. Counting
+    * bytes here is what lets releaseAll decide a GC is worth its
+    * pause — and what puts a "broadcast residue after release"
+    * receipt in the bench artifacts. */
+  def broadcastBlockStats(sc: org.apache.spark.SparkContext): (Int, Long) = {
+    val bm = org.apache.spark.SparkEnv.get.blockManager
+    val ids = bm.getMatchingBlockIds(_.isBroadcast)
+    val bytes = ids.iterator
+      .flatMap(id => bm.getStatus(id))
+      .map(s => s.memSize + s.diskSize).sum
+    (ids.size, bytes)
+  }
+
+  /** Names of the resident broadcast blocks — CachesSpec pins the
+    * reclaim assertion to the specific blocks a dead query leaked,
+    * so live broadcasts owned by other suites/caches can't flake it. */
+  def broadcastBlockIds(sc: org.apache.spark.SparkContext): Set[String] =
+    org.apache.spark.SparkEnv.get.blockManager
+      .getMatchingBlockIds(_.isBroadcast).map(_.name).toSet
+
   /** Block until the listener bus has delivered every queued event
     * (private[spark] — bridged for Bench's per-query metrics
     * attribution: task-end events post asynchronously, so a snapshot

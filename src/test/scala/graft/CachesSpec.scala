@@ -42,6 +42,50 @@ class CachesSpec extends SparkSpec {
     Caches.releaseAll(spark) // must not throw with an empty registry
   }
 
+  test("reclaimBroadcasts frees a dead query's broadcast blocks and spares live ones") {
+    val s = spark
+    val sc = s.sparkContext
+    import org.apache.spark.sql.graft.Bridge
+
+    // build the garbage in a SEPARATE frame: stack slots of the
+    // current method are GC roots, and a Dataset local would keep its
+    // broadcast reachable through QueryExecution
+    def leakBroadcastJoin(): Unit = {
+      import s.implicits._
+      val small = (0L until 64L).toDF("id")
+      assert(s.range(0, 4096).toDF("id")
+        .join(org.apache.spark.sql.functions.broadcast(small), "id")
+        .count() == 64)
+    }
+
+    val before = Bridge.broadcastBlockIds(sc)
+    leakBroadcastJoin()
+    val leaked = Bridge.broadcastBlockIds(sc) -- before
+    assert(leaked.nonEmpty, "the broadcast join must leave blocks behind")
+
+    // a broadcast the caller still references must survive the GC pass
+    val held = sc.broadcast(Array.fill(1 << 10)(7L))
+
+    // under-threshold call is a measured no-op (single stats scan)
+    val noop = Caches.reclaimBroadcasts(sc, minBytes = Long.MaxValue)
+    assert(noop._1 == noop._2)
+
+    // forced reclaim (threshold 0): the dead join's blocks die; GC
+    // timing is best-effort per call, so poll with a deadline
+    Caches.reclaimBroadcasts(sc, minBytes = 0L)
+    val deadline = System.nanoTime() + 20_000_000_000L
+    var residue = Bridge.broadcastBlockIds(sc) intersect leaked
+    while (residue.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      Caches.reclaimBroadcasts(sc, minBytes = 0L)
+      residue = Bridge.broadcastBlockIds(sc) intersect leaked
+    }
+    assert(residue.isEmpty, s"dead broadcast blocks survived reclaim: $residue")
+    assert(held.value.length == 1024,
+      "a still-referenced broadcast must survive reclaim")
+    held.destroy()
+  }
+
   test("checkpointLazy runs no job at mark time, materializes+truncates on the first action, and releases") {
     val s = spark
     import s.implicits._

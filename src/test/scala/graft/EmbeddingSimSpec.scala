@@ -10,26 +10,30 @@ class EmbeddingSimSpec extends SparkSpec {
     rows.toDF("vec_id", "embedding")
   }
 
-  test("scoredCache keeps one live entry per session and purges foreign-session entries on a miss") {
+  test("scoredCache keeps LIVE sibling sessions' entries — alternating sessions hit, not thrash") {
+    // r13 advice: the r12 purge evicted ALL foreign-session entries on
+    // a miss, so two live sessions alternating calls recomputed the
+    // scored matrix every time. The purge now targets only entries
+    // whose owning context is STOPPED (untestable in-JVM — one context
+    // per JVM — the filter is exercised by the capacity path); live
+    // siblings coexist under the capacity-2 LRU.
     val emb1 = spark.read.parquet(s"$Sf0001/embeddings.parquet")
     EmbeddingSim.cosineScoredCached(emb1)
     val tag1 = Caches.sessionTag(emb1)
     assert(EmbeddingSim.scoredCacheKeys.exists(_.startsWith(tag1 + "|")))
-    // a sibling session's miss must purge the other session's entry
-    // (r12 advice: at capacity 2, a dead session's stale entry would
-    // otherwise evict the live session's still-hot matrix)
     val s2 = spark.newSession()
     val emb2 = s2.read.parquet(s"$Sf0001/embeddings.parquet")
     EmbeddingSim.cosineScoredCached(emb2)
     val tag2 = Caches.sessionTag(emb2)
-    val keys = EmbeddingSim.scoredCacheKeys
     assert(tag1 != tag2)
-    assert(keys.forall(_.startsWith(tag2 + "|")) && keys.size == 1,
-      s"expected only the $tag2 entry, got $keys")
-    // and the original session's next miss purges the sibling's in turn
+    val keys = EmbeddingSim.scoredCacheKeys
+    assert(keys.exists(_.startsWith(tag1 + "|")) && keys.exists(_.startsWith(tag2 + "|")),
+      s"both live sessions' entries must coexist, got $keys")
+    // alternating sessions serve from cache: the key set is unchanged
     EmbeddingSim.cosineScoredCached(emb1)
-    val back = EmbeddingSim.scoredCacheKeys
-    assert(back.forall(_.startsWith(tag1 + "|")) && back.size == 1)
+    EmbeddingSim.cosineScoredCached(emb2)
+    assert(EmbeddingSim.scoredCacheKeys.toSet == keys.toSet,
+      "an alternating live session must hit, not purge-and-recompute")
   }
 
   test("norms: dim and squared L2") {

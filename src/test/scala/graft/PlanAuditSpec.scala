@@ -72,13 +72,19 @@ class PlanAuditSpec extends SparkSpec {
     * the deliberate exception: its checkpoint outlives the JVM, so a
     * resumed run may legitimately have no last batch — captured
     * opportunistically, compared when present. */
-  private val requiredStreamCaptures = Set(
-    "stream_window_counts", "stream_session_windows", "stream_enrich",
-    "stream_range_join", "stream_asof_join", "stream_exact_dedup",
-    "stream_pipeline", "stream_sessionize", "stream_near_dup",
-    "stream_heavy_hitters", "stream_cdc_merge", "stream_merge",
-    "stream_to_parquet")
-  private val optionalStreamCaptures = Set("stream_change_feed")
+  private val optionalStreamCaptures = Set(
+    "stream_change_feed", // checkpoint outlives the JVM (see above)
+    // batch view over stream_to_parquet's sink: runs no stream of its
+    // own; the micro-batch plan is captured under stream_to_parquet
+    "stream_compacted")
+  /** DERIVED from SparkEntry's stream_* keys (r13 advice): a future
+    * streaming query added via a raw writeStream path without a
+    * PlanCapture.record call must fail here, not silently escape the
+    * micro-batch shuffle/cartesian gate — to ship it, either capture
+    * its last-batch plan or exempt it above with a reason. */
+  private def requiredStreamCaptures: Set[String] =
+    SparkEntry.queries.keySet.filter(_.startsWith("stream_")) --
+      optionalStreamCaptures
   /** Suffix separating a query's MICRO-BATCH digest from its batch
     * result-frame digest in PLAN_DIGESTS.json. */
   private val StreamSuffix = "#stream"

@@ -76,6 +76,12 @@ def gen_documents(con, src, out, factor, vocab_size):
     # identical inverse-CDF draw in O(n log V)
     vocab_cdf = np.cumsum(freq)
     ls_cdf = np.cumsum(ls_p)
+    # float cumsum can end an ulp below 1.0, and a draw landing in
+    # [cdf[-1], 1.0) would searchsorted to len(vocab) — an IndexError
+    # whose odds scale with draw count (~1e9 draws at 1M docs). Pinning
+    # the last edge to exactly 1.0 changes no other draw's outcome.
+    vocab_cdf[-1] = 1.0
+    ls_cdf[-1] = 1.0
 
     ids, texts, langs, sources = [], [], [], []
     prev_words = None  # only doc did-1 is ever consulted — a dict of
