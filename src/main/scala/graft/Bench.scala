@@ -216,7 +216,7 @@ object Bench {
     // artifact of the PREVIOUS round's isolated protocol; overridable,
     // absent → gate off)
     val baseline = loadBaseline(sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_BASELINE", "BENCH_ISOLATED_r12.json"), Some(sfDir))
+      "SPARK_GRAFT_BENCH_BASELINE", "BENCH_ISOLATED_r14.json"), Some(sfDir))
     val canarySamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     canarySamples += ((0, canaryOnce(spark)))
     var done = 0

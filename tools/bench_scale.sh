@@ -10,6 +10,14 @@
 # BENCH_SCALE_<tag>.json: exponent = log(t_hi/t_lo) / log(hi/lo) per
 # query, with the resource metrics at both sizes so the 100-TB argument
 # carries a memory-behavior receipt, not just wall-clock.
+#
+# Heap default is 64g, NOT the box's full 125 GB (r14 finding): at 96g
+# the 1M-doc chain left the OS no headroom for the multi-GB shuffle
+# page cache, and allocation stalls under kernel reclaim inflated
+# light queries 10x (merge_scan 226 s at 96g vs 25 s at 64g, same
+# code, clean canary at 64g). Real clusters run 8-16 GB executor
+# heaps and never see this regime; a single-JVM harness has to leave
+# the kernel its share.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 TAG=${1:?usage: bench_scale.sh <tag> [lo_factor] [hi_factor]}
@@ -39,7 +47,7 @@ for f in "$LO" "$HI"; do
     SPARK_GRAFT_REPS="${SPARK_GRAFT_REPS:-2}" \
     SPARK_GRAFT_ONLY="$HEADLINE" \
     SPARK_GRAFT_BENCH_OUT="$out" \
-    SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-96g}" \
+    SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}" \
     sbt -batch "runMain graft.Bench" > "$log" 2>&1
 done
 
