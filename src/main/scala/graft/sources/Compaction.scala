@@ -40,11 +40,31 @@ object Compaction {
     * hash-partitioned landing task). */
   val FragmentFiles = 64
 
-  /** Compaction bin-pack target — 64 KB so the compacted layout has
+  /** Bin-pack target floor — 64 KB so the compacted layout has
     * several files even at the oracle sf and the index's file-level
-    * pruning is observable (the ZOrder 32 KB row-group discipline);
-    * production uses the same arithmetic with a ~128 MB target. */
-  val TargetFileBytes: Long = 64L * 1024
+    * pruning is observable (the ZOrder 32 KB row-group discipline). */
+  val FloorFileBytes: Long = 64L * 1024
+
+  /** Bin-pack target cap — the Delta/Iceberg-grade production file
+    * size a 100 TB table converges to. */
+  val CapFileBytes: Long = 128L * 1024 * 1024
+
+  /** Compaction bin-pack target for a rewrite of `totalBytes`:
+    * totalBytes/64 — every rewrite keeps ~64-way write parallelism
+    * and downstream reads ~64 splits — clamped to
+    * [[[FloorFileBytes]], [[CapFileBytes]]]. The floor keeps
+    * oracle-sf fixtures multi-file (identical layouts to the flat
+    * 64 KB target this replaces, so the correctness surface is
+    * byte-stable); the slope is what changes mid-scale behavior:
+    * before r14 the target was a FLAT 64 KB at every size, and the
+    * 1M-doc scale chain compacted 237 MB into 3,117 files — every
+    * downstream read then paid ~50x the per-file catalog/footer/
+    * scheduling cost, which alone drove merge_scan superlinear
+    * (e=1.62, BENCH_SCALE_r14). At 100 TB a flat 64 KB target would
+    * mean 1.6 BILLION files; the capped slope lands at the
+    * production 128 MB instead. */
+  def targetFileBytes(totalBytes: Long): Long =
+    math.min(CapFileBytes, math.max(FloorFileBytes, totalBytes / 64))
 
   private def tag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
   private def root(dir: String): String =
@@ -100,7 +120,8 @@ object Compaction {
       val p = new org.apache.hadoop.fs.Path(u)
       p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
-    math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
+    val target = targetFileBytes(bytes)
+    math.max(1L, (bytes + target - 1) / target).toInt
   }
 
   /** The fragmented documents table compacted once per source state

@@ -405,8 +405,10 @@ object Merge {
     val touchedBytes = touched.map { case (s, _) =>
       val p = new Path(s.path); p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
-    val nFiles = math.max(1L,
-      (touchedBytes + Compaction.TargetFileBytes - 1) / Compaction.TargetFileBytes).toInt
+    val nFiles = {
+      val target = Compaction.targetFileBytes(touchedBytes)
+      math.max(1L, (touchedBytes + target - 1) / target).toInt
+    }
 
     // the batch's keys now have EXPLICIT state (rewritten or inserted)
     // — drop them from the deletion list so a re-upsert of a

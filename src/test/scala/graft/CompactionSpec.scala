@@ -10,6 +10,29 @@ class CompactionSpec extends SparkSpec {
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
       .toSeq
 
+  test("bin-pack target scales with rewrite size: floored, sloped, capped") {
+    import Compaction.{targetFileBytes, FloorFileBytes, CapFileBytes}
+    // oracle-sf regime: anything under 4 MB floors at 64 KB, so the
+    // sf0.001/sf0.01 fixture layouts are byte-identical to the flat
+    // 64 KB target this formula replaced
+    assert(targetFileBytes(0L) == FloorFileBytes)
+    assert(targetFileBytes(500L * 1024) == FloorFileBytes)
+    assert(targetFileBytes(4L * 1024 * 1024) == FloorFileBytes)
+    // mid-scale regime: the slope holds file count at ~64 (the 1M-doc
+    // chain's 237 MB base compacts to 64 files, not 3,117)
+    val mid = 237L * 1024 * 1024
+    val nMid = (mid + targetFileBytes(mid) - 1) / targetFileBytes(mid)
+    assert(nMid >= 64 && nMid <= 65, s"expected ~64 mid-scale files, got $nMid")
+    // production regime: capped at 128 MB per file, never billions of
+    // tiny files (100 TB -> ~800k files, not 1.6B)
+    assert(targetFileBytes(100L * 1024 * 1024 * 1024 * 1024) == CapFileBytes)
+    // monotone: a bigger rewrite never gets a smaller target
+    val probes = Seq(0L, 1L << 16, 1L << 20, 1L << 24, 1L << 28, 1L << 32, 1L << 40)
+    probes.sliding(2).foreach { case Seq(a, b) =>
+      assert(targetFileBytes(a) <= targetFileBytes(b))
+    }
+  }
+
   test("compaction collapses the small-files layout and preserves every row") {
     val small = Compaction.ensureFragmented(spark, Sf001)
     val compacted = Compaction.ensureCompacted(spark, Sf001)
