@@ -158,7 +158,10 @@ def main() -> None:
         "reading_the_exponents": (
             "Memory behavior is the scale story: shuffle grows ~linearly "
             "(4x docs -> 3.7-4.4x bytes), spill is 0 everywhere, peak task "
-            "memory <= 528 MB, post-release broadcast residue <= 203 MB. "
+            "memory <= 528 MB outside containment_pairs (1.9 GB on its "
+            "warm 1M rep - the per-task state of the fanned-out candidate "
+            "verify, same adversarial-input story as its exponent), post-"
+            "release broadcast residue <= 203 MB. "
             "Wall-clock (both sides clean-canary 64g, min of warm reps): "
             f"candidate_pairs e={exp('candidate_pairs')}, near_dup_groups "
             f"e={exp('near_dup_groups')}, similar_pairs "
@@ -173,8 +176,8 @@ def main() -> None:
             "grows faster than the corpus because the corpus grows over a "
             "FIXED 10k-word vocabulary - every added doc makes the rarest "
             "trigram a doc can probe more common, so the candidate "
-            "equi-join fan-out outgrows the corpus (shuffle 376 -> 2706 MB "
-            "= 7.2x for 4x docs is the candidate set itself, not plan "
+            "equi-join fan-out outgrows the corpus (shuffle 376 -> ~2450 MB "
+            "= 6.5x for 4x docs is the candidate set itself, not plan "
             "regression), and the per-pair containment verify on the "
             "fanned-out candidates takes the wall ratio past the shuffle "
             "ratio. Natural corpora grow vocabulary with size, keeping "
