@@ -23,17 +23,18 @@ object Caches {
 
   /** `ds.localCheckpoint()` + registration: the persisted blocks this
     * call creates are tracked so releaseAll can free them without
-    * touching caller-owned caches. (The registration is a
-    * before/after diff of the session's persistent-RDD ids under this
-    * object's lock — concurrent graft checkpoints stay correctly
-    * attributed; a caller persisting on another thread in the same
-    * instant could be mis-captured, which is benign for the internal
-    * Bench/Verify/Explain loops this serves.) */
-  def checkpoint[T](ds: Dataset[T]): Dataset[T] = synchronized {
-    val sc = ds.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
+    * touching caller-owned caches. Attribution is EXACT (r14): the
+    * registered id is read off the returned frame's own LogicalRDD
+    * (Bridge.checkpointRddId), so concurrent checkpoints — and
+    * concurrent PINNED cache builds ([[pinnedCheckpoint]]) — can
+    * never be mis-captured into the release set, and no lock is held
+    * while the eager materialization job runs (operators now overlap
+    * independent job chains; the r13 before/after-diff form
+    * serialized them and, worse, could claim another thread's pinned
+    * blocks for release). */
+  def checkpoint[T](ds: Dataset[T]): Dataset[T] = {
     val cp = ds.localCheckpoint()
-    graftIds ++= (sc.getPersistentRDDs.keySet -- before)
+    register(cp)
     cp
   }
 
@@ -44,12 +45,32 @@ object Caches {
     * into the update pass (one job per iteration instead of
     * checkpoint-then-probe). Registered for releaseAll like the eager
     * form (localCheckpoint persists at mark time). */
-  def checkpointLazy[T](ds: Dataset[T]): Dataset[T] = synchronized {
-    val sc = ds.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
+  def checkpointLazy[T](ds: Dataset[T]): Dataset[T] = {
     val cp = ds.localCheckpoint(eager = false)
-    graftIds ++= (sc.getPersistentRDDs.keySet -- before)
+    register(cp)
     cp
+  }
+
+  private def register(cp: Dataset[_]): Unit =
+    org.apache.spark.sql.graft.Bridge.checkpointRddId(cp) match {
+      case Some(id) => synchronized { graftIds += id }
+      case None => throw new IllegalStateException(
+        "localCheckpoint did not yield a LogicalRDD — checkpoint " +
+          "registration would leak its blocks past releaseAll")
+    }
+
+  /** PINNED local checkpoint for session caches (AnnRecall's exact
+    * baselines): same materialization, but the ids are returned to
+    * the CALLER (who owns eviction) instead of entering the
+    * releaseAll registry — the frame must survive between-queries
+    * release. Exact attribution, same as [[checkpoint]]. */
+  private[graft] def pinnedCheckpoint[T](ds: Dataset[T]): (Dataset[T], Set[Int]) = {
+    val cp = ds.localCheckpoint()
+    val id = org.apache.spark.sql.graft.Bridge.checkpointRddId(cp).getOrElse(
+      throw new IllegalStateException(
+        "localCheckpoint did not yield a LogicalRDD — pinned blocks " +
+          "would be unevictable"))
+    (cp, Set(id))
   }
 
   /** Unpersist every graft-created checkpoint block and forget the

@@ -137,10 +137,11 @@ object AnnRecall {
       graft.Caches.dataSignature(sigInput))
     val hit = exactCache.synchronized(Option(exactCache.get(key)))
     hit.map(_.df).getOrElse {
-      val sc = sigInput.sparkSession.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      val df = build.localCheckpoint() // pinned: bypasses Caches' registry
-      val ids = (sc.getPersistentRDDs.keySet -- before).toSet
+      // pinned: EXACT id capture, outside Caches' releaseAll registry
+      // (r14 — the old before/after getPersistentRDDs diff raced the
+      // now-concurrent family gates' graftCheckpoints and could hand
+      // this frame's blocks to the between-queries release)
+      val (df, ids) = graft.Caches.pinnedCheckpoint(build)
       val built = Pinned(df, ids)
       exactCache.synchronized {
         Option(exactCache.get(key)) match {
@@ -184,88 +185,120 @@ object AnnRecall {
           f"[ann_recall] $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
         r
       }
-    // --- embedding domain: IVF vs brute-force cosine, same k, same
-    // query set. The query×corpus cosine matrix is the SHARED
-    // EmbeddingSim.cosineScored (the exact frame cosineTopK ranks
-    // over — one definition, no drift), scored once and SESSION-cached
-    // by data signature (r11): both exact baselines (full corpus for
-    // the ivf family; live corpus, %10==5 removed, for the maintained
-    // family) are windows over it, and a repeated gate evaluation —
-    // the second bench rep — serves it from executor storage instead
-    // of re-running the brute-force pass. Deterministic for a fixed
-    // corpus, so the cache can never weaken the gate: every floor bit
-    // is still computed live against the approximate paths. ---
-    val scored = EmbeddingSim.cosineScoredCached(emb)
-    val we = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    def topK(df: DataFrame): DataFrame =
-      df.withColumn("rank", row_number().over(we))
-        .filter(col("rank") <= K).select("query_id", "neighbor_id")
-    val exactE = timed("exact_cosine")(
-      cachedExact("exact_cosine", emb)(topK(scored)))
-    val ivf = EmbeddingSim.ivfTopK(emb, K).select("query_id", "neighbor_id")
-    val (eTot, ivfHits) = timed("ivf_serve")(
-      recallCounts(exactE, ivf, Seq("query_id", "neighbor_id")))
-    // --- text domain: MLlib minhash ANN vs exact shingle-set
-    // Jaccard top-k on the same input slice and query set ---
-    val d500 = docs.filter(col("doc_id") < 500)
-    val exactT = timed("exact_jaccard")(cachedExact("exact_jaccard", d500) {
-      val sets = d500.select(col("doc_id"),
-        array_sort(array_distinct(Shingling.shingleHashArray(col("text")))).as("hset"))
-        .graftCheckpoint()
-      val q = sets.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("query_id"), col("hset").as("q_set"))
-      val inter = PortableHash.sortedIntersectCount(col("q_set"), col("hset"))
-      val jac = inter.cast("double") /
-        (size(col("q_set")) + size(col("hset")) - inter)
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("jaccard").desc, col("neighbor_id"))
-      sets.join(broadcast(q), col("doc_id") =!= col("query_id"))
-        .select(col("query_id"), col("doc_id").as("neighbor_id"), jac.as("jaccard"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select("query_id", "neighbor_id")
-    })
-    val ml = graft.ml.MlMinHash.annTopK(d500).select("query_id", "neighbor_id")
-    val (tTot, mlHits) = timed("ml_ann_serve")(
-      recallCounts(exactT, ml, Seq("query_id", "neighbor_id")))
-    // --- pairs domain: MLlib AND-OR banded similarity join vs the
-    // exact verified pairs, same slice (both emit id_l < id_r) ---
-    val exactP = timed("exact_pairs")(cachedExact("exact_pairs", d500)(
-      MinHashLsh.similarPairs(d500).select("id_l", "id_r")))
-    val mlP = graft.ml.MlMinHash.pairsBanded(d500).select("id_l", "id_r")
-    val (pTot, pHits) = timed("ml_pairs_serve")(
-      recallCounts(exactP, mlP, Seq("id_l", "id_r")))
-    // --- maintained-index domain (r10): the FEED-MAINTAINED IVF
-    // (held-out tenth inserted, %10==5 band deleted, one span) vs
-    // brute-force cosine over the live corpus — same queries
-    // (vec_id % 100 == 0, none deleted), same k. The tombstone mask
-    // is part of what's gated: a deleted vector the probe still
-    // serves displaces true neighbors and drops recall. ---
-    val exactM = timed("exact_maintained")(cachedExact("exact_maintained", emb)(
-      topK(scored.filter(col("neighbor_id") % 10 =!= 5))))
-    val (mModel, mIndex, mTomb) = timed("ensure_maintained")(
-      EmbeddingSim.ensureMaintainedIvf(emb))
-    val maint = EmbeddingSim.ivfProbeMaintained(
-      emb.filter(col("vec_id") % 100 === 0), mModel, mIndex, mTomb, K)
-      .select("query_id", "neighbor_id")
-    val (mTot, mHits) = timed("maintained_serve")(
-      recallCounts(exactM, maint, Seq("query_id", "neighbor_id")))
-    def pct(hits: Long, total: Long): Long =
-      if (total == 0) 100L else hits * 100L / total
-    if (sys.env.contains("GRAFT_RECALL_DEBUG"))
-      System.err.println(s"[ann_recall] ivf=${pct(ivfHits, eTot)} " +
-        s"ml_minhash=${pct(mlHits, tTot)} ml_pairs=${pct(pHits, pTot)} " +
-        s"ivf_maintained=${pct(mHits, mTot)}")
-    Seq(
-      ("ivf", IvfFloorPct.toLong,
-        if (pct(ivfHits, eTot) >= IvfFloorPct) 1L else 0L),
-      ("ivf_maintained", IvfMaintainedFloorPct.toLong,
-        if (pct(mHits, mTot) >= IvfMaintainedFloorPct) 1L else 0L),
-      ("ml_minhash", MlFloorPct.toLong,
-        if (pct(mlHits, tTot) >= MlFloorPct) 1L else 0L),
-      ("ml_pairs", MlPairsFloorPct.toLong,
-        if (pct(pHits, pTot) >= MlPairsFloorPct) 1L else 0L))
-      .toDF("family", "floor_pct", "meets_floor")
+    // The four family gates are INDEPENDENT job chains over bounded
+    // frames; running them sequentially left most of the machine idle
+    // through each family's straggler stages (measured: stage sums
+    // ~3.7 s vs ~6.5 s wall at sf0.1). Overlap them from a small
+    // driver pool (guide §2.6 — FIFO scheduling backfills one
+    // family's tail with the next family's tasks). Each future
+    // produces only bounded scalars; the output row order below is a
+    // fixed literal Seq, so results are bit-identical to the
+    // sequential form. Shared state is already concurrency-safe:
+    // cosineScoredCached / cachedExact are first-put-wins,
+    // fitCache/cvCache are synchronized LRUs, ensureMaintainedIvf is
+    // marker-guarded.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      // --- embedding domain: IVF vs brute-force cosine, same k, same
+      // query set. The query×corpus cosine matrix is the SHARED
+      // EmbeddingSim.cosineScored (the exact frame cosineTopK ranks
+      // over — one definition, no drift), scored once and SESSION-cached
+      // by data signature (r11): both exact baselines (full corpus for
+      // the ivf family; live corpus, %10==5 removed, for the maintained
+      // family) are windows over it, and a repeated gate evaluation —
+      // the second bench rep — serves it from executor storage instead
+      // of re-running the brute-force pass. Deterministic for a fixed
+      // corpus, so the cache can never weaken the gate: every floor bit
+      // is still computed live against the approximate paths. ---
+      // scored is consumed by BOTH cosine families — build it before
+      // forking so the two threads can't race a double brute-force pass
+      val scored = EmbeddingSim.cosineScoredCached(emb)
+      val we = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      def topK(df: DataFrame): DataFrame =
+        df.withColumn("rank", row_number().over(we))
+          .filter(col("rank") <= K).select("query_id", "neighbor_id")
+      val fIvf = Future {
+        val exactE = timed("exact_cosine")(
+          cachedExact("exact_cosine", emb)(topK(scored)))
+        val ivf = EmbeddingSim.ivfTopK(emb, K).select("query_id", "neighbor_id")
+        timed("ivf_serve")(
+          recallCounts(exactE, ivf, Seq("query_id", "neighbor_id")))
+      }
+      // --- text domain: MLlib minhash ANN vs exact shingle-set
+      // Jaccard top-k on the same input slice and query set ---
+      val d500 = docs.filter(col("doc_id") < 500)
+      val fMl = Future {
+        val exactT = timed("exact_jaccard")(cachedExact("exact_jaccard", d500) {
+          val sets = d500.select(col("doc_id"),
+            array_sort(array_distinct(Shingling.shingleHashArray(col("text")))).as("hset"))
+            .graftCheckpoint()
+          val q = sets.filter(col("doc_id") % 100 === 0)
+            .select(col("doc_id").as("query_id"), col("hset").as("q_set"))
+          val inter = PortableHash.sortedIntersectCount(col("q_set"), col("hset"))
+          val jac = inter.cast("double") /
+            (size(col("q_set")) + size(col("hset")) - inter)
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("jaccard").desc, col("neighbor_id"))
+          sets.join(broadcast(q), col("doc_id") =!= col("query_id"))
+            .select(col("query_id"), col("doc_id").as("neighbor_id"), jac.as("jaccard"))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= K)
+            .select("query_id", "neighbor_id")
+        })
+        val ml = graft.ml.MlMinHash.annTopK(d500).select("query_id", "neighbor_id")
+        timed("ml_ann_serve")(
+          recallCounts(exactT, ml, Seq("query_id", "neighbor_id")))
+      }
+      // --- pairs domain: MLlib AND-OR banded similarity join vs the
+      // exact verified pairs, same slice (both emit id_l < id_r) ---
+      val fPairs = Future {
+        val exactP = timed("exact_pairs")(cachedExact("exact_pairs", d500)(
+          MinHashLsh.similarPairs(d500).select("id_l", "id_r")))
+        val mlP = graft.ml.MlMinHash.pairsBanded(d500).select("id_l", "id_r")
+        timed("ml_pairs_serve")(
+          recallCounts(exactP, mlP, Seq("id_l", "id_r")))
+      }
+      // --- maintained-index domain (r10): the FEED-MAINTAINED IVF
+      // (held-out tenth inserted, %10==5 band deleted, one span) vs
+      // brute-force cosine over the live corpus — same queries
+      // (vec_id % 100 == 0, none deleted), same k. The tombstone mask
+      // is part of what's gated: a deleted vector the probe still
+      // serves displaces true neighbors and drops recall. ---
+      val fMaint = Future {
+        val exactM = timed("exact_maintained")(cachedExact("exact_maintained", emb)(
+          topK(scored.filter(col("neighbor_id") % 10 =!= 5))))
+        val (mModel, mIndex, mTomb) = timed("ensure_maintained")(
+          EmbeddingSim.ensureMaintainedIvf(emb))
+        val maint = EmbeddingSim.ivfProbeMaintained(
+          emb.filter(col("vec_id") % 100 === 0), mModel, mIndex, mTomb, K)
+          .select("query_id", "neighbor_id")
+        timed("maintained_serve")(
+          recallCounts(exactM, maint, Seq("query_id", "neighbor_id")))
+      }
+      import scala.concurrent.duration.Duration
+      val (eTot, ivfHits) = Await.result(fIvf, Duration.Inf)
+      val (tTot, mlHits) = Await.result(fMl, Duration.Inf)
+      val (pTot, pHits) = Await.result(fPairs, Duration.Inf)
+      val (mTot, mHits) = Await.result(fMaint, Duration.Inf)
+      def pct(hits: Long, total: Long): Long =
+        if (total == 0) 100L else hits * 100L / total
+      if (sys.env.contains("GRAFT_RECALL_DEBUG"))
+        System.err.println(s"[ann_recall] ivf=${pct(ivfHits, eTot)} " +
+          s"ml_minhash=${pct(mlHits, tTot)} ml_pairs=${pct(pHits, pTot)} " +
+          s"ivf_maintained=${pct(mHits, mTot)}")
+      Seq(
+        ("ivf", IvfFloorPct.toLong,
+          if (pct(ivfHits, eTot) >= IvfFloorPct) 1L else 0L),
+        ("ivf_maintained", IvfMaintainedFloorPct.toLong,
+          if (pct(mHits, mTot) >= IvfMaintainedFloorPct) 1L else 0L),
+        ("ml_minhash", MlFloorPct.toLong,
+          if (pct(mlHits, tTot) >= MlFloorPct) 1L else 0L),
+        ("ml_pairs", MlPairsFloorPct.toLong,
+          if (pct(pHits, pTot) >= MlPairsFloorPct) 1L else 0L))
+        .toDF("family", "floor_pct", "meets_floor")
+    } finally pool.shutdown()
   }
 }

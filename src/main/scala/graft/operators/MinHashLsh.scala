@@ -35,6 +35,50 @@ import graft.functions.PortableHash
   */
 object MinHashLsh {
 
+  /** Corpus-payload join sides may be left to the planner's broadcast
+    * choice only while the SOURCE parquet stays under this many bytes
+    * (default 2 MB). Rationale (r13 mid-scale diagnosis + guide §3.1):
+    * the frames these joins carry are corpus-DERIVED payloads — the
+    * shingle-hash sets (~8 B per input char), the exploded band+sig
+    * frame (~10 bands x 60 longs per doc), the raw texts — whose
+    * in-memory size is up to ~32-64x the compressed parquet bytes,
+    * while Catalyst's size estimate descends from the parquet scan and
+    * stays under the broadcast threshold long after the real relation
+    * is GBs (at 250k docs the statically-planned broadcast collected
+    * GBs through one driver thread while 31 executors idled). 2 MB
+    * source x 32x expansion ≈ the session's 64 MB broadcast threshold:
+    * below it the planner's broadcast pick is provably safe (sf0.1 is
+    * 0.58 MB — broadcast measured 0.3-1.8 s faster per query there);
+    * above it the side is pinned sort-merge regardless of estimates.
+    * Deployment knob: GRAFT_BCAST_CORPUS_MAX_KB. */
+  private val BoundedCorpusSourceBytes: Long =
+    sys.env.get("GRAFT_BCAST_CORPUS_MAX_KB").map(_.toLong * 1024L)
+      .getOrElse(2L * 1024 * 1024)
+
+  /** TRUE iff `docs` reads from source files totalling at most
+    * [[BoundedCorpusSourceBytes]] — a driver metadata probe (no job).
+    * A non-file input (in-memory test frame, a stream) can't prove a
+    * bound, so it gets the conservative answer. */
+  private[operators] def corpusIsBounded(docs: DataFrame): Boolean = {
+    val files = docs.inputFiles
+    files.nonEmpty && {
+      val conf = docs.sparkSession.sessionState.newHadoopConf()
+      var total = 0L
+      val it = files.iterator
+      while (it.hasNext && total <= BoundedCorpusSourceBytes) {
+        val p = new org.apache.hadoop.fs.Path(it.next())
+        total += p.getFileSystem(conf).getFileStatus(p).getLen
+      }
+      total <= BoundedCorpusSourceBytes
+    }
+  }
+
+  /** A corpus-payload join side under the discipline above: free for
+    * the planner when the corpus is provably bounded, pinned
+    * sort-merge otherwise. Plan-only — never changes results. */
+  private def payloadSide(df: DataFrame, bounded: Boolean): DataFrame =
+    if (bounded) df else df.hint("merge")
+
   /** The whole-row minhash sketch of a text column (fused native
     * expression, MinHashSketchExpression.scala). */
   private def sketchCol(text: org.apache.spark.sql.Column, k: Int) = {
@@ -301,23 +345,26 @@ object MinHashLsh {
                    maxBucket: Option[Int] = None,
                    bands: Int = Config.Bands,
                    rowsPerBand: Int = Config.RowsPerBand): DataFrame = {
+    val bounded = corpusIsBounded(docs)
     val (prefiltered, sets) =
-      prefilteredWithSets(docs, k, maxBucket, threshold, bands, rowsPerBand)
+      prefilteredWithSets(docs, k, maxBucket, threshold, bands, rowsPerBand,
+        bounded)
     // |A∩B| by merge scan over the sorted sets; |A∪B| = |A|+|B|-|A∩B|
     // — same integers as array_intersect/array_union, no hash sets or
     // output arrays built per pair
     val inter = PortableHash.sortedIntersectCount(col("l.hset"), col("r.hset"))
     val jac = inter.cast("double") /
       (size(col("l.hset")) + size(col("r.hset")) - inter)
-    // merge-hinted (r13): the set frame carries ~8 bytes per input
-    // CHAR (the hset array), but its size estimate descends from the
-    // compressed parquet scan — at 250k-1M docs the planner statically
-    // broadcast it (GBs collected through one driver thread while 31
-    // executors idled; BENCH_SCALE_r13_partial.json). Broadcast is for
-    // provably-BOUNDED sides only; corpus-payload sides sort-merge.
+    // scale-adaptive (r14, was blanket-merge-hinted in r13): the set
+    // frame carries ~8 bytes per input CHAR (the hset array), but its
+    // size estimate descends from the compressed parquet scan — at
+    // 250k-1M docs the planner statically broadcast it (GBs collected
+    // through one driver thread while 31 executors idled;
+    // BENCH_SCALE_r13_partial.json). Broadcast is for provably-BOUNDED
+    // sides only (see corpusIsBounded); otherwise sort-merge.
     prefiltered
-      .join(sets.as("l").hint("merge"), col("id_l") === col("l.doc_id"))
-      .join(sets.as("r").hint("merge"), col("id_r") === col("r.doc_id"))
+      .join(payloadSide(sets.as("l"), bounded), col("id_l") === col("l.doc_id"))
+      .join(payloadSide(sets.as("r"), bounded), col("id_r") === col("r.doc_id"))
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), col("jaccard"))
@@ -333,7 +380,8 @@ object MinHashLsh {
                                   maxBucket: Option[Int],
                                   threshold: Double = Config.Threshold,
                                   bands: Int = Config.Bands,
-                                  rowsPerBand: Int = Config.RowsPerBand)
+                                  rowsPerBand: Int = Config.RowsPerBand,
+                                  bounded: Boolean = false)
       : (DataFrame, DataFrame) = {
     // Signatures only (60 longs/doc ≈ 0.5 KB) are materialized for
     // the whole corpus — the band explode and the prefilter read this
@@ -366,12 +414,14 @@ object MinHashLsh {
       col("doc_id").as("id_r"), col("sig").as("sig_r"))
     // materialized: consumed twice below (survivor ids + verify join)
     // — without this the band self-join would execute per consumer.
-    // merge-hinted (r13): both sides carry the 60-long sig array, so
+    // scale-adaptive (r14): both sides carry the 60-long sig array, so
     // the exploded frame is GBs at mid-scale while its estimate (from
     // the compressed parquet scan under the checkpoint) stays under
     // the broadcast threshold — a statically-planned broadcast here
-    // collects the whole banded corpus through one driver thread
-    val prefiltered = bl.hint("merge").join(br.hint("merge"),
+    // collects the whole banded corpus through one driver thread.
+    // Pinned sort-merge unless the corpus is provably bounded
+    // (corpusIsBounded), where the planner's broadcast is safe+faster.
+    val prefiltered = payloadSide(bl, bounded).join(payloadSide(br, bounded),
         col("band") === col("band_r") && col("band_key") === col("band_key_r") &&
           col("id_l") < col("id_r") &&
           PortableHash.agreeCount(col("sig_l"), col("sig_r")) >=
@@ -405,11 +455,12 @@ object MinHashLsh {
     val both = p.select(col("id_l").as("id_a"), col("id_r").as("id_b"))
       .union(p.select(col("id_r").as("id_a"), col("id_l").as("id_b")))
     val texts = docs.select(col("doc_id"), col("text"))
+    val bounded = corpusIsBounded(docs)
     both
-      // merge-hinted: the text side is the raw corpus — broadcast is
-      // for provably-bounded sides only (r13, see prefilteredWithSets)
-      .join(texts.as("ta").hint("merge"), col("id_a") === col("ta.doc_id"))
-      .join(texts.as("tb").hint("merge"), col("id_b") === col("tb.doc_id"))
+      // scale-adaptive: the text side is the raw corpus — broadcast is
+      // for provably-bounded sides only (see corpusIsBounded)
+      .join(payloadSide(texts.as("ta"), bounded), col("id_a") === col("ta.doc_id"))
+      .join(payloadSide(texts.as("tb"), bounded), col("id_b") === col("tb.doc_id"))
       .select(col("id_a"), col("id_b"),
         col("ta.text").as("text_a"), col("tb.text").as("text_b"))
   }
@@ -434,9 +485,11 @@ object MinHashLsh {
       col("band_key").as("band_key_r"),
       col("doc_id").as("id_r"), col("sig").as("sig_r"))
     val eq = PortableHash.agreeCount(col("sig_l"), col("sig_r"))
-    // merge-hinted: same corpus-payload self-join shape as
+    // scale-adaptive: same corpus-payload self-join shape as
     // prefilteredWithSets (sig arrays on both sides)
-    bl.hint("merge").join(br.hint("merge"), col("band") === col("band_r") &&
+    val bounded = corpusIsBounded(docs)
+    payloadSide(bl, bounded).join(payloadSide(br, bounded),
+        col("band") === col("band_r") &&
         col("band_key") === col("band_key_r") &&
         col("id_l") < col("id_r"))
       .select(col("id_l"), col("id_r"),

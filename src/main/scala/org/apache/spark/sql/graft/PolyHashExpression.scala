@@ -76,6 +76,20 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The persisted RDD id behind a just-created `localCheckpoint`
+    * Dataset (its logical plan is a LogicalRDD wrapping the marked
+    * RDD — private[sql], hence bridged). EXACT attribution for
+    * graft.Caches' checkpoint registry: the previous before/after
+    * diff of `sc.getPersistentRDDs` mis-attributed a CONCURRENT
+    * thread's pinned cache blocks into the between-queries release
+    * set (r14 — surfaced the moment AnnRecall overlapped its four
+    * family gates: rep 2 then read a released checkpoint block). */
+  def checkpointRddId(df: org.apache.spark.sql.Dataset[_]): Option[Int] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd.id)
+      case _ => None
+    }
+
   /** Unload every loaded state-store provider (private[sql] —
     * bridged for the streaming harness): providers and their
     * in-memory version maps outlive the query that created them, and
