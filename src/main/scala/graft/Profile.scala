@@ -70,6 +70,41 @@ object Profile {
         model.approxSimilarityJoin(vecs, vecs, 0.2 + 1e-9, "jaccard_dist").count())
     }
 
+    // pillar-B pairsBanded attribution (r14): the full-corpus AND-OR
+    // banded form is the top non-stream bench query — which stage owns
+    // the time decides whether there's a non-MLlib-internal lever
+    {
+      import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+      import org.apache.spark.ml.functions.vector_to_array
+      val rawSets = operators.Shingling.shingleSets(docs)
+      val sets = time("mlB: shingleSets+ckpt")(rawSets.graftCheckpoint())
+      val cv = new CountVectorizer().setInputCol("shingle_set")
+        .setOutputCol("features").setBinary(true).setVocabSize(1 << 21)
+      val cvm = time("mlB: cv.fit")(cv.fit(sets))
+      val vecs = time("mlB: cv.transform+ckpt")(
+        cvm.transform(sets).select(col("doc_id"), col("features")).graftCheckpoint())
+      val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(Config.Bands * Config.RowsPerBand).setSeed(Config.Seed)
+      val model = time("mlB: mh.fit")(mh.fit(vecs))
+      val bandKeys = (0 until Config.Bands).map { j =>
+        concat_ws(",", (0 until Config.RowsPerBand).map { r =>
+          vector_to_array(element_at(col("hashes"), j * Config.RowsPerBand + r + 1))
+            .getItem(0).cast("long").cast("string")
+        }: _*)
+      }
+      val banded = time("mlB: transform+band ckpt")(
+        model.transform(vecs)
+          .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+          .graftCheckpoint())
+      val l = banded.select(col("band"), col("band_key"), col("doc_id").as("id_l"))
+      val r = banded.select(col("band"), col("band_key"), col("doc_id").as("id_r"))
+      time("mlB: selfjoin+distinct")(
+        l.join(r, Seq("band", "band_key")).filter(col("id_l") < col("id_r"))
+          .select("id_l", "id_r").distinct().count())
+      time("mlB: pairsBanded full")(ml.MlMinHash.pairsBanded(docs).count())
+      Caches.releaseAll(spark)
+    }
+
     // as-of operator scaling: the window-over-union formulation vs
     // the native merge-scan operator on replicated event streams
     // (disjoint user/event id ranges per replica — same per-user

@@ -138,49 +138,58 @@ object MlMinHash {
       .setNumHashTables(bands * rowsPerBand)
       .setSeed(Config.Seed)
       .fit(vecs)
-    // hashes: array<vector>, one 1-element vector per table — band j's
-    // key is the concatenation of its rowsPerBand integral hash values
+    // hashes: array<vector>, one 1-element vector per table. ONE udf
+    // call per row lifts all bands*rowsPerBand integral hash values
+    // into a long array (r14 — the previous form invoked
+    // vector_to_array, itself a scala udf, 60 times per row: measured
+    // ~40% of the banding stage); band keys then assemble from the
+    // array with codegen'd element_at/concat_ws. Same truncation as
+    // the old double->long cast (the values are integral).
+    val hashLongs = udf { (hs: Seq[Vector]) => hs.map(_(0).toLong).toArray }
     val bandKeys = (0 until bands).map { j =>
       concat_ws(",", (0 until rowsPerBand).map { r =>
-        vector_to_array(element_at(col("hashes"), j * rowsPerBand + r + 1))
-          .getItem(0).cast("long").cast("string")
+        element_at(col("hv"), j * rowsPerBand + r + 1).cast("string")
       }: _*)
     }
     // SLIM banding frame: the self-join shuffles (band, key, id) only —
     // shipping each side's feature vector through the candidate join
     // would put O(candidates × vector) bytes on the wire; instead the
-    // deduped pair list joins the per-doc features back afterwards.
+    // deduped pair list joins the per-doc verify payload back
+    // afterwards.
     // No broadcast hint: the build side is corpus-sized, so Catalyst
     // broadcasts while stats allow and degrades to a shuffle join on
     // doc_id past the threshold — forcing broadcast would OOM at scale
     val banded = model.transform(vecs)
+      .select(col("doc_id"), hashLongs(col("hashes")).as("hv"))
       .select(col("doc_id"),
         posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
       .graftCheckpoint()
     val l = banded.select(col("band"), col("band_key"), col("doc_id").as("id_l"))
     val r = banded.select(col("band"), col("band_key"), col("doc_id").as("id_r"))
-    def indices(v: Vector): Array[Int] = v match {
-      case s: SparseVector => s.indices
-      case d: DenseVector =>
-        d.values.iterator.zipWithIndex.filter(_._1 != 0.0).map(_._2).toArray
-    }
-    val jac = udf { (a: Vector, b: Vector) =>
-      val x = indices(a)
-      val y = indices(b)
-      var i = 0; var j = 0; var inter = 0
-      while (i < x.length && j < y.length) {
-        if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
-        else if (x(i) < y(j)) i += 1
-        else j += 1
+    // Verify currency: each doc's sorted feature-index set, extracted
+    // ONCE per doc (r14 — the per-PAIR vector udf re-extracted both
+    // sides' indices for every one of the ~1M candidates; the banded
+    // admit rate is the documented pillar-B semantics, so the win is
+    // per-pair cost). SparseVector.indices is strictly increasing, so
+    // the fused sorted-intersect runs codegen'd per pair; jaccard is
+    // the same inter/(|x|+|y|-inter) double.
+    val idxOf = udf { (v: Vector) =>
+      v match {
+        case s: SparseVector => s.indices.map(_.toLong)
+        case d: DenseVector =>
+          d.values.iterator.zipWithIndex.filter(_._1 != 0.0).map(_._2.toLong).toArray
       }
-      inter.toDouble / (x.length + y.length - inter)
     }
+    val docIdx = vecs.select(col("doc_id"), idxOf(col("features")).as("ix"))
+    val inter = graft.functions.PortableHash
+      .sortedIntersectCount(col("ix_l"), col("ix_r"))
     l.join(r, Seq("band", "band_key"))
       .filter(col("id_l") < col("id_r"))
       .select("id_l", "id_r").distinct()
-      .join(vecs.select(col("doc_id").as("id_l"), col("features").as("f_l")), "id_l")
-      .join(vecs.select(col("doc_id").as("id_r"), col("features").as("f_r")), "id_r")
-      .withColumn("jaccard", jac(col("f_l"), col("f_r")))
+      .join(docIdx.select(col("doc_id").as("id_l"), col("ix").as("ix_l")), "id_l")
+      .join(docIdx.select(col("doc_id").as("id_r"), col("ix").as("ix_r")), "id_r")
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("ix_l")) + size(col("ix_r")) - inter))
       .filter(col("jaccard") >= threshold)
       .select("id_l", "id_r", "jaccard")
   }

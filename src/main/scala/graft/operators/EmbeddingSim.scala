@@ -285,31 +285,44 @@ object EmbeddingSim {
     }
   }
 
-  /** PROBE against a prebuilt quantizer: one broadcast join of the
-    * table against the centroids ranks every vector's cells by
-    * ||v - c||^2; rank 1 is the vector's own cell (the inverted-file
-    * assignment — no MLlib transform needed), ranks <= nProbe are the
-    * query's probe set. Candidates come from the (cell) equi-join of
-    * probes × assignments — bucketed, never all-pairs. */
+  /** Per-row nearest-cell ranking as a PURE PROJECTION (r14): the
+    * centroid list is a bounded driver-side constant (nCells, 16 at
+    * the serving defaults), so ranking a vector's cells needs no join
+    * and no window — the (d2key, cell) struct array is built from
+    * centroid LITERALS, array_sort'ed (struct order = d2key asc then
+    * cell asc, the former window's exact orderBy), sliced to the top
+    * nProbe and posexploded. Replaces a vectors×centroids broadcast
+    * cross join + row_number window SHUFFLE at every probe/assign
+    * site (guide §2.4 — at sf0.1 the ivfProbe window ran 512k rows
+    * through an exchange per query). d2key is the same
+    * c2 - 2·dot(v,c) double on the same fused VecDot, so cell ranks
+    * are bit-identical to the join+window form.
+    * Output: (vec_id, embedding, cell, pr 1..nProbe, d2key). */
+  private def rankedCells(emb: DataFrame, model: IvfModel,
+                          nProbe: Int): DataFrame = {
+    val entries = model.centroids.map { case (i, c, c2) =>
+      struct((lit(c2) - lit(2.0) * dot(col("embedding"), typedLit(c))).as("d2key"),
+        lit(i).as("cell"))
+    }
+    val top = slice(array_sort(array(entries: _*)), 1, math.max(nProbe, 1))
+    emb.select(col("vec_id"), col("embedding"), posexplode(top).as(Seq("pos", "e")))
+      .select(col("vec_id"), col("embedding"), col("e.cell").as("cell"),
+        (col("pos") + 1).cast("int").as("pr"), col("e.d2key").as("d2key"))
+  }
+
+  /** PROBE against a prebuilt quantizer: [[rankedCells]] ranks every
+    * vector's cells by ||v - c||^2 (rank 1 is the vector's own cell —
+    * the inverted-file assignment, no MLlib transform needed; ranks
+    * <= nProbe are the query's probe set). Candidates come from the
+    * (cell) equi-join of probes × assignments — bucketed, never
+    * all-pairs. */
   def ivfProbe(emb: DataFrame, model: IvfModel, k: Int = 3,
                nProbe: Int = DefaultNProbe): DataFrame = {
-    val spark = emb.sparkSession
-    val centroids = spark.createDataFrame(model.centroids)
-      .toDF("cell", "centroid", "c2")
-    // rank cells by ||q - c||^2 = |q|^2 + (|c|^2 - 2 q·c); |q|^2 is
-    // constant per query so ordering by (c2 - 2·dot) is identical —
-    // and the fused VecDot replaces an interpreted zip_with/aggregate
-    // lambda pair per (vector, centroid) combination
-    val d2key = col("c2") - lit(2.0) * dot(col("embedding"), col("centroid"))
-    val probeW = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
     // one ranked frame feeds BOTH consumers (assignment = pr 1,
-    // probes = pr <= nProbe); materialized so the broadcast join +
-    // window run once, released by the harness after the query
-    val ranked = emb.select(col("vec_id"), col("embedding"))
-      .join(broadcast(centroids))
-      .withColumn("d2", d2key)
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= math.max(nProbe, 1))
+    // probes = pr <= nProbe); materialized so the per-row ranking
+    // runs once, released by the harness after the query
+    val ranked = rankedCells(emb.select(col("vec_id"), col("embedding")),
+        model, nProbe)
       .select("vec_id", "embedding", "cell", "pr")
       .graftCheckpoint()
     val assigned = ranked.filter(col("pr") === 1)
@@ -531,18 +544,10 @@ object EmbeddingSim {
     (modelDir, indexDir, tombDir)
   }
 
-  private def assignCells(emb: DataFrame, model: IvfModel): DataFrame = {
-    val centroids = emb.sparkSession.createDataFrame(
-      model.centroids).toDF("cell", "centroid", "c2")
-    val w = Window.partitionBy("vec_id").orderBy(col("d2key"), col("cell"))
-    emb.select(col("vec_id"), col("embedding"))
-      .join(broadcast(centroids))
-      .withColumn("d2key", col("c2") - lit(2.0) * dot(col("embedding"), col("centroid")))
-      .withColumn("pr", row_number().over(w))
-      .filter(col("pr") === 1)
+  private def assignCells(emb: DataFrame, model: IvfModel): DataFrame =
+    rankedCells(emb.select(col("vec_id"), col("embedding")), model, nProbe = 1)
       .select(col("cell"), col("vec_id"), col("embedding"),
         (norm2(col("embedding")) + col("d2key")).as("d2"))
-  }
 
   /** Outcome of an incremental IVF append: how many vectors landed in
     * the cell table, their mean squared centroid distance, and
@@ -623,14 +628,8 @@ object EmbeddingSim {
     * the tombstone-masked (feed-maintained) index paths. */
   private def probeCells(queries: DataFrame, model: IvfModel,
                          cellTable: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val spark = queries.sparkSession
-    val centroids = spark.createDataFrame(model.centroids).toDF("cell", "centroid", "c2")
-    val probeW = Window.partitionBy("vec_id").orderBy(col("d2key"), col("cell"))
-    val probes = queries.select(col("vec_id"), col("embedding"))
-      .join(broadcast(centroids))
-      .withColumn("d2key", col("c2") - lit(2.0) * dot(col("embedding"), col("centroid")))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= math.max(nProbe, 1))
+    val probes = rankedCells(queries.select(col("vec_id"), col("embedding")),
+        model, nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
     val index = cellTable
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))

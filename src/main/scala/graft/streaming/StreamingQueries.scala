@@ -110,6 +110,26 @@ object StreamingQueries {
     * that parallelism explicitly. */
   private def widen(stream: DataFrame, n: Int): DataFrame = stream.repartition(n)
 
+  /** Dev aid (GRAFT_STREAM_DEBUG only): per-batch wall/duration
+    * breakdown from the progress log, so a slow harness query can be
+    * attributed to planning vs state commit vs sink without
+    * re-instrumenting (the r14 optimization pass needed this twice). */
+  private def debugProgress(name: String,
+                            q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach { p =>
+        val d = p.durationMs
+        System.err.println(f"[stream] $name%-28s batch=${p.batchId}%2d " +
+          f"total=${d.getOrDefault("triggerExecution", -1L)}%5d ms " +
+          f"(addBatch=${d.getOrDefault("addBatch", -1L)}%5d " +
+          f"getBatch=${d.getOrDefault("getBatch", -1L)}%3d " +
+          f"latestOffset=${d.getOrDefault("latestOffset", -1L)}%3d " +
+          f"queryPlanning=${d.getOrDefault("queryPlanning", -1L)}%4d " +
+          f"commitOffsets=${d.getOrDefault("commitOffsets", -1L)}%3d " +
+          f"walCommit=${d.getOrDefault("walCommit", -1L)}%3d) " +
+          f"rows=${p.numInputRows}%6d")
+      }
+
   /** Harness hygiene: state-store PROVIDERS (and their in-memory
     * version maps) outlive the query that created them — in a
     * session running many harness queries they accumulate and the
@@ -138,7 +158,8 @@ object StreamingQueries {
     withStatePartitions(spark, stateParts) {
       val q = transform(widen(stream, stateParts)).writeStream
         .format("memory").queryName(name).outputMode(outputMode).start()
-      try { q.processAllAvailable(); graft.PlanCapture.record(name, q) }
+      try { q.processAllAvailable(); graft.PlanCapture.record(name, q)
+            debugProgress(name, q) }
       finally { q.stop(); unloadStateStores() }
     }
     spark.table(name)
@@ -165,7 +186,8 @@ object StreamingQueries {
     withStatePartitions(spark) {
       val q = transform(widen(src("a", feedA.schema), 8), widen(src("b", feedB.schema), 8))
         .writeStream.format("memory").queryName(name).outputMode("append").start()
-      try { q.processAllAvailable(); graft.PlanCapture.record(name, q) }
+      try { q.processAllAvailable(); graft.PlanCapture.record(name, q)
+            debugProgress(name, q) }
       finally { q.stop(); unloadStateStores() }
     }
     spark.table(name)
